@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tables
+
+/** One query per core operator class from SURVEY.md §2, each with a DuckDB
+  * oracle. These exercise the operator surface directly (selection,
+  * multi-selection/flatten, distinct-as-groupby, top-k, partition,
+  * equi/non-equi/cartesian joins, window functions, event-time grouping,
+  * sessionization).
+  */
+object OperatorQueries {
+
+  /** SelectionComp — filter + project in one op
+    * (reference: src/lambdas/headers/SelectionComp.h:13-23).
+    */
+  def selection(spark: SparkSession, d: String): DataFrame =
+    Tables.customer(spark, d)
+      .filter(col("c_acctbal") > 5000.0 && col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  val selectionSql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_acctbal > 5000.0 AND c_mktsegment = 'BUILDING'""".stripMargin
+
+  /** MultiSelectionComp + Flatten — vector-valued projection exploded
+    * (reference: src/lambdas/headers/MultiSelectionComp.h:16-24,
+    * TCAP Flatten src/logicalPlan/headers/AtomicComputationClasses.h:219).
+    */
+  def flatten(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+
+  val flattenSql: String =
+    """SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |FROM documents WHERE lang = 'en'""".stripMargin
+
+  /** Distinct-as-groupby — the reference expresses DISTINCT as an aggregate
+    * with the value ignored (reference:
+    * src/sharedLibraries/headers/DistinctProjection.h).
+    */
+  def distinctPairs(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+
+  val distinctPairsSql: String =
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+  /** TopKComp fast path — TakeOrderedAndProject, deterministic tiebreak
+    * (reference: src/queryExecution/headers/TopKComp.h:21-37). The
+    * bounded-heap Aggregator variant is exercised in the test suite.
+    */
+  def topOrders(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  val topOrdersSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** PartitionComp — repartition by key, content unchanged
+    * (reference: src/lambdas/headers/PartitionComp.h:15-26).
+    */
+  def partitioned(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .repartition(col("l_returnflag"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+
+  val partitionedSql: String =
+    "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem"
+
+  /** JoinComp with equi key + non-equi residual — the residual native lambda
+    * stays a post-join filter (reference: src/lambdas/headers/JoinComp.h:45,
+    * AndLambda.h:140-253 conjunct split).
+    */
+  def joinResidual(spark: SparkSession, d: String): DataFrame =
+    Tables.supplier(spark, d)
+      .join(Tables.customer(spark, d),
+        col("s_nationkey") === col("c_nationkey") && col("s_acctbal") > col("c_acctbal"))
+      .select(col("s_suppkey"), col("c_custkey"))
+
+  val joinResidualSql: String =
+    """SELECT s_suppkey, c_custkey
+      |FROM supplier JOIN customer
+      | ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal""".stripMargin
+
+  /** Pure non-equi join — the cartesian TCAP fallback
+    * (reference: src/lambdas/headers/CPlusPlusLambda.h:315).
+    */
+  def joinCartesian(spark: SparkSession, d: String): DataFrame =
+    Tables.region(spark, d)
+      .crossJoin(Tables.nation(spark, d))
+      .filter(col("r_regionkey") =!= col("n_regionkey"))
+      .select(col("r_name"), col("n_name"))
+
+  val joinCartesianSql: String =
+    """SELECT r_name, n_name FROM region, nation
+      |WHERE r_regionkey <> n_regionkey""".stripMargin
+
+  /** Window functions — absent from the reference (SURVEY.md §2.1 "no window
+    * functions"), exposed as a capability upgrade: top-3 customers by
+    * balance per nation.
+    */
+  def windowRank(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, d)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("c_nationkey"), col("rnk"), col("c_custkey"), col("c_acctbal"))
+  }
+
+  val windowRankSql: String =
+    """SELECT c_nationkey, rnk, c_custkey, c_acctbal FROM (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |                       ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      |  FROM customer) t WHERE rnk <= 3""".stripMargin
+
+  /** Event-time bucketing — hourly tumbling-window aggregate over the events
+    * table (batch form; the streaming form is graft.streaming).
+    */
+  def eventsHourly(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(
+        date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  val eventsHourlySql: String =
+    """SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type,
+      | COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Sessionization — gap-based (30 min) sessions per user via window
+    * functions; the stateful streaming form is graft.streaming.
+    */
+  def sessionize(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  val sessionizeSql: String =
+    """SELECT user_id, session_seq, COUNT(*) AS n_events FROM (
+      |  SELECT user_id, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |             OR CAST(floor(epoch(ts)) AS BIGINT) -
+      |                CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+      |                     ORDER BY ts, event_id))) AS BIGINT) > 1800
+      |           THEN 1 ELSE 0 END AS new_sess
+      |    FROM events) g) s
+      |GROUP BY user_id, session_seq""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_selection" -> selection,
+    "op_flatten" -> flatten,
+    "op_distinct" -> distinctPairs,
+    "op_topk" -> topOrders,
+    "op_partition" -> partitioned,
+    "op_join_residual" -> joinResidual,
+    "op_join_cartesian" -> joinCartesian,
+    "op_window_rank" -> windowRank,
+    "op_events_hourly" -> eventsHourly,
+    "op_sessionize" -> sessionize)
+
+  val oracles: Map[String, String] = Map(
+    "op_selection" -> selectionSql,
+    "op_flatten" -> flattenSql,
+    "op_distinct" -> distinctPairsSql,
+    "op_topk" -> topOrdersSql,
+    "op_partition" -> partitionedSql,
+    "op_join_residual" -> joinResidualSql,
+    "op_join_cartesian" -> joinCartesianSql,
+    "op_window_rank" -> windowRankSql,
+    "op_events_hourly" -> eventsHourlySql,
+    "op_sessionize" -> sessionizeSql)
+}
