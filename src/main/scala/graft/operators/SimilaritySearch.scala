@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  * Brute-force cosine top-k is the exact baseline (O(q·n), fine when the
+  * query set is small and broadcast); IVF is the scale path: a coarse
+  * quantizer (k-means on a driver-side sample) buckets vectors, queries
+  * probe only the nearest `nprobe` buckets — turning all-pairs into a
+  * bucketed join that shuffles each partition once.
+  */
+object SimilaritySearch {
+
+  /** Exact top-k neighbors for each query vector, by cosine. The query set
+    * is broadcast (small side); ranks are made deterministic by rounding
+    * the score to 1e-6 and tie-breaking on neighbor id.
+    */
+  def bruteForceTopK(
+      emb: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val n = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    n.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Train a coarse quantizer: k-means over a collected sample (the
+    * standard IVF recipe — the codebook is tiny and training data is a
+    * bounded sample, so driver-side iteration is the scalable design,
+    * mirroring how the reference runs iterative ML as client-side loops,
+    * e.g. reference: src/tests/source/TestKMeans.cc).
+    */
+  def trainCentroids(
+      emb: DataFrame, nCentroids: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      sampleLimit: Int = 10000): Array[Array[Double]] = {
+    val sample = emb.orderBy(col(idCol)).limit(sampleLimit)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var centroids = sample.take(nCentroids).map(_.clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(nCentroids)(new Array[Double](centroids(0).length))
+      val counts = new Array[Long](nCentroids)
+      sample.foreach { v =>
+        val c = nearest(centroids, v)
+        counts(c) += 1
+        var i = 0
+        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    centroids
+  }
+
+  private def nearest(centroids: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0
+      var i = 0
+      while (i < v.length) {
+        val diff = centroids(c)(i) - v(i); d += diff * diff; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF top-k: assign every vector to its nearest centroid (one codegen'd
+    * pass — the centroid list is a literal array), then for each query probe
+    * the `nprobe` nearest buckets only. The per-bucket search is a hash join
+    * on bucket id instead of a cross join.
+    */
+  def ivfTopK(
+      spark: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = trainCentroids(emb, nCentroids, iters = 3, idCol, vecCol)
+    val centLit = array(centroids.map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+
+    def bucketOf(vec: org.apache.spark.sql.Column) =
+      array_position(
+        transform(centLit, c =>
+          aggregate(zip_with(c, vec, (x, y) => (x - y.cast("double")) * (x - y.cast("double"))),
+            lit(0.0), (acc, x) => acc + x)),
+        array_min(transform(centLit, c =>
+          aggregate(zip_with(c, vec, (x, y) => (x - y.cast("double")) * (x - y.cast("double"))),
+            lit(0.0), (acc, x) => acc + x)))) - 1
+
+    def probeBuckets(vec: org.apache.spark.sql.Column) = {
+      val dists = transform(centLit, c =>
+        aggregate(zip_with(c, vec, (x, y) => (x - y.cast("double")) * (x - y.cast("double"))),
+          lit(0.0), (acc, x) => acc + x))
+      slice(array_sort(
+        zip_with(dists, sequence(lit(0), lit(nCentroids - 1)),
+          (d, i) => struct(d.as("d"), i.as("b")))), 1, nprobe)
+    }
+
+    val bucketed = emb.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("n_vec"), bucketOf(col(vecCol)).as("bucket"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      explode(probeBuckets(col(vecCol))).as("p"))
+      .select(col("query_id"), col("q_vec"), col("p.b").cast("long").as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    bucketed.join(broadcast(probes), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for corpus curation: language ID, quality
+  * scoring, token statistics, document fingerprinting. All but the
+  * fingerprint stay in codegen'd Catalyst expressions with SQL-expressible
+  * semantics (DuckDB-oracle-checkable).
+  */
+object TextAnalysis {
+
+  /** tiny per-language stopword lists for the n-gram/stopword heuristic */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "que", "est"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有"))
+
+  private def stopCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, w => w.isInCollection(words)))
+
+  /** Language ID: argmax of stopword-occurrence score, deterministic
+    * priority order on ties (list order above).
+    */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = docs.select(
+      (col(idCol).as("doc_id") +:
+        stopwords.map { case (lang, ws) => stopCount(toks, ws).as(s"s_$lang") }): _*)
+    val langs = stopwords.map(_._1)
+    val pred = langs.foldRight(lit(langs.last)) { (lang, els) =>
+      val isMax = langs.filter(_ != lang)
+        .map(o => col(s"s_$lang") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(isMax, lit(lang)).otherwise(els)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** SQL mirror of [[languageId]] for the DuckDB oracle */
+  val languageIdSql: String = {
+    val langs = stopwords.map(_._1)
+    val scoreDefs = stopwords.map { case (lang, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), w -> w IN ($list))) AS s_$lang"
+    }.mkString(",\n  ")
+    val predCases = langs.dropRight(1).map { lang =>
+      val conds = langs.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString("\n    ")
+    s"""SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+       |  CASE $predCases ELSE '${langs.last}' END AS pred_lang
+       |FROM (SELECT doc_id AS doc_id,
+       |  $scoreDefs
+       |  FROM documents) t""".stripMargin
+  }
+
+  /** Quality scoring: token count, mean token length, digit ratio,
+    * stopword ratio, and a linear quality score. All ratios are int/int
+    * divisions in double — bit-deterministic.
+    */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val nChar = length(regexp_replace(col(textCol), " ", ""))
+    val nDigit = length(regexp_replace(col(textCol), "[^0-9]", ""))
+    val nStop = stopCount(toks, stopwords.head._2)
+    docs.select(
+      col(idCol).as("doc_id"),
+      nTok.as("n_tokens"),
+      (nChar.cast("double") / nTok).as("mean_tok_len"),
+      (nDigit.cast("double") / length(col(textCol))).as("digit_ratio"),
+      (nStop.cast("double") / nTok).as("stop_ratio"),
+      (lit(0.5) * (nStop.cast("double") / nTok) +
+        lit(0.3) * least(nChar.cast("double") / nTok / 10.0, lit(1.0)) +
+        lit(0.2) * (lit(1.0) - nDigit.cast("double") / length(col(textCol))))
+        .as("q_score"))
+  }
+
+  val qualityScoreSql: String = {
+    val stopList = stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       | len(string_split(text,' ')) AS n_tokens,
+       | CAST(length(replace(text,' ','')) AS DOUBLE)/len(string_split(text,' ')) AS mean_tok_len,
+       | CAST(length(regexp_replace(text,'[^0-9]','','g')) AS DOUBLE)/length(text) AS digit_ratio,
+       | CAST(len(list_filter(string_split(text,' '), w -> w IN ($stopList))) AS DOUBLE)
+       |   /len(string_split(text,' ')) AS stop_ratio,
+       | 0.5 * (CAST(len(list_filter(string_split(text,' '), w -> w IN ($stopList))) AS DOUBLE)
+       |        /len(string_split(text,' '))) +
+       | 0.3 * least(CAST(length(replace(text,' ','')) AS DOUBLE)/len(string_split(text,' '))/10.0, 1.0) +
+       | 0.2 * (1.0 - CAST(length(regexp_replace(text,'[^0-9]','','g')) AS DOUBLE)/length(text))
+       |   AS q_score
+       |FROM documents""".stripMargin
+  }
+
+  /** Corpus token statistics: per-word occurrence and document frequency —
+    * explode + two-level aggregation, shuffles once on the word.
+    */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+
+  val tokenStatsSql: String =
+    """SELECT word, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents) t
+      |GROUP BY word""".stripMargin
+
+  /** Document fingerprint: rolling polynomial hash over the character
+    * stream, mod 2^61-1 (Rabin-Karp style). Not SQL-expressible in the
+    * oracle dialect → covered by unit test, rows-only check in the driver.
+    */
+  val fingerprint64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      val MOD = (1L << 61) - 1
+      val BASE = 257L
+      var h = 0L
+      var i = 0
+      while (i < text.length) {
+        // multiply mod 2^61-1 via 128-bit split to avoid overflow
+        val hi = h >>> 32
+        val lo = h & 0xffffffffL
+        val prod = (((hi * BASE) % MOD) << 32) % MOD + lo * BASE
+        h = (prod % MOD + text.charAt(i).toLong) % MOD
+        i += 1
+      }
+      h
+    }
+
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      fingerprint64(col(textCol)).as("fingerprint"))
+}

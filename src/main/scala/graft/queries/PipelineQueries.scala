@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.operators.{Dedup, Multimodal, SimilaritySearch, TextAnalysis}
+
+/** Training-data pipeline queries over the documents/embeddings fixtures:
+  * dedup (exact, minhash-LSH, n-gram, simhash, embedding-cosine),
+  * similarity search (brute-force + IVF), text analysis, multimodal
+  * plumbing. SQL-expressible ops carry a DuckDB oracle; hash-dependent ones
+  * (simhash, fingerprint, IVF, multimodal stub) are rows-only checked here
+  * and value-checked in the ScalaTest suite.
+  */
+object PipelineQueries {
+
+  def ddExact(spark: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, d), col("text"), col("doc_id"))
+      // oracle compare keys on values, so re-derive a stable sort key
+      .orderBy(col("keep_id"))
+
+  val ddExactSql: String =
+    """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_dups
+      |FROM documents GROUP BY text""".stripMargin
+
+  def ddMinhash(spark: SparkSession, d: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(spark, d), "doc_id", "text",
+      threshold = 0.8)
+
+  /** exact O(n²) jaccard — the LSH result equals this because the banding
+    * miss probability at j≥0.8 is ~1e-28 (see Dedup.minhashPairs).
+    */
+  val ddMinhashSql: String =
+    """WITH w AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS ws
+      |           FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.ws,b.ws)) AS DOUBLE) /
+      |  (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) AS jaccard
+      |FROM w a JOIN w b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.ws,b.ws)) AS DOUBLE) /
+      |  (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) >= 0.8""".stripMargin
+
+  def ddNgram(spark: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, d), "doc_id", "text",
+      n = 3, threshold = 0.5)
+
+  val ddNgramSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
+      |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
+      |  (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) AS jaccard
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
+      |  (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) >= 0.5""".stripMargin
+
+  def ddSimhash(spark: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, d), "doc_id", "text")
+
+  def ddCosine(spark: SparkSession, d: String): DataFrame =
+    Dedup.cosinePairs(Tables.embeddings(spark, d), "vec_id", "embedding",
+      threshold = 0.4)
+
+  val ddCosineSql: String =
+    """WITH c AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round((SELECT SUM(CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))
+      |     FROM generate_series(1, 64) g(i)) /
+      |    (sqrt((SELECT SUM(CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))
+      |           FROM generate_series(1, 64) g(i))) *
+      |     sqrt((SELECT SUM(CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))
+      |           FROM generate_series(1, 64) g(i)))), 6) AS cos
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.4""".stripMargin
+
+  def simTopK(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  val simTopKSql: String =
+    """WITH c AS (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |    round((SELECT SUM(CAST(q.embedding[i] AS DOUBLE)*CAST(n.embedding[i] AS DOUBLE))
+      |     FROM generate_series(1, 64) g(i)) /
+      |    (sqrt((SELECT SUM(CAST(q.embedding[i] AS DOUBLE)*CAST(q.embedding[i] AS DOUBLE))
+      |           FROM generate_series(1, 64) g(i))) *
+      |     sqrt((SELECT SUM(CAST(n.embedding[i] AS DOUBLE)*CAST(n.embedding[i] AS DOUBLE))
+      |           FROM generate_series(1, 64) g(i)))), 6) AS cos
+      |  FROM embeddings q JOIN embeddings n ON q.vec_id < 10 AND q.vec_id <> n.vec_id)
+      |SELECT query_id, rank, neighbor_id, cos FROM (
+      |  SELECT query_id, neighbor_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |         ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+      |  FROM c) t WHERE rank <= 5""".stripMargin
+
+  def simIvf(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    SimilaritySearch.ivfTopK(spark, emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  def txtLangId(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.languageId(Tables.documents(spark, d), "doc_id", "text")
+
+  def txtQuality(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityScore(Tables.documents(spark, d), "doc_id", "text")
+
+  def txtTokens(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenStats(Tables.documents(spark, d), "doc_id", "text")
+
+  def txtFingerprint(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.fingerprints(Tables.documents(spark, d), "doc_id", "text")
+
+  def mmFeatures(spark: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.withPayload(Tables.documents(spark, d))
+    Multimodal.extractFeatures(spark, media).toDF()
+      .select(col("doc_id"), col("n_frames"), size(col("feature")).as("dim"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> ddExact,
+    "dd_minhash_pairs" -> ddMinhash,
+    "dd_ngram_pairs" -> ddNgram,
+    "dd_simhash_pairs" -> ddSimhash,
+    "dd_cosine_pairs" -> ddCosine,
+    "sim_topk" -> simTopK,
+    "sim_ivf_topk" -> simIvf,
+    "txt_langid" -> txtLangId,
+    "txt_quality" -> txtQuality,
+    "txt_tokens" -> txtTokens,
+    "txt_fingerprint" -> txtFingerprint,
+    "mm_features" -> mmFeatures)
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" -> ddExactSql,
+    "dd_minhash_pairs" -> ddMinhashSql,
+    "dd_ngram_pairs" -> ddNgramSql,
+    "dd_cosine_pairs" -> ddCosineSql,
+    "sim_topk" -> simTopKSql,
+    "txt_langid" -> TextAnalysis.languageIdSql,
+    "txt_quality" -> TextAnalysis.qualityScoreSql,
+    "txt_tokens" -> TextAnalysis.tokenStatsSql)
+}
