@@ -1,0 +1,331 @@
+package graft.la
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dense double block of a blocked matrix
+  * (reference: src/sharedLibraries/headers/MatrixBlock.h:32 — block meta +
+  * row-major data). Row-major `data` of size rows×cols.
+  */
+final case class MatrixBlock(
+    blockRow: Int, blockCol: Int, rows: Int, cols: Int, data: Array[Double])
+
+/** Tiny row-major kernels (the reference calls Eigen inside join/agg
+  * projections — reference: src/sharedLibraries/headers/LASillyMultiply1Join.h:17-35;
+  * Eigen is unavailable here so these are hand-rolled, SURVEY.md §7.4 risk 6).
+  */
+object Kernels {
+  def matmul(a: MatrixBlock, b: MatrixBlock): Array[Double] = {
+    require(a.cols == b.rows, s"inner dim ${a.cols} != ${b.rows}")
+    val out = new Array[Double](a.rows * b.cols)
+    var i = 0
+    while (i < a.rows) {
+      var k = 0
+      while (k < a.cols) {
+        val aik = a.data(i * a.cols + k)
+        if (aik != 0.0) {
+          var j = 0
+          while (j < b.cols) {
+            out(i * b.cols + j) += aik * b.data(k * b.cols + j)
+            j += 1
+          }
+        }
+        k += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  def zip(a: Array[Double], b: Array[Double], f: (Double, Double) => Double): Array[Double] = {
+    val out = new Array[Double](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = f(a(i), b(i)); i += 1 }
+    out
+  }
+
+  def transpose(m: MatrixBlock): MatrixBlock = {
+    val out = new Array[Double](m.data.length)
+    var i = 0
+    while (i < m.rows) {
+      var j = 0
+      while (j < m.cols) { out(j * m.rows + i) = m.data(i * m.cols + j); j += 1 }
+      i += 1
+    }
+    MatrixBlock(m.blockCol, m.blockRow, m.cols, m.rows, out)
+  }
+
+  /** Gauss-Jordan inverse with partial pivoting, n×n row-major */
+  def inverse(n: Int, a0: Array[Double]): Array[Double] = {
+    val a = a0.clone()
+    val inv = Array.tabulate(n * n)(i => if (i / n == i % n) 1.0 else 0.0)
+    var col = 0
+    while (col < n) {
+      var piv = col
+      var i = col + 1
+      while (i < n) { if (math.abs(a(i * n + col)) > math.abs(a(piv * n + col))) piv = i; i += 1 }
+      require(math.abs(a(piv * n + col)) > 1e-12, "singular matrix")
+      if (piv != col) {
+        var j = 0
+        while (j < n) {
+          val t = a(col * n + j); a(col * n + j) = a(piv * n + j); a(piv * n + j) = t
+          val t2 = inv(col * n + j); inv(col * n + j) = inv(piv * n + j); inv(piv * n + j) = t2
+          j += 1
+        }
+      }
+      val d = a(col * n + col)
+      var j = 0
+      while (j < n) { a(col * n + j) /= d; inv(col * n + j) /= d; j += 1 }
+      i = 0
+      while (i < n) {
+        if (i != col) {
+          val f = a(i * n + col)
+          if (f != 0.0) {
+            var j2 = 0
+            while (j2 < n) {
+              a(i * n + j2) -= f * a(col * n + j2)
+              inv(i * n + j2) -= f * inv(col * n + j2)
+              j2 += 1
+            }
+          }
+        }
+        i += 1
+      }
+      col += 1
+    }
+    inv
+  }
+}
+
+/** Distributed blocked matrix over a Dataset[MatrixBlock] — the Spark
+  * rendition of the reference's LA library (reference:
+  * src/linearAlgebraDSL/ (kernels in src/sharedLibraries/headers/LASilly&lowast;.h).
+  *
+  * Scale notes: multiply is the standard SUMMA-style plan — shuffle join on
+  * the inner block index, local matmul per pair, shuffle-aggregate partial
+  * products by output block. Elementwise ops co-partition on (blockRow,
+  * blockCol). Inverse gathers to the driver — gated by size (§7.4 risk 5).
+  */
+final case class BlockMatrix(
+    blocks: Dataset[MatrixBlock],
+    nRows: Long, nCols: Long, rowsPerBlock: Int, colsPerBlock: Int) {
+
+  private implicit val enc: org.apache.spark.sql.Encoder[MatrixBlock] =
+    Encoders.product[MatrixBlock]
+  import blocks.sparkSession.implicits._
+
+  def transpose: BlockMatrix =
+    copy(blocks = blocks.map(Kernels.transpose), nRows = nCols, nCols = nRows,
+      rowsPerBlock = colsPerBlock, colsPerBlock = rowsPerBlock)
+
+  private def elementwise(other: BlockMatrix, f: (Double, Double) => Double): BlockMatrix = {
+    require(nRows == other.nRows && nCols == other.nCols, "dim mismatch")
+    val joined = blocks.joinWith(other.blocks,
+      blocks("blockRow") === other.blocks("blockRow") &&
+        blocks("blockCol") === other.blocks("blockCol"))
+    copy(blocks = joined.map { case (a, b) =>
+      MatrixBlock(a.blockRow, a.blockCol, a.rows, a.cols, Kernels.zip(a.data, b.data, f))
+    })
+  }
+
+  def add(other: BlockMatrix): BlockMatrix = elementwise(other, _ + _)
+  def subtract(other: BlockMatrix): BlockMatrix = elementwise(other, _ - _)
+  def elemMultiply(other: BlockMatrix): BlockMatrix = elementwise(other, _ * _)
+
+  def scale(s: Double): BlockMatrix =
+    copy(blocks = blocks.map(b => b.copy(data = b.data.map(_ * s))))
+
+  /** A %*% B: join on inner index + aggregate partial products
+    * (reference plan: LASillyMultiply1Join.h + LASillyMultiply2Aggregate.h).
+    */
+  def multiply(other: BlockMatrix): BlockMatrix = {
+    require(nCols == other.nRows, "inner dim mismatch")
+    val joined = blocks.joinWith(other.blocks,
+      blocks("blockCol") === other.blocks("blockRow"))
+    val partials = joined.map { case (a, b) =>
+      MatrixBlock(a.blockRow, b.blockCol, a.rows, b.cols, Kernels.matmul(a, b))
+    }
+    val summed = partials
+      .groupByKey(m => (m.blockRow, m.blockCol))
+      .reduceGroups((x, y) => x.copy(data = Kernels.zip(x.data, y.data, _ + _)))
+      .map(_._2)
+    BlockMatrix(summed, nRows, other.nCols, rowsPerBlock, other.colsPerBlock)
+  }
+
+  /** X'X without materializing the transpose twice */
+  def gram: BlockMatrix = transpose.multiply(this)
+
+  /** column vector of per-row sums (block-level partial + reduce over
+    * block columns)
+    */
+  def rowAgg(seed: Double, f: (Double, Double) => Double): BlockMatrix = {
+    val partial = blocks.map { m =>
+      val out = new Array[Double](m.rows)
+      var i = 0
+      while (i < m.rows) {
+        var acc = seed
+        var j = 0
+        while (j < m.cols) { acc = f(acc, m.data(i * m.cols + j)); j += 1 }
+        out(i) = acc
+        i += 1
+      }
+      MatrixBlock(m.blockRow, 0, m.rows, 1, out)
+    }
+    val reduced = partial.groupByKey(_.blockRow)
+      .reduceGroups((x, y) => x.copy(data = Kernels.zip(x.data, y.data, f)))
+      .map(_._2)
+    BlockMatrix(reduced, nRows, 1, rowsPerBlock, 1)
+  }
+
+  def rowSum: BlockMatrix = rowAgg(0.0, _ + _)
+  def rowMax: BlockMatrix = rowAgg(Double.NegativeInfinity, math.max)
+  def rowMin: BlockMatrix = rowAgg(Double.PositiveInfinity, math.min)
+  def colSum: BlockMatrix = transpose.rowSum.transpose
+  def colMax: BlockMatrix = transpose.rowMax.transpose
+  def colMin: BlockMatrix = transpose.rowMin.transpose
+
+  /** global max/min element (single-group aggregate, like TopKComp with k=1) */
+  def maxElement: Double = blocks.map(_.data.max).reduce(math.max)
+  def minElement: Double = blocks.map(_.data.min).reduce(math.min)
+
+  /** Driver-side inverse (reference gathers the whole matrix into one
+    * aggregate too — LASillyInverse*.h). Gated: refuses matrices that
+    * cannot sensibly sit on the driver.
+    */
+  def inverse(maxN: Int = 4096): BlockMatrix = {
+    require(nRows == nCols, "inverse needs square")
+    require(nRows <= maxN, s"inverse gathers to driver; n=$nRows > $maxN")
+    val n = nRows.toInt
+    val full = new Array[Double](n * n)
+    blocks.collect().foreach { m =>
+      val r0 = m.blockRow * rowsPerBlock
+      val c0 = m.blockCol * colsPerBlock
+      var i = 0
+      while (i < m.rows) {
+        var j = 0
+        while (j < m.cols) {
+          full((r0 + i) * n + (c0 + j)) = m.data(i * m.cols + j); j += 1
+        }
+        i += 1
+      }
+    }
+    val inv = Kernels.inverse(n, full)
+    BlockMatrix.fromLocal(blocks.sparkSession, inv, n, n, rowsPerBlock, colsPerBlock)
+  }
+
+  /** flatten to (i, j, v) cells — the oracle-comparable form */
+  def toCells: Dataset[(Long, Long, Double)] = {
+    val rpb = rowsPerBlock
+    val cpb = colsPerBlock
+    blocks.flatMap { m =>
+      val r0 = m.blockRow.toLong * rpb
+      val c0 = m.blockCol.toLong * cpb
+      for {
+        i <- 0 until m.rows
+        j <- 0 until m.cols
+      } yield (r0 + i, c0 + j, m.data(i * m.cols + j))
+    }
+  }
+}
+
+object BlockMatrix {
+
+  /** build from (rowIndex, values) rows, e.g. the embeddings table */
+  def fromRowVectors(
+      spark: SparkSession, rows: Dataset[(Long, Array[Double])],
+      nRows: Long, nCols: Long, rowsPerBlock: Int, colsPerBlock: Int): BlockMatrix = {
+    import spark.implicits._
+    val nBlockCols = ((nCols + colsPerBlock - 1) / colsPerBlock).toInt
+    val blocks = rows.flatMap { case (r, vec) =>
+      val br = (r / rowsPerBlock).toInt
+      val lr = (r % rowsPerBlock).toInt
+      (0 until nBlockCols).map { bc =>
+        val c0 = bc * colsPerBlock
+        val w = math.min(colsPerBlock, (nCols - c0).toInt)
+        val slice = new Array[Double](w)
+        var j = 0
+        while (j < w) { slice(j) = vec(c0 + j); j += 1 }
+        ((br, bc), (lr, slice))
+      }
+    }.groupByKey((x: ((Int, Int), (Int, Array[Double]))) => x._1).mapGroups {
+      (key: (Int, Int), it: Iterator[((Int, Int), (Int, Array[Double]))]) =>
+      val (br, bc) = key
+      val c0 = bc.toLong * colsPerBlock
+      val w = math.min(colsPerBlock.toLong, nCols - c0).toInt
+      val r0 = br.toLong * rowsPerBlock
+      val h = math.min(rowsPerBlock.toLong, nRows - r0).toInt
+      val data = new Array[Double](h * w)
+      it.foreach { case (_, (lr, slice)) =>
+        System.arraycopy(slice, 0, data, lr * w, w)
+      }
+      MatrixBlock(br, bc, h, w, data)
+    }
+    BlockMatrix(blocks, nRows, nCols, rowsPerBlock, colsPerBlock)
+  }
+
+  def fromLocal(
+      spark: SparkSession, data: Array[Double], nRows: Int, nCols: Int,
+      rowsPerBlock: Int, colsPerBlock: Int): BlockMatrix = {
+    import spark.implicits._
+    val nbr = (nRows + rowsPerBlock - 1) / rowsPerBlock
+    val nbc = (nCols + colsPerBlock - 1) / colsPerBlock
+    val blocks = for {
+      br <- 0 until nbr
+      bc <- 0 until nbc
+    } yield {
+      val h = math.min(rowsPerBlock, nRows - br * rowsPerBlock)
+      val w = math.min(colsPerBlock, nCols - bc * colsPerBlock)
+      val d = new Array[Double](h * w)
+      var i = 0
+      while (i < h) {
+        var j = 0
+        while (j < w) {
+          d(i * w + j) = data((br * rowsPerBlock + i) * nCols + (bc * colsPerBlock + j))
+          j += 1
+        }
+        i += 1
+      }
+      MatrixBlock(br, bc, h, w, d)
+    }
+    BlockMatrix(spark.createDataset(blocks), nRows, nCols, rowsPerBlock, colsPerBlock)
+  }
+
+  /** zeros/ones/identity constructors (pdml initializers) */
+  def constant(
+      spark: SparkSession, v: Double, nRows: Long, nCols: Long,
+      rowsPerBlock: Int, colsPerBlock: Int): BlockMatrix = {
+    import spark.implicits._
+    val nbr = ((nRows + rowsPerBlock - 1) / rowsPerBlock).toInt
+    val nbc = ((nCols + colsPerBlock - 1) / colsPerBlock).toInt
+    val coords = spark.createDataset(
+      for { br <- 0 until nbr; bc <- 0 until nbc } yield (br, bc))
+    val blocks = coords.map { case (br, bc) =>
+      val h = math.min(rowsPerBlock.toLong, nRows - br.toLong * rowsPerBlock).toInt
+      val w = math.min(colsPerBlock.toLong, nCols - bc.toLong * colsPerBlock).toInt
+      MatrixBlock(br, bc, h, w, Array.fill(h * w)(v))
+    }
+    BlockMatrix(blocks, nRows, nCols, rowsPerBlock, colsPerBlock)
+  }
+
+  /** Dense identity (off-diagonal blocks are explicit zeros so that
+    * elementwise joins see every coordinate — matching the reference's
+    * dense-block model).
+    */
+  def identity(spark: SparkSession, n: Long, blockSize: Int): BlockMatrix = {
+    import spark.implicits._
+    val nb = ((n + blockSize - 1) / blockSize).toInt
+    val coords = spark.createDataset(
+      for { br <- 0 until nb; bc <- 0 until nb } yield (br, bc))
+    val blocks = coords.map { case (br, bc) =>
+      val h = math.min(blockSize.toLong, n - br.toLong * blockSize).toInt
+      val w = math.min(blockSize.toLong, n - bc.toLong * blockSize).toInt
+      val d = new Array[Double](h * w)
+      if (br == bc) {
+        var i = 0
+        while (i < h) { d(i * w + i) = 1.0; i += 1 }
+      }
+      MatrixBlock(br, bc, h, w, d)
+    }
+    BlockMatrix(blocks, n, n, blockSize, blockSize)
+  }
+}
