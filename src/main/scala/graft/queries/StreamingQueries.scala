@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Event
+import graft.streaming.EventStreams
+
+/** Structured Streaming queries surfaced through the batch driver contract:
+  * each runs the streaming plan to completion over the fixture files
+  * (file-source → watermark → stateful op → memory sink) and returns the
+  * final table, so the DuckDB oracle validates streaming semantics against
+  * the equivalent batch SQL.
+  */
+object StreamingQueries {
+
+  /** streaming hourly window aggregate ≡ op_events_hourly's batch result */
+  def stHourly(spark: SparkSession, d: String): DataFrame = {
+    val stream = EventStreams.readEventStream(spark, s"$d/events.parquet")
+    val q = EventStreams.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("st_hourly_sink")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("st_hourly_sink")
+  }
+
+  val stHourlySql: String = OperatorQueries.eventsHourlySql
+
+  /** streaming stateful sessionization; per-user session count ≡ the batch
+    * window-function sessionization
+    */
+  def stSessions(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val stream = EventStreams.readEventStream(spark, s"$d/events.parquet")
+      .as[Event]
+    val q = EventStreams.sessionize(stream)
+      .writeStream.format("memory").queryName("st_sessions_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("st_sessions_sink")
+      .groupBy(col("user_id"))
+      .agg(max(col("session_seq")).as("n_sessions"))
+  }
+
+  val stSessionsSql: String =
+    """SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions FROM (
+      |  SELECT user_id, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |             OR CAST(floor(epoch(ts)) AS BIGINT) -
+      |                CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+      |                     ORDER BY ts, event_id))) AS BIGINT) > 1800
+      |           THEN 1 ELSE 0 END AS new_sess
+      |    FROM events) g) s
+      |GROUP BY user_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_hourly" -> stHourly,
+    "st_sessions" -> stSessions)
+
+  val oracles: Map[String, String] = Map(
+    "st_hourly" -> stHourlySql,
+    "st_sessions" -> stSessionsSql)
+}

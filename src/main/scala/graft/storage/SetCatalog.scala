@@ -1,0 +1,77 @@
+package graft.storage
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Named-set storage — the reference's (databaseName, setName) catalog of
+  * paged sets (reference: src/builtInPDBObjects/headers/DistributedStorageAddSet.h,
+  * src/storage/headers/UserSet.h:38, catalog src/serverFunctionalities/
+  * headers/CatalogServer.h:59). Here: a root directory of parquet tables
+  * plus a sidecar metadata file recording the partition/bucket spec the
+  * advisor chose (the Lachesis decision — SURVEY.md §4.3).
+  *
+  * Scale note: a bucketed saved set is what makes later equi-joins on the
+  * bucket column shuffle-free (the reference's "local join" fast path,
+  * ScanUserSet.h:69-76) — Spark reads the bucket spec from the metastore;
+  * for path-based tables we record it and re-apply `repartition` on read so
+  * co-partitioned joins avoid one exchange side.
+  */
+final case class SetMeta(
+    partitionColumn: Option[String], numPartitions: Int, rows: Long)
+
+final class SetCatalog(spark: SparkSession, root: String) {
+  Files.createDirectories(Paths.get(root))
+
+  private def dir(db: String, set: String) = s"$root/$db.$set"
+  private def metaPath(db: String, set: String) = s"${dir(db, set)}.meta"
+
+  def createSet(db: String, set: String, df: DataFrame,
+      partitionColumn: Option[String] = None, numPartitions: Int = 0): Unit = {
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val out = partitionColumn match {
+      case Some(c) => df.repartition(n, df(c))
+      case None => df
+    }
+    out.write.mode(SaveMode.Overwrite).parquet(dir(db, set))
+    val rows = spark.read.parquet(dir(db, set)).count()
+    Files.writeString(Paths.get(metaPath(db, set)),
+      s"${partitionColumn.getOrElse("")}\n$n\n$rows\n")
+  }
+
+  def scanSet(db: String, set: String): DataFrame =
+    spark.read.parquet(dir(db, set))
+
+  def meta(db: String, set: String): Option[SetMeta] = {
+    val p = Paths.get(metaPath(db, set))
+    if (!Files.exists(p)) None
+    else {
+      val Array(colName, n, rows) = Files.readString(p).split("\n")
+      Some(SetMeta(Option(colName).filter(_.nonEmpty), n.toInt, rows.toLong))
+    }
+  }
+
+  def removeSet(db: String, set: String): Unit = {
+    def rm(path: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(path))
+        Files.list(path).forEach(rm)
+      Files.deleteIfExists(path)
+    }
+    rm(Paths.get(dir(db, set)))
+    Files.deleteIfExists(Paths.get(metaPath(db, set)))
+  }
+
+  def listSets(): Seq[(String, String)] = {
+    val d = Paths.get(root)
+    if (!Files.exists(d)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(d).iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("."))
+        .map { p =>
+          val Array(db, set) = p.getFileName.toString.split("\\.", 2)
+          (db, set)
+        }.toSeq.sorted
+    }
+  }
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.nio.file.Paths
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.model.Event
+
+/** Structured Streaming operators over the events table. The reference has
+  * NO streaming at all (SURVEY.md §1.1/§2.1 — "no streaming, no watermark");
+  * this is a capability upgrade: the same event-time semantics as the batch
+  * queries (OperatorQueries.eventsHourly / sessionize), expressed as
+  * incremental plans with watermark-bounded state.
+  */
+object EventStreams {
+
+  /** hourly tumbling-window counts with a watermark bounding agg state */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  final case class SessionUpdate(
+      user_id: Long, session_seq: Long, n_events: Long, closed: Boolean)
+
+  // not `private`: Catalyst codegen instantiates the state class from
+  // generated Java and needs public access
+  final case class SessionState(sessionSeq: Long, nEvents: Long, lastTsMs: Long)
+
+  /** Gap-based sessionization (30 min) with explicit per-key state — the
+    * streaming form of OperatorQueries.sessionize. State times out one gap
+    * after the last event, emitting the closed session.
+    */
+  def sessionize(
+      events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionUpdate] = {
+    implicit val outEnc = Encoders.product[SessionUpdate]
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val keyEnc = Encoders.scalaLong
+
+    def update(
+        userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionUpdate] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionUpdate(userId, s.sessionSeq, s.nEvents, closed = true))
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var s = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+        val out = Seq.newBuilder[SessionUpdate]
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          if (s.lastTsMs == Long.MinValue) s = SessionState(1L, 1L, t)
+          // floor-second gap semantics, matching the batch sessionization
+          // (unix_timestamp truncates to seconds)
+          else if (t / 1000L - s.lastTsMs / 1000L > gapMs / 1000L) {
+            out += SessionUpdate(userId, s.sessionSeq, s.nEvents, closed = true)
+            s = SessionState(s.sessionSeq + 1, 1L, t)
+          } else s = s.copy(nEvents = s.nEvents + 1, lastTsMs = math.max(s.lastTsMs, t))
+        }
+        state.update(s)
+        state.setTimeoutTimestamp(s.lastTsMs + gapMs)
+        out += SessionUpdate(userId, s.sessionSeq, s.nEvents, closed = false)
+        out.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** file-source streaming read of the events fixture (batch parquet driven
+    * as a stream), for end-to-end smoke use
+    */
+  def readEventStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource requires a directory; fixtures are single parquet
+    // files, so stream the parent dir with a name filter
+    val (dir, glob) =
+      if (path.endsWith(".parquet")) {
+        val p = Paths.get(path)
+        (p.getParent.toString, p.getFileName.toString)
+      } else (path, "*")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{ColComp, Graft, TypedComp}
+import graft.model.{Customer, Nation, Tables}
+import graft.operators.{MonoidAggregator, Monoids, TopKAggregator}
+
+/** Computation-facade semantics: each operator from SURVEY.md §2.1 through
+  * the typed ("native lambda") and columnar ("recognized lambda") surfaces.
+  */
+class ApiSpec extends GraftSpecBase {
+  private lazy val g = Graft.session(spark)
+  private def customers: TypedComp[Customer] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Customer]
+    g.scan[Customer](s"$sfDir/customer.parquet")
+  }
+
+  test("SelectionComp: filter + project") {
+    import spark.implicits._
+    val rich = customers
+      .select(_.c_acctbal > 9000.0)(c => (c.c_custkey, c.c_acctbal))
+      .ds.collect()
+    val expected = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") > 9000.0).count()
+    assert(rich.length == expected && rich.forall(_._2 > 9000.0))
+  }
+
+  test("MultiSelectionComp: filter + flatMap flatten") {
+    import spark.implicits._
+    val out = customers
+      .multiSelect(_.c_custkey < 3)(c => Seq(c.c_name, c.c_mktsegment))
+      .ds.collect()
+    assert(out.length == 6) // 3 customers × 2 emitted values
+  }
+
+  test("JoinComp equi path via extracted key") {
+    import spark.implicits._
+    implicit val nEnc = org.apache.spark.sql.Encoders.product[Nation]
+    val nations = g.scan[Nation](s"$sfDir/nation.parquet")
+    val joined = customers
+      .equiJoin(nations)(_.c_nationkey)(_.n_nationkey)((c, n) => (c.c_custkey, n.n_name))
+      .ds.collect()
+    assert(joined.length == 150) // every customer matches exactly one nation
+  }
+
+  test("JoinComp native-lambda path = cartesian + filter") {
+    import spark.implicits._
+    implicit val nEnc = org.apache.spark.sql.Encoders.product[Nation]
+    val nations = g.scan[Nation](s"$sfDir/nation.parquet")
+    val out = nations
+      .join(nations)((a, b) => a.n_regionkey == b.n_regionkey && a.n_nationkey < b.n_nationkey)(
+        (a, b) => (a.n_name, b.n_name))
+      .ds.count()
+    val oracle = spark.sql(
+      s"""SELECT count(*) FROM parquet.`$sfDir/nation.parquet` a,
+         | parquet.`$sfDir/nation.parquet` b
+         |WHERE a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey""".stripMargin)
+      .head().getLong(0)
+    assert(out == oracle)
+  }
+
+  test("AggregateComp: key/value projections + operator+ monoid, no zero") {
+    import spark.implicits._
+    val byNation = customers
+      .aggregate(_.c_nationkey)(c => Monoids.AvgState(c.c_acctbal, 1L))(_ + _)
+      .ds.collect().toMap
+    val oracle = Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey"))
+      .agg(avg(col("c_acctbal")).as("a"), count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(byNation.keySet == oracle.keySet)
+    byNation.foreach { case (k, st) =>
+      assert(math.abs(st.avg - oracle(k)._1) < 1e-9 && st.cnt == oracle(k)._2)
+    }
+  }
+
+  test("MonoidAggregator over groupByKey matches built-in sum") {
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[Customer]
+    val ds = Tables.customer(spark, sfDir).as[Customer]
+    val agg = MonoidAggregator[Customer, Double](_.c_acctbal)(_ + _)
+    val got = ds.groupByKey(_.c_nationkey).agg(agg.toColumn).collect().toMap
+    val want = Tables.customer(spark, sfDir).groupBy(col("c_nationkey"))
+      .agg(sum(col("c_acctbal"))).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-6) }
+  }
+
+  test("TopKComp bounded-heap aggregator == orderBy.limit") {
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[Customer]
+    val top = customers.topK(5)(_.c_acctbal).ds.collect().map(_.c_custkey).toSet
+    val oracle = Tables.customer(spark, sfDir)
+      .orderBy(col("c_acctbal").desc).limit(5)
+      .collect().map(_.getLong(0)).toSet
+    assert(top == oracle)
+  }
+
+  test("PartitionComp co-locates keys without changing content") {
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[Customer]
+    val parted = customers.partitionBy(_.c_nationkey)
+    assert(parted.ds.count() == 150)
+    // semantic guarantee: all rows of a key land in one partition
+    val keyToParts = parted.ds.rdd
+      .mapPartitionsWithIndex((idx, it) => it.map(c => (c.c_nationkey, idx)))
+      .distinct().countByKey()
+    assert(keyToParts.values.forall(_ == 1L))
+  }
+
+  test("ColComp recognized-lambda surface composes") {
+    val out = ColComp(Tables.customer(spark, sfDir))
+      .select(col("c_acctbal") > 0, col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .aggregate(Seq(col("c_nationkey")), Seq(count(lit(1)).as("n")))
+      .topK(3, col("n").desc, col("c_nationkey"))
+      .df.collect()
+    assert(out.length == 3)
+  }
+}

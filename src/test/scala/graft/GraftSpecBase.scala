@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session per suite; fixtures at sf0.001 for speed. */
+trait GraftSpecBase extends AnyFunSuite {
+  val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = GraftSpecBase.sharedSpark
+}
+
+object GraftSpecBase {
+  lazy val sharedSpark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-tests")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.model.Tables
+import graft.operators.{Dedup, Multimodal, SimilaritySearch, TextAnalysis}
+
+/** Dedup / similarity / text / multimodal operators — value checks the
+  * driver's rows-only gate can't provide.
+  */
+class PipelineSpec extends GraftSpecBase {
+
+  test("minhash-LSH pairs == exact jaccard pairs (recall 1 at threshold)") {
+    val docs = Tables.documents(spark, sfDir)
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = docs.select(col("doc_id"), TextFunctions.wordSet(col("text")).as("ws"))
+    val a = w.select(col("doc_id").as("id_a"), col("ws").as("wa"))
+    val b = w.select(col("doc_id").as("id_b"), col("ws").as("wb"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(TextFunctions.jaccard(col("wa"), col("wb")) >= 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical word sets collide at hamming 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark table scan merge"),
+      (2L, "merge scan table spark"), // same set, different order
+      (3L, "completely different words entirely")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("exact dedup groups identical texts") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa"), (2L, "aa"), (3L, "bb")).toDF("doc_id", "text")
+    val out = Dedup.exact(docs, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("IVF ANN recall vs brute force >= 0.6 on fixture") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = SimilaritySearch.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimilaritySearch.ivfTopK(spark, emb, queries, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall")
+  }
+
+  test("fingerprint is deterministic and content-sensitive") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc"), (2L, "abc"), (3L, "abd")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+  }
+
+  test("language ID picks the matching stopword list") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "el perro y la casa de que en es"),
+      (3L, "der hund und das haus ist ein zu")).toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(docs, "doc_id", "text")
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "de"))
+  }
+
+  test("multimodal stub pipeline: schema, determinism, frame sampling") {
+    val media = Multimodal.withPayload(Tables.documents(spark, sfDir).limit(20))
+    val f1 = Multimodal.extractFeatures(spark, media).collect()
+      .map(r => r.doc_id -> r.feature.toSeq).toMap
+    val f2 = Multimodal.extractFeatures(spark, media).collect()
+      .map(r => r.doc_id -> r.feature.toSeq).toMap
+    assert(f1 == f2, "stub decode must be deterministic")
+    assert(f1.values.forall(_.length == 16))
+    val frames = Multimodal.sampleFrames(spark, media)
+    assert(frames.count() > 0)
+    assert(frames.columns.toSeq == Seq("doc_id", "frame_no", "frame"))
+  }
+
+  test("charShingles produces length-n grams") {
+    import spark.implicits._
+    val out = Seq("abcd").toDF("t")
+      .select(TextFunctions.charShingles(col("t"), 3).as("s"))
+      .head().getSeq[String](0)
+    assert(out == Seq("abc", "bcd"))
+  }
+}

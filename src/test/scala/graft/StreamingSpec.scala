@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.model.{Event, Tables}
+import graft.streaming.EventStreams
+
+class StreamingSpec extends GraftSpecBase {
+
+  private def ev(id: Long, user: Long, minuteOffset: Long): Event =
+    Event(id, new Timestamp(1704067200000L + minuteOffset * 60000L),
+      user, "view", 1.0, "{}")
+
+  test("streaming hourly counts == batch hourly counts") {
+    val stream = EventStreams.readEventStream(spark, s"$sfDir/events.parquet")
+    val q = EventStreams.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("t_hourly")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("t_hourly")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val want = Tables.events(spark, sfDir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == want)
+  }
+
+  test("stateful sessionization splits on the 30-minute gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // user 7: events at t+0, t+10min (same session), t+50min (gap 40min →
+    // new session); user 8: single event
+    input.addData(ev(1, 7, 0), ev(2, 7, 10), ev(3, 7, 50), ev(4, 8, 0))
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("t_sessions")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("t_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // user 7: closed session 1 (2 events) + open session 2 (1 event)
+    assert(rows.contains((7L, 1L, 2L, true)))
+    assert(rows.contains((7L, 2L, 1L, false)))
+    assert(rows.contains((8L, 1L, 1L, false)))
+  }
+
+  test("streaming session counts == batch window-function sessionization") {
+    import spark.implicits._
+    val stream = EventStreams.readEventStream(spark, s"$sfDir/events.parquet").as[Event]
+    val q = EventStreams.sessionize(stream)
+      .writeStream.format("memory").queryName("t_sessions_full")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("t_sessions_full")
+      .groupBy(col("user_id")).agg(max(col("session_seq")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val batch = graft.queries.OperatorQueries.sessionize(spark, sfDir)
+      .groupBy(col("user_id")).agg(max(col("session_seq")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == batch)
+  }
+}
