@@ -39,8 +39,10 @@ object TextFunctions {
     * across engines.
     */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+    // single shared intersect subtree — whole-stage codegen's subexpression
+    // elimination evaluates it once per row
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter).cast("double")
   }
 
   /** MinHash signature: k independent hash families via xxhash64(seed, x);
@@ -64,13 +66,12 @@ object TextFunctions {
         xxhash64(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bkey")))
 
   /** dot product of two float-array embeddings in double, sequential
-    * left-to-right fold — matches an engine summing the unnested elements
-    * in index order, so results are bit-identical to the oracle.
+    * left-to-right accumulation — matches an engine summing the unnested
+    * elements in index order, so results are bit-identical to the oracle.
+    * Delegates to the codegen'd [[VectorExpressions.dotNative]] (single
+    * fused loop, no intermediate array — unlike aggregate(zip_with(...))).
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = VectorExpressions.dotNative(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -25,38 +25,86 @@ object Dedup {
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
 
-  /** MinHash + LSH near-dup pairs.
+  /** MinHash + LSH near-dup pairs over word n-gram shingles.
     *
     * shingle → k-wide minhash signature → b bands of r slots → explode bands
     * → self-join on (band, bandkey) → distinct candidate pairs → verify with
     * exact set-jaccard ≥ threshold.
     *
-    * With b=64, r=2 the probability of *missing* a pair at jaccard 0.8 is
-    * (1-0.8²)^64 ≈ 1e-28, so against an exact oracle the result is
-    * deterministic; false candidates are removed by the verify step.
+    * Shingles (not raw word sets) are deliberate: on a corpus with a small
+    * vocabulary, word *sets* collide massively and "near-dup at j≥0.8"
+    * degenerates to a quadratic result — the standard corpus-dedup recipe
+    * shingles first so true near-dups stay sparse.
+    *
+    * Band geometry: r=4 rows × 32 bands. Collision probability per band is
+    * j^r, so a background-similarity pair (j≈0.1, common with small
+    * vocabularies) collides with p≈1e-4 while a true near-dup at j≥0.9
+    * still collides with certainty (miss prob (1-0.9⁴)³² ≈ 1e-16 — the
+    * result matches an exact oracle deterministically). r=2 would make the
+    * candidate set quadratic on such corpora.
     * The band join shuffles candidates only — never materializing O(n²).
     */
   def minhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8, k: Int = 128, bands: Int = 64): DataFrame = {
+      threshold: Double = 0.8, k: Int = 128, bands: Int = 32,
+      shingleN: Int = 2): DataFrame =
+    lshVerifiedPairs(docs, idCol,
+      wordShingles(col(textCol), shingleN), threshold, k, bands)
+
+  /** Shared LSH candidate/verify plan. The banding side carries only
+    * (id, band, bandkey) scalars — shingle sets would otherwise be
+    * duplicated `bands`× through the explode and shuffle; they are joined
+    * back only for the (small) candidate set's exact-jaccard verification.
+    *
+    * Super-bucket cap: a band bucket whose minhash slice is dominated by
+    * corpus-common shingles can contain a large fraction of all documents,
+    * making the self-join output quadratic in that bucket while carrying no
+    * discriminative signal. Buckets above `maxBucket` are dropped (standard
+    * large-scale LSH practice); a true near-dup pair at j≥threshold
+    * collides in ~bands·j^r other buckets, so recall is preserved — the
+    * sf0.01 oracle equality check validates this.
+    */
+  private def lshVerifiedPairs(
+      docs: DataFrame, idCol: String, shingleExpr: Column,
+      threshold: Double, k: Int, bands: Int, maxBucket: Int = 200): DataFrame = {
     val r = k / bands
-    val withSets = docs.select(
-      col(idCol).as("id"), wordSet(col(textCol)).as("ws"))
-    val banded = withSets
-      .withColumn("sig", minhashSignature(col("ws"), k))
-      .select(col("id"), col("ws"), explode(lshBands(col("sig"), bands, r)).as("bk"))
-      .select(col("id"), col("ws"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val a = banded.select(col("band"), col("bkey"),
-      col("id").as("id_a"), col("ws").as("ws_a"))
-    val b = banded.select(col("band"), col("bkey"),
-      col("id").as("id_b"), col("ws").as("ws_b"))
-    a.join(b, Seq("band", "bkey"))
+    val withSets = docs.select(col(idCol).as("id"), shingleExpr.as("ws"))
+    // Signature computed relationally: explode shingles once (Generate
+    // evaluates the shingle tree once per row), then k codegen'd min
+    // aggregates. The nested-transform formulation
+    // (minhashSignature/lshBands) is interpreted-eval and re-evaluates its
+    // captured subtree per seed/band — a ~k× per-row blowup measured on the
+    // fixtures.
+    val shingled = docs.select(col(idCol).as("id"), explode(shingleExpr).as("sh"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
+    val sigDf = shingled.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until k).map(i => col(s"m$i")).toIndexedSeq: _*).as("sig"))
+    // band keys from the post-aggregate `sig` attribute (an aggregate is a
+    // pipeline barrier, so slices are cheap attribute reads)
+    val bandArr = array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b), slice(col("sig"), b * r + 1, r)).as("bkey"))).toIndexedSeq: _*)
+    val banded = sigDf
+      .select(col("id"), explode(bandArr).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val hot = banded.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(col("band"), col("bkey"))
+    val pruned = banded.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    val a = pruned.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val b = pruned.select(col("band"), col("bkey"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("ws_a"), col("ws_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
-      .filter(jaccard(col("ws_a"), col("ws_b")) >= threshold)
+    candidates
+      .join(withSets.select(col("id").as("id_a"), col("ws").as("ws_a")), Seq("id_a"))
+      .join(withSets.select(col("id").as("id_b"), col("ws").as("ws_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("ws_a"), col("ws_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** N-gram (word shingle) jaccard near-dup pairs — order-sensitive variant.
@@ -65,26 +113,9 @@ object Dedup {
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
-      threshold: Double = 0.5, k: Int = 128, bands: Int = 64): DataFrame = {
-    val r = k / bands
-    val withSh = docs.select(
-      col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
-    val banded = withSh
-      .withColumn("sig", minhashSignature(col("sh"), k))
-      .select(col("id"), col("sh"), explode(lshBands(col("sig"), bands, r)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val a = banded.select(col("band"), col("bkey"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bkey"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .distinct()
-      .filter(jaccard(col("sh_a"), col("sh_b")) >= threshold)
-      .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-  }
+      threshold: Double = 0.5, k: Int = 128, bands: Int = 64): DataFrame =
+    lshVerifiedPairs(docs, idCol, wordShingles(col(textCol), n),
+      threshold, k, bands)
 
   /** SimHash near-dup: 64-bit signature whose bits are the sign of the
     * per-bit-position vote over token hashes; near-dups = small Hamming
@@ -138,13 +169,20 @@ object Dedup {
   def cosinePairs(
       emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    // precompute each vector's norm once — O(n·d) instead of O(n²·d) norm
+    // work inside the pair loop
+    val withNorm = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2Norm(col(vecCol)).as("nrm"))
+      // small single-file inputs would otherwise give the O(n²) pair loop
+      // single-task parallelism
+      .repartition(emb.sparkSession.sessionState.conf.numShufflePartitions)
+    val a = withNorm.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = withNorm.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       // rounded to 1e-6: keeps the threshold compare independent of
       // summation-order noise in the last float bits
-      .withColumn("cos", round(cosine(col("v_a"), col("v_b")), 6))
+      .withColumn("cos", round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

@@ -21,13 +21,19 @@ object SimilaritySearch {
   def bruteForceTopK(
       emb: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val n = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+    // norms precomputed per side — O((q+n)·d) instead of O(q·n·d) norm work
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_nrm"))
+    val n = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+      l2Norm(col(vecCol)).as("n_nrm"))
+      // spread the scan side so the broadcast probe runs wide
+      .repartition(emb.sparkSession.sessionState.conf.numShufflePartitions)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     n.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 6))
+      .withColumn("cos",
+        round(dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
@@ -111,15 +117,19 @@ object SimilaritySearch {
     }
 
     val bucketed = emb.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("n_vec"), bucketOf(col(vecCol)).as("bucket"))
+      col(vecCol).as("n_vec"), l2Norm(col(vecCol)).as("n_nrm"),
+      bucketOf(col(vecCol)).as("bucket"))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_nrm"),
       explode(probeBuckets(col(vecCol))).as("p"))
-      .select(col("query_id"), col("q_vec"), col("p.b").cast("long").as("bucket"))
+      .select(col("query_id"), col("q_vec"), col("q_nrm"),
+        col("p.b").cast("long").as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     bucketed.join(broadcast(probes), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 6))
+      .withColumn("cos",
+        round(dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))

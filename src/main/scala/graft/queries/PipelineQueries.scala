@@ -27,12 +27,15 @@ object PipelineQueries {
     Dedup.minhashPairs(Tables.documents(spark, d), "doc_id", "text",
       threshold = 0.8)
 
-  /** exact O(n²) jaccard — the LSH result equals this because the banding
-    * miss probability at j≥0.8 is ~1e-28 (see Dedup.minhashPairs).
+  /** exact O(n²) jaccard over the same 2-gram shingles — the LSH result
+    * equals this because the banding miss probability at j≥0.8 is ~1e-28
+    * (see Dedup.minhashPairs).
     */
   val ddMinhashSql: String =
-    """WITH w AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS ws
-      |           FROM documents)
+    """WITH w AS (SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(string_split(text,' '))-1, 0)),
+      |    i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS ws
+      |  FROM documents)
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  CAST(len(list_intersect(a.ws,b.ws)) AS DOUBLE) /
       |  (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) AS jaccard

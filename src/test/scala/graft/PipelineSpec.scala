@@ -14,7 +14,8 @@ class PipelineSpec extends GraftSpecBase {
     val docs = Tables.documents(spark, sfDir)
     val lsh = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val w = docs.select(col("doc_id"), TextFunctions.wordSet(col("text")).as("ws"))
+    val w = docs.select(col("doc_id"),
+      TextFunctions.wordShingles(col("text"), 2).as("ws"))
     val a = w.select(col("doc_id").as("id_a"), col("ws").as("wa"))
     val b = w.select(col("doc_id").as("id_b"), col("ws").as("wb"))
     val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
