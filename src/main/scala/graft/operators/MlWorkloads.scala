@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative ML workloads built on the relational algebra, mirroring how
+  * the reference runs them: the client loops, each iteration is a plain
+  * query over the same sets (reference: src/tests/source/PageRank.cc,
+  * TestKMeans.cc; SURVEY.md §2.6 "driver-side iterative loops").
+  *
+  * Scale design: each PageRank iteration is one shuffle join (edges ⋈
+  * ranks on src) + one aggregation by dst. The rank frame is re-used
+  * across iterations; `checkpointEvery` truncates the lineage so the plan
+  * does not grow linearly with iterations (the reference re-submits jobs
+  * per iteration, which implicitly does the same).
+  */
+object MlWorkloads {
+
+  /** PageRank over an edge list (src, dst). Dangling mass is redistributed
+    * uniformly so ranks sum to n every iteration (the standard formulation).
+    */
+  def pageRank(
+      spark: SparkSession, edges: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85, checkpointEvery: Int = 5): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val n = nodes.count()
+
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (i <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("node"), (col("rank") / col("out_deg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
+      val totalIn = contribs.agg(sum(col("in_sum"))).head().getDouble(0)
+      // dangling mass = n - totalIn (ranks that had no outgoing edges)
+      val dangling = (n - totalIn) / n
+      ranks = nodes
+        .join(contribs, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(1 - damping) + lit(damping) *
+            (coalesce(col("in_sum"), lit(0.0)) + lit(dangling))).as("rank"))
+      if (i % checkpointEvery == 0) ranks = ranks.localCheckpoint(eager = true)
+    }
+    ranks
+  }
+
+  /** L2 (ridge-free) linear regression via the normal equations — the
+    * reference's sample02_L2.pdml workload: beta = (X'X)^-1 X'y. The gram
+    * and X'y are distributed; only the (d×d) solve runs on the driver.
+    */
+  def l2Fit(x: graft.la.BlockMatrix, y: graft.la.BlockMatrix): graft.la.BlockMatrix =
+    x.gram.inverse().multiply(x.transpose.multiply(y))
+}
