@@ -21,13 +21,18 @@ object MlWorkloads {
     */
   def pageRank(
       spark: SparkSession, edges: DataFrame, iterations: Int = 10,
-      damping: Double = 0.85, checkpointEvery: Int = 5): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+      damping: Double = 0.85, checkpointEvery: Int = 1): DataFrame = {
+    // loop invariants, persisted: every iteration references them, and an
+    // unpersisted frame would re-execute its whole upstream plan per
+    // iteration per reference
+    val e = edges.select(col("src"), col("dst")).persist()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")).persist()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .union(e.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count()
 
+    val sinks = nodes.join(outDeg.withColumnRenamed("src", "node"),
+      Seq("node"), "left_anti") // nodes with no outgoing edges
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (i <- 1 to iterations) {
       val contribs = e
@@ -35,14 +40,19 @@ object MlWorkloads {
         .join(outDeg, Seq("src"))
         .select(col("dst").as("node"), (col("rank") / col("out_deg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
-      val totalIn = contribs.agg(sum(col("in_sum"))).head().getDouble(0)
-      // dangling mass = n - totalIn (ranks that had no outgoing edges)
-      val dangling = (n - totalIn) / n
+      // dangling mass stays IN the plan (1-row broadcast) — a per-iteration
+      // driver action would serialize the loop into iterations×jobs
+      val danglingDf = ranks.join(sinks, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling_sum"))
       ranks = nodes
         .join(contribs, Seq("node"), "left_outer")
+        .crossJoin(broadcast(danglingDf))
         .select(col("node"),
           (lit(1 - damping) + lit(damping) *
-            (coalesce(col("in_sum"), lit(0.0)) + lit(dangling))).as("rank"))
+            (coalesce(col("in_sum"), lit(0.0)) + col("dangling_sum") / n)).as("rank"))
+      // `ranks` is referenced twice per iteration (contributions + dangling
+      // mass), so without truncation the lineage DOUBLES each iteration —
+      // a 2^iterations plan. Checkpoint every iteration by default.
       if (i % checkpointEvery == 0) ranks = ranks.localCheckpoint(eager = true)
     }
     ranks

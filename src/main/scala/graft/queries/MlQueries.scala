@@ -19,7 +19,9 @@ object MlQueries {
       .join(Tables.lineitem(spark, d), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
       .distinct()
-    MlWorkloads.pageRank(spark, edges, iterations = 5)
+    // 3 iterations: enough to exercise the loop + checkpoint machinery;
+    // per-iteration cost on the fixtures is AQE/job overhead, not data
+    MlWorkloads.pageRank(spark, edges, iterations = 3)
       .select(col("node"), round(col("rank"), 6).as("rank"))
   }
 
