@@ -135,6 +135,10 @@ final case class BlockMatrix(
   def scale(s: Double): BlockMatrix =
     copy(blocks = blocks.map(b => b.copy(data = b.data.map(_ * s))))
 
+  /** elementwise unary map (relu, abs, …) — a narrow, shuffle-free pass */
+  def mapElements(f: Double => Double): BlockMatrix =
+    copy(blocks = blocks.map(b => b.copy(data = b.data.map(f))))
+
   /** A %*% B: join on inner index + aggregate partial products
     * (reference plan: LASillyMultiply1Join.h + LASillyMultiply2Aggregate.h).
     */

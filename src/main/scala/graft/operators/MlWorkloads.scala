@@ -64,4 +64,27 @@ object MlWorkloads {
     */
   def l2Fit(x: graft.la.BlockMatrix, y: graft.la.BlockMatrix): graft.la.BlockMatrix =
     x.gram.inverse().multiply(x.transpose.multiply(y))
+
+  /** Feed-forward NN inference (reference: src/FF/headers/SimpleFF.h):
+    * argmax(relu(X·W1)·W2) batch-scored as two distributed matrix
+    * multiplies. Weights are small and dense — they ride along as blocked
+    * matrices built from local arrays (at scale: broadcast).
+    */
+  def ffInference(
+      x: graft.la.BlockMatrix,
+      w1: graft.la.BlockMatrix,
+      w2: graft.la.BlockMatrix): DataFrame = {
+    val hidden = x.multiply(w1).mapElements(v => math.max(v, 0.0)) // relu
+    val logits = hidden.multiply(w2)
+    // argmax per row over the (small) class dimension
+    val spark = logits.blocks.sparkSession
+    import spark.implicits._
+    logits.toCells
+      .groupByKey(_._1)
+      .mapGroups { (row, cells) =>
+        val best = cells.maxBy { case (_, j, v) => (v, -j) }
+        (row, best._2)
+      }
+      .toDF("row", "predicted_class")
+  }
 }

@@ -55,8 +55,32 @@ object MlQueries {
   val ddTopkJaccardSql: String =
     PipelineQueries.ddNgramSql + "\nORDER BY jaccard DESC, id_a, id_b LIMIT 10"
 
+  /** 2-layer feed-forward inference over embeddings with deterministic
+    * (formula-seeded) weights; output = per-class prediction counts.
+    * Rows-only; the kernel algebra is unit-tested.
+    */
+  def mlFfInference(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val n = emb.count()
+    val xRows = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
+    val x = BlockMatrix.fromRowVectors(spark, xRows, n, 64, 256, 32)
+    val hiddenDim = 16
+    val classes = 4
+    val w1 = BlockMatrix.fromLocal(spark,
+      Array.tabulate(64 * hiddenDim)(i => math.sin(i.toDouble)), 64, hiddenDim, 32, hiddenDim)
+    val w2 = BlockMatrix.fromLocal(spark,
+      Array.tabulate(hiddenDim * classes)(i => math.cos(i.toDouble)), hiddenDim, classes,
+      hiddenDim, classes)
+    MlWorkloads.ffInference(x, w1, w2)
+      .groupBy(col("predicted_class"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_pagerank" -> mlPageRank,
+    "ml_ff_inference" -> mlFfInference,
     "la_l2_fit" -> laL2Fit,
     "dd_topk_jaccard" -> ddTopkJaccard)
 

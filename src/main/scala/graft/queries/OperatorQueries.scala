@@ -172,7 +172,26 @@ object OperatorQueries {
       |    FROM events) g) s
       |GROUP BY user_id, session_seq""".stripMargin
 
+  /** semi-structured extraction: pull a typed field out of the JSON props
+    * column and aggregate on it — no JSON support exists in the reference
+    * (all scalar work is raw C++ lambdas, SURVEY §2.1).
+    */
+  def jsonExtract(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k") >= 50)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"))
+
+  val jsonExtractSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      | SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+      |FROM events
+      |WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+      |GROUP BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_json_extract" -> jsonExtract,
     "op_selection" -> selection,
     "op_flatten" -> flatten,
     "op_distinct" -> distinctPairs,
@@ -185,6 +204,7 @@ object OperatorQueries {
     "op_sessionize" -> sessionize)
 
   val oracles: Map[String, String] = Map(
+    "op_json_extract" -> jsonExtractSql,
     "op_selection" -> selectionSql,
     "op_flatten" -> flattenSql,
     "op_distinct" -> distinctPairsSql,
