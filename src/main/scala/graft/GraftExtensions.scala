@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotProduct
+
+/** Session extensions registering graft's native expressions for SQL use:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * spark.sql("SELECT dot_product(a.embedding, b.embedding) FROM ...")
+  * }}}
+  *
+  * (Custom-operator path (c) from the design notes: expressions are
+  * injected rather than planner rules — every graft operator's plan shape
+  * is already expressible with built-in logical operators, so no custom
+  * Strategy is warranted; see SURVEY.md §7.3.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_product(a, b) takes two array columns")
+        DotProduct(args.head, args(1))
+      }))
+  }
+}

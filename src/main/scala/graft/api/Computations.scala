@@ -35,11 +35,21 @@ final class GraftSession(val spark: SparkSession) {
     * sinks sharing scans (reference:
     * src/queries/headers/QueryClient.h:131-148; multi-sink example
     * src/tests/source/TestRedditThreeWayAdaptiveJoin.cc:20-80).
-    * Spark actions are single-sink, so shared upstream frames must be
-    * persisted by the caller; here we just run the writes.
+    * Spark actions are single-sink, so `shared` subframes (the graph nodes
+    * feeding more than one sink) are persisted for the duration of the
+    * submission — "one submission, N outputs" semantics without
+    * re-executing the shared scans per sink (SURVEY.md §7.4 risk 1).
     */
   def executeComputations(sinks: (DataFrame, String)*): Unit =
-    sinks.foreach { case (df, path) => df.write.mode("overwrite").parquet(path) }
+    executeComputationsShared(Seq.empty, sinks: _*)
+
+  def executeComputationsShared(
+      shared: Seq[DataFrame], sinks: (DataFrame, String)*): Unit = {
+    shared.foreach(_.persist())
+    try sinks.foreach { case (df, path) =>
+      df.write.mode("overwrite").parquet(path)
+    } finally shared.foreach(_.unpersist())
+  }
 }
 
 /** Typed ("native lambda") operator surface. */

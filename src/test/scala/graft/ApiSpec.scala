@@ -109,6 +109,30 @@ class ApiSpec extends GraftSpecBase {
     assert(keyToParts.values.forall(_ == 1L))
   }
 
+  test("multi-sink query graph: one submission, two outputs, shared scan persisted") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-multisink").toString
+    val shared = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+    val sink1 = shared.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    val sink2 = shared.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    g.executeComputationsShared(Seq(shared),
+      (sink1, s"$tmp/by_priority"), (sink2, s"$tmp/by_flag"))
+    assert(spark.read.parquet(s"$tmp/by_priority").count() == 5)
+    assert(spark.read.parquet(s"$tmp/by_flag").count() == 3)
+    assert(shared.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "shared frame unpersisted after submission")
+  }
+
+  test("SQL extension registers native dot_product") {
+    import spark.implicits._
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product",
+      exprs => graft.functions.DotProduct(exprs.head, exprs(1)), "built-in")
+    val out = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .selectExpr("dot_product(a, b) AS d").head().getDouble(0)
+    assert(out == 11.0)
+  }
+
   test("ColComp recognized-lambda surface composes") {
     val out = ColComp(Tables.customer(spark, sfDir))
       .select(col("c_acctbal") > 0, col("c_custkey"), col("c_nationkey"), col("c_acctbal"))

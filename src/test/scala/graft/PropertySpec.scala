@@ -1,0 +1,81 @@
+package graft
+
+import scala.util.Random
+import org.apache.spark.sql.functions._
+import graft.operators.TopKAggregator
+
+/** Randomized invariants (seeded, deterministic) for the algebraic core. */
+class PropertySpec extends GraftSpecBase {
+
+  private val rnd = new Random(42)
+
+  test("TopK heap: reduce-only == split-merge == sort.take, random inputs") {
+    for (_ <- 1 to 50) {
+      val xs = List.fill(rnd.nextInt(60) + 1)(rnd.nextDouble() * 2e6 - 1e6)
+      val k = rnd.nextInt(10) + 1
+      val agg = new TopKAggregator[Double](k, identity)
+      val viaHeap = xs.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+      val (l, r) = xs.splitAt(xs.length / 2)
+      val viaMerge = agg.merge(
+        l.foldLeft(agg.zero)((b, x) => agg.reduce(b, x)),
+        r.foldLeft(agg.zero)((b, x) => agg.reduce(b, x)))
+      val expect = xs.sorted(Ordering[Double].reverse).take(k)
+      assert(agg.finish(viaHeap) == expect)
+      assert(agg.finish(viaMerge) == expect)
+    }
+  }
+
+  test("monoid AvgState: order-insensitive merge, correct mean") {
+    import graft.operators.Monoids.AvgState
+    for (_ <- 1 to 50) {
+      val xs = List.fill(rnd.nextInt(40) + 1)(rnd.nextDouble() * 2e6 - 1e6)
+      val states = xs.map(AvgState(_, 1L))
+      val shuffled = rnd.shuffle(states).reduceLeft(_ + _)
+      assert(shuffled.cnt == xs.length)
+      assert(math.abs(shuffled.avg - xs.sum / xs.length) < 1e-6)
+    }
+  }
+
+  test("jaccard: symmetric, bounded, 1 on self, random word sets") {
+    import spark.implicits._
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val samples = (1 to 20).map { _ =>
+      (List.fill(rnd.nextInt(5) + 1)(vocab(rnd.nextInt(vocab.size))).distinct,
+        List.fill(rnd.nextInt(5) + 1)(vocab(rnd.nextInt(vocab.size))).distinct)
+    }
+    val rows = samples.toDF("a", "b").select(
+      graft.functions.TextFunctions.jaccard(col("a"), col("b")).as("j1"),
+      graft.functions.TextFunctions.jaccard(col("b"), col("a")).as("j2"),
+      graft.functions.TextFunctions.jaccard(col("a"), col("a")).as("self"))
+      .collect()
+    rows.foreach { r =>
+      val (j1, j2, self) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      assert(j1 == j2 && j1 >= 0.0 && j1 <= 1.0 && self == 1.0)
+    }
+  }
+
+  test("native DotProduct == hand fold on random double arrays") {
+    import spark.implicits._
+    val samples = (1 to 20).map { _ =>
+      (Array.fill(rnd.nextInt(16) + 1)(rnd.nextDouble() * 2 - 1), 0)
+    }.map { case (a, _) => (a, a.map(x => x * 0.5)) }
+    val got = samples.toDF("a", "b")
+      .select(graft.functions.VectorExpressions.dotNative(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    val want = samples.map { case (a, b) =>
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    }
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
+
+  test("Kernels.transpose is an involution on random matrices") {
+    import graft.la.{Kernels, MatrixBlock}
+    for (_ <- 1 to 30) {
+      val r = rnd.nextInt(6) + 1
+      val c = rnd.nextInt(6) + 1
+      val data = Array.fill(r * c)(rnd.nextDouble())
+      val m = MatrixBlock(0, 0, r, c, data)
+      assert(Kernels.transpose(Kernels.transpose(m)).data.toSeq == data.toSeq)
+    }
+  }
+}
