@@ -45,11 +45,13 @@ object TextFunctions {
     inter.cast("double") / (size(a) + size(b) - inter).cast("double")
   }
 
-  /** MinHash signature: k independent hash families via xxhash64(seed, x);
-    * sig[i] = min over the shingle set. One pass, fully codegen'd.
-    * (Shingle→minhash→band→bucket-join is the standard LSH pipeline; the
-    * reference has no such operator — this is part of the capability
-    * surface beyond it.)
+  /** MinHash signature via nested higher-order functions.
+    *
+    * NOTE: prefer [[graft.functions.MinHashAgg.minhashSig]] (the
+    * TypedImperativeAggregate over exploded shingles) in real plans —
+    * nested ArrayTransform runs interpreted and re-evaluates the captured
+    * shingle subtree per seed, a ~k× per-row blowup. This form is kept as
+    * the one-expression variant for small inputs.
     */
   def minhashSignature(shingles: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),

@@ -79,10 +79,8 @@ object Dedup {
     // captured subtree per seed/band — a ~k× per-row blowup measured on the
     // fixtures.
     val shingled = docs.select(col(idCol).as("id"), explode(shingleExpr).as("sh"))
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
-    val sigDf = shingled.groupBy(col("id")).agg(mins.head, mins.tail: _*)
-      .select(col("id"),
-        array((0 until k).map(i => col(s"m$i")).toIndexedSeq: _*).as("sig"))
+    val sigDf = shingled.groupBy(col("id"))
+      .agg(graft.functions.MinHashAgg.minhashSig(col("sh"), k).as("sig"))
     // band keys from the post-aggregate `sig` attribute (an aggregate is a
     // pipeline barrier, so slices are cheap attribute reads)
     val bandArr = array((0 until bands).map(b =>
