@@ -78,9 +78,58 @@ object MlQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** GMM component sizes over embeddings (EM, deterministic init) */
+  def mlGmm(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val data = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
+    val model = graft.operators.MlWorkloads2.gmmFit(data, k = 4, iterations = 3)
+    graft.operators.MlWorkloads2.gmmAssign(data, model)
+      .groupBy(col("component")).agg(count(lit(1)).as("n"))
+  }
+
+  /** word-topic matrix from the LDA-style EM over document token counts */
+  def mlLda(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+      .as[(Long, String, Long)]
+    graft.operators.MlWorkloads2.ldaFit(counts, nTopics = 3, iterations = 5)
+  }
+
+  /** pooled LSTM scores over each user's event-value sequence */
+  def mlLstm(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val seqs = Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, rows) =>
+        val xs = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+          .map(r => Array(r._3)).toArray
+        (uid, xs)
+      }
+    val hidden = 4
+    def arr(n: Int, seed: Int) =
+      Array.tabulate(n)(i => math.sin(i + seed) * 0.5)
+    val w = graft.operators.MlWorkloads2.LstmWeights(
+      arr(hidden * 1, 1), arr(hidden * hidden, 2), arr(hidden, 3),
+      arr(hidden * 1, 4), arr(hidden * hidden, 5), arr(hidden, 6),
+      arr(hidden * 1, 7), arr(hidden * hidden, 8), arr(hidden, 9),
+      arr(hidden * 1, 10), arr(hidden * hidden, 11), arr(hidden, 12),
+      inDim = 1, hidden = hidden)
+    graft.operators.MlWorkloads2.lstmScore(seqs, w)
+      .select(col("id").as("user_id"), round(col("score"), 6).as("score"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_pagerank" -> mlPageRank,
     "ml_ff_inference" -> mlFfInference,
+    "ml_gmm" -> mlGmm,
+    "ml_lda_topics" -> mlLda,
+    "ml_lstm_scores" -> mlLstm,
     "la_l2_fit" -> laL2Fit,
     "dd_topk_jaccard" -> ddTopkJaccard)
 
