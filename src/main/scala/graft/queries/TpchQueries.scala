@@ -269,7 +269,10 @@ object TpchQueries {
     */
   def q22(spark: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(spark, d)
+    // "idle" = no orders since 1999 (every fixture customer has *some*
+    // order, so the unscoped NOT EXISTS would be vacuously empty)
     val o = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
     val avgBal = c.filter(col("c_acctbal") > 0.0)
       .agg(davg(d2(col("c_acctbal"))).as("avg_bal"))
     c.crossJoin(broadcast(avgBal))
@@ -285,7 +288,8 @@ object TpchQueries {
        |FROM customer
        |WHERE c_acctbal > (SELECT ${davgSql(d2Sql("c_acctbal"))} FROM customer
        |                   WHERE c_acctbal > 0.0)
-       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
        |GROUP BY c_nationkey""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

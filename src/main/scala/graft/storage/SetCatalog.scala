@@ -25,13 +25,21 @@ final class SetCatalog(spark: SparkSession, root: String) {
   private def dir(db: String, set: String) = s"$root/$db.$set"
   private def metaPath(db: String, set: String) = s"${dir(db, set)}.meta"
 
+  /** `policy`: "hash" (partition by `partitionColumn` — the dispatcher's
+    * hash-by-lambda placement), "roundrobin" (reference RoundRobinPolicy),
+    * or "none" (keep the incoming layout — reference RandomPolicy, which
+    * just spreads batches). Reference: src/dispatcher/headers/
+    * PartitionPolicyFactory.h, RandomPolicy.h:23, RoundRobinPolicy.h.
+    */
   def createSet(db: String, set: String, df: DataFrame,
-      partitionColumn: Option[String] = None, numPartitions: Int = 0): Unit = {
+      partitionColumn: Option[String] = None, numPartitions: Int = 0,
+      policy: String = "hash"): Unit = {
     val n = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val out = partitionColumn match {
-      case Some(c) => df.repartition(n, df(c))
-      case None => df
+    val out = (policy, partitionColumn) match {
+      case ("hash", Some(c)) => df.repartition(n, df(c))
+      case ("roundrobin", _) => df.repartition(n)
+      case _ => df
     }
     out.write.mode(SaveMode.Overwrite).parquet(dir(db, set))
     val rows = spark.read.parquet(dir(db, set)).count()
