@@ -122,9 +122,14 @@ object Dedup {
     * Same LSH pruning as [[minhashPairs]], verified with exact shingle
     * jaccard.
     */
+  /** r=2 geometry (not r=4): the 0.5 threshold needs per-band collision
+    * p=j² ≈ 0.25 at the margin; with b=48 the miss probability at j=0.5 is
+    * (1-0.25)⁴⁸ ≈ 1e-6. The 3-gram shingle space is sparse enough that
+    * background pairs stay rare even at r=2.
+    */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
-      threshold: Double = 0.5, k: Int = 128, bands: Int = 64): DataFrame =
+      threshold: Double = 0.5, k: Int = 96, bands: Int = 48): DataFrame =
     lshVerifiedPairs(docs, idCol, wordShingles(col(textCol), n),
       threshold, k, bands)
 
