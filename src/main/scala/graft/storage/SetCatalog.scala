@@ -50,6 +50,32 @@ final class SetCatalog(spark: SparkSession, root: String) {
   def scanSet(db: String, set: String): DataFrame =
     spark.read.parquet(dir(db, set))
 
+  /** Bucketed set via the session catalog: `bucketBy` + `sortBy` on the
+    * key, so a later equi-join between two sets bucketed on the same key
+    * with the same bucket count plans with NO shuffle exchange on either
+    * side — the reference's co-partitioned "local join" fast path, which
+    * is the point of the Lachesis placement layer (reference:
+    * src/builtInPDBObjects/headers/ScanUserSet.h:69-76
+    * isFollowedByLocalJoin → PartitionedVectorTupleSetIterator;
+    * SURVEY.md §4.2).
+    */
+  def createBucketedSet(db: String, set: String, df: DataFrame,
+      bucketColumn: String, numBuckets: Int): Unit = {
+    val tableName = s"${db}_$set"
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketColumn)
+      .sortBy(bucketColumn)
+      .option("path", dir(db, set))
+      .format("parquet")
+      .saveAsTable(tableName)
+    Files.writeString(Paths.get(metaPath(db, set)),
+      s"$bucketColumn\n$numBuckets\n${spark.table(tableName).count()}\n")
+  }
+
+  /** scan a bucketed set through the catalog (bucket-spec aware) */
+  def scanBucketedSet(db: String, set: String): DataFrame =
+    spark.table(s"${db}_$set")
+
   def meta(db: String, set: String): Option[SetMeta] = {
     val p = Paths.get(metaPath(db, set))
     if (!Files.exists(p)) None

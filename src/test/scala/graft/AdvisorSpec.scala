@@ -34,6 +34,27 @@ class AdvisorSpec extends GraftSpecBase {
     assert(cat.listSets().isEmpty)
   }
 
+  test("co-bucketed sets join with no shuffle exchange (the Lachesis local-join payoff)") {
+    val root = Files.createTempDirectory("graft-buckets").toString
+    val cat = new SetCatalog(spark, root)
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    cat.createBucketedSet("bk", "lineitem", li, "l_orderkey", 4)
+    cat.createBucketedSet("bk", "orders", o, "o_orderkey", 4)
+    val joined = cat.scanBucketedSet("bk", "lineitem")
+      .join(cat.scanBucketedSet("bk", "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+    // disable broadcast so the join strategy must exploit bucketing
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == li.count(), "inner join on FK preserves lineitems")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("advisor placement applied on save co-partitions the set") {
     val root = Files.createTempDirectory("graft-sets2").toString
     val cat = new SetCatalog(spark, root)
