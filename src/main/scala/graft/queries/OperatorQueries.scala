@@ -190,7 +190,29 @@ object OperatorQueries {
       |WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
       |GROUP BY event_type""".stripMargin
 
+  /** as-of join: each purchase event attached to the user's latest
+    * prior-or-equal view event — an operator absent from the reference
+    * (graft.operators.AsOfJoin; oracle uses DuckDB's native ASOF JOIN).
+    */
+  def asofViews(spark: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(spark, d)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.AsOfJoin.asof(purchases, views, "user_id", "ts", "ts",
+      Map("event_id" -> "view_event_id"))
+      .select(col("event_id").as("purchase_event_id"), col("view_event_id"))
+  }
+
+  val asofViewsSql: String =
+    """SELECT p.event_id AS purchase_event_id, v.event_id AS view_event_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_asof_join" -> asofViews,
     "op_json_extract" -> jsonExtract,
     "op_selection" -> selection,
     "op_flatten" -> flatten,
@@ -204,6 +226,7 @@ object OperatorQueries {
     "op_sessionize" -> sessionize)
 
   val oracles: Map[String, String] = Map(
+    "op_asof_join" -> asofViewsSql,
     "op_json_extract" -> jsonExtractSql,
     "op_selection" -> selectionSql,
     "op_flatten" -> flattenSql,
