@@ -211,7 +211,64 @@ object OperatorQueries {
       |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
       |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin
 
+  /** exact quantiles (sort-based `percentile`, linearly interpolated) —
+    * no quantile/median exists anywhere in the reference
+    */
+  def quantiles(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75"))
+
+  val quantilesSql: String =
+    """SELECT l_returnflag,
+      | quantile_cont(l_extendedprice, 0.25) AS p25,
+      | quantile_cont(l_extendedprice, 0.5) AS p50,
+      | quantile_cont(l_extendedprice, 0.75) AS p75
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** ROLLUP grouping sets — absent from the reference ("no grouping sets /
+    * cube / rollup", SURVEY §2.1)
+    */
+  def rollup(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(TpchQueries.d2(col("l_quantity"))).cast("double").as("sum_qty"))
+
+  val rollupSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  /** set operators (union / intersect / except) — absent from the
+    * reference ("no set operators", SURVEY §2.1): nations having customers
+    * but no suppliers, plus the intersection.
+    */
+  def setOps(spark: SparkSession, d: String): DataFrame = {
+    val custNations = Tables.customer(spark, d)
+      .select(col("c_nationkey").as("nationkey")).distinct()
+    val suppNations = Tables.supplier(spark, d)
+      .select(col("s_nationkey").as("nationkey")).distinct()
+    custNations.except(suppNations).withColumn("src", lit("cust_only"))
+      .unionByName(custNations.intersect(suppNations).withColumn("src", lit("both")))
+  }
+
+  val setOpsSql: String =
+    """SELECT nationkey, 'cust_only' AS src FROM (
+      |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      |  EXCEPT SELECT DISTINCT s_nationkey FROM supplier) a
+      |UNION ALL
+      |SELECT nationkey, 'both' AS src FROM (
+      |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      |  INTERSECT SELECT DISTINCT s_nationkey FROM supplier) b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_rollup" -> rollup,
+    "op_setops" -> setOps,
+    "op_quantiles" -> quantiles,
     "op_asof_join" -> asofViews,
     "op_json_extract" -> jsonExtract,
     "op_selection" -> selection,
@@ -226,6 +283,9 @@ object OperatorQueries {
     "op_sessionize" -> sessionize)
 
   val oracles: Map[String, String] = Map(
+    "op_rollup" -> rollupSql,
+    "op_setops" -> setOpsSql,
+    "op_quantiles" -> quantilesSql,
     "op_asof_join" -> asofViewsSql,
     "op_json_extract" -> jsonExtractSql,
     "op_selection" -> selectionSql,

@@ -55,11 +55,33 @@ object StreamingQueries {
       |    FROM events) g) s
       |GROUP BY user_id""".stripMargin
 
+  /** streaming exact-dedup (dropDuplicates keyed on event_id, state bounded
+    * by the watermark) → per-type counts ≡ batch COUNT(DISTINCT)
+    */
+  def stDedup(spark: SparkSession, d: String): DataFrame = {
+    val stream = EventStreams.readEventStream(spark, s"$d/events.parquet")
+    val q = stream
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+      .writeStream.format("memory").queryName("st_dedup_sink")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("st_dedup_sink")
+  }
+
+  val stDedupSql: String =
+    """SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+      |FROM events GROUP BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_hourly" -> stHourly,
-    "st_sessions" -> stSessions)
+    "st_sessions" -> stSessions,
+    "st_dedup" -> stDedup)
 
   val oracles: Map[String, String] = Map(
     "st_hourly" -> stHourlySql,
-    "st_sessions" -> stSessionsSql)
+    "st_sessions" -> stSessionsSql,
+    "st_dedup" -> stDedupSql)
 }
