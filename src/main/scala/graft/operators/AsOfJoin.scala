@@ -32,18 +32,21 @@ object AsOfJoin {
       rightCols: Map[String, String]): DataFrame = {
     val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
     val carried = rightCols.keys.toSeq
-    val r = right.select(
-      (col(key) +: col(rightTime).as("__t") +: lit(0).as("__side") +:
-        carried.map(c => col(c).as(s"__c_$c"))): _*)
+    // all carried columns travel as ONE struct, so the window's
+    // last(ignoreNulls) carries a whole right row — never a mix of values
+    // from different right rows when some carried column is NULL (and a
+    // match whose fields happen to be NULL still counts as a match)
+    val r = right.select(col(key), col(rightTime).as("__t"),
+      lit(0).as("__side"),
+      struct(carried.map(c => col(c).as(c)): _*).as("__carry"))
     val lAll = l.select(
       (l.columns.filterNot(Set("__t", "__side")).map(col).toSeq ++
-        Seq(col("__t"), col("__side")) ++
-        carried.map(c => lit(null).cast(r.schema(s"__c_$c").dataType).as(s"__c_$c"))): _*)
+        Seq(col("__t"), col("__side"),
+          lit(null).cast(r.schema("__carry").dataType).as("__carry"))): _*)
     val rAll = r.select(
       (left.columns.filterNot(_ == key)
         .map(c => lit(null).cast(left.schema(c).dataType).as(c)).toSeq ++
-        Seq(col(key)) ++ Seq(col("__t"), col("__side")) ++
-        carried.map(c => col(s"__c_$c"))): _*)
+        Seq(col(key)) ++ Seq(col("__t"), col("__side"), col("__carry"))): _*)
     // same column ORDER on both sides for the union
     val cols = lAll.columns
     val unioned = lAll.select(cols.map(col).toIndexedSeq: _*)
@@ -53,13 +56,11 @@ object AsOfJoin {
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCarried = carried.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__c_$c", last(col(s"__c_$c"), ignoreNulls = true).over(w))
-    }
-    val out = withCarried.filter(col("__side") === 1)
-      .filter(carried.map(c => col(s"__c_$c").isNotNull).reduce(_ && _))
+    val out = unioned
+      .withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__carry").isNotNull)
     out.select(
       (left.columns.map(col).toSeq ++
-        carried.map(c => col(s"__c_$c").as(rightCols(c)))): _*)
+        carried.map(c => col(s"__carry.$c").as(rightCols(c)))): _*)
   }
 }

@@ -16,12 +16,16 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
-  /** Exact dedup by content hash-groupBy: one row per distinct key with the
-    * kept (min) id and the duplicate count. At scale this is a single
-    * shuffle on xxhash64(key) with partial aggregation map-side.
+  /** Exact dedup by content groupBy: one row per distinct key with the
+    * kept (min) id and the duplicate count. Groups by the key itself, NOT a
+    * 64-bit hash of it — at billions of documents, 64-bit birthday
+    * collisions are expected (~50% at ~5e9 keys) and would silently merge
+    * distinct texts. Spark hashes the key internally for the shuffle;
+    * map-side partial aggregation still collapses duplicates before the
+    * exchange, so only distinct keys travel.
     */
   def exact(df: DataFrame, key: Column, id: Column): DataFrame =
-    df.groupBy(xxhash64(key).as("content_hash"))
+    df.groupBy(key.as("content_key"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
 
@@ -110,12 +114,20 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
       .filter(col("n_bands") >= 2)
       .select(col("id_a"), col("id_b"))
-    candidates
+    val verified = candidates
       .join(withSets.select(col("id").as("id_a"), col("ws").as("ws_a")), Seq("id_a"))
       .join(withSets.select(col("id").as("id_b"), col("ws").as("ws_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("ws_a"), col("ws_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // materialize the (small) verified-pair set, then release the two
+    // intermediate caches — otherwise every LSH query leaks cached
+    // partitions for the session lifetime. localCheckpoint blocks are
+    // GC-cleaned by the ContextCleaner, unlike CacheManager entries.
+    val out = verified.localCheckpoint(true)
+    withSets.unpersist()
+    banded.unpersist()
+    out
   }
 
   /** N-gram (word shingle) jaccard near-dup pairs — order-sensitive variant.

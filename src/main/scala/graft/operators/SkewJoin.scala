@@ -8,14 +8,26 @@ import org.apache.spark.sql.functions._
   * key distribution is pathological (a handful of keys holding most rows):
   * the skewed (large) side spreads each key across `salt` sub-partitions
   * via a deterministic row hash; the other side is replicated `salt`-fold.
-  * Result equality with the plain join is guaranteed; the shuffle's
-  * largest partition shrinks by ~`salt`×.
+  * Result equality with the plain join is guaranteed for inner and
+  * left-side join types; the shuffle's largest partition shrinks by
+  * ~`salt`×.
+  *
+  * right/full outer are rejected: the replicated `other` side would emit
+  * each unmatched right row once per salt value (and null-padded rows for
+  * matched keys in salts without a left partner).
   */
 object SkewJoin {
+
+  private val supported =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
 
   def saltedEquiJoin(
       skewed: DataFrame, other: DataFrame, skewedKey: String,
       otherKey: String, salt: Int, joinType: String = "inner"): DataFrame = {
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(supported.contains(jt),
+      s"saltedEquiJoin supports inner/left/semi/anti, not '$joinType' — " +
+        "salt the other side (it is the replicated one) instead")
     // deterministic spread: hash of the whole skewed row, not rand(), so
     // plans are replayable and results stable under retries
     val saltCol = pmod(

@@ -122,11 +122,15 @@ object TextAnalysis {
       var h = 0L
       var i = 0
       while (i < text.length) {
-        // multiply mod 2^61-1 via 128-bit split to avoid overflow
-        val hi = h >>> 32
-        val lo = h & 0xffffffffL
-        val prod = (((hi * BASE) % MOD) << 32) % MOD + lo * BASE
-        h = (prod % MOD + text.charAt(i).toLong) % MOD
+        // h*BASE mod 2^61-1 via the full 128-bit product: 2^61 ≡ 1 (mod M),
+        // so p = (p mod 2^61) + (p div 2^61). h < 2^61 and BASE = 257 keep
+        // hi < 2^5, so every intermediate stays well below 2^63.
+        val lo = h * BASE // low 64 bits of the product
+        val hi = Math.multiplyHigh(h, BASE) // high 64 bits
+        var s = (lo & MOD) + ((hi << 3) | (lo >>> 61))
+        if (s >= MOD) s -= MOD
+        h = s + text.charAt(i).toLong
+        if (h >= MOD) h -= MOD
         i += 1
       }
       h

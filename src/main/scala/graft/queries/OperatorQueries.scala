@@ -185,7 +185,7 @@ object OperatorQueries {
 
   val jsonExtractSql: String =
     """SELECT event_type, COUNT(*) AS n_events,
-      | SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+      | CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events
       |WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
       |GROUP BY event_type""".stripMargin
