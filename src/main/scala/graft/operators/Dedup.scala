@@ -72,17 +72,19 @@ object Dedup {
       docs: DataFrame, idCol: String, shingleExpr: Column,
       threshold: Double, k: Int, bands: Int, maxBucket: Int = 200): DataFrame = {
     val r = k / bands
-    // persisted: referenced by both verify-join sides, and the shingle
-    // transform runs interpreted with per-element re-evaluation of its
-    // token subtree — evaluate it once per document, not 2× more
-    val withSets = docs.select(col(idCol).as("id"), shingleExpr.as("ws")).persist()
-    // Signature computed relationally: explode shingles once (Generate
-    // evaluates the shingle tree once per row), then k codegen'd min
-    // aggregates. The nested-transform formulation
-    // (minhashSignature/lshBands) is interpreted-eval and re-evaluates its
-    // captured subtree per seed/band — a ~k× per-row blowup measured on the
-    // fixtures.
-    val shingled = docs.select(col(idCol).as("id"), explode(shingleExpr).as("sh"))
+    // persisted: referenced by both verify-join sides AND as the explode
+    // source below, so the interpreted shingle transform evaluates exactly
+    // once per document. The repartition matters: a small-file corpus scans
+    // as ONE partition, serializing the (interpreted, non-codegen)
+    // ArrayTransform on a single core — measured 13s → ~2s at sf0.1.
+    val withSets = Parallelism.ensureWidth(docs)
+      .select(col(idCol).as("id"), shingleExpr.as("ws")).persist()
+    // Signature computed relationally: explode the cached shingle sets,
+    // then one TypedImperativeAggregate producing the k-wide signature.
+    // The nested-transform formulation (minhashSignature/lshBands) is
+    // interpreted-eval and re-evaluates its captured subtree per
+    // seed/band — a ~k× per-row blowup measured on the fixtures.
+    val shingled = withSets.select(col("id"), explode(col("ws")).as("sh"))
     val sigDf = shingled.groupBy(col("id"))
       .agg(graft.functions.MinHashAgg.minhashSig(col("sh"), k).as("sig"))
     // band keys from the post-aggregate `sig` attribute (an aggregate is a
@@ -172,8 +174,10 @@ object Dedup {
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      simhash64(wordSet(col(textCol))).as("sh"))
+    // single-file corpus → one scan partition; spread the UDF work
+    val sh = Parallelism.ensureWidth(docs)
+      .select(col(idCol).as("id"),
+        simhash64(wordSet(col(textCol))).as("sh"))
     val banded = sh.select(col("id"), col("sh"),
       explode(array((0 until 4).map(q => struct(lit(q).as("q"),
         shiftrightunsigned(col("sh"), q * 16)
@@ -202,8 +206,8 @@ object Dedup {
     val withNorm = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2Norm(col(vecCol)).as("nrm"))
       // small single-file inputs would otherwise give the O(n²) pair loop
-      // single-task parallelism
-      .repartition(emb.sparkSession.sessionState.conf.numShufflePartitions)
+      // single-task parallelism; no-op when the input is already wide
+      .transform(Parallelism.ensureWidth)
     val a = withNorm.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     val b = withNorm.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.crossJoin(b)

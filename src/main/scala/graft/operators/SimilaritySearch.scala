@@ -26,8 +26,9 @@ object SimilaritySearch {
       l2Norm(col(vecCol)).as("q_nrm"))
     val n = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
       l2Norm(col(vecCol)).as("n_nrm"))
-      // spread the scan side so the broadcast probe runs wide
-      .repartition(emb.sparkSession.sessionState.conf.numShufflePartitions)
+      // spread the scan side so the broadcast probe runs wide (no-op when
+      // the input is already wide)
+      .transform(Parallelism.ensureWidth)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     n.crossJoin(broadcast(q))
