@@ -61,6 +61,8 @@ object AsOfJoin {
       .filter(col("__side") === 1 && col("__carry").isNotNull)
     out.select(
       (left.columns.map(col).toSeq ++
-        carried.map(c => col(s"__carry.$c").as(rightCols(c)))): _*)
+        // getField, not col("__carry.c"): a dotted/special-char right
+        // column name must resolve as a literal struct field, not a path
+        carried.map(c => col("__carry").getField(c).as(rightCols(c)))): _*)
   }
 }

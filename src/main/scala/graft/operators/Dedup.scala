@@ -122,14 +122,30 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         jaccard(col("ws_a"), col("ws_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    // materialize the (small) verified-pair set, then release the two
+    // Materialize the (small) verified-pair set, then release the two
     // intermediate caches — otherwise every LSH query leaks cached
     // partitions for the session lifetime. localCheckpoint blocks are
     // GC-cleaned by the ContextCleaner, unlike CacheManager entries.
-    val out = verified.localCheckpoint(true)
-    withSets.unpersist()
-    banded.unpersist()
-    out
+    //
+    // CAVEATS (localCheckpoint): (1) eager — the whole LSH pipeline runs
+    // HERE, at operator-construction time, not at the caller's action;
+    // (2) lineage is truncated into executor-local blocks, so on a real
+    // cluster an executor loss (or dynamic-allocation decommission) makes
+    // the checkpointed partitions unrecoverable and downstream actions
+    // fail. On a cluster with executor churn set
+    // `spark.graft.dedup.materialize=none`: the plan is returned lazy with
+    // its lineage intact and the two intermediate caches stay persisted —
+    // the CALLER must unpersist (or write the result to reliable storage)
+    // when done.
+    val mode = docs.sparkSession.conf
+      .get("spark.graft.dedup.materialize", "localCheckpoint")
+    if (mode == "none") verified
+    else {
+      val out = verified.localCheckpoint(true)
+      withSets.unpersist()
+      banded.unpersist()
+      out
+    }
   }
 
   /** N-gram (word shingle) jaccard near-dup pairs — order-sensitive variant.

@@ -11,6 +11,13 @@ import org.apache.spark.sql.DataFrame
   * partitions — an unconditional repartition there would shuffle the full
   * text payload for nothing. So: widen only when the input is narrower
   * than the session's shuffle parallelism.
+  *
+  * Call-site contract: pass RAW SCANS (or cheap projections of scans).
+  * The width probe compiles `df.rdd`, which (a) builds a separate
+  * non-adaptive physical plan — cheap for a scan, wasteful for a deep
+  * plan — and (b) under AQE reports the NON-adaptive partition count, so
+  * for post-shuffle inputs the check can misjudge the true runtime width.
+  * Every current call site passes a scan, where both caveats are moot.
   */
 object Parallelism {
 

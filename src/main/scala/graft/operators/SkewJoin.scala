@@ -24,7 +24,11 @@ object SkewJoin {
   def saltedEquiJoin(
       skewed: DataFrame, other: DataFrame, skewedKey: String,
       otherKey: String, salt: Int, joinType: String = "inner"): DataFrame = {
-    val jt = joinType.toLowerCase.replace("_", "")
+    val jt = joinType.toLowerCase.replace("_", "") match {
+      case "semi" => "leftsemi" // Spark's bare aliases are salt-safe too
+      case "anti" => "leftanti"
+      case other  => other
+    }
     require(supported.contains(jt),
       s"saltedEquiJoin supports inner/left/semi/anti, not '$joinType' — " +
         "salt the other side (it is the replicated one) instead")
