@@ -17,15 +17,12 @@ object TextFunctions {
   def wordSet(text: Column): Column = array_distinct(tokens(text))
 
   /** word n-gram shingles (order-sensitive): contiguous n-word windows,
-    * distinct. `sequence` is empty-safe only for nonneg bounds, so clamp.
+    * distinct. Delegates to the codegen'd [[WordShingles]] expression —
+    * the nested-HOF form (`transform(sequence, i => concat_ws(slice(...)))`)
+    * runs interpreted and re-evaluates the token split per element.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    ShingleExpressions.wordShinglesNative(text, n)
 
   /** character n-gram shingles, distinct */
   def charShingles(text: Column, n: Int): Column =

@@ -118,9 +118,21 @@ final case class BlockMatrix(
     copy(blocks = blocks.map(Kernels.transpose), nRows = nCols, nCols = nRows,
       rowsPerBlock = colsPerBlock, colsPerBlock = rowsPerBlock)
 
+  /** Dense payload bytes, known from metadata alone — lets join planning
+    * choose broadcast without touching the data. */
+  private def denseBytes: Long = nRows * nCols * 8
+
+  /** Hint the other side for broadcast when its dense size is small
+    * (mirrors the reference's broadcast-vs-partitioned join threshold,
+    * TCAPAnalyzer.cc:13-14 — here keyed on exact metadata, not stats).
+    * Falls back to the plain shuffle join at scale.
+    */
+  private def maybeBroadcast(ds: Dataset[MatrixBlock], bytes: Long): Dataset[MatrixBlock] =
+    if (bytes <= (10L << 20)) broadcast(ds) else ds
+
   private def elementwise(other: BlockMatrix, f: (Double, Double) => Double): BlockMatrix = {
     require(nRows == other.nRows && nCols == other.nCols, "dim mismatch")
-    val joined = blocks.joinWith(other.blocks,
+    val joined = blocks.joinWith(maybeBroadcast(other.blocks, other.denseBytes),
       blocks("blockRow") === other.blocks("blockRow") &&
         blocks("blockCol") === other.blocks("blockCol"))
     copy(blocks = joined.map { case (a, b) =>
@@ -144,7 +156,7 @@ final case class BlockMatrix(
     */
   def multiply(other: BlockMatrix): BlockMatrix = {
     require(nCols == other.nRows, "inner dim mismatch")
-    val joined = blocks.joinWith(other.blocks,
+    val joined = blocks.joinWith(maybeBroadcast(other.blocks, other.denseBytes),
       blocks("blockCol") === other.blocks("blockRow"))
     val partials = joined.map { case (a, b) =>
       MatrixBlock(a.blockRow, b.blockCol, a.rows, b.cols, Kernels.matmul(a, b))
@@ -192,6 +204,30 @@ final case class BlockMatrix(
   def maxElement: Double = blocks.map(_.data.max).reduce(math.max)
   def minElement: Double = blocks.map(_.data.min).reduce(math.min)
 
+  /** Gather the full dense matrix to the driver (size-gated). ONE plan
+    * execution; used by inverse and by rewrites that need the same
+    * matrix on the driver more than once.
+    */
+  def toLocal(maxCells: Long = 4096L * 4096): Array[Double] = {
+    require(nRows * nCols <= maxCells,
+      s"toLocal gathers to driver; ${nRows}x$nCols > $maxCells cells")
+    val nc = nCols.toInt
+    val full = new Array[Double]((nRows * nCols).toInt)
+    blocks.collect().foreach { m =>
+      val r0 = m.blockRow * rowsPerBlock
+      val c0 = m.blockCol * colsPerBlock
+      var i = 0
+      while (i < m.rows) {
+        var j = 0
+        while (j < m.cols) {
+          full((r0 + i) * nc + (c0 + j)) = m.data(i * m.cols + j); j += 1
+        }
+        i += 1
+      }
+    }
+    full
+  }
+
   /** Driver-side inverse (reference gathers the whole matrix into one
     * aggregate too — LASillyInverse*.h). Gated: refuses matrices that
     * cannot sensibly sit on the driver.
@@ -200,20 +236,7 @@ final case class BlockMatrix(
     require(nRows == nCols, "inverse needs square")
     require(nRows <= maxN, s"inverse gathers to driver; n=$nRows > $maxN")
     val n = nRows.toInt
-    val full = new Array[Double](n * n)
-    blocks.collect().foreach { m =>
-      val r0 = m.blockRow * rowsPerBlock
-      val c0 = m.blockCol * colsPerBlock
-      var i = 0
-      while (i < m.rows) {
-        var j = 0
-        while (j < m.cols) {
-          full((r0 + i) * n + (c0 + j)) = m.data(i * m.cols + j); j += 1
-        }
-        i += 1
-      }
-    }
-    val inv = Kernels.inverse(n, full)
+    val inv = Kernels.inverse(n, toLocal())
     BlockMatrix.fromLocal(blocks.sparkSession, inv, n, n, rowsPerBlock, colsPerBlock)
   }
 

@@ -178,9 +178,33 @@ object Pdml {
     val vars = mutable.LinkedHashMap.empty[String, BlockMatrix]
     vars ++= env
 
+    // Per-statement structural CSE: a repeated subexpression like the
+    // (X '* X) in `P = (X '* X) %*% (X '* X)^-1` builds ONE BlockMatrix.
+    // Safe within a statement because bindings cannot change mid-eval;
+    // cleared per statement because they can change between statements.
+    val memo = mutable.HashMap.empty[Expr, BlockMatrix]
+
     def eval(e: Expr): BlockMatrix = e match {
       case Ident(n) => vars.getOrElse(n,
         throw new IllegalArgumentException(s"undefined matrix $n"))
+      // A %*% A⁻¹ with a structurally shared operand: the inverse gathers
+      // A to the driver anyway (size-gated), so gather ONCE and finish the
+      // product there instead of executing A's distributed plan a second
+      // time for the multiply's probe side. No caching needed — the one
+      // gather feeds both operands.
+      case BinOp("%*%", l, Postfix("^-1", r)) if l == r =>
+        val a = memo.getOrElseUpdate(l, eval(l))
+        require(a.nRows == a.nCols, "inverse needs square")
+        val n = a.nRows.toInt
+        val local = a.toLocal()
+        val inv = Kernels.inverse(n, local)
+        val prod = Kernels.matmul(
+          MatrixBlock(0, 0, n, n, local), MatrixBlock(0, 0, n, n, inv))
+        BlockMatrix.fromLocal(spark, prod, n, n, a.rowsPerBlock, a.colsPerBlock)
+      case composite => memo.getOrElseUpdate(composite, evalUncached(composite))
+    }
+
+    def evalUncached(e: Expr): BlockMatrix = e match {
       case Load(r, c, br, bc, path) =>
         import spark.implicits._
         val rows = spark.read.parquet(path).map { row =>
@@ -223,7 +247,10 @@ object Pdml {
       case other => throw new IllegalArgumentException(s"cannot evaluate $other")
     }
 
-    parse(src).foreach { case Assign(name, e) => vars(name) = eval(e) }
+    parse(src).foreach { case Assign(name, e) =>
+      memo.clear() // bindings may change between statements
+      vars(name) = eval(e)
+    }
     vars
   }
 }

@@ -163,27 +163,45 @@ object Dedup {
     lshVerifiedPairs(docs, idCol, wordShingles(col(textCol), n),
       threshold, k, bands)
 
-  /** SimHash near-dup: 64-bit signature whose bits are the sign of the
+  /** SimHash near-dup: 61-bit signature whose bits are the sign of the
     * per-bit-position vote over token hashes; near-dups = small Hamming
     * distance. Banded into 16-bit quarters for the candidate join
-    * (hamming ≤ 3 ⇒ at least one identical quarter, pigeonhole).
+    * (hamming ≤ 3 ⇒ at least one identical quarter, pigeonhole — still
+    * holds with the top quarter carrying 13 meaningful bits).
+    *
+    * The word hash is the same Rabin-Karp recurrence as
+    * [[TextAnalysis.fingerprint64]] (h·257+c mod 2⁶¹−1) rather than an
+    * opaque JVM hash, so the DuckDB oracle can reproduce the full result
+    * with HUGEINT modular arithmetic — upgrading this operator from a
+    * rows-only check to a hash-checked one.
     */
   val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (words: Seq[String]) =>
-      val votes = new Array[Int](64)
+      val MOD = (1L << 61) - 1
+      val votes = new Array[Int](61)
       words.foreach { w =>
-        // two 32-bit murmur seeds → one deterministic 64-bit word hash
-        val h = (scala.util.hashing.MurmurHash3.stringHash(w, 0xcafe).toLong << 32) |
-          (scala.util.hashing.MurmurHash3.stringHash(w, 0xbeef).toLong & 0xffffffffL)
+        // 61-bit rolling polynomial word hash (see fingerprint64 for the
+        // 128-bit-product mod trick)
+        var h = 0L
+        var j = 0
+        while (j < w.length) {
+          val lo = h * 257L
+          val hi = Math.multiplyHigh(h, 257L)
+          var s = (lo & MOD) + ((hi << 3) | (lo >>> 61))
+          if (s >= MOD) s -= MOD
+          h = s + w.charAt(j).toLong
+          if (h >= MOD) h -= MOD
+          j += 1
+        }
         var i = 0
-        while (i < 64) {
+        while (i < 61) {
           if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
           i += 1
         }
       }
       var out = 0L
       var i = 0
-      while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+      while (i < 61) { if (votes(i) > 0) out |= (1L << i); i += 1 }
       out
     }
 

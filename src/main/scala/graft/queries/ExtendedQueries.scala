@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tables
+import graft.operators.RangeJoin
+
+/** Capability extensions beyond the reference's operator algebra (it has
+  * no grouping sets, pivot, window functions, statistical aggregates,
+  * sketches, or range joins — SURVEY.md §2.1 "deliberately absent"), each
+  * expressed as the plan that survives scale and each DuckDB-oracle-checked.
+  */
+object ExtendedQueries {
+
+  /** CUBE grouping sets (rollup's sibling — all 4 combinations) */
+  def cube(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(TpchQueries.d2(col("l_quantity"))).cast("double").as("sum_qty"))
+
+  val cubeSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+
+  /** Pivot — long-to-wide on linestatus. One shuffle (the groupBy);
+    * the pivot values are declared so no extra pass collects them.
+    */
+  def pivot(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .count()
+      .na.fill(0L, Seq("F", "O"))
+
+  val pivotSql: String =
+    """SELECT l_returnflag,
+      | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+      | CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O"
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Window-function suite: lag, ntile, percent_rank, cume_dist per
+    * nation ordered by balance. percent_rank/cume_dist are int/int ratios
+    * — bit-deterministic, no rounding needed.
+    */
+  def windowSuite(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, d).select(
+      col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+      lag(col("c_acctbal"), 1).over(w).as("prev_bal"),
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"))
+  }
+
+  val windowSuiteSql: String =
+    """SELECT c_nationkey, c_custkey, c_acctbal,
+      | lag(c_acctbal) OVER w AS prev_bal,
+      | CAST(ntile(4) OVER w AS INT) AS quartile,
+      | percent_rank() OVER w AS pr,
+      | cume_dist() OVER w AS cd
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""".stripMargin
+
+  /** Statistical aggregates: correlation, covariance, stddev, and the
+    * regression line of price on quantity per return flag. Rounded to 1e-4
+    * — co-moment merge order differs between engines in the last bits, and
+    * stddev's magnitude (~1e4) makes 1e-6 rounding flip-prone.
+    */
+  def statsAgg(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept"))
+
+  val statsAggSql: String =
+    """SELECT l_returnflag,
+      | round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+      | round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+      | round(stddev_samp(l_extendedprice), 4) AS sd_price,
+      | round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+      | round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Equi-width histogram of order totals: min/max from one aggregate
+    * (broadcast as a 1-row frame), bucket by the SAME double expression on
+    * both engines so floor boundaries match bitwise.
+    */
+  def histogram(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val bounds = o.agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    o.crossJoin(broadcast(bounds))
+      .select(least(
+        floor((col("o_totalprice") - col("lo")) / (col("hi") - col("lo")) * 10),
+        lit(9L)).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+  }
+
+  val histogramSql: String =
+    """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+      |SELECT CAST(least(floor((o_totalprice - lo) / (hi - lo) * 10), 9) AS BIGINT) AS bucket,
+      | COUNT(*) AS n
+      |FROM orders, b GROUP BY 1""".stripMargin
+
+  /** Banded range join (graft.operators.RangeJoin): customers matched to
+    * overlapping synthetic per-nation balance intervals. The oracle is the
+    * naive inequality join; the operator's banding meets each qualifying
+    * pair in exactly one bucket.
+    */
+  def rangeJoin(spark: SparkSession, d: String): DataFrame = {
+    val intervals = Tables.nation(spark, d).select(
+      col("n_nationkey"),
+      (col("n_nationkey") * 400.0 - 1000.0).as("lo"),
+      (col("n_nationkey") * 400.0 + 2000.0).as("hi"))
+    val points = Tables.customer(spark, d).select(col("c_custkey"), col("c_acctbal"))
+    RangeJoin.pointInInterval(points, "c_acctbal", intervals, "lo", "hi",
+        bandWidth = 1000.0)
+      .groupBy(col("n_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  val rangeJoinSql: String =
+    """SELECT n_nationkey, COUNT(*) AS n_customers
+      |FROM customer JOIN (
+      |  SELECT n_nationkey, n_nationkey * 400.0 - 1000.0 AS lo,
+      |         n_nationkey * 400.0 + 2000.0 AS hi FROM nation) i
+      |  ON c_acctbal >= lo AND c_acctbal < hi
+      |GROUP BY n_nationkey""".stripMargin
+
+  /** BPE-ish subword tokenization: letter runs / digit runs / single
+    * punctuation via one regex pass (the pattern is RE2-safe so both
+    * engines extract identical token streams).
+    */
+  def subwordStats(spark: SparkSession, d: String): DataFrame = {
+    val toks = regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))
+    Tables.documents(spark, d).select(
+      col("doc_id"),
+      size(toks).as("n_subwords"),
+      size(filter(toks, t => t.rlike("^[A-Za-z]+$"))).as("n_alpha"),
+      size(filter(toks, t => t.rlike("^[0-9]+$"))).as("n_num"))
+  }
+
+  val subwordStatsSql: String =
+    """SELECT doc_id,
+      | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_subwords,
+      | len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'),
+      |     t -> regexp_matches(t, '^[A-Za-z]+$'))) AS n_alpha,
+      | len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'),
+      |     t -> regexp_matches(t, '^[0-9]+$'))) AS n_num
+      |FROM documents""".stripMargin
+
+  /** HyperLogLog++ distinct-count sketch next to the exact count. The
+    * sketch value itself is engine-specific, so the checked output is the
+    * exact count plus the sketch's 5%-relative-error bound holding (HLL++
+    * at default rsd=0.05; deterministic for a given input).
+    */
+  def approxDistinct(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.05).as("within_5pct"))
+
+  val approxDistinctSql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+      | TRUE AS within_5pct
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** KMeans cluster sizes over embeddings (deterministic init: first k
+    * sample rows — mirroring the reference's client-side iterative KMeans,
+    * reference: src/tests/source/TestKMeans.cc). Rows-only driver check;
+    * the trainer is unit-tested via IVF recall.
+    */
+  def kmeans(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val centroids = graft.operators.SimilaritySearch.trainCentroids(
+      emb, nCentroids = 4, iters = 3)
+    val centLit = array(centroids.map(c =>
+      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val dists = transform(centLit, c =>
+      aggregate(zip_with(c, col("embedding"), (x, y) =>
+        (x - y.cast("double")) * (x - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x))
+    emb.select((array_position(dists, array_min(dists)) - 1).as("cluster"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_cube" -> cube,
+    "op_pivot" -> pivot,
+    "op_window_suite" -> windowSuite,
+    "op_stats_agg" -> statsAgg,
+    "op_histogram" -> histogram,
+    "op_range_join" -> rangeJoin,
+    "txt_subwords" -> subwordStats,
+    "op_approx_distinct" -> approxDistinct,
+    "ml_kmeans" -> kmeans)
+
+  val oracles: Map[String, String] = Map(
+    "op_cube" -> cubeSql,
+    "op_pivot" -> pivotSql,
+    "op_window_suite" -> windowSuiteSql,
+    "op_stats_agg" -> statsAggSql,
+    "op_histogram" -> histogramSql,
+    "op_range_join" -> rangeJoinSql,
+    "txt_subwords" -> subwordStatsSql,
+    "op_approx_distinct" -> approxDistinctSql)
+}

@@ -25,6 +25,38 @@ object MlQueries {
       .select(col("node"), round(col("rank"), 6).as("rank"))
   }
 
+  /** Exact oracle for [[mlPageRank]]: the 3 damped iterations unrolled as
+    * chained CTEs (DuckDB's recursive CTEs allow only one self-reference —
+    * each iteration needs two: contributions + dangling mass — so the
+    * fixed iteration count is generated instead). Constants are cast to
+    * DOUBLE so both engines run the same IEEE expression; ranks round to
+    * 1e-6 on both sides.
+    */
+  val mlPageRankSql: String = {
+    val iters = 3
+    val base =
+      """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, SUM(r.rank / d.out_deg) AS in_sum
+         |  FROM e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |g$i AS (SELECT COALESCE(SUM(r.rank), 0) AS dangling
+         |  FROM r${i - 1} r LEFT JOIN deg d ON r.node = d.src
+         |  WHERE d.src IS NULL),
+         |r$i AS (SELECT n.node,
+         |    (1 - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) *
+         |      (COALESCE(c.in_sum, 0) + (SELECT dangling FROM g$i) / (SELECT n FROM nn)) AS rank
+         |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node)""".stripMargin
+    }
+    (Seq(base) ++ steps).mkString(",\n") +
+      s"\nSELECT node, round(rank, 6) AS rank FROM r$iters"
+  }
+
   /** beta = (X'X)^-1 X'y on embeddings vs label — the reference's L2
     * sample workload (sample02_L2.pdml). Rows-only; algebra unit-tested.
     */
@@ -134,5 +166,6 @@ object MlQueries {
     "dd_topk_jaccard" -> ddTopkJaccard)
 
   val oracles: Map[String, String] = Map(
-    "dd_topk_jaccard" -> ddTopkJaccardSql)
+    "dd_topk_jaccard" -> ddTopkJaccardSql,
+    "ml_pagerank" -> mlPageRankSql)
 }

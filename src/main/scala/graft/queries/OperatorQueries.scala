@@ -211,16 +211,45 @@ object OperatorQueries {
       |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
       |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin
 
-  /** exact quantiles (sort-based `percentile`, linearly interpolated) —
-    * no quantile/median exists anywhere in the reference
+  /** Exact quantiles, linearly interpolated — no quantile/median exists
+    * anywhere in the reference.
+    *
+    * NOT `percentile()`: that is a TypedImperativeAggregate which buffers
+    * EVERY value of a group in one aggregation buffer — a driver-sized
+    * memory wall at 100 TB. This plan sorts the group distributedly
+    * (window row_number over the shuffle sort), keeps only the ≤2 rows
+    * flanking each requested quantile position, and interpolates with the
+    * same ((n−1)·q) formula `percentile`/`quantile_cont` use — so results
+    * stay bitwise-identical to the DuckDB oracle while memory per task
+    * stays O(1).
     */
-  def quantiles(spark: SparkSession, d: String): DataFrame =
-    Tables.lineitem(spark, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_extendedprice, 0.25)").as("p25"),
-        expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.75)").as("p75"))
+  def quantiles(spark: SparkSession, d: String): DataFrame = {
+    val qs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75")
+    val vals = Tables.lineitem(spark, d)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+    val counts = vals.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+    val ranked = vals
+      .withColumn("rn", row_number().over(w).cast("long") - 1)
+      .join(broadcast(counts), Seq("l_returnflag"))
+    def pos(q: Double) = lit(q) * (col("n") - 1).cast("double")
+    // keep only rows sitting at a floor/ceil position of some quantile
+    val needed = ranked.filter(
+      qs.map { case (q, _) =>
+        col("rn") === floor(pos(q)).cast("long") ||
+          col("rn") === ceil(pos(q)).cast("long")
+      }.reduce(_ || _))
+    val aggs = qs.map { case (q, name) =>
+      val p = lit(q) * (max(col("n")) - 1).cast("double")
+      val f = p - floor(p)
+      val lo = max(when(col("rn") === floor(pos(q)).cast("long"), col("v")))
+      val hi = max(when(col("rn") === ceil(pos(q)).cast("long"), col("v")))
+      // lo*(1-f) + hi*f, NOT lo+(hi-lo)*f: quantile_cont interpolates the
+      // convex-combination form and the two differ in the last double bits
+      (lo * (lit(1.0) - f) + hi * f).as(name)
+    }
+    needed.groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*)
+  }
 
   val quantilesSql: String =
     """SELECT l_returnflag,

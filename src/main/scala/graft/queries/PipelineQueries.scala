@@ -63,6 +63,35 @@ object PipelineQueries {
   def ddSimhash(spark: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, d), "doc_id", "text")
 
+  /** Exact O(n²) simhash oracle. The word hash is the shared Rabin-Karp
+    * recurrence (h·257+c mod 2⁶¹−1) reproduced with HUGEINT modular
+    * arithmetic + list_reduce; hamming ≤ 3 pairs are found exactly by the
+    * quarter-banding (pigeonhole), so LSH output == brute force.
+    */
+  val ddSimhashSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS word
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, CASE WHEN word = '' THEN 0 ELSE CAST(list_reduce(
+      |    list_transform(regexp_extract_all(word, '(?s).'),
+      |      c -> CAST(unicode(c) AS HUGEINT)),
+      |    (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT) END AS wh
+      |  FROM w),
+      |v AS (
+      |  SELECT doc_id, b,
+      |    SUM(CASE WHEN (wh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM h CROSS JOIN generate_series(0, 60) g(b)
+      |  GROUP BY doc_id, b),
+      |sig AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sh
+      |  FROM v GROUP BY doc_id)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin
+
   def ddCosine(spark: SparkSession, d: String): DataFrame =
     Dedup.cosinePairs(Tables.embeddings(spark, d), "vec_id", "embedding",
       threshold = 0.4)
@@ -117,11 +146,28 @@ object PipelineQueries {
   def txtFingerprint(spark: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprints(Tables.documents(spark, d), "doc_id", "text")
 
+  /** Rolling-hash mirror: list_reduce seeds with the first element, which
+    * equals the Scala loop's state after its first character (h₀=0). */
+  val txtFingerprintSql: String =
+    """SELECT doc_id, CASE WHEN length(text) = 0 THEN 0 ELSE CAST(list_reduce(
+      |  list_transform(regexp_extract_all(text, '(?s).'),
+      |    c -> CAST(unicode(c) AS HUGEINT)),
+      |  (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT) END
+      |  AS fingerprint
+      |FROM documents""".stripMargin
+
   def mmFeatures(spark: SparkSession, d: String): DataFrame = {
     val media = Multimodal.withPayload(Tables.documents(spark, d))
     Multimodal.extractFeatures(spark, media).toDF()
       .select(col("doc_id"), col("n_frames"), size(col("feature")).as("dim"))
   }
+
+  /** Shape oracle for the multimodal plumbing: one feature row per doc with
+    * the stub decoder's fixed frame count and dimension. (Feature VALUES
+    * are checked in PipelineSpec; the stub is not SQL-expressible.) */
+  val mmFeaturesSql: String =
+    """SELECT doc_id, CAST(1 AS INT) AS n_frames, CAST(16 AS INT) AS dim
+      |FROM documents""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact,
@@ -141,9 +187,12 @@ object PipelineQueries {
     "dd_exact" -> ddExactSql,
     "dd_minhash_pairs" -> ddMinhashSql,
     "dd_ngram_pairs" -> ddNgramSql,
+    "dd_simhash_pairs" -> ddSimhashSql,
     "dd_cosine_pairs" -> ddCosineSql,
     "sim_topk" -> simTopKSql,
     "txt_langid" -> TextAnalysis.languageIdSql,
     "txt_quality" -> TextAnalysis.qualityScoreSql,
-    "txt_tokens" -> TextAnalysis.tokenStatsSql)
+    "txt_tokens" -> TextAnalysis.tokenStatsSql,
+    "txt_fingerprint" -> txtFingerprintSql,
+    "mm_features" -> mmFeaturesSql)
 }

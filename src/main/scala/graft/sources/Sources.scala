@@ -36,4 +36,14 @@ object Sources {
 
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** ORC — the columnar alternative to parquet (predicate pushdown and
+    * column pruning apply the same way; useful when the lakehouse standard
+    * is ORC rather than parquet).
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
 }

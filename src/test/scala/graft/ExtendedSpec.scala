@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.model.Tables
+import graft.operators.RangeJoin
+import graft.queries.ExtendedQueries
+
+/** Extended-capability operators: banded range join, shingle expression
+  * semantics, grouping sets, stats aggregates, sketch bounds, kmeans.
+  */
+class ExtendedSpec extends GraftSpecBase {
+
+  test("banded range join == naive inequality join") {
+    import spark.implicits._
+    val points = Seq((1L, -5.0), (2L, 0.0), (3L, 9.99), (4L, 10.0),
+      (5L, 25.0), (6L, 99.9)).toDF("id", "v")
+    val intervals = Seq((10L, -10.0, 0.0), (20L, 0.0, 10.0), (30L, 5.0, 30.0),
+      (40L, 10.0, 10.0), (50L, 90.0, 200.0)).toDF("iid", "lo", "hi")
+    val banded = RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi", 7.0)
+      .select("id", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.crossJoin(intervals)
+      .filter(col("v") >= col("lo") && col("v") < col("hi"))
+      .select("id", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == naive)
+    assert(naive.contains((2L, 20L)) && !naive.contains((2L, 10L))) // half-open
+  }
+
+  test("native word shingles match the HOF formulation") {
+    import spark.implicits._
+    // NOTE: docs with fewer words than n are excluded from the HOF
+    // comparison — the old nested-HOF form ERRORS there (sequence(1,0)
+    // yields a descending [1,0] and slice rejects start 0); the native
+    // expression returns [] instead, asserted separately below.
+    val docs = Seq("a b c d", "a a a", "p q  r").toDF("text")
+    val native = docs.select(TextFunctions.wordShingles(col("text"), 2))
+      .collect().map(_.getSeq[String](0).toList).toList
+    val hof = docs.select(
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(split(col("text"), " ")) - 1, lit(0))),
+        i => concat_ws(" ", slice(split(col("text"), " "), i, lit(2))))))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(native == hof)
+    assert(native.head == List("a b", "b c", "c d"))
+    val short = Seq("x").toDF("text")
+      .select(TextFunctions.wordShingles(col("text"), 2))
+      .collect().head.getSeq[String](0)
+    assert(short.isEmpty) // fewer words than n → no shingles, no error
+  }
+
+  test("cube emits all four grouping-set combinations") {
+    val out = ExtendedQueries.cube(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.exists(r => r.isNullAt(0) && r.isNullAt(1))) // grand total
+    assert(rows.exists(r => r.isNullAt(0) && !r.isNullAt(1))) // by status only
+    val total = rows.filter(r => r.isNullAt(0) && r.isNullAt(1)).map(_.getLong(2)).sum
+    assert(total == Tables.lineitem(spark, sfDir).count())
+  }
+
+  test("stats aggregates: corr in [-1,1], regression line consistent") {
+    val r = ExtendedQueries.statsAgg(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val corr = row.getDouble(1)
+      assert(corr >= -1.0 && corr <= 1.0)
+      val slope = row.getDouble(4)
+      val covar = row.getDouble(2)
+      assert(slope * covar >= 0.0) // slope and covariance share sign
+    }
+  }
+
+  test("approx distinct stays within the 5% bound on the fixture") {
+    val rows = ExtendedQueries.approxDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.forall(_.getBoolean(2)))
+  }
+
+  test("histogram buckets cover all orders exactly once") {
+    val n = ExtendedQueries.histogram(spark, sfDir)
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    assert(n == Tables.orders(spark, sfDir).count())
+  }
+
+  test("kmeans assigns every embedding to one of k clusters") {
+    val rows = ExtendedQueries.kmeans(spark, sfDir).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.embeddings(spark, sfDir).count())
+    assert(rows.forall { r => val c = r.getLong(0); c >= 0 && c < 4 })
+  }
+
+  test("orc source round-trips a table") {
+    val path = "/tmp/graft-test-orc"
+    val df = Tables.nation(spark, sfDir)
+    graft.sources.Sources.writeOrc(df, path)
+    val back = graft.sources.Sources.readOrc(spark, path)
+    assert(back.schema == df.schema)
+    assert(back.count() == df.count())
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+}
