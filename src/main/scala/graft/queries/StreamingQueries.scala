@@ -75,13 +75,66 @@ object StreamingQueries {
     """SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** stream-static broadcast join against a batch per-user profile
+    * (heavy_user = integer event-count threshold, so the flag is
+    * deterministic across engines)
+    */
+  def stEnrich(spark: SparkSession, d: String): DataFrame = {
+    val dim = graft.model.Tables.events(spark, d)
+      .groupBy(col("user_id"))
+      .agg((count(lit(1)) >= 70L).as("heavy_user"))
+    val stream = EventStreams.readEventStream(spark, s"$d/events.parquet")
+    val q = EventStreams.enrichWithProfile(stream, dim)
+      .writeStream.format("memory").queryName("st_enrich_sink")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("st_enrich_sink")
+  }
+
+  val stEnrichSql: String =
+    """WITH dim AS (
+      |  SELECT user_id, COUNT(*) >= 70 AS heavy_user FROM events GROUP BY user_id)
+      |SELECT e.event_type, d.heavy_user, COUNT(*) AS n_events
+      |FROM events e JOIN dim d ON e.user_id = d.user_id
+      |GROUP BY 1, 2""".stripMargin
+
+  /** stream-stream interval join (purchases × same-user views within the
+    * preceding hour), watermark-bounded state; pair counts per user ≡ the
+    * batch interval join
+    */
+  def stJoin(spark: SparkSession, d: String): DataFrame = {
+    val purchases = EventStreams.readEventStream(spark, s"$d/events.parquet")
+      .filter(col("event_type") === "purchase")
+    val views = EventStreams.readEventStream(spark, s"$d/events.parquet")
+      .filter(col("event_type") === "view")
+    val q = EventStreams.purchaseViewJoin(purchases, views)
+      .writeStream.format("memory").queryName("st_join_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("st_join_sink")
+      .groupBy(col("p_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val stJoinSql: String =
+    """SELECT p.user_id, COUNT(*) AS n_pairs
+      |FROM events p JOIN events v
+      |  ON p.user_id = v.user_id
+      | AND p.event_type = 'purchase' AND v.event_type = 'view'
+      | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      |GROUP BY p.user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_hourly" -> stHourly,
     "st_sessions" -> stSessions,
-    "st_dedup" -> stDedup)
+    "st_dedup" -> stDedup,
+    "st_enrich" -> stEnrich,
+    "st_join" -> stJoin)
 
   val oracles: Map[String, String] = Map(
     "st_hourly" -> stHourlySql,
     "st_sessions" -> stSessionsSql,
-    "st_dedup" -> stDedupSql)
+    "st_dedup" -> stDedupSql,
+    "st_enrich" -> stEnrichSql,
+    "st_join" -> stJoinSql)
 }

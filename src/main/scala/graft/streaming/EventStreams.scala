@@ -78,6 +78,35 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Stream-static join: enrich the event stream with a broadcast batch
+    * dimension (per-user profile), then aggregate. The static side is
+    * planned as a broadcast hash join against each micro-batch — no
+    * streaming state for the join itself.
+    */
+  def enrichWithProfile(stream: DataFrame, userDim: DataFrame): DataFrame =
+    stream.join(broadcast(userDim), Seq("user_id"))
+      .groupBy(col("event_type"), col("heavy_user"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Stream-stream interval join: purchases matched to the same user's
+    * views from the preceding hour. Both sides carry watermarks so the
+    * join state is bounded — the standard scale-safe event-correlation
+    * plan (state size ∝ watermark window, not stream length).
+    */
+  def purchaseViewJoin(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val v = views
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    p.join(v, expr(
+      """p_user = v_user AND
+        |p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour""".stripMargin))
+  }
+
   /** file-source streaming read of the events fixture (batch parquet driven
     * as a stream), for end-to-end smoke use
     */

@@ -64,4 +64,32 @@ class StreamingSpec extends GraftSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == batch)
   }
+
+  test("stream-static enrich == batch join") {
+    val got = graft.queries.StreamingQueries.stEnrich(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    val dim = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg((count(lit(1)) >= 70L).as("heavy_user"))
+    val batch = Tables.events(spark, sfDir).join(dim, Seq("user_id"))
+      .groupBy(col("event_type"), col("heavy_user"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    assert(got == batch && got.nonEmpty)
+  }
+
+  test("stream-stream interval join == batch interval join") {
+    val got = graft.queries.StreamingQueries.stJoin(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = Tables.events(spark, sfDir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("p_ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").as("v_ts"))
+    val batch = p.join(v, col("pu") === col("vu") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("interval 1 hour"))
+      .groupBy(col("pu")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == batch && got.nonEmpty)
+  }
 }
