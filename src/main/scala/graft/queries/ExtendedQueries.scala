@@ -96,6 +96,9 @@ object ExtendedQueries {
   def histogram(spark: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(spark, d)
     val bounds = o.agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    // PlanCheck flags the BroadcastNestedLoopJoin here; it is benign — the
+    // build side is the ONE-row bounds aggregate, so the "nested loop" is a
+    // constant-time probe per row (the standard scalar-broadcast pattern)
     o.crossJoin(broadcast(bounds))
       .select(least(
         floor((col("o_totalprice") - col("lo")) / (col("hi") - col("lo")) * 10),
