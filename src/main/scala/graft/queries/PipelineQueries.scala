@@ -108,6 +108,28 @@ object PipelineQueries {
       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
       |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.4""".stripMargin
 
+  /** Hyperplane-LSH cosine near-dup at threshold 0.5 — on this fixture
+    * (near-uniform random vectors) the 128-bit/r=4 geometry finds the
+    * qualifying pair(s) with miss probability <1e-3; production geometry
+    * and the regime caveat live in [[Dedup.cosineLshPairs]]. Verified
+    * candidates make precision exact, so LSH == brute force here.
+    */
+  def ddCosineLsh(spark: SparkSession, d: String): DataFrame =
+    Dedup.cosineLshPairs(Tables.embeddings(spark, d), "vec_id", "embedding",
+      threshold = 0.5, nBits = 128, rowsPerBand = 4)
+
+  val ddCosineLshSql: String =
+    """WITH c AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round((SELECT SUM(CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))
+      |     FROM generate_series(1, 64) g(i)) /
+      |    (sqrt((SELECT SUM(CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))
+      |           FROM generate_series(1, 64) g(i))) *
+      |     sqrt((SELECT SUM(CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))
+      |           FROM generate_series(1, 64) g(i)))), 6) AS cos
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.5""".stripMargin
+
   def simTopK(spark: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(spark, d)
     SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -175,6 +197,7 @@ object PipelineQueries {
     "dd_ngram_pairs" -> ddNgram,
     "dd_simhash_pairs" -> ddSimhash,
     "dd_cosine_pairs" -> ddCosine,
+    "dd_cosine_lsh" -> ddCosineLsh,
     "sim_topk" -> simTopK,
     "sim_ivf_topk" -> simIvf,
     "txt_langid" -> txtLangId,
@@ -189,6 +212,7 @@ object PipelineQueries {
     "dd_ngram_pairs" -> ddNgramSql,
     "dd_simhash_pairs" -> ddSimhashSql,
     "dd_cosine_pairs" -> ddCosineSql,
+    "dd_cosine_lsh" -> ddCosineLshSql,
     "sim_topk" -> simTopKSql,
     "txt_langid" -> TextAnalysis.languageIdSql,
     "txt_quality" -> TextAnalysis.qualityScoreSql,

@@ -86,6 +86,37 @@ class ExtendedSpec extends GraftSpecBase {
     assert(rows.forall { r => val c = r.getLong(0); c >= 0 && c < 4 })
   }
 
+  test("hyperplane-LSH cosine dedup finds planted near-dups == brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 40).map(i => (i.toLong, vec()))
+    // plant near-dups: ids 1000+i are tiny perturbations of ids i<10
+    val dups = (0 until 10).map { i =>
+      (1000L + i, base(i)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val lsh = graft.operators.Dedup
+      .cosineLshPairs(emb, "vec_id", "embedding", threshold = 0.95)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.operators.Dedup
+      .cosinePairs(emb, "vec_id", "embedding", threshold = 0.95)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 10) // every planted pair is a real near-dup
+    assert(lsh == exact)
+  }
+
+  test("plan guards: banded range join is a hash join; selection pushes filters") {
+    val rj = ExtendedQueries.rangeJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!rj.contains("CartesianProduct") && !rj.contains("BroadcastNestedLoopJoin"))
+    val sel = graft.queries.OperatorQueries.selection(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(sel.contains("PushedFilters: [") && !sel.contains("PushedFilters: []"))
+  }
+
   test("orc source round-trips a table") {
     val path = "/tmp/graft-test-orc"
     val df = Tables.nation(spark, sfDir)
