@@ -178,6 +178,24 @@ object ExtendedQueries {
       | TRUE AS within_5pct
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Deterministic hash sampling — the reproducible TABLESAMPLE a pipeline
+    * needs (rerunning the job yields the SAME sample; `TABLESAMPLE` /
+    * `rand()` do not). Keyed on the shared Rabin-Karp hash of the key so
+    * the oracle reproduces the exact row set: ~10% of customers.
+    */
+  def hashSample(spark: SparkSession, d: String): DataFrame =
+    Tables.customer(spark, d)
+      .filter(pmod(graft.operators.TextAnalysis.fingerprint64(
+        col("c_custkey").cast("string")), lit(100L)) < 10L)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+
+  val hashSampleSql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+      |WHERE CAST(list_reduce(
+      |  list_transform(regexp_extract_all(CAST(c_custkey AS VARCHAR), '(?s).'),
+      |    c -> CAST(unicode(c) AS HUGEINT)),
+      |  (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT) % 100 < 10""".stripMargin
+
   /** KMeans cluster sizes over embeddings (deterministic init: first k
     * sample rows — mirroring the reference's client-side iterative KMeans,
     * reference: src/tests/source/TestKMeans.cc). Rows-only driver check;
@@ -206,6 +224,7 @@ object ExtendedQueries {
     "op_range_join" -> rangeJoin,
     "txt_subwords" -> subwordStats,
     "op_approx_distinct" -> approxDistinct,
+    "op_hash_sample" -> hashSample,
     "ml_kmeans" -> kmeans)
 
   val oracles: Map[String, String] = Map(
@@ -216,5 +235,6 @@ object ExtendedQueries {
     "op_histogram" -> histogramSql,
     "op_range_join" -> rangeJoinSql,
     "txt_subwords" -> subwordStatsSql,
-    "op_approx_distinct" -> approxDistinctSql)
+    "op_approx_distinct" -> approxDistinctSql,
+    "op_hash_sample" -> hashSampleSql)
 }
