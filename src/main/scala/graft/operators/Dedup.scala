@@ -248,45 +248,53 @@ object Dedup {
       emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nBits: Int = 512, rowsPerBand: Int = 16): DataFrame = {
     require(nBits % rowsPerBand == 0, "rowsPerBand must divide nBits")
+    require(rowsPerBand <= 64, "a band key must fit in one long")
     val bands = nBits / rowsPerBand
-    val signBits = udf { (v: Seq[Float]) =>
-      // deterministic hyperplanes: component i of plane j from one
-      // splitmix64 mix of (j, i), mapped to [-1, 1). Symmetric around 0,
-      // which is all sign-hashing needs.
-      val bits = new Array[Long]((nBits + 63) / 64)
-      var j = 0
-      while (j < nBits) {
-        var acc = 0.0
-        var i = 0
-        while (i < v.length) {
+    val nb = nBits
+    val rpb = rowsPerBand
+    // One UDF pass emits the 32 band keys directly — each key is the
+    // band's r sign bits packed into a long (no separate hashing, and no
+    // 512-node bit-extraction expression tree, which dominated planning
+    // and codegen time in the relational formulation).
+    val bandKeys = udf(new (Seq[Float] => Seq[Long]) with Serializable {
+      // Deterministic hyperplanes: component i of plane j from one
+      // splitmix64 mix of (j, i), mapped to [-1, 1) — symmetric around 0,
+      // which is all sign-hashing needs. Materialized ONCE per
+      // deserialized closure (i.e. per task), NOT per row: at nBits=512 ×
+      // dim=1024 the matrix is 4 MB of doubles and recomputing it per row
+      // would multiply the projection cost ~3×.
+      @transient private var planes: Array[Array[Double]] = _
+      private def mkPlanes(dim: Int): Array[Array[Double]] =
+        Array.tabulate(nb, dim) { (j, i) =>
           var z = (j.toLong * 1000003L + i) + 0x9e3779b97f4a7c15L
           z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
           z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
           z = z ^ (z >>> 31)
-          acc += v(i) * (z.toDouble / 9.223372036854776e18) // [-1, 1)
-          i += 1
+          z.toDouble / 9.223372036854776e18 // [-1, 1)
         }
-        if (acc > 0) bits(j >> 6) |= (1L << (j & 63))
-        j += 1
+      override def apply(v: Seq[Float]): Seq[Long] = {
+        val arr = v.toArray
+        if (planes == null || planes(0).length != arr.length)
+          planes = mkPlanes(arr.length)
+        val keys = new Array[Long](nb / rpb)
+        var j = 0
+        while (j < nb) {
+          val h = planes(j)
+          var acc = 0.0
+          var i = 0
+          while (i < arr.length) { acc += arr(i) * h(i); i += 1 }
+          if (acc > 0) keys(j / rpb) |= (1L << (j % rpb))
+          j += 1
+        }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(keys)
       }
-      bits.toSeq
-    }
+    })
     val withSig = Parallelism.ensureWidth(emb)
       .select(col(idCol).as("id"), col(vecCol).as("v"),
-        l2Norm(col(vecCol)).as("nrm"), signBits(col(vecCol)).as("sig"))
+        l2Norm(col(vecCol)).as("nrm"), bandKeys(col(vecCol)).as("keys"))
       .persist()
-    // band key = xxhash of the band's r-bit slice (extracted from the
-    // packed words relationally — sig is tiny, slicing is cheap)
-    val bandArr = array((0 until bands).map { b =>
-      val lo = b * rowsPerBand
-      val slices = (lo until lo + rowsPerBand).map { j =>
-        shiftrightunsigned(element_at(col("sig"), j / 64 + 1), j % 64)
-          .bitwiseAND(lit(1L))
-      }
-      struct(lit(b).as("band"), xxhash64(slices: _*).as("bkey"))
-    }.toIndexedSeq: _*)
-    val banded = withSig.select(col("id"), explode(bandArr).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val banded = withSig
+      .select(col("id"), posexplode(col("keys")).as(Seq("band", "bkey")))
     val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "bkey"))

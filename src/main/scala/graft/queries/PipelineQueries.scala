@@ -108,18 +108,31 @@ object PipelineQueries {
       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
       |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.4""".stripMargin
 
-  /** Hyperplane-LSH cosine near-dup at threshold 0.5 — on this fixture
-    * (near-uniform random vectors) the 128-bit/r=4 geometry finds the
-    * qualifying pair(s) with miss probability <1e-3; production geometry
-    * and the regime caveat live in [[Dedup.cosineLshPairs]]. Verified
-    * candidates make precision exact, so LSH == brute force here.
+  /** Hyperplane-LSH cosine near-dup at production geometry (512 bits,
+    * 16-bit bands, threshold 0.95). The fixture's random vectors have no
+    * ≥0.95 pairs, so the corpus is augmented with exact duplicates of the
+    * first 10 vectors (id+10000): identical vectors agree on every
+    * signature bit, so every band collides and LSH recall is CERTAIN —
+    * the oracle equality is deterministic, not probabilistic. The
+    * low-threshold regime (where banding degenerates — see the operator
+    * scaladoc) is deliberately not what this query exercises; the planted
+    * near-dup test in ExtendedSpec covers perturbed (non-identical)
+    * duplicates.
     */
-  def ddCosineLsh(spark: SparkSession, d: String): DataFrame =
-    Dedup.cosineLshPairs(Tables.embeddings(spark, d), "vec_id", "embedding",
-      threshold = 0.5, nBits = 128, rowsPerBand = 4)
+  def ddCosineLsh(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val aug = emb.unionByName(
+      emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    Dedup.cosineLshPairs(aug, "vec_id", "embedding", threshold = 0.95)
+  }
 
   val ddCosineLshSql: String =
-    """WITH c AS (
+    """WITH aug AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      |c AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |    round((SELECT SUM(CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))
       |     FROM generate_series(1, 64) g(i)) /
@@ -127,8 +140,8 @@ object PipelineQueries {
       |           FROM generate_series(1, 64) g(i))) *
       |     sqrt((SELECT SUM(CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))
       |           FROM generate_series(1, 64) g(i)))), 6) AS cos
-      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-      |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.5""".stripMargin
+      |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.95""".stripMargin
 
   def simTopK(spark: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(spark, d)
