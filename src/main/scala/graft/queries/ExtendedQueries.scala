@@ -196,6 +196,27 @@ object ExtendedQueries {
       |    c -> CAST(unicode(c) AS HUGEINT)),
       |  (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT) % 100 < 10""".stripMargin
 
+  /** Approximate median (Greenwald-Khanna sketch via approx_percentile)
+    * next to the exact rank-pick median — the sketch path for quantiles
+    * at scales where even the sorted window pass is too much. Checked
+    * output = the exact value + the sketch landing within 1%.
+    */
+  def approxQuantiles(spark: SparkSession, d: String): DataFrame = {
+    val exact = OperatorQueries.quantiles(spark, d)
+      .select(col("l_returnflag"), col("p50"))
+    val approx = Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"))
+    exact.join(approx, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("p50").as("exact_p50"),
+        (abs(col("a50") - col("p50")) / col("p50") <= 0.01).as("within_1pct"))
+  }
+
+  val approxQuantilesSql: String =
+    """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+      | TRUE AS within_1pct
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   /** KMeans cluster sizes over embeddings (deterministic init: first k
     * sample rows — mirroring the reference's client-side iterative KMeans,
     * reference: src/tests/source/TestKMeans.cc). Rows-only driver check;
@@ -225,6 +246,7 @@ object ExtendedQueries {
     "txt_subwords" -> subwordStats,
     "op_approx_distinct" -> approxDistinct,
     "op_hash_sample" -> hashSample,
+    "op_approx_quantiles" -> approxQuantiles,
     "ml_kmeans" -> kmeans)
 
   val oracles: Map[String, String] = Map(
@@ -236,5 +258,6 @@ object ExtendedQueries {
     "op_range_join" -> rangeJoinSql,
     "txt_subwords" -> subwordStatsSql,
     "op_approx_distinct" -> approxDistinctSql,
-    "op_hash_sample" -> hashSampleSql)
+    "op_hash_sample" -> hashSampleSql,
+    "op_approx_quantiles" -> approxQuantilesSql)
 }

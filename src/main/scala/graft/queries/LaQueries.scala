@@ -69,6 +69,31 @@ object LaQueries {
       | round(CAST(embedding[g.k] AS DOUBLE), 6) AS v
       |FROM embeddings, generate_series(1,64) g(k)""".stripMargin
 
+  /** per-column sums via pdml colSum() (transpose + rowSum + transpose) */
+  def laColSum(spark: SparkSession, d: String): DataFrame = {
+    val (x, _) = matrixOf(spark, d)
+    val out = Pdml.run(spark, "S = colSum(X)", Map("X" -> x))
+    cells(out("S"))
+  }
+
+  val laColSumSql: String =
+    """SELECT CAST(0 AS BIGINT) AS i, CAST(g.k-1 AS BIGINT) AS j,
+      | round(SUM(CAST(embedding[g.k] AS DOUBLE)), 6) AS v
+      |FROM embeddings, generate_series(1,64) g(k)
+      |GROUP BY 2""".stripMargin
+
+  /** elementwise (Hadamard) product X * X via the DSL's scale-multiply */
+  def laHadamard(spark: SparkSession, d: String): DataFrame = {
+    val (x, _) = matrixOf(spark, d)
+    val out = Pdml.run(spark, "Y = X * X", Map("X" -> x))
+    cells(out("Y"))
+  }
+
+  val laHadamardSql: String =
+    """SELECT vec_id AS i, CAST(g.k-1 AS BIGINT) AS j,
+      | round(CAST(embedding[g.k] AS DOUBLE) * CAST(embedding[g.k] AS DOUBLE), 6) AS v
+      |FROM embeddings, generate_series(1,64) g(k)""".stripMargin
+
   /** G %*% G^-1 = I — multiply + driver-gathered Gauss-Jordan inverse
     * (reference: LASillyInverse*.h gathers the full matrix too; SURVEY.md
     * §7.4 risk 5). Output: off-diagonal max |v|, diagonal max |v-1| —
@@ -89,12 +114,16 @@ object LaQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "la_gram" -> laGram,
     "la_rowsum" -> laRowSum,
+    "la_colsum" -> laColSum,
+    "la_hadamard" -> laHadamard,
     "la_elementwise" -> laElementwise,
     "la_inverse_check" -> laInverse)
 
   val oracles: Map[String, String] = Map(
     "la_gram" -> laGramSql,
     "la_rowsum" -> laRowSumSql,
+    "la_colsum" -> laColSumSql,
+    "la_hadamard" -> laHadamardSql,
     "la_elementwise" -> laElementwiseSql,
     "la_inverse_check" -> laInverseSql)
 }
