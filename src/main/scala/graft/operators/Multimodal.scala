@@ -62,6 +62,36 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: stands in for an image rescale. The fake keeps the
+    * contract real — output payload length is exactly
+    * ceil(nBytes·(w'·h')/(w·h)) and metadata is rewritten to the target
+    * dims — so schema/size invariants downstream code relies on are
+    * enforced and testable. A real deployment swaps the byte loop for a
+    * codec call; the mapPartitions batch shape is already production-form.
+    */
+  def resize(spark: SparkSession, media: DataFrame,
+      targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    media.select(col("doc_id"), col("payload"), col("meta"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val scale = targetW.toLong * targetH /
+            (r.meta.width.toLong * r.meta.height).toDouble
+          val outLen = math.max(1, math.ceil(r.payload.length * scale).toInt)
+          val out = new Array[Byte](outLen)
+          var i = 0
+          while (i < outLen) {
+            // nearest-neighbor byte sampling — deterministic stand-in
+            out(i) = r.payload((i * r.payload.length / outLen).min(r.payload.length - 1))
+            i += 1
+          }
+          MediaRow(r.doc_id, out,
+            MediaMeta(r.meta.format, targetW, targetH, outLen.toLong))
+        }
+      }
+  }
+
   /** Frame sampling for video-like payloads: emit every nth chunk as a
     * "frame" row (flatMap — the MultiSelection shape from the reference,
     * applied to media).

@@ -204,6 +204,22 @@ object PipelineQueries {
     """SELECT doc_id, CAST(1 AS INT) AS n_frames, CAST(16 AS INT) AS dim
       |FROM documents""".stripMargin
 
+  /** resize stub: 64×64 → 32×32 quarters the payload; the size contract
+    * (ceil(len/4), floored at 1) is the oracle-checkable part */
+  def mmResize(spark: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.withPayload(Tables.documents(spark, d))
+    Multimodal.resize(spark, media, 32, 32).toDF()
+      .select(col("doc_id"), length(col("payload")).as("n_bytes"),
+        col("meta.width").as("w"), col("meta.height").as("h"))
+  }
+
+  // strlen (bytes), not length (chars): the payload is UTF-8 bytes
+  val mmResizeSql: String =
+    """SELECT doc_id,
+      | CAST(greatest(CAST(ceil(strlen(text) / 4.0) AS BIGINT), 1) AS INT) AS n_bytes,
+      | CAST(32 AS INT) AS w, CAST(32 AS INT) AS h
+      |FROM documents""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact,
     "dd_minhash_pairs" -> ddMinhash,
@@ -217,7 +233,8 @@ object PipelineQueries {
     "txt_quality" -> txtQuality,
     "txt_tokens" -> txtTokens,
     "txt_fingerprint" -> txtFingerprint,
-    "mm_features" -> mmFeatures)
+    "mm_features" -> mmFeatures,
+    "mm_resize" -> mmResize)
 
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -231,5 +248,6 @@ object PipelineQueries {
     "txt_quality" -> TextAnalysis.qualityScoreSql,
     "txt_tokens" -> TextAnalysis.tokenStatsSql,
     "txt_fingerprint" -> txtFingerprintSql,
-    "mm_features" -> mmFeaturesSql)
+    "mm_features" -> mmFeaturesSql,
+    "mm_resize" -> mmResizeSql)
 }
