@@ -107,6 +107,20 @@ object EventStreams {
         |p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour""".stripMargin))
   }
 
+  /** Streaming parquet sink: the full readStream → transform → writeStream
+    * loop with exactly-once file output (the parquet sink commits files
+    * through its sink log, so batch replays after failure do not
+    * duplicate). Returns the started query; callers own lifecycle.
+    */
+  def writeToParquetSet(
+      df: DataFrame, path: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
   /** file-source streaming read of the events fixture (batch parquet driven
     * as a stream), for end-to-end smoke use
     */

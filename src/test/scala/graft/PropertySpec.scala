@@ -78,4 +78,24 @@ class PropertySpec extends GraftSpecBase {
       assert(Kernels.transpose(Kernels.transpose(m)).data.toSeq == data.toSeq)
     }
   }
+
+  test("banded range join == naive join on random points/intervals/widths") {
+    import spark.implicits._
+    for (trial <- 1 to 5) {
+      val points = (0 until 60).map(i =>
+        (i.toLong, rnd.nextDouble() * 200 - 100)).toDF("id", "v")
+      val intervals = (0 until 25).map { i =>
+        val lo = rnd.nextDouble() * 200 - 100
+        (i.toLong, lo, lo + rnd.nextDouble() * 40)
+      }.toDF("iid", "lo", "hi")
+      val w = Seq(0.5, 3.0, 17.0, 100.0)(trial % 4)
+      val banded = graft.operators.RangeJoin
+        .pointInInterval(points, "v", intervals, "lo", "hi", w)
+        .select("id", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = points.crossJoin(intervals)
+        .filter(col("v") >= col("lo") && col("v") < col("hi"))
+        .select("id", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == naive, s"trial $trial width $w")
+    }
+  }
 }

@@ -65,6 +65,26 @@ class StreamingSpec extends GraftSpecBase {
     assert(got == batch)
   }
 
+  test("streaming parquet sink lands exactly the filtered rows") {
+    val out = "/tmp/graft-test-stream-sink"
+    val ckpt = "/tmp/graft-test-stream-ckpt"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(rm); p.delete()
+    }
+    rm(new java.io.File(out)); rm(new java.io.File(ckpt))
+    val stream = EventStreams.readEventStream(spark, s"$sfDir/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val q = EventStreams.writeToParquetSet(stream, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val landed = spark.read.parquet(out)
+    val expect = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+    assert(landed.count() == expect.count())
+    assert(landed.select(sum(col("event_id"))).collect().head.getLong(0) ==
+      expect.select(sum(col("event_id"))).collect().head.getLong(0))
+  }
+
   test("stream-static enrich == batch join") {
     val got = graft.queries.StreamingQueries.stEnrich(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap
