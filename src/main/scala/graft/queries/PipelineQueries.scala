@@ -121,9 +121,10 @@ object PipelineQueries {
     */
   def ddCosineLsh(spark: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    // offset far above any fixture scale factor's id range (sf1 ≈ 2e4)
     val aug = emb.unionByName(
       emb.filter(col("vec_id") < 10)
-        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
     Dedup.cosineLshPairs(aug, "vec_id", "embedding", threshold = 0.95)
   }
 
@@ -131,7 +132,7 @@ object PipelineQueries {
     """WITH aug AS (
       |  SELECT vec_id, embedding FROM embeddings
       |  UNION ALL
-      |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      |  SELECT vec_id + 10000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10),
       |c AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |    round((SELECT SUM(CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))
