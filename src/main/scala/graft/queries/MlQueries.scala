@@ -110,6 +110,31 @@ object MlQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Oracle for [[mlFfInference]]: the forward pass written out in SQL.
+    * Mirrors the Spark plan's float association exactly — the 64-wide
+    * inner product is summed as two 32-wide block partials (X is blocked
+    * at 32 columns), relu after the block add, argmax tiebreak = lowest
+    * class. sin/cos weights are formula-seeded on both sides.
+    */
+  val mlFfInferenceSql: String =
+    """WITH h AS (
+      |  SELECT e.vec_id AS r, j,
+      |    greatest(0,
+      |      (SELECT SUM(CAST(e.embedding[i+1] AS DOUBLE) * sin(CAST(i*16+j AS DOUBLE)))
+      |       FROM generate_series(0,31) g(i)) +
+      |      (SELECT SUM(CAST(e.embedding[i+1] AS DOUBLE) * sin(CAST(i*16+j AS DOUBLE)))
+      |       FROM generate_series(32,63) g(i))) AS hv
+      |  FROM embeddings e, generate_series(0,15) gj(j)),
+      |l AS (
+      |  SELECT h.r, c, SUM(h.hv * cos(CAST(h.j*4+c AS DOUBLE))) AS lv
+      |  FROM h, generate_series(0,3) gc(c) GROUP BY h.r, c),
+      |p AS (
+      |  SELECT r, c,
+      |    ROW_NUMBER() OVER (PARTITION BY r ORDER BY lv DESC, c) AS rk
+      |  FROM l)
+      |SELECT c AS predicted_class, COUNT(*) AS n FROM p WHERE rk = 1
+      |GROUP BY 1""".stripMargin
+
   /** GMM component sizes over embeddings (EM, deterministic init) */
   def mlGmm(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -167,5 +192,6 @@ object MlQueries {
 
   val oracles: Map[String, String] = Map(
     "dd_topk_jaccard" -> ddTopkJaccardSql,
-    "ml_pagerank" -> mlPageRankSql)
+    "ml_pagerank" -> mlPageRankSql,
+    "ml_ff_inference" -> mlFfInferenceSql)
 }
