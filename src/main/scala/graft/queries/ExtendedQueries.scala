@@ -236,6 +236,57 @@ object ExtendedQueries {
       .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
   }
 
+  /** Unrolled Lloyd-iteration CTE chain shared by the kmeans and IVF
+    * oracles. Produces `c0..c<iters>` (centroid k, dim i, value v) plus
+    * the per-iteration assignment CTEs. Init = the first `k` vectors
+    * (the trainer's deterministic seed); assignment = argmin squared
+    * distance with lowest-cluster tiebreak; update = per-dimension mean
+    * with empty clusters keeping their old centroid.
+    */
+  def lloydCtes(k: Int, iters: Int): String = {
+    val base =
+      s"""WITH c0 AS (
+         |  SELECT vec_id AS k, g.i - 1 AS i, CAST(embedding[g.i] AS DOUBLE) AS v
+         |  FROM embeddings, generate_series(1, 64) g(i) WHERE vec_id < $k)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s"""d$t AS (
+         |  SELECT e.vec_id AS r, c.k,
+         |    SUM((CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v) *
+         |        (CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v)) AS dist
+         |  FROM embeddings e, c${t - 1} c GROUP BY 1, 2),
+         |a$t AS (
+         |  SELECT r, k FROM (
+         |    SELECT r, k, ROW_NUMBER() OVER (PARTITION BY r ORDER BY dist, k) AS rk
+         |    FROM d$t) z WHERE rk = 1),
+         |m$t AS (
+         |  SELECT a.k, g.i - 1 AS i, AVG(CAST(e.embedding[g.i] AS DOUBLE)) AS v
+         |  FROM a$t a JOIN embeddings e ON a.r = e.vec_id,
+         |       generate_series(1, 64) g(i)
+         |  GROUP BY 1, 2),
+         |c$t AS (
+         |  SELECT p.k, p.i, COALESCE(m.v, p.v) AS v
+         |  FROM c${t - 1} p LEFT JOIN m$t m ON p.k = m.k AND p.i = m.i)""".stripMargin
+    }
+    (Seq(base) ++ steps).mkString(",\n")
+  }
+
+  /** Oracle for [[kmeans]]: cluster sizes of the final relational
+    * assignment after the 3 unrolled Lloyd iterations. */
+  val kmeansSql: String = {
+    val iters = 3
+    lloydCtes(4, iters) + ",\n" +
+      s"""fd AS (
+         |  SELECT e.vec_id AS r, c.k,
+         |    SUM((CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v) *
+         |        (CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v)) AS dist
+         |  FROM embeddings e, c$iters c GROUP BY 1, 2),
+         |fa AS (
+         |  SELECT r, k FROM (
+         |    SELECT r, k, ROW_NUMBER() OVER (PARTITION BY r ORDER BY dist, k) AS rk
+         |    FROM fd) z WHERE rk = 1)
+         |SELECT k AS cluster, COUNT(*) AS n FROM fa GROUP BY 1""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_cube" -> cube,
     "op_pivot" -> pivot,
@@ -259,5 +310,6 @@ object ExtendedQueries {
     "txt_subwords" -> subwordStatsSql,
     "op_approx_distinct" -> approxDistinctSql,
     "op_hash_sample" -> hashSampleSql,
-    "op_approx_quantiles" -> approxQuantilesSql)
+    "op_approx_quantiles" -> approxQuantilesSql,
+    "ml_kmeans" -> kmeansSql)
 }

@@ -170,6 +170,49 @@ object PipelineQueries {
     SimilaritySearch.ivfTopK(spark, emb, emb.filter(col("vec_id") < 10), k = 5)
   }
 
+  /** Oracle for [[simIvf]]: the IVF search written out — 16-centroid
+    * coarse quantizer (3 unrolled Lloyd iterations, shared CTE
+    * generator), bucket assignment and 4-bucket probing both argmin with
+    * lowest-centroid tiebreak, then exact rounded-cosine top-5 within the
+    * probed buckets only (the oracle reproduces the ANN's bucket pruning,
+    * not a brute-force scan — results match the operator exactly).
+    */
+  val simIvfSql: String =
+    ExtendedQueries.lloydCtes(16, 3) + ",\n" +
+      """bdist AS (
+        |  SELECT e.vec_id AS r, c.k,
+        |    SUM((CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v) *
+        |        (CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v)) AS dist
+        |  FROM embeddings e, c3 c GROUP BY 1, 2),
+        |bassign AS (
+        |  SELECT r, k AS bucket FROM (
+        |    SELECT r, k, ROW_NUMBER() OVER (PARTITION BY r ORDER BY dist, k) AS rk
+        |    FROM bdist) z WHERE rk = 1),
+        |probes AS (
+        |  SELECT r AS query_id, k AS bucket FROM (
+        |    SELECT r, k, ROW_NUMBER() OVER (PARTITION BY r ORDER BY dist, k) AS rk
+        |    FROM bdist WHERE r < 10) z WHERE rk <= 4),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, b.r AS neighbor_id
+        |  FROM probes p JOIN bassign b ON p.bucket = b.bucket
+        |  WHERE b.r <> p.query_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    round((SELECT SUM(CAST(q.embedding[i] AS DOUBLE)*CAST(n.embedding[i] AS DOUBLE))
+        |     FROM generate_series(1, 64) g(i)) /
+        |    (sqrt((SELECT SUM(CAST(q.embedding[i] AS DOUBLE)*CAST(q.embedding[i] AS DOUBLE))
+        |           FROM generate_series(1, 64) g(i))) *
+        |     sqrt((SELECT SUM(CAST(n.embedding[i] AS DOUBLE)*CAST(n.embedding[i] AS DOUBLE))
+        |           FROM generate_series(1, 64) g(i)))), 6) AS cos
+        |  FROM cand c
+        |  JOIN embeddings q ON q.vec_id = c.query_id
+        |  JOIN embeddings n ON n.vec_id = c.neighbor_id)
+        |SELECT query_id, rank, neighbor_id, cos FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |         ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored) t WHERE rank <= 5""".stripMargin
+
   def txtLangId(spark: SparkSession, d: String): DataFrame =
     TextAnalysis.languageId(Tables.documents(spark, d), "doc_id", "text")
 
@@ -245,6 +288,7 @@ object PipelineQueries {
     "dd_cosine_pairs" -> ddCosineSql,
     "dd_cosine_lsh" -> ddCosineLshSql,
     "sim_topk" -> simTopKSql,
+    "sim_ivf_topk" -> simIvfSql,
     "txt_langid" -> TextAnalysis.languageIdSql,
     "txt_quality" -> TextAnalysis.qualityScoreSql,
     "txt_tokens" -> TextAnalysis.tokenStatsSql,
