@@ -74,6 +74,31 @@ object MlQueries {
       .select(col("i"), col("j"), round(col("v"), 6).as("v"))
   }
 
+  /** Normal-equation residual of the L2 fit: ‖X'X·β − X'y‖∞ rounded — an
+    * oracle-checkable invariant of the solver (≈0 by construction), the
+    * same pattern as la_inverse_check. The β values themselves stay
+    * rows-only in la_l2_fit and value-checked in MlSpec.
+    */
+  def laL2Check(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val n = emb.count()
+    val xRows = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
+    val x = BlockMatrix.fromRowVectors(spark, xRows, n, 64, 256, 32)
+    val yRows = emb.select(col("vec_id"), col("label")).as[(Long, Int)]
+      .map { case (id, l) => (id, Array(l.toDouble)) }
+    val y = BlockMatrix.fromRowVectors(spark, yRows, n, 1, 256, 1)
+    val beta = MlWorkloads.l2Fit(x, y)
+    val lhs = x.gram.multiply(beta)
+    val rhs = x.transpose.multiply(y)
+    val dev = lhs.subtract(rhs).toCells.map { case (_, _, v) => math.abs(v) }
+      .reduce(math.max)
+    spark.createDataset(Seq(math.round(dev * 1e4) / 1e4)).toDF("max_residual")
+  }
+
+  val laL2CheckSql: String = "SELECT CAST(0.0 AS DOUBLE) AS max_residual"
+
   /** top-10 most-similar document pairs by 3-gram jaccard — the reference's
     * TopJaccard workload (src/tpchBench/headers/TopJaccard.h:17) as
     * LSH + TakeOrderedAndProject.
@@ -188,10 +213,12 @@ object MlQueries {
     "ml_lda_topics" -> mlLda,
     "ml_lstm_scores" -> mlLstm,
     "la_l2_fit" -> laL2Fit,
+    "la_l2_check" -> laL2Check,
     "dd_topk_jaccard" -> ddTopkJaccard)
 
   val oracles: Map[String, String] = Map(
     "dd_topk_jaccard" -> ddTopkJaccardSql,
     "ml_pagerank" -> mlPageRankSql,
-    "ml_ff_inference" -> mlFfInferenceSql)
+    "ml_ff_inference" -> mlFfInferenceSql,
+    "la_l2_check" -> laL2CheckSql)
 }
