@@ -206,6 +206,165 @@ object MlQueries {
       .select(col("id").as("user_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Oracle for [[mlLstm]]: the LSTM inference written out as a recursive
+    * CTE. hidden=4, inDim=1, so each step's 4 gates per unit are explicit
+    * arithmetic over the 8 carried state columns (h1..h4, c1..c4); the
+    * formula-seeded weights are inlined as shortest-round-trip double
+    * literals, and every affine sum keeps the kernel's left-to-right
+    * association (bias + input term + recurrent terms in unit order).
+    */
+  val mlLstmSql: String = {
+    val hidden = 4
+    def arr(n: Int, seed: Int) =
+      Array.tabulate(n)(i => math.sin(i + seed) * 0.5)
+    val (wi, ui, bi) = (arr(hidden, 1), arr(hidden * hidden, 2), arr(hidden, 3))
+    val (wf, uf, bf) = (arr(hidden, 4), arr(hidden * hidden, 5), arr(hidden, 6))
+    val (wo, uo, bo) = (arr(hidden, 7), arr(hidden * hidden, 8), arr(hidden, 9))
+    val (wc, uc, bc) = (arr(hidden, 10), arr(hidden * hidden, 11), arr(hidden, 12))
+    def lit(d: Double) = {
+      val s = java.lang.Double.toString(d)
+      if (s.startsWith("-")) s"($s)" else s
+    }
+    // b(j) + w(j)·x + Σᵢ u(j·4+i)·hᵢ, left-associated like the kernel
+    def affine(w: Array[Double], u: Array[Double], b: Array[Double], j: Int) =
+      s"${lit(b(j))} + ${lit(w(j))} * e.value" +
+        (0 until hidden).map(i => s" + ${lit(u(j * hidden + i))} * s.h${i + 1}").mkString
+    def sig(x: String) = s"(1.0 / (1.0 + exp(-($x))))"
+    // DuckDB 1.0 has no tanh(); the stable exp form saturates correctly
+    // at ±1 and stays within libm-level drift of Math.tanh
+    def tanhS(x: String) = s"(1.0 - 2.0 / (exp(2.0 * ($x)) + 1.0))"
+    def cNew(j: Int) =
+      s"(${sig(affine(wf, uf, bf, j))} * s.c${j + 1} + " +
+        s"${sig(affine(wi, ui, bi, j))} * ${tanhS(affine(wc, uc, bc, j))})"
+    def hNew(j: Int) =
+      s"(${sig(affine(wo, uo, bo, j))} * ${tanhS(cNew(j))})"
+    val stateCols = (0 until hidden).map(j => s"${hNew(j)} AS h${j + 1}") ++
+      (0 until hidden).map(j => s"${cNew(j)} AS c${j + 1}")
+    s"""WITH RECURSIVE
+       |ev AS (
+       |  SELECT user_id, CAST(value AS DOUBLE) AS value,
+       |    -- millisecond (not microsecond) ordering: the Scala side sorts
+       |    -- by Timestamp.getTime, which truncates to millis
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |                       ORDER BY epoch_ms(ts), value) AS step
+       |  FROM events),
+       |ln AS (SELECT user_id, COUNT(*) AS len FROM ev GROUP BY 1),
+       |st(user_id, step, h1, h2, h3, h4, c1, c2, c3, c4) AS (
+       |  SELECT user_id, CAST(0 AS BIGINT),
+       |    CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+       |    CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE) FROM ln
+       |  UNION ALL
+       |  SELECT s.user_id, s.step + 1,
+       |    ${stateCols.mkString(",\n    ")}
+       |  FROM st s JOIN ev e ON e.user_id = s.user_id AND e.step = s.step + 1)
+       |SELECT st.user_id, round((((h1 + h2) + h3) + h4) / 4, 6) AS score
+       |FROM st JOIN ln ON st.user_id = ln.user_id WHERE st.step = ln.len""".stripMargin
+  }
+
+  /** Oracle for [[mlGmm]]: diagonal-covariance EM unrolled — per
+    * iteration: log-density E-step with max-shift softmax, sufficient
+    * statistics, clamped M-step (greatest() mirrors the kernel's
+    * math.max floors); final hard assignment with first-max tiebreak.
+    * 2π is inlined as its exact double so both engines run the same
+    * log argument.
+    */
+  val mlGmmSql: String = {
+    val iters = 3
+    val twoPi = "6.283185307179586"
+    val base =
+      """WITH e AS (
+        |  SELECT vec_id AS r, g.i - 1 AS j, CAST(embedding[g.i] AS DOUBLE) AS x
+        |  FROM embeddings, generate_series(1, 64) g(i)),
+        |w0 AS (SELECT k AS c, CAST(0.25 AS DOUBLE) AS w FROM generate_series(0, 3) t(k)),
+        |m0 AS (
+        |  SELECT vec_id AS c, g.i - 1 AS j, CAST(embedding[g.i] AS DOUBLE) AS mu,
+        |    CAST(1.0 AS DOUBLE) AS vr
+        |  FROM embeddings, generate_series(1, 64) g(i) WHERE vec_id < 4)""".stripMargin
+    def logp(mPrev: String, wPrev: String, name: String) =
+      s"""$name AS (
+         |  SELECT e.r, m.c, ln(any_value(w.w)) + SUM(
+         |    -0.5 * (ln($twoPi * m.vr) + (e.x - m.mu) * (e.x - m.mu) / m.vr)) AS lp
+         |  FROM e JOIN $mPrev m ON e.j = m.j JOIN $wPrev w ON w.c = m.c
+         |  GROUP BY e.r, m.c)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s"""${logp(s"m${t - 1}", s"w${t - 1}", s"lp$t")},
+         |resp$t AS (
+         |  SELECT r, c, p / SUM(p) OVER (PARTITION BY r) AS resp FROM (
+         |    SELECT r, c, exp(lp - MAX(lp) OVER (PARTITION BY r)) AS p
+         |    FROM lp$t) q$t),
+         |rs$t AS (SELECT c, SUM(resp) AS rs FROM resp$t GROUP BY c),
+         |xs$t AS (
+         |  SELECT p.c, e.j, SUM(p.resp * e.x) AS xs, SUM(p.resp * e.x * e.x) AS x2s
+         |  FROM resp$t p JOIN e ON p.r = e.r GROUP BY p.c, e.j),
+         |w$t AS (
+         |  SELECT c, rs / (SELECT SUM(rs) FROM rs$t) AS w FROM rs$t),
+         |m$t AS (
+         |  SELECT x.c, x.j, x.xs / greatest(r.rs, 1e-12) AS mu,
+         |    greatest(x.x2s / greatest(r.rs, 1e-12) -
+         |      (x.xs / greatest(r.rs, 1e-12)) * (x.xs / greatest(r.rs, 1e-12)),
+         |      1e-6) AS vr
+         |  FROM xs$t x JOIN rs$t r ON x.c = r.c)""".stripMargin
+    }
+    val fin =
+      s"""${logp(s"m$iters", s"w$iters", "flp")}
+         |SELECT CAST(c AS INT) AS component, COUNT(*) AS n FROM (
+         |  SELECT r, c, ROW_NUMBER() OVER (PARTITION BY r ORDER BY lp DESC, c) AS rk
+         |  FROM flp) z WHERE rk = 1 GROUP BY 1""".stripMargin
+    (Seq(base) ++ steps :+ fin).mkString(",\n")
+  }
+
+  /** Oracle for [[mlLda]]: the PLSA EM unrolled — deterministic sin-seeded
+    * init over sorted word/doc indices, per-(doc,word) topic
+    * responsibilities, column-normalized φ and row-normalized θ per
+    * iteration, final φ rounded to 1e-6 like the kernel.
+    */
+  val mlLdaSql: String = {
+    val iters = 5
+    val topics = 3
+    val base =
+      s"""WITH counts AS (
+         |  SELECT doc_id AS d, word, COUNT(*) AS cnt FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) u
+         |  GROUP BY 1, 2),
+         |wi AS (
+         |  SELECT word, ROW_NUMBER() OVER (ORDER BY word) - 1 AS w
+         |  FROM (SELECT DISTINCT word FROM counts) x),
+         |di AS (
+         |  SELECT d, ROW_NUMBER() OVER (ORDER BY d) - 1 AS dI
+         |  FROM (SELECT DISTINCT d FROM counts) x),
+         |phiraw AS (
+         |  SELECT wi.word, wi.w, t.t,
+         |    0.5 + 0.5 * abs(sin(CAST(wi.w * 31 + t.t * 17 AS DOUBLE))) AS v
+         |  FROM wi, generate_series(0, ${topics - 1}) t(t)),
+         |phi0 AS (
+         |  SELECT word, w, t, v / SUM(v) OVER (PARTITION BY t) AS v FROM phiraw),
+         |thraw AS (
+         |  SELECT di.d, di.dI, t.t,
+         |    0.5 + 0.5 * abs(sin(CAST((di.dI + 7) * 31 + t.t * 17 AS DOUBLE))) AS v
+         |  FROM di, generate_series(0, ${topics - 1}) t(t)),
+         |th0 AS (
+         |  SELECT d, dI, t, v / SUM(v) OVER (PARTITION BY d) AS v FROM thraw)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""resp$i AS (
+         |  SELECT c.d, p.word, p.w, p.t,
+         |    c.cnt * (p.v * th.v) / SUM(p.v * th.v) OVER (PARTITION BY c.d, p.w) AS r
+         |  FROM counts c
+         |  JOIN phi${i - 1} p ON p.word = c.word
+         |  JOIN th${i - 1} th ON th.d = c.d AND th.t = p.t),
+         |phia$i AS (SELECT word, w, t, SUM(r) AS v FROM resp$i GROUP BY 1, 2, 3),
+         |phi$i AS (
+         |  SELECT word, w, t, v / SUM(v) OVER (PARTITION BY t) AS v FROM phia$i),
+         |tha$i AS (SELECT d, t, SUM(r) AS v FROM resp$i GROUP BY 1, 2),
+         |th$i AS (
+         |  SELECT a.d, di.dI, a.t, a.v / SUM(a.v) OVER (PARTITION BY a.d) AS v
+         |  FROM tha$i a JOIN di ON di.d = a.d)""".stripMargin
+    }
+    val fin =
+      s"""SELECT word, CAST(t AS INT) AS topic, round(v, 6) AS phi
+         |FROM phi$iters""".stripMargin
+    (Seq(base) ++ steps).mkString(",\n") + "\n" + fin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_pagerank" -> mlPageRank,
     "ml_ff_inference" -> mlFfInference,
@@ -220,5 +379,8 @@ object MlQueries {
     "dd_topk_jaccard" -> ddTopkJaccardSql,
     "ml_pagerank" -> mlPageRankSql,
     "ml_ff_inference" -> mlFfInferenceSql,
+    "ml_lstm_scores" -> mlLstmSql,
+    "ml_gmm" -> mlGmmSql,
+    "ml_lda_topics" -> mlLdaSql,
     "la_l2_check" -> laL2CheckSql)
 }
