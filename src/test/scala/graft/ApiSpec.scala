@@ -133,6 +133,16 @@ class ApiSpec extends GraftSpecBase {
     assert(out == 11.0)
   }
 
+  test("SQL extension registers native word_shingles") {
+    import spark.implicits._
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles",
+      exprs => graft.functions.WordShingles(exprs.head, 2), "built-in")
+    val out = Seq("a b c").toDF("t")
+      .selectExpr("word_shingles(t, 2) AS s").head().getSeq[String](0)
+    assert(out == Seq("a b", "b c"))
+  }
+
   test("ColComp recognized-lambda surface composes") {
     val out = ColComp(Tables.customer(spark, sfDir))
       .select(col("c_acctbal") > 0, col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
