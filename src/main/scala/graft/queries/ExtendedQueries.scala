@@ -217,6 +217,34 @@ object ExtendedQueries {
       | TRUE AS within_1pct
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Native session windows (`session_window`, a dedicated operator —
+    * unlike op_sessionize's lag/running-sum composition): per-user session
+    * count at a 30-minute gap. Boundary semantics differ from the
+    * floor-second lag form: windows are microsecond-precise and a gap of
+    * EXACTLY the timeout starts a new session — the oracle mirrors that
+    * with epoch_us arithmetic.
+    */
+  def sessionWindow(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"))
+
+  val sessionWindowSql: String =
+    """WITH raw AS (
+      |  -- truncate nanos -> micros exactly like the Spark-side read
+      |  -- (timestamp_micros(ts div 1000)); DuckDB keeps TIMESTAMP_NS
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |    CASE WHEN lag(us) OVER w IS NULL
+      |           OR us - lag(us) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM raw WINDOW w AS (PARTITION BY user_id ORDER BY us))
+      |SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions
+      |FROM g GROUP BY user_id""".stripMargin
+
   /** KMeans cluster sizes over embeddings (deterministic init: first k
     * sample rows — mirroring the reference's client-side iterative KMeans,
     * reference: src/tests/source/TestKMeans.cc). Rows-only driver check;
@@ -298,6 +326,7 @@ object ExtendedQueries {
     "op_approx_distinct" -> approxDistinct,
     "op_hash_sample" -> hashSample,
     "op_approx_quantiles" -> approxQuantiles,
+    "op_session_window" -> sessionWindow,
     "ml_kmeans" -> kmeans)
 
   val oracles: Map[String, String] = Map(
@@ -311,5 +340,6 @@ object ExtendedQueries {
     "op_approx_distinct" -> approxDistinctSql,
     "op_hash_sample" -> hashSampleSql,
     "op_approx_quantiles" -> approxQuantilesSql,
+    "op_session_window" -> sessionWindowSql,
     "ml_kmeans" -> kmeansSql)
 }
