@@ -236,7 +236,9 @@ final case class BlockMatrix(
     require(nRows == nCols, "inverse needs square")
     require(nRows <= maxN, s"inverse gathers to driver; n=$nRows > $maxN")
     val n = nRows.toInt
-    val inv = Kernels.inverse(n, toLocal())
+    // maxN is the gate here — pass the matching cell budget through so a
+    // caller-raised maxN is not silently re-capped by toLocal's default
+    val inv = Kernels.inverse(n, toLocal(nRows * nRows))
     BlockMatrix.fromLocal(blocks.sparkSession, inv, n, n, rowsPerBlock, colsPerBlock)
   }
 

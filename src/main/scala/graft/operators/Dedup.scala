@@ -16,6 +16,33 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Shared LSH materialization epilogue. Default: localCheckpoint the
+    * (small) result eagerly and release the intermediate caches —
+    * otherwise every LSH query leaks cached partitions for the session
+    * lifetime (localCheckpoint blocks are GC-cleaned by the
+    * ContextCleaner, unlike CacheManager entries).
+    *
+    * CAVEATS (localCheckpoint): (1) eager — the whole pipeline runs at
+    * operator-construction time, not at the caller's action; (2) lineage
+    * is truncated into executor-local blocks, so on a real cluster an
+    * executor loss (or dynamic-allocation decommission) makes the
+    * checkpointed partitions unrecoverable and downstream actions fail.
+    * On a cluster with executor churn set
+    * `spark.graft.dedup.materialize=none`: the plan is returned lazy with
+    * its lineage intact and the caches stay persisted — the CALLER must
+    * unpersist (or write the result to reliable storage) when done.
+    */
+  private def materialize(result: DataFrame, caches: DataFrame*): DataFrame = {
+    val mode = result.sparkSession.conf
+      .get("spark.graft.dedup.materialize", "localCheckpoint")
+    if (mode == "none") result
+    else {
+      val out = result.localCheckpoint(true)
+      caches.foreach(_.unpersist())
+      out
+    }
+  }
+
   /** Exact dedup by content groupBy: one row per distinct key with the
     * kept (min) id and the duplicate count. Groups by the key itself, NOT a
     * 64-bit hash of it — at billions of documents, 64-bit birthday
@@ -122,30 +149,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         jaccard(col("ws_a"), col("ws_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    // Materialize the (small) verified-pair set, then release the two
-    // intermediate caches — otherwise every LSH query leaks cached
-    // partitions for the session lifetime. localCheckpoint blocks are
-    // GC-cleaned by the ContextCleaner, unlike CacheManager entries.
-    //
-    // CAVEATS (localCheckpoint): (1) eager — the whole LSH pipeline runs
-    // HERE, at operator-construction time, not at the caller's action;
-    // (2) lineage is truncated into executor-local blocks, so on a real
-    // cluster an executor loss (or dynamic-allocation decommission) makes
-    // the checkpointed partitions unrecoverable and downstream actions
-    // fail. On a cluster with executor churn set
-    // `spark.graft.dedup.materialize=none`: the plan is returned lazy with
-    // its lineage intact and the two intermediate caches stay persisted —
-    // the CALLER must unpersist (or write the result to reliable storage)
-    // when done.
-    val mode = docs.sparkSession.conf
-      .get("spark.graft.dedup.materialize", "localCheckpoint")
-    if (mode == "none") verified
-    else {
-      val out = verified.localCheckpoint(true)
-      withSets.unpersist()
-      banded.unpersist()
-      out
-    }
+    materialize(verified, withSets, banded)
   }
 
   /** N-gram (word shingle) jaccard near-dup pairs — order-sensitive variant.
@@ -306,14 +310,7 @@ object Dedup {
       .withColumn("cos", round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
-    val mode = emb.sparkSession.conf
-      .get("spark.graft.dedup.materialize", "localCheckpoint")
-    if (mode == "none") out
-    else {
-      val res = out.localCheckpoint(true)
-      withSig.unpersist()
-      res
-    }
+    materialize(out, withSig)
   }
 
   /** Embedding cosine near-dup pairs. Brute-force all-pairs baseline —

@@ -80,11 +80,15 @@ object Multimodal {
             (r.meta.width.toLong * r.meta.height).toDouble
           val outLen = math.max(1, math.ceil(r.payload.length * scale).toInt)
           val out = new Array[Byte](outLen)
-          var i = 0
-          while (i < outLen) {
-            // nearest-neighbor byte sampling — deterministic stand-in
-            out(i) = r.payload((i * r.payload.length / outLen).min(r.payload.length - 1))
-            i += 1
+          // empty payload keeps the 1-byte floor as zeros (sampling from
+          // an empty array would index at -1)
+          if (r.payload.nonEmpty) {
+            var i = 0
+            while (i < outLen) {
+              // nearest-neighbor byte sampling — deterministic stand-in
+              out(i) = r.payload((i * r.payload.length / outLen).min(r.payload.length - 1))
+              i += 1
+            }
           }
           MediaRow(r.doc_id, out,
             MediaMeta(r.meta.format, targetW, targetH, outLen.toLong))

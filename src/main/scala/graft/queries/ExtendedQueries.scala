@@ -221,8 +221,10 @@ object ExtendedQueries {
     * unlike op_sessionize's lag/running-sum composition): per-user session
     * count at a 30-minute gap. Boundary semantics differ from the
     * floor-second lag form: windows are microsecond-precise and a gap of
-    * EXACTLY the timeout starts a new session — the oracle mirrors that
-    * with epoch_us arithmetic.
+    * exactly the timeout still MERGES (verified empirically — a new
+    * session needs a strictly larger gap, hence the oracle's `>`), with
+    * the oracle truncating the fixture's nanosecond timestamps to
+    * microseconds the same way the Spark-side read does.
     */
   def sessionWindow(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
@@ -272,23 +274,29 @@ object ExtendedQueries {
     * with empty clusters keeping their old centroid.
     */
   def lloydCtes(k: Int, iters: Int): String = {
+    // The trainer iterates over a bounded sample — orderBy(vec_id)
+    // .limit(10000), i.e. the 10000 lowest ids (dense from 0) — so the
+    // training CTEs read the same subset (`se`); only the FINAL
+    // assignment (authored by callers) scans the full table. Without this
+    // the oracle diverges on corpora above the sample limit.
     val base =
-      s"""WITH c0 AS (
+      s"""WITH se AS (SELECT * FROM embeddings WHERE vec_id < 10000),
+         |c0 AS (
          |  SELECT vec_id AS k, g.i - 1 AS i, CAST(embedding[g.i] AS DOUBLE) AS v
-         |  FROM embeddings, generate_series(1, 64) g(i) WHERE vec_id < $k)""".stripMargin
+         |  FROM se, generate_series(1, 64) g(i) WHERE vec_id < $k)""".stripMargin
     val steps = (1 to iters).map { t =>
       s"""d$t AS (
          |  SELECT e.vec_id AS r, c.k,
          |    SUM((CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v) *
          |        (CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v)) AS dist
-         |  FROM embeddings e, c${t - 1} c GROUP BY 1, 2),
+         |  FROM se e, c${t - 1} c GROUP BY 1, 2),
          |a$t AS (
          |  SELECT r, k FROM (
          |    SELECT r, k, ROW_NUMBER() OVER (PARTITION BY r ORDER BY dist, k) AS rk
          |    FROM d$t) z WHERE rk = 1),
          |m$t AS (
          |  SELECT a.k, g.i - 1 AS i, AVG(CAST(e.embedding[g.i] AS DOUBLE)) AS v
-         |  FROM a$t a JOIN embeddings e ON a.r = e.vec_id,
+         |  FROM a$t a JOIN se e ON a.r = e.vec_id,
          |       generate_series(1, 64) g(i)
          |  GROUP BY 1, 2),
          |c$t AS (

@@ -57,10 +57,11 @@ object MlQueries {
       s"\nSELECT node, round(rank, 6) AS rank FROM r$iters"
   }
 
-  /** beta = (X'X)^-1 X'y on embeddings vs label — the reference's L2
-    * sample workload (sample02_L2.pdml). Rows-only; algebra unit-tested.
+  /** embeddings as the (X, y) blocked-matrix pair for the regression
+    * workloads — ONE definition so the fit and its invariant check are
+    * guaranteed to operate on the same matrices
     */
-  def laL2Fit(spark: SparkSession, d: String): DataFrame = {
+  private def l2Matrices(spark: SparkSession, d: String): (BlockMatrix, BlockMatrix) = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, d)
     val n = emb.count()
@@ -70,6 +71,14 @@ object MlQueries {
     val yRows = emb.select(col("vec_id"), col("label")).as[(Long, Int)]
       .map { case (id, l) => (id, Array(l.toDouble)) }
     val y = BlockMatrix.fromRowVectors(spark, yRows, n, 1, 256, 1)
+    (x, y)
+  }
+
+  /** beta = (X'X)^-1 X'y on embeddings vs label — the reference's L2
+    * sample workload (sample02_L2.pdml). Rows-only; algebra unit-tested.
+    */
+  def laL2Fit(spark: SparkSession, d: String): DataFrame = {
+    val (x, y) = l2Matrices(spark, d)
     MlWorkloads.l2Fit(x, y).toCells.toDF("i", "j", "v")
       .select(col("i"), col("j"), round(col("v"), 6).as("v"))
   }
@@ -81,14 +90,7 @@ object MlQueries {
     */
   def laL2Check(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, d)
-    val n = emb.count()
-    val xRows = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .map { case (id, v) => (id, v.map(_.toDouble)) }
-    val x = BlockMatrix.fromRowVectors(spark, xRows, n, 64, 256, 32)
-    val yRows = emb.select(col("vec_id"), col("label")).as[(Long, Int)]
-      .map { case (id, l) => (id, Array(l.toDouble)) }
-    val y = BlockMatrix.fromRowVectors(spark, yRows, n, 1, 256, 1)
+    val (x, y) = l2Matrices(spark, d)
     val beta = MlWorkloads.l2Fit(x, y)
     val lhs = x.gram.multiply(beta)
     val rhs = x.transpose.multiply(y)

@@ -111,7 +111,7 @@ object PipelineQueries {
   /** Hyperplane-LSH cosine near-dup at production geometry (512 bits,
     * 16-bit bands, threshold 0.95). The fixture's random vectors have no
     * ≥0.95 pairs, so the corpus is augmented with exact duplicates of the
-    * first 10 vectors (id+10000): identical vectors agree on every
+    * first 10 vectors (id+10⁷): identical vectors agree on every
     * signature bit, so every band collides and LSH recall is CERTAIN —
     * the oracle equality is deterministic, not probabilistic. The
     * low-threshold regime (where banding degenerates — see the operator

@@ -116,12 +116,18 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  // epoch_ns//1000, not raw ts: the fixture is TIMESTAMP_NS and DuckDB
+  // keeps the nanos while the Spark side reads microsecond-truncated
+  // timestamps — an interval-boundary pair (gap exactly 1h after µs
+  // truncation, over 1h at ns precision) would otherwise diverge
   val stJoinSql: String =
-    """SELECT p.user_id, COUNT(*) AS n_pairs
-      |FROM events p JOIN events v
+    """WITH r AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events)
+      |SELECT p.user_id, COUNT(*) AS n_pairs
+      |FROM r p JOIN r v
       |  ON p.user_id = v.user_id
       | AND p.event_type = 'purchase' AND v.event_type = 'view'
-      | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      | AND p.us >= v.us AND p.us <= v.us + 3600000000
       |GROUP BY p.user_id""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

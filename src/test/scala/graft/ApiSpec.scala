@@ -125,9 +125,10 @@ class ApiSpec extends GraftSpecBase {
 
   test("SQL extension registers native dot_product") {
     import spark.implicits._
+    // register the extension's OWN builder, so its argument handling is
+    // what the SQL path exercises
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product",
-      exprs => graft.functions.DotProduct(exprs.head, exprs(1)), "built-in")
+      "dot_product", graft.GraftExtensions.dotProductBuilder, "built-in")
     val out = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
       .selectExpr("dot_product(a, b) AS d").head().getDouble(0)
     assert(out == 11.0)
@@ -136,11 +137,14 @@ class ApiSpec extends GraftSpecBase {
   test("SQL extension registers native word_shingles") {
     import spark.implicits._
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_shingles",
-      exprs => graft.functions.WordShingles(exprs.head, 2), "built-in")
+      "word_shingles", graft.GraftExtensions.wordShinglesBuilder, "built-in")
     val out = Seq("a b c").toDF("t")
       .selectExpr("word_shingles(t, 2) AS s").head().getSeq[String](0)
     assert(out == Seq("a b", "b c"))
+    // non-literal width is rejected by the builder
+    intercept[Exception] {
+      Seq(("a b c", 2)).toDF("t", "n").selectExpr("word_shingles(t, n)").head()
+    }
   }
 
   test("ColComp recognized-lambda surface composes") {
