@@ -125,51 +125,86 @@ object MlWorkloads2 {
 
   // ---------------- LDA-style topic model (PLSA EM) ----------------
 
-  /** PLSA-style EM over (doc, word, count) rows. φ (word-topic) and θ
-    * (doc-topic) are driver-side (vocab and doc counts are bounded here;
-    * at scale θ would live in a DataFrame keyed by doc and the join below
-    * becomes a shuffle join — same pass structure). Deterministic init from
-    * hash(word/doc, topic). Returns the word-topic matrix as rows.
+  /** PLSA-style EM over (doc, word, count) rows, fully distributed
+    * (reference: src/tests/source/TestLDA.cc runs the same E/M passes as
+    * engine jobs per iteration).
+    *
+    * Scale design: the (doc, word) count rows and θ (doc-topic) never
+    * leave the cluster — the E-step is counts ⋈ broadcast(φ) ⋈ θ with the
+    * per-(doc,word) responsibility normalization as a window sum, and the
+    * M-step is two groupBy-sums: (word, topic) → next φ, (doc, topic) →
+    * next θ, the latter re-normalized per doc and kept as a DataFrame
+    * keyed by doc (a shuffle join next iteration). Only φ is gathered to
+    * the driver for broadcast — |vocab| × nTopics doubles, the same
+    * O(model) footprint as [[gmmFit]]'s sufficient statistics. The one
+    * non-distributed step is the sin-seeded deterministic init, which
+    * ranks docs globally to reproduce the reference's index-seeded init;
+    * at scale that seed would come from hash(doc) instead (init-only,
+    * does not affect the per-iteration plans).
+    *
+    * Returns the word-topic matrix as (word, topic, phi) rows.
     */
   def ldaFit(
       docWordCounts: Dataset[(Long, String, Long)], nTopics: Int,
       iterations: Int): DataFrame = {
     val spark = docWordCounts.sparkSession
     import spark.implicits._
-    val rows = docWordCounts.collect() // bounded: |vocab| × |docs| pairs present
-    val words = rows.map(_._2).distinct.sorted
-    val docs = rows.map(_._1).distinct.sorted
+    import org.apache.spark.sql.expressions.Window
+    val counts = docWordCounts.toDF("d", "word", "cnt").persist()
+
+    // vocab is the bounded model dimension; its index seeds the init and
+    // addresses the driver-side φ array
+    val words = counts.select(col("word")).distinct().as[String].collect().sorted
     val wIdx = words.zipWithIndex.toMap
-    val dIdx = docs.zipWithIndex.toMap
 
     def detInit(a: Int, b: Int): Double =
       0.5 + 0.5 * math.abs(math.sin(a * 31 + b * 17))
     var phi = Array.tabulate(words.length, nTopics)((w, t) => detInit(w, t))
-    var theta = Array.tabulate(docs.length, nTopics)((d, t) => detInit(d + 7, t))
     normalizeCols(phi)
-    normalizeRows(theta)
 
+    val docNorm = Window.partitionBy(col("d"))
+    // θ₀: sin-seeded from each doc's rank in sorted doc order, row-normalized
+    var theta = counts.select(col("d")).distinct()
+      .withColumn("dI", row_number().over(Window.orderBy(col("d"))) - 1)
+      .select(col("d"), col("dI"),
+        explode(sequence(lit(0), lit(nTopics - 1))).as("t"))
+      .withColumn("raw", lit(0.5) + lit(0.5) *
+        abs(sin(((col("dI") + 7) * 31 + col("t") * 17).cast("double"))))
+      .withColumn("tv", col("raw") / sum(col("raw")).over(docNorm))
+      .select(col("d"), col("t"), col("tv"))
+
+    var prevResp: DataFrame = null
     for (_ <- 1 to iterations) {
+      val phiDf = words.indices.flatMap { w =>
+        (0 until nTopics).map(t => (words(w), t, phi(w)(t)))
+      }.toDF("word", "t", "pv")
+      val dw = Window.partitionBy(col("d"), col("word"))
+      val resp = counts
+        .join(broadcast(phiDf), Seq("word"))
+        .join(theta, Seq("d", "t"))
+        .withColumn("p", col("pv") * col("tv"))
+        .withColumn("r", col("cnt") * col("p") / sum(col("p")).over(dw))
+        .select(col("d"), col("word"), col("t"), col("r"))
+        .persist()
+      // M-step φ: vocab × topics rows gathered for next iteration's broadcast
       val phiAcc = Array.fill(words.length, nTopics)(0.0)
-      val thetaAcc = Array.fill(docs.length, nTopics)(0.0)
-      rows.foreach { case (doc, word, cnt) =>
-        val w = wIdx(word)
-        val dI = dIdx(doc)
-        val p = Array.tabulate(nTopics)(t => phi(w)(t) * theta(dI)(t))
-        val z = p.sum
-        var t = 0
-        while (t < nTopics) {
-          val r = cnt * p(t) / z
-          phiAcc(w)(t) += r
-          thetaAcc(dI)(t) += r
-          t += 1
+      resp.groupBy(col("word"), col("t")).agg(sum(col("r")).as("v"))
+        .collect().foreach { row =>
+          phiAcc(wIdx(row.getString(0)))(row.getInt(1)) = row.getDouble(2)
         }
-      }
       phi = phiAcc
-      theta = thetaAcc
       normalizeCols(phi)
-      normalizeRows(theta)
+      // M-step θ: stays distributed; its lineage is cut at the persisted
+      // resp (already materialized by the φ gather above), so plans stay
+      // constant-size across iterations
+      theta = resp.groupBy(col("d"), col("t")).agg(sum(col("r")).as("v"))
+        .withColumn("tv", col("v") / sum(col("v")).over(docNorm))
+        .select(col("d"), col("t"), col("tv"))
+      if (prevResp != null) prevResp.unpersist(blocking = false)
+      prevResp = resp
     }
+    if (prevResp != null) prevResp.unpersist(blocking = false)
+    counts.unpersist(blocking = false)
     words.indices.flatMap { w =>
       (0 until nTopics).map(t => (words(w), t, math.rint(phi(w)(t) * 1e6) / 1e6))
     }.toDF("word", "topic", "phi")
