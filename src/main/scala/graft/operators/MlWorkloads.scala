@@ -18,10 +18,31 @@ object MlWorkloads {
 
   /** PageRank over an edge list (src, dst). Dangling mass is redistributed
     * uniformly so ranks sum to n every iteration (the standard formulation).
+    *
+    * Lineage control (`spark.graft.pagerank.materialize`):
+    *  - `eager` (default): `localCheckpoint(eager = true)` every
+    *    `checkpointEvery` iterations — one job per checkpoint, the same
+    *    job-per-iteration shape as the reference's client loop
+    *    (PageRank.cc re-submits per iteration). Measured fastest at
+    *    fixture scale: all A/B'd variants (lazy per-1/per-2, eager per-2,
+    *    none) were 12-47% slower because deferring materialization makes
+    *    the shared persisted invariants below materialize redundantly
+    *    inside one action.
+    *  - `lazy`: `localCheckpoint(eager = false)` — cuts lineage at plan
+    *    compile time without running a job per iteration; everything
+    *    executes inside the caller's single action.
+    *  - `none`: no truncation — only safe for small `iterations` (the rank
+    *    frame is referenced twice per iteration, so the plan DOUBLES each
+    *    unchecked iteration).
+    * localCheckpoint blocks are executor-local: on a cluster with executor
+    * churn, prefer `lazy`/`none` with few iterations or reliable
+    * checkpointing (same caveat as [[graft.operators.Dedup]]'s materialize
+    * gate).
     */
   def pageRank(
       spark: SparkSession, edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85, checkpointEvery: Int = 1): DataFrame = {
+    val mode = spark.conf.get("spark.graft.pagerank.materialize", "eager")
     // loop invariants, persisted: every iteration references them, and an
     // unpersisted frame would re-execute its whole upstream plan per
     // iteration per reference
@@ -29,31 +50,39 @@ object MlWorkloads {
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")).persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
-    val n = nodes.count()
+    // node count as a 1-row frame, NOT a driver-side count(): the whole
+    // loop then compiles into the caller's single action — no build-time
+    // job materializes the caches eagerly
+    val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
 
+    // loop invariants hoisted and persisted: the edge⋈degree join and the
+    // sink-node set do not change across iterations — re-deriving them
+    // per iteration would add two joins to every pass
+    val ew = e.join(outDeg, Seq("src"))
+      .select(col("src"), col("dst"), col("out_deg")).persist()
     val sinks = nodes.join(outDeg.withColumnRenamed("src", "node"),
-      Seq("node"), "left_anti") // nodes with no outgoing edges
+      Seq("node"), "left_anti").persist() // nodes with no outgoing edges
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (i <- 1 to iterations) {
-      val contribs = e
+      val contribs = ew
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outDeg, Seq("src"))
         .select(col("dst").as("node"), (col("rank") / col("out_deg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
-      // dangling mass stays IN the plan (1-row broadcast) — a per-iteration
-      // driver action would serialize the loop into iterations×jobs
-      val danglingDf = ranks.join(sinks, Seq("node"), "left_semi")
+      // dangling mass and n stay IN the plan (1-row broadcast) — a
+      // per-iteration driver action would serialize the loop into
+      // iterations×jobs
+      val scalars = ranks.join(sinks, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling_sum"))
+        .crossJoin(nn)
       ranks = nodes
         .join(contribs, Seq("node"), "left_outer")
-        .crossJoin(broadcast(danglingDf))
+        .crossJoin(broadcast(scalars))
         .select(col("node"),
           (lit(1 - damping) + lit(damping) *
-            (coalesce(col("in_sum"), lit(0.0)) + col("dangling_sum") / n)).as("rank"))
-      // `ranks` is referenced twice per iteration (contributions + dangling
-      // mass), so without truncation the lineage DOUBLES each iteration —
-      // a 2^iterations plan. Checkpoint every iteration by default.
-      if (i % checkpointEvery == 0) ranks = ranks.localCheckpoint(eager = true)
+            (coalesce(col("in_sum"), lit(0.0)) +
+              col("dangling_sum") / col("n"))).as("rank"))
+      if (i % checkpointEvery == 0 && mode != "none")
+        ranks = ranks.localCheckpoint(eager = mode == "eager")
     }
     ranks
   }
