@@ -55,6 +55,36 @@ object Kernels {
     MatrixBlock(m.blockCol, m.blockRow, m.cols, m.rows, out)
   }
 
+  /** In-place Gauss-Jordan solve of the augmented system [A|B] (n rows ×
+    * m cols row-major, m > n; on return columns n..m-1 hold A⁻¹B).
+    * NATURAL pivot order — no row swaps — so the elimination is a fixed
+    * sequence of IEEE ops that an unrolled SQL oracle can reproduce
+    * bit-for-bit: step k computes a_kj/p once and every other row does
+    * a_ij − a_ik·(a_kj/p) on pre-step values. Valid without pivoting for
+    * SPD systems (normal-equation grams); rejects a vanishing pivot.
+    */
+  def solveAugmented(n: Int, m: Int, aug: Array[Double]): Unit = {
+    var k = 0
+    while (k < n) {
+      val p = aug(k * m + k)
+      require(math.abs(p) > 1e-12, "zero pivot: matrix not SPD / singular")
+      var j = 0
+      while (j < m) { aug(k * m + j) = aug(k * m + j) / p; j += 1 }
+      var i = 0
+      while (i < n) {
+        if (i != k) {
+          val f = aug(i * m + k)
+          var j2 = 0
+          while (j2 < m) {
+            aug(i * m + j2) = aug(i * m + j2) - f * aug(k * m + j2); j2 += 1
+          }
+        }
+        i += 1
+      }
+      k += 1
+    }
+  }
+
   /** Gauss-Jordan inverse with partial pivoting, n×n row-major */
   def inverse(n: Int, a0: Array[Double]): Array[Double] = {
     val a = a0.clone()

@@ -88,11 +88,36 @@ object MlWorkloads {
   }
 
   /** L2 (ridge-free) linear regression via the normal equations — the
-    * reference's sample02_L2.pdml workload: beta = (X'X)^-1 X'y. The gram
-    * and X'y are distributed; only the (d×d) solve runs on the driver.
+    * reference's sample02_L2.pdml workload: beta = (X'X)⁻¹ X'y. The gram
+    * and X'y are distributed passes; only the (d×d) solve runs on the
+    * driver. The reference gathers the gram for a full inverse
+    * (LASillyInverse*.h) then multiplies; here the gathered system is
+    * solved directly by natural-order Gauss-Jordan
+    * ([[graft.la.Kernels.solveAugmented]]) — one fewer pass, and the
+    * fixed elimination order makes the betas reproducible by an unrolled
+    * SQL oracle.
     */
-  def l2Fit(x: graft.la.BlockMatrix, y: graft.la.BlockMatrix): graft.la.BlockMatrix =
-    x.gram.inverse().multiply(x.transpose.multiply(y))
+  def l2Fit(x: graft.la.BlockMatrix, y: graft.la.BlockMatrix): graft.la.BlockMatrix = {
+    val a = x.gram
+    val b = x.transpose.multiply(y)
+    val n = a.nRows.toInt
+    val m = y.nCols.toInt
+    val aL = a.toLocal()
+    val bL = b.toLocal()
+    val w = n + m
+    val aug = new Array[Double](n * w)
+    var i = 0
+    while (i < n) {
+      System.arraycopy(aL, i * n, aug, i * w, n)
+      var j = 0
+      while (j < m) { aug(i * w + n + j) = bL(i * m + j); j += 1 }
+      i += 1
+    }
+    graft.la.Kernels.solveAugmented(n, w, aug)
+    val out = Array.tabulate(n * m)(idx => aug((idx / m) * w + n + idx % m))
+    graft.la.BlockMatrix.fromLocal(
+      x.blocks.sparkSession, out, n, m, a.rowsPerBlock, y.colsPerBlock)
+  }
 
   /** Feed-forward NN inference (reference: src/FF/headers/SimpleFF.h):
     * argmax(relu(X·W1)·W2) batch-scored as two distributed matrix

@@ -74,8 +74,9 @@ object MlQueries {
     (x, y)
   }
 
-  /** beta = (X'X)^-1 X'y on embeddings vs label — the reference's L2
-    * sample workload (sample02_L2.pdml). Rows-only; algebra unit-tested.
+  /** beta = (X'X)⁻¹ X'y on embeddings vs label — the reference's L2
+    * sample workload (sample02_L2.pdml). Hash-checked against
+    * [[laL2FitSql]], the same elimination unrolled in SQL.
     */
   def laL2Fit(spark: SparkSession, d: String): DataFrame = {
     val (x, y) = l2Matrices(spark, d)
@@ -83,10 +84,47 @@ object MlQueries {
       .select(col("i"), col("j"), round(col("v"), 6).as("v"))
   }
 
+  /** Oracle for [[laL2Fit]]: the normal equations assembled as an
+    * augmented (64×65) cell table — gram X'X plus X'y as column 64 — and
+    * the natural-order Gauss-Jordan elimination unrolled as 64 chained
+    * CTEs. Step k mirrors [[graft.la.Kernels.solveAugmented]]'s IEEE op
+    * sequence exactly: row k becomes a_kj/p, every other row becomes
+    * a_ij − a_ik·(a_kj/p), all reads from the pre-step table. Betas are
+    * column 64 after the last step, rounded to 1e-6 on both sides.
+    */
+  val laL2FitSql: String = {
+    val d = 64
+    val base =
+      s"""WITH s0 AS MATERIALIZED (
+         |  SELECT gi.i - 1 AS i, gj.j - 1 AS j,
+         |    SUM(CAST(e.embedding[gi.i] AS DOUBLE) * CAST(e.embedding[gj.j] AS DOUBLE)) AS v
+         |  FROM embeddings e, generate_series(1,$d) gi(i), generate_series(1,$d) gj(j)
+         |  GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT gi.i - 1 AS i, $d AS j,
+         |    SUM(CAST(e.embedding[gi.i] AS DOUBLE) * CAST(e.label AS DOUBLE)) AS v
+         |  FROM embeddings e, generate_series(1,$d) gi(i)
+         |  GROUP BY 1, 2)""".stripMargin
+    val steps = (0 until d).map { k =>
+      val prev = s"s$k"
+      s"""s${k + 1} AS MATERIALIZED (
+         |  SELECT c.i, c.j,
+         |    CASE WHEN c.i = $k THEN c.v / p.v
+         |         ELSE c.v - ak.v * (kr.v / p.v) END AS v
+         |  FROM $prev c
+         |  JOIN $prev p ON p.i = $k AND p.j = $k
+         |  JOIN $prev kr ON kr.i = $k AND kr.j = c.j
+         |  JOIN $prev ak ON ak.i = c.i AND ak.j = $k)""".stripMargin
+    }
+    (Seq(base) ++ steps).mkString(",\n") +
+      s"\nSELECT CAST(i AS BIGINT) AS i, CAST(0 AS BIGINT) AS j, " +
+      s"round(v, 6) AS v FROM s$d WHERE j = $d"
+  }
+
   /** Normal-equation residual of the L2 fit: ‖X'X·β − X'y‖∞ rounded — an
     * oracle-checkable invariant of the solver (≈0 by construction), the
-    * same pattern as la_inverse_check. The β values themselves stay
-    * rows-only in la_l2_fit and value-checked in MlSpec.
+    * same pattern as la_inverse_check; complements la_l2_fit's
+    * value-exact hash check.
     */
   def laL2Check(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -378,6 +416,7 @@ object MlQueries {
     "dd_topk_jaccard" -> ddTopkJaccard)
 
   val oracles: Map[String, String] = Map(
+    "la_l2_fit" -> laL2FitSql,
     "dd_topk_jaccard" -> ddTopkJaccardSql,
     "ml_pagerank" -> mlPageRankSql,
     "ml_ff_inference" -> mlFfInferenceSql,
