@@ -71,6 +71,41 @@ object SimilaritySearch {
     centroids
   }
 
+  /** Single-pass nearest-centroid assignment as a scalar UDF: the codebook
+    * rides in the closure (tiny — task-serialized like a broadcast), one
+    * tight JVM loop per row. This replaces the earlier nested
+    * transform/aggregate/zip_with form, which Catalyst evaluates
+    * INTERPRETED and which computed the 16×64 distance array twice per row
+    * (once for array_min, once for array_position). Same IEEE op order as
+    * the HOF form (sequential diff² accumulation from 0.0, first-min
+    * tiebreak), so assignment parity with the SQL oracles is preserved.
+    */
+  def nearestUdf(centroids: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((v: Seq[Float]) => {
+      val arr = new Array[Double](v.length)
+      var i = 0
+      while (i < arr.length) { arr(i) = v(i).toDouble; i += 1 }
+      nearest(centroids, arr).toLong
+    })
+
+  /** The `nprobe` nearest centroid ids for a query vector, ascending by
+    * (distance, bucket) — one distance pass, same ordering as the SQL
+    * oracle's array_sort over (d, b) structs.
+    */
+  def probeUdf(centroids: Array[Array[Double]], nprobe: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((v: Seq[Float]) => {
+      val arr = new Array[Double](v.length)
+      var i = 0
+      while (i < arr.length) { arr(i) = v(i).toDouble; i += 1 }
+      val dists = centroids.map { c =>
+        var d = 0.0
+        var j = 0
+        while (j < arr.length) { val diff = c(j) - arr(j); d += diff * diff; j += 1 }
+        d
+      }
+      dists.zipWithIndex.sortBy { case (d, b) => (d, b) }.take(nprobe).map(_._2.toLong).toSeq
+    })
+
   private def nearest(centroids: Array[Array[Double]], v: Array[Double]): Int = {
     var best = 0
     var bestD = Double.MaxValue
@@ -87,44 +122,25 @@ object SimilaritySearch {
     best
   }
 
-  /** IVF top-k: assign every vector to its nearest centroid (one codegen'd
-    * pass — the centroid list is a literal array), then for each query probe
-    * the `nprobe` nearest buckets only. The per-bucket search is a hash join
-    * on bucket id instead of a cross join.
+  /** IVF top-k: assign every vector to its nearest centroid (single JVM
+    * pass, [[nearestUdf]]), then for each query probe the `nprobe` nearest
+    * buckets only. The per-bucket search is a hash join on bucket id
+    * instead of a cross join.
     */
   def ivfTopK(
       spark: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = trainCentroids(emb, nCentroids, iters = 3, idCol, vecCol)
-    val centLit = array(centroids.map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
-
-    def bucketOf(vec: org.apache.spark.sql.Column) =
-      array_position(
-        transform(centLit, c =>
-          aggregate(zip_with(c, vec, (x, y) => (x - y.cast("double")) * (x - y.cast("double"))),
-            lit(0.0), (acc, x) => acc + x)),
-        array_min(transform(centLit, c =>
-          aggregate(zip_with(c, vec, (x, y) => (x - y.cast("double")) * (x - y.cast("double"))),
-            lit(0.0), (acc, x) => acc + x)))) - 1
-
-    def probeBuckets(vec: org.apache.spark.sql.Column) = {
-      val dists = transform(centLit, c =>
-        aggregate(zip_with(c, vec, (x, y) => (x - y.cast("double")) * (x - y.cast("double"))),
-          lit(0.0), (acc, x) => acc + x))
-      slice(array_sort(
-        zip_with(dists, sequence(lit(0), lit(nCentroids - 1)),
-          (d, i) => struct(d.as("d"), i.as("b")))), 1, nprobe)
-    }
+    val assign = nearestUdf(centroids)
+    val probe = probeUdf(centroids, nprobe)
 
     val bucketed = emb.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("n_vec"), l2Norm(col(vecCol)).as("n_nrm"),
-      bucketOf(col(vecCol)).as("bucket"))
+      assign(col(vecCol)).as("bucket"))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       l2Norm(col(vecCol)).as("q_nrm"),
-      explode(probeBuckets(col(vecCol))).as("p"))
-      .select(col("query_id"), col("q_vec"), col("q_nrm"),
-        col("p.b").cast("long").as("bucket"))
+      explode(probe(col(vecCol))).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     bucketed.join(broadcast(probes), Seq("bucket"))

@@ -256,13 +256,10 @@ object ExtendedQueries {
     val emb = Tables.embeddings(spark, d)
     val centroids = graft.operators.SimilaritySearch.trainCentroids(
       emb, nCentroids = 4, iters = 3)
-    val centLit = array(centroids.map(c =>
-      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
-    val dists = transform(centLit, c =>
-      aggregate(zip_with(c, col("embedding"), (x, y) =>
-        (x - y.cast("double")) * (x - y.cast("double"))),
-        lit(0.0), (acc, x) => acc + x))
-    emb.select((array_position(dists, array_min(dists)) - 1).as("cluster"))
+    // single-pass JVM assignment (same op order as the SQL oracle) — the
+    // interpreted HOF form computed the distance array twice per row
+    val assign = graft.operators.SimilaritySearch.nearestUdf(centroids)
+    emb.select(assign(col("embedding")).as("cluster"))
       .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
   }
 
