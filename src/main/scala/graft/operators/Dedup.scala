@@ -181,22 +181,11 @@ object Dedup {
     */
   val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (words: Seq[String]) =>
-      val MOD = (1L << 61) - 1
       val votes = new Array[Int](61)
       words.foreach { w =>
-        // 61-bit rolling polynomial word hash (see fingerprint64 for the
-        // 128-bit-product mod trick)
-        var h = 0L
-        var j = 0
-        while (j < w.length) {
-          val lo = h * 257L
-          val hi = Math.multiplyHigh(h, 257L)
-          var s = (lo & MOD) + ((hi << 3) | (lo >>> 61))
-          if (s >= MOD) s -= MOD
-          h = s + w.charAt(j).toLong
-          if (h >= MOD) h -= MOD
-          j += 1
-        }
+        // 61-bit rolling polynomial word hash — the shared kernel behind
+        // the fingerprint expression
+        val h = graft.functions.HashKernel.rolling61(w)
         var i = 0
         while (i < 61) {
           if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1

@@ -112,29 +112,12 @@ object TextAnalysis {
       |GROUP BY word""".stripMargin
 
   /** Document fingerprint: rolling polynomial hash over the character
-    * stream, mod 2^61-1 (Rabin-Karp style). Not SQL-expressible in the
-    * oracle dialect → covered by unit test, rows-only check in the driver.
+    * stream, mod 2^61-1 (Rabin-Karp). A native codegen'd expression
+    * ([[graft.functions.RollingHash61]]) — no per-row UDF ser/de — whose
+    * recurrence the DuckDB oracle reproduces with HUGEINT arithmetic.
     */
-  val fingerprint64: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (text: String) =>
-      val MOD = (1L << 61) - 1
-      val BASE = 257L
-      var h = 0L
-      var i = 0
-      while (i < text.length) {
-        // h*BASE mod 2^61-1 via the full 128-bit product: 2^61 ≡ 1 (mod M),
-        // so p = (p mod 2^61) + (p div 2^61). h < 2^61 and BASE = 257 keep
-        // hi < 2^5, so every intermediate stays well below 2^63.
-        val lo = h * BASE // low 64 bits of the product
-        val hi = Math.multiplyHigh(h, BASE) // high 64 bits
-        var s = (lo & MOD) + ((hi << 3) | (lo >>> 61))
-        if (s >= MOD) s -= MOD
-        h = s + text.charAt(i).toLong
-        if (h >= MOD) h -= MOD
-        i += 1
-      }
-      h
-    }
+  def fingerprint64(text: Column): Column =
+    graft.functions.HashExpressions.rollingHash61(text)
 
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
