@@ -1,5 +1,6 @@
 package graft.advisor
 
+import java.nio.file.{Files, Paths}
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Aggregate}
@@ -17,15 +18,55 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * which source tables appeared as equi-join or group-by keys (the lambda
   * traversal role of Lambda.h:55 traverseForSelfLearning);
   * `recommend(table)` returns the most frequently used key — the column to
-  * bucket/repartition the stored set by so those joins/aggs become local.
+  * bucket/repartition the stored set by so those joins/aggs become local —
+  * and [[recommendBuckets]] the bucket count (the reference's second
+  * placement decision, page size: Configuration.h:18-19).
+  *
+  * Pass `historyPath` to persist observations: the reference records every
+  * job's TCAP, lambdas, and stage timings in SQLite so placement learning
+  * survives restarts (SelfLearningDB.cc:109-150); here the same facts —
+  * key-use counts, join partnerships, set sizes, query latencies — live in
+  * a line-oriented sidecar file, loaded on construct and rewritten after
+  * each observation (driver-side only, tiny).
   */
-final class PlacementAdvisor {
+final class PlacementAdvisor(historyPath: Option[String] = None) {
 
   /** (table, column) -> observed key-use count; join uses weigh double
     * (they save two exchanges when co-partitioned)
     */
   private val keyUse = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+  /** table pairs seen equi-joined — the co-partition groups whose members
+    * must agree on a bucket count for the local join to hold */
+  private val joinPartners = mutable.Set.empty[(String, String)]
+  /** table -> largest observed row count (recorded on save) */
+  private val setRows = mutable.Map.empty[String, Long]
   private val history = mutable.ListBuffer.empty[(String, Long)]
+
+  historyPath.foreach(load)
+
+  private def load(path: String): Unit = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) {
+      Files.readAllLines(p).forEach { line =>
+        line.split("\t", -1) match {
+          case Array("K", t, c, n) => keyUse((t, c)) = n.toLong
+          case Array("P", a, b)    => joinPartners += ((a, b))
+          case Array("S", t, r)    => setRows(t) = r.toLong
+          case Array("H", n, ms)   => history += ((n, ms.toLong))
+          case _                   => ()
+        }
+      }
+    }
+  }
+
+  private def persist(): Unit = historyPath.foreach { path =>
+    val sb = new StringBuilder
+    keyUse.toSeq.sortBy(_._1).foreach { case ((t, c), n) => sb ++= s"K\t$t\t$c\t$n\n" }
+    joinPartners.toSeq.sorted.foreach { case (a, b) => sb ++= s"P\t$a\t$b\n" }
+    setRows.toSeq.sorted.foreach { case (t, r) => sb ++= s"S\t$t\t$r\n" }
+    history.foreach { case (n, ms) => sb ++= s"H\t$n\t$ms\n" }
+    Files.writeString(Paths.get(path), sb.toString)
+  }
 
   private def tableOf(attr: AttributeReference, plan: LogicalPlan): Option[String] = {
     var found: Option[String] = None
@@ -47,10 +88,16 @@ final class PlacementAdvisor {
   private def recordKeys(cond: Expression, plan: LogicalPlan, weight: Long): Unit =
     cond.foreach {
       case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        Seq(a, b).foreach { attr =>
-          tableOf(attr, plan).foreach { t =>
+        val tables = Seq(a, b).flatMap { attr =>
+          tableOf(attr, plan).map { t =>
             keyUse((t, attr.name)) += weight
+            t
           }
+        }
+        tables match {
+          case Seq(x, y) if x != y =>
+            joinPartners += (if (x < y) (x, y) else (y, x))
+          case _ => ()
         }
       case _ => ()
     }
@@ -70,6 +117,7 @@ final class PlacementAdvisor {
       case _ => ()
     }
     history += ((plan.nodeName, latencyMs))
+    persist()
   }
 
   /** the partition/bucket column to use when saving `table`, if any
@@ -81,13 +129,62 @@ final class PlacementAdvisor {
       case m => Some(m.maxBy { case ((_, c), n) => (n, c) }._1._2)
     }
 
+  /** tables transitively equi-joined with `table` in observed plans */
+  def coPartitionGroup(table: String): Set[String] = {
+    val seen = mutable.Set(table)
+    var frontier = Set(table)
+    while (frontier.nonEmpty) {
+      val next = joinPartners.collect {
+        case (a, b) if frontier(a) && !seen(b) => b
+        case (a, b) if frontier(b) && !seen(a) => a
+      }.toSet
+      seen ++= next
+      frontier = next
+    }
+    seen.toSet
+  }
+
+  /** Bucket count for `table`: sized from the LARGEST set in its
+    * co-partition group (all members must agree on the count for the
+    * shuffle-free join to plan), rounded up to a power of two so group
+    * members converge on the same count as sizes drift. This is the
+    * Spark analogue of the reference's page-size choice on load
+    * (Configuration.h:18-19, RuleBasedDataPlacementOptimizerForLoadJob.h):
+    * there the optimizer sizes pages; here it sizes buckets so each stays
+    * near `targetRowsPerBucket` rows.
+    */
+  def recommendBuckets(
+      table: String, rows: Long, targetRowsPerBucket: Long = 1L << 22): Int = {
+    val groupMax = (coPartitionGroup(table).flatMap(setRows.get) + rows).max
+    val needed = math.max(1L, (groupMax + targetRowsPerBucket - 1) / targetRowsPerBucket)
+    val pow2 = java.lang.Long.highestOneBit(needed) match {
+      case h if h == needed => needed
+      case h => h << 1
+    }
+    math.min(pow2, 65536L).toInt
+  }
+
   def observedKeyUse: Map[(String, String), Long] = keyUse.toMap
 
-  /** save with the learned placement applied (the load-path hook — EP3 in
-    * SURVEY.md §3, DispatcherServer + partition policy)
+  /** Save with the learned placement applied (the load-path hook — EP3 in
+    * SURVEY.md §3, DispatcherServer + partition policy): bucketed by the
+    * recommended column with the group-consistent bucket count when a
+    * consumer pattern is known, plain set otherwise. Records the set's
+    * size in the history so later group members size consistently.
     */
   def saveWithPlacement(
       catalog: graft.storage.SetCatalog, db: String, set: String,
-      table: String, df: DataFrame): Unit =
-    catalog.createSet(db, set, df, recommend(table))
+      table: String, df: DataFrame,
+      targetRowsPerBucket: Long = 1L << 22): Unit = {
+    recommend(table) match {
+      case Some(c) =>
+        val rows = df.count()
+        setRows(table) = math.max(setRows.getOrElse(table, 0L), rows)
+        persist()
+        catalog.createBucketedSet(db, set, df, c,
+          recommendBuckets(table, rows, targetRowsPerBucket))
+      case None =>
+        catalog.createSet(db, set, df, None)
+    }
+  }
 }

@@ -17,7 +17,26 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * co-partitioned joins avoid one exchange side.
   */
 final case class SetMeta(
-    partitionColumn: Option[String], numPartitions: Int, rows: Long)
+    partitionColumn: Option[String], numPartitions: Int, rows: Long,
+    policy: String = "hash", nodeShares: Seq[Int] = Nil)
+
+object SetCatalog {
+  /** FairPolicy allocation: round-robin write slots per node proportional
+    * to capacity weight, every node getting at least one (reference:
+    * src/dispatcher/headers/FairPolicy.h — load batches placed by free
+    * capacity). On shared HDFS-style storage physical block placement
+    * belongs to the filesystem, so the catalog realizes fairness as the
+    * slot allocation (node k owns shares(k) of the evenly-sized
+    * round-robin partitions) and records it in the set metadata for a
+    * dispatcher-style writer to honor.
+    */
+  def fairShares(nodeWeights: Seq[Double], totalSlots: Int): Seq[Int] = {
+    require(nodeWeights.nonEmpty && nodeWeights.forall(_ > 0),
+      "fair policy needs positive node weights")
+    val sum = nodeWeights.sum
+    nodeWeights.map(w => math.max(1, math.round(w / sum * totalSlots).toInt))
+  }
+}
 
 final class SetCatalog(spark: SparkSession, root: String) {
   Files.createDirectories(Paths.get(root))
@@ -25,26 +44,35 @@ final class SetCatalog(spark: SparkSession, root: String) {
   private def dir(db: String, set: String) = s"$root/$db.$set"
   private def metaPath(db: String, set: String) = s"${dir(db, set)}.meta"
 
+  private[storage] def writeMeta(db: String, set: String, col: Option[String],
+      n: Int, rows: Long, policy: String, shares: Seq[Int] = Nil): Unit =
+    Files.writeString(Paths.get(metaPath(db, set)),
+      s"${col.getOrElse("")}\n$n\n$rows\n$policy\n${shares.mkString(",")}\n")
+
   /** `policy`: "hash" (partition by `partitionColumn` — the dispatcher's
     * hash-by-lambda placement), "roundrobin" (reference RoundRobinPolicy),
-    * or "none" (keep the incoming layout — reference RandomPolicy, which
+    * "fair" (capacity-weighted round-robin, reference FairPolicy.h —
+    * requires `nodeWeights`; slots per [[SetCatalog.fairShares]]), or
+    * "none" (keep the incoming layout — reference RandomPolicy, which
     * just spreads batches). Reference: src/dispatcher/headers/
     * PartitionPolicyFactory.h, RandomPolicy.h:23, RoundRobinPolicy.h.
     */
   def createSet(db: String, set: String, df: DataFrame,
       partitionColumn: Option[String] = None, numPartitions: Int = 0,
-      policy: String = "hash"): Unit = {
+      policy: String = "hash", nodeWeights: Seq[Double] = Nil): Unit = {
     val n = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
+    val shares = if (policy == "fair") SetCatalog.fairShares(nodeWeights, n) else Nil
     val out = (policy, partitionColumn) match {
       case ("hash", Some(c)) => df.repartition(n, df(c))
       case ("roundrobin", _) => df.repartition(n)
+      case ("fair", _)       => df.repartition(shares.sum)
       case _ => df
     }
     out.write.mode(SaveMode.Overwrite).parquet(dir(db, set))
     val rows = spark.read.parquet(dir(db, set)).count()
-    Files.writeString(Paths.get(metaPath(db, set)),
-      s"${partitionColumn.getOrElse("")}\n$n\n$rows\n")
+    writeMeta(db, set, partitionColumn,
+      if (policy == "fair") shares.sum else n, rows, policy, shares)
   }
 
   def scanSet(db: String, set: String): DataFrame =
@@ -68,8 +96,8 @@ final class SetCatalog(spark: SparkSession, root: String) {
       .option("path", dir(db, set))
       .format("parquet")
       .saveAsTable(tableName)
-    Files.writeString(Paths.get(metaPath(db, set)),
-      s"$bucketColumn\n$numBuckets\n${spark.table(tableName).count()}\n")
+    writeMeta(db, set, Some(bucketColumn), numBuckets,
+      spark.table(tableName).count(), "bucket")
   }
 
   /** scan a bucketed set through the catalog (bucket-spec aware) */
@@ -80,8 +108,13 @@ final class SetCatalog(spark: SparkSession, root: String) {
     val p = Paths.get(metaPath(db, set))
     if (!Files.exists(p)) None
     else {
-      val Array(colName, n, rows) = Files.readString(p).split("\n")
-      Some(SetMeta(Option(colName).filter(_.nonEmpty), n.toInt, rows.toLong))
+      val lines = Files.readString(p).split("\n", -1)
+      Some(SetMeta(
+        Option(lines(0)).filter(_.nonEmpty), lines(1).toInt, lines(2).toLong,
+        if (lines.length > 3 && lines(3).nonEmpty) lines(3) else "hash",
+        if (lines.length > 4 && lines(4).nonEmpty)
+          lines(4).split(",").map(_.toInt).toSeq
+        else Nil))
     }
   }
 

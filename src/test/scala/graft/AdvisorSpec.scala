@@ -67,4 +67,60 @@ class AdvisorSpec extends GraftSpecBase {
     assert(m.partitionColumn.contains("l_orderkey"))
     assert(cat.scanSet("db1", "lineitem_placed").count() == li.count())
   }
+
+  test("advisor history persists: a new session recommends from prior observations") {
+    val path = Files.createTempDirectory("graft-adv").resolve("history.tsv").toString
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val a1 = new PlacementAdvisor(Some(path))
+    a1.observe(li.join(o, col("l_orderkey") === col("o_orderkey")), latencyMs = 42L)
+    // fresh instance = new session; must recall the join key and partners
+    val a2 = new PlacementAdvisor(Some(path))
+    assert(a2.recommend("lineitem").contains("l_orderkey"))
+    assert(a2.recommend("orders").contains("o_orderkey"))
+    assert(a2.coPartitionGroup("lineitem") == Set("lineitem", "orders"))
+  }
+
+  test("saveWithPlacement sizes co-partitioned sets to one bucket count; join stays exchange-free") {
+    val root = Files.createTempDirectory("graft-sets3").toString
+    val cat = new SetCatalog(spark, root)
+    val adv = new PlacementAdvisor
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    adv.observe(li.join(o, col("l_orderkey") === col("o_orderkey")))
+    // lineitem (larger) saved first fixes the group's bucket count; orders
+    // must adopt it even though its own row count would suggest fewer
+    adv.saveWithPlacement(cat, "db3", "li", "lineitem", li, targetRowsPerBucket = 1024L)
+    adv.saveWithPlacement(cat, "db3", "o", "orders", o, targetRowsPerBucket = 1024L)
+    val mLi = cat.meta("db3", "li").get
+    val mO = cat.meta("db3", "o").get
+    assert(mLi.policy == "bucket" && mO.policy == "bucket")
+    assert(mLi.numPartitions == mO.numPartitions,
+      s"group must share a bucket count: ${mLi.numPartitions} vs ${mO.numPartitions}")
+    assert(mLi.numPartitions > 1, "target 1024 rows must yield multiple buckets")
+    val joined = cat.scanBucketedSet("db3", "li")
+      .join(cat.scanBucketedSet("db3", "o"), col("l_orderkey") === col("o_orderkey"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"advisor-placed sets must join without shuffle:\n$plan")
+      assert(joined.count() == li.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("fair dispatcher policy: write slots proportional to node capacity") {
+    val root = Files.createTempDirectory("graft-sets4").toString
+    val cat = new SetCatalog(spark, root)
+    val nat = Tables.nation(spark, sfDir)
+    cat.createSet("db4", "nations_fair", nat, None, numPartitions = 8,
+      policy = "fair", nodeWeights = Seq(3.0, 1.0))
+    val m = cat.meta("db4", "nations_fair").get
+    assert(m.policy == "fair" && m.nodeShares == Seq(6, 2))
+    assert(m.numPartitions == 8)
+    assert(cat.scanSet("db4", "nations_fair").count() == 25)
+    // every node gets at least one slot even when outweighed
+    assert(graft.storage.SetCatalog.fairShares(Seq(100.0, 1.0), 4) == Seq(4, 1))
+  }
 }
