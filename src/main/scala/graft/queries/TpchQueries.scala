@@ -76,9 +76,14 @@ object TpchQueries {
     val s = Tables.supplier(spark, d)
     val n = broadcast(Tables.nation(spark, d))
     val r = broadcast(Tables.region(spark, d))
+    // shared subtree of the min aggregation AND the probe side — persist
+    // so the 3-way join executes once, not twice (the multi-sink sharing
+    // pattern; a window-by-region one-pass form would instead funnel every
+    // row into 5 region partitions, which does not scale)
     val joined = s
       .join(n, col("s_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
+      .persist()
     val minPerRegion = joined.groupBy(col("r_regionkey").as("mr_regionkey"))
       .agg(min(col("s_acctbal")).as("min_bal"))
     joined
