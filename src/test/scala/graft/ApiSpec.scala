@@ -109,6 +109,35 @@ class ApiSpec extends GraftSpecBase {
     assert(keyToParts.values.forall(_ == 1L))
   }
 
+  test("classic deprecated Query/Selection/Join API matches the Computation results") {
+    import spark.implicits._
+    import graft.api.classic
+    val root = java.nio.file.Files.createTempDirectory("graft-classic").toString
+    val client = new classic.QueryClient(spark, root)
+    client.createSet("db", "customer",
+      Tables.customer(spark, sfDir).as[Customer])
+    client.createSet("db", "nation", Tables.nation(spark, sfDir).as[Nation])
+
+    val sel = new ClassicRichCustomers
+    sel.setInput(classic.InputSet[Customer]("db", "customer"))
+    sel.setOutput("db", "rich")
+
+    val join = new ClassicRichWithNation
+    join.setInput(sel, classic.InputSet[Nation]("db", "nation"))
+    join.setOutput("db", "rich_nations")
+
+    client.execute(sel, join)
+
+    val got = client.getSetIterator[(Long, String)]("db", "rich_nations").toSeq.sorted
+    val expected = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") > 9000.0)
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as[Long], col("n_name").as[String])
+      .collect().toSeq.sorted
+    assert(got == expected && got.nonEmpty)
+    assert(sel.queryType == "selection" && join.queryType == "join")
+  }
+
   test("multi-sink query graph: one submission, two outputs, shared scan persisted") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-multisink").toString
     val shared = Tables.lineitem(spark, sfDir)
@@ -155,4 +184,27 @@ class ApiSpec extends GraftSpecBase {
       .df.collect()
     assert(out.length == 3)
   }
+}
+
+/** classic Selection subclass (Query.h / QueryBase.h style) — top-level so
+  * the shipped query object does not capture the suite instance */
+private class ClassicRichCustomers(implicit
+    inEnc: org.apache.spark.sql.Encoder[Customer],
+    outEnc: org.apache.spark.sql.Encoder[(Long, Int, Double)])
+    extends graft.api.classic.Selection[Customer, (Long, Int, Double)] {
+  override def getSelection(c: Customer): Boolean = c.c_acctbal > 9000.0
+  override def getProjection(c: Customer): (Long, Int, Double) =
+    (c.c_custkey, c.c_nationkey, c.c_acctbal)
+}
+
+/** classic Join subclass — opaque boolean selection (Join.h style) */
+private class ClassicRichWithNation(implicit
+    in1Enc: org.apache.spark.sql.Encoder[(Long, Int, Double)],
+    in2Enc: org.apache.spark.sql.Encoder[Nation],
+    outEnc: org.apache.spark.sql.Encoder[(Long, String)])
+    extends graft.api.classic.Join[(Long, String), (Long, Int, Double), Nation] {
+  override def getSelection(c: (Long, Int, Double), n: Nation): Boolean =
+    c._2 == n.n_nationkey
+  override def getProjection(c: (Long, Int, Double), n: Nation): (Long, String) =
+    (c._1, n.n_name)
 }
