@@ -167,6 +167,44 @@ object Dedup {
     lshVerifiedPairs(docs, idCol, wordShingles(col(textCol), n),
       threshold, k, bands)
 
+  /** Connected components over a near-dup pair set — the step a dedup
+    * pipeline runs after pair generation so each cluster keeps one
+    * representative. Every id appearing in a pair is labeled with the
+    * SMALLEST id reachable through the pair graph (its cluster id).
+    *
+    * Min-label propagation: each iteration symmetrized-edges ⋈ labels +
+    * min-aggregate — one shuffle join and one shuffle agg over the PAIR
+    * graph only (documents in no pair never enter), converging in
+    * O(component diameter) passes. Near-dup components are shallow (dup
+    * clusters, not social graphs), so the cap is a backstop, not a
+    * bound that real data approaches. Each pass eagerly checkpoints —
+    * the convergence check is a driver action anyway, mirroring the
+    * reference's client-side iteration (SURVEY.md §2.6).
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val msgs = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(msgs, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          coalesce(col("nbr_min") < col("label"), lit(false)).as("chg"))
+        .localCheckpoint(eager = true)
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("id"), col("label"))
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** SimHash near-dup: 61-bit signature whose bits are the sign of the
     * per-bit-position vote over token hashes; near-dups = small Hamming
     * distance. Banded into 16-bit quarters for the candidate join

@@ -43,6 +43,28 @@ object PipelineQueries {
       |WHERE CAST(len(list_intersect(a.ws,b.ws)) AS DOUBLE) /
       |  (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) >= 0.8""".stripMargin
 
+  /** near-dup clusters: connected components over the minhash pair graph —
+    * each clustered doc labeled with its component's smallest doc id
+    */
+  def ddClusters(spark: SparkSession, d: String): DataFrame =
+    Dedup.dupClusters(
+      Dedup.minhashPairs(Tables.documents(spark, d), "doc_id", "text",
+        threshold = 0.8))
+
+  /** Oracle for [[ddClusters]]: the exact pair set (same as
+    * [[ddMinhashSql]]) symmetrized, then min-reachable-id per node via a
+    * recursive transitive closure.
+    */
+  val ddClustersSql: String =
+    s"""WITH RECURSIVE pairs AS ($ddMinhashSql),
+       |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |      UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM e) n
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id)
+       |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+
   def ddNgram(spark: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(spark, d), "doc_id", "text",
       n = 3, threshold = 0.5)
@@ -267,6 +289,7 @@ object PipelineQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact,
     "dd_minhash_pairs" -> ddMinhash,
+    "dd_clusters" -> ddClusters,
     "dd_ngram_pairs" -> ddNgram,
     "dd_simhash_pairs" -> ddSimhash,
     "dd_cosine_pairs" -> ddCosine,
@@ -283,6 +306,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_minhash_pairs" -> ddMinhashSql,
+    "dd_clusters" -> ddClustersSql,
     "dd_ngram_pairs" -> ddNgramSql,
     "dd_simhash_pairs" -> ddSimhashSql,
     "dd_cosine_pairs" -> ddCosineSql,

@@ -43,6 +43,17 @@ class PipelineSpec extends GraftSpecBase {
     assert(out == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("dupClusters labels each component with its min id, chains included") {
+    import spark.implicits._
+    // component {1,2,3,4} is a CHAIN (needs >1 propagation pass), {10,11}
+    // a pair; 20 appears in no pair and must be absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("IVF ANN recall vs brute force >= 0.6 on fixture") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)
