@@ -111,6 +111,34 @@ object TextAnalysis {
       |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents) t
       |GROUP BY word""".stripMargin
 
+  /** TF-IDF weights per (doc, word): tf · ln(N / df). One explode + two
+    * aggregations (doc-word term counts, then word document frequencies —
+    * df derived from tf so the corpus is read once) + a join back on the
+    * word; N rides as a 1-row broadcast, not a driver-side count.
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    tf.join(dfreq, Seq("word"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"),
+        round(col("tf") * log(col("n") / col("df")), 6).as("tfidf"))
+  }
+
+  val tfidfSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, word, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents) t
+      |  GROUP BY 1, 2),
+      |dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+      |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+      |SELECT tf.doc_id, tf.word,
+      |  round(tf.tf * ln((SELECT n FROM nn) / dfreq.df), 6) AS tfidf
+      |FROM tf JOIN dfreq USING (word)""".stripMargin
+
   /** Document fingerprint: rolling polynomial hash over the character
     * stream, mod 2^61-1 (Rabin-Karp). A native codegen'd expression
     * ([[graft.functions.RollingHash61]]) — no per-row UDF ser/de — whose

@@ -196,6 +196,24 @@ object ExtendedQueries {
       |    c -> CAST(unicode(c) AS HUGEINT)),
       |  (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT) % 100 < 10""".stripMargin
 
+  /** Deterministic stratified sampling: 5 customers per nation, ordered
+    * by md5(id) — the per-group reproducible sample a curation pipeline
+    * needs (`rand()`-based sampling is not rerunnable; see
+    * [[graft.operators.Sampling.stratified]] for why md5 and not the
+    * rolling hash).
+    */
+  def stratifiedSample(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.stratified(
+      Tables.customer(spark, d), col("c_nationkey"), col("c_custkey"), k = 5)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+
+  val stratifiedSampleSql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal FROM (
+      |  SELECT c_custkey, c_nationkey, c_acctbal,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY
+      |      md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rk
+      |  FROM customer) t WHERE rk <= 5""".stripMargin
+
   /** Approximate median (Greenwald-Khanna sketch via approx_percentile)
     * next to the exact rank-pick median — the sketch path for quantiles
     * at scales where even the sorted window pass is too much. Checked
@@ -330,6 +348,7 @@ object ExtendedQueries {
     "txt_subwords" -> subwordStats,
     "op_approx_distinct" -> approxDistinct,
     "op_hash_sample" -> hashSample,
+    "op_stratified_sample" -> stratifiedSample,
     "op_approx_quantiles" -> approxQuantiles,
     "op_session_window" -> sessionWindow,
     "ml_kmeans" -> kmeans)
@@ -344,6 +363,7 @@ object ExtendedQueries {
     "txt_subwords" -> subwordStatsSql,
     "op_approx_distinct" -> approxDistinctSql,
     "op_hash_sample" -> hashSampleSql,
+    "op_stratified_sample" -> stratifiedSampleSql,
     "op_approx_quantiles" -> approxQuantilesSql,
     "op_session_window" -> sessionWindowSql,
     "ml_kmeans" -> kmeansSql)

@@ -300,6 +300,7 @@ object PipelineQueries {
     "txt_quality" -> txtQuality,
     "txt_tokens" -> txtTokens,
     "txt_fingerprint" -> txtFingerprint,
+    "txt_tfidf" -> ((sp, d) => TextAnalysis.tfidf(Tables.documents(sp, d), "doc_id", "text")),
     "mm_features" -> mmFeatures,
     "mm_resize" -> mmResize)
 
@@ -317,6 +318,7 @@ object PipelineQueries {
     "txt_quality" -> TextAnalysis.qualityScoreSql,
     "txt_tokens" -> TextAnalysis.tokenStatsSql,
     "txt_fingerprint" -> txtFingerprintSql,
+    "txt_tfidf" -> TextAnalysis.tfidfSql,
     "mm_features" -> mmFeaturesSql,
     "mm_resize" -> mmResizeSql)
 }

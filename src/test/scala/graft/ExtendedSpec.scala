@@ -126,4 +126,27 @@ class ExtendedSpec extends GraftSpecBase {
     assert(back.count() == df.count())
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
+
+  test("stratified sampling: <= k per stratum, deterministic across runs") {
+    import org.apache.spark.sql.functions.col
+    val cust = Tables.customer(spark, sfDir)
+    def run() = graft.operators.Sampling
+      .stratified(cust, col("c_nationkey"), col("c_custkey"), k = 3)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val s1 = run()
+    assert(s1 == run(), "same sample on rerun")
+    val perStratum = graft.operators.Sampling
+      .stratified(cust, col("c_nationkey"), col("c_custkey"), k = 3)
+      .groupBy(col("c_nationkey")).count().collect().map(_.getLong(1))
+    assert(perStratum.forall(_ <= 3) && perStratum.nonEmpty)
+    // the hash order is not the id order — a real shuffle, not the k
+    // smallest ids of each stratum
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+    val idOrderPick = cust
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(s1 != idOrderPick)
+  }
 }
