@@ -122,6 +122,9 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    // PlanCheck flags the BroadcastNestedLoopJoin below; benign — the
+    // build side is the ONE-row corpus count (the scalar-broadcast
+    // pattern, same as ExtendedQueries.histogram)
     tf.join(dfreq, Seq("word"))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("word"),

@@ -25,6 +25,32 @@ object StreamingQueries {
 
   val stHourlySql: String = OperatorQueries.eventsHourlySql
 
+  /** sliding-window (1 h / 15 min) counts — every event in exactly 4
+    * overlapping windows
+    */
+  def stSliding(spark: SparkSession, d: String): DataFrame = {
+    val stream = EventStreams.readEventStream(spark, s"$d/events.parquet")
+    val q = EventStreams.slidingCounts(stream)
+      .writeStream.format("memory").queryName("st_sliding_sink")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("st_sliding_sink")
+  }
+
+  /** Batch oracle: the 4 slide offsets materialized per event. Window
+    * starts derive from the ns fixture truncated to Spark's µs
+    * (epoch_ns // 1000), floored to the 15-min slide boundary; 900000000
+    * µs = one slide.
+    */
+  val stSlidingSql: String =
+    """SELECT strftime(make_timestamp(
+      |    (epoch_ns(ts) // 1000 // 900000000 - g.i) * 900000000),
+      |    '%Y-%m-%d %H:%M:%S') AS w_start,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events, generate_series(0, 3) g(i)
+      |GROUP BY 1, 2""".stripMargin
+
   /** streaming stateful sessionization; per-user session count ≡ the batch
     * window-function sessionization
     */
@@ -132,6 +158,7 @@ object StreamingQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_hourly" -> stHourly,
+    "st_sliding" -> stSliding,
     "st_sessions" -> stSessions,
     "st_dedup" -> stDedup,
     "st_enrich" -> stEnrich,
@@ -139,6 +166,7 @@ object StreamingQueries {
 
   val oracles: Map[String, String] = Map(
     "st_hourly" -> stHourlySql,
+    "st_sliding" -> stSlidingSql,
     "st_sessions" -> stSessionsSql,
     "st_dedup" -> stDedupSql,
     "st_enrich" -> stEnrichSql,

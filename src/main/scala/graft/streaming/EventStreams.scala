@@ -26,6 +26,20 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** sliding-window counts (1 h window, 15 min slide): each event lands in
+    * exactly 4 overlapping windows; watermark bounds state to the windows
+    * still open
+    */
+  def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   final case class SessionUpdate(
       user_id: Long, session_seq: Long, n_events: Long, closed: Boolean)
 
