@@ -41,6 +41,10 @@ final class PlacementAdvisor(historyPath: Option[String] = None) {
   /** table -> largest observed row count (recorded on save) */
   private val setRows = mutable.Map.empty[String, Long]
   private val history = mutable.ListBuffer.empty[(String, Long)]
+  /** (table, column) -> accumulated latency (ms) of observed queries using
+    * that column as a join/agg key — the reward signal for
+    * [[recommendByReward]] */
+  private val keyReward = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
 
   historyPath.foreach(load)
 
@@ -50,6 +54,7 @@ final class PlacementAdvisor(historyPath: Option[String] = None) {
       Files.readAllLines(p).forEach { line =>
         line.split("\t", -1) match {
           case Array("K", t, c, n) => keyUse((t, c)) = n.toLong
+          case Array("R", t, c, r) => keyReward((t, c)) = r.toLong
           case Array("P", a, b)    => joinPartners += ((a, b))
           case Array("S", t, r)    => setRows(t) = r.toLong
           case Array("H", n, ms)   => history += ((n, ms.toLong))
@@ -62,6 +67,7 @@ final class PlacementAdvisor(historyPath: Option[String] = None) {
   private def persist(): Unit = historyPath.foreach { path =>
     val sb = new StringBuilder
     keyUse.toSeq.sortBy(_._1).foreach { case ((t, c), n) => sb ++= s"K\t$t\t$c\t$n\n" }
+    keyReward.toSeq.sortBy(_._1).foreach { case ((t, c), r) => sb ++= s"R\t$t\t$c\t$r\n" }
     joinPartners.toSeq.sorted.foreach { case (a, b) => sb ++= s"P\t$a\t$b\n" }
     setRows.toSeq.sorted.foreach { case (t, r) => sb ++= s"S\t$t\t$r\n" }
     history.foreach { case (n, ms) => sb ++= s"H\t$n\t$ms\n" }
@@ -108,10 +114,20 @@ final class PlacementAdvisor(historyPath: Option[String] = None) {
     plan.foreach {
       case j: Join =>
         j.condition.foreach(recordKeys(_, plan, weight = 2L))
+        j.condition.foreach(_.foreach {
+          case EqualTo(a: AttributeReference, b: AttributeReference) =>
+            Seq(a, b).foreach { attr =>
+              tableOf(attr, plan).foreach(t => keyReward((t, attr.name)) += latencyMs)
+            }
+          case _ => ()
+        })
       case a: Aggregate =>
         a.groupingExpressions.foreach {
           case attr: AttributeReference =>
-            tableOf(attr, plan).foreach(t => keyUse((t, attr.name)) += 1L)
+            tableOf(attr, plan).foreach { t =>
+              keyUse((t, attr.name)) += 1L
+              keyReward((t, attr.name)) += latencyMs
+            }
           case _ => ()
         }
       case _ => ()
@@ -121,12 +137,27 @@ final class PlacementAdvisor(historyPath: Option[String] = None) {
   }
 
   /** the partition/bucket column to use when saving `table`, if any
-    * consumer pattern was observed
+    * consumer pattern was observed (rule-based: most frequent key)
     */
   def recommend(table: String): Option[String] =
     keyUse.filter(_._1._1 == table) match {
       case m if m.isEmpty => None
       case m => Some(m.maxBy { case ((_, c), n) => (n, c) }._1._2)
+    }
+
+  /** Reward-driven variant: pick the key whose consuming queries
+    * accumulated the most latency — co-partitioning on it removes
+    * exchanges from the workload's most expensive queries. This is the
+    * self-learning analogue of the reference's DRL chooser (reward =
+    * end-to-end workload latency; reference: RLClient.h:16-28,
+    * scripts/pangeaDeepRL/a3c.py) reduced to its greedy/bandit core — the
+    * full A3C network stays out of scope (SURVEY.md §4.3). Falls back to
+    * the frequency rule when no latencies were recorded.
+    */
+  def recommendByReward(table: String): Option[String] =
+    keyReward.filter { case ((t, _), r) => t == table && r > 0 } match {
+      case m if m.isEmpty => recommend(table)
+      case m => Some(m.maxBy { case ((_, c), r) => (r, c) }._1._2)
     }
 
   /** tables transitively equi-joined with `table` in observed plans */

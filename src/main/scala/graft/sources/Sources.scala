@@ -46,4 +46,16 @@ object Sources {
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** Raw-file ingest for multimodal payloads: each matched file becomes a
+    * row (path, modificationTime, length, content binary) — the entry
+    * point of the opaque-binary multimodal pipeline
+    * (graft.operators.Multimodal); file splits drive parallelism and
+    * `pathGlobFilter` prunes at listing time, before any byte is read.
+    */
+  def readBinaryFiles(
+      spark: SparkSession, path: String, glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
 }

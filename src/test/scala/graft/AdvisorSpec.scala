@@ -110,6 +110,23 @@ class AdvisorSpec extends GraftSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("reward-driven recommendation favors the key of the expensive workload") {
+    val adv = new PlacementAdvisor
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    // frequency rule would pick l_orderkey (2 joins, weight 2 each);
+    // the reward signal says the partkey aggregation dominates latency
+    adv.observe(li.join(o, col("l_orderkey") === col("o_orderkey")), latencyMs = 10L)
+    adv.observe(li.join(o, col("l_orderkey") === col("o_orderkey")), latencyMs = 10L)
+    adv.observe(li.groupBy(col("l_partkey")).count(), latencyMs = 5000L)
+    assert(adv.recommend("lineitem").contains("l_orderkey"), "frequency rule")
+    assert(adv.recommendByReward("lineitem").contains("l_partkey"), "reward rule")
+    // with no latencies recorded, reward falls back to frequency
+    val cold = new PlacementAdvisor
+    cold.observe(li.join(o, col("l_orderkey") === col("o_orderkey")))
+    assert(cold.recommendByReward("lineitem").contains("l_orderkey"))
+  }
+
   test("fair dispatcher policy: write slots proportional to node capacity") {
     val root = Files.createTempDirectory("graft-sets4").toString
     val cat = new SetCatalog(spark, root)

@@ -57,4 +57,18 @@ class SourcesSpec extends GraftSpecBase {
     }
     assert(got == Map(0L -> localPredict(0), 1L -> localPredict(1)))
   }
+
+  test("binaryFile source ingests raw payloads with glob pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin")
+    java.nio.file.Files.write(dir.resolve("a.img"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(dir.resolve("b.img"), Array[Byte](4, 5))
+    java.nio.file.Files.write(dir.resolve("skip.txt"), Array[Byte](9))
+    val df = graft.sources.Sources.readBinaryFiles(
+      spark, dir.toString, glob = Some("*.img"))
+    val rows = df.select("path", "length", "content").collect()
+      .map(r => (r.getString(0).split("/").last, r.getLong(1),
+        r.getAs[Array[Byte]](2).toSeq)).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("a.img", 3L, Seq[Byte](1, 2, 3)), ("b.img", 2L, Seq[Byte](4, 5))))
+  }
 }
