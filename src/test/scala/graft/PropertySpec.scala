@@ -98,4 +98,58 @@ class PropertySpec extends GraftSpecBase {
       assert(banded == naive, s"trial $trial width $w")
     }
   }
+
+  test("solveAugmented: A·x = b on random SPD systems") {
+    for (trial <- 1 to 20) {
+      val n = rnd.nextInt(8) + 2
+      // SPD by construction: A = M'M + n·I
+      val m = Array.fill(n * n)(rnd.nextDouble() * 2 - 1)
+      val a = Array.tabulate(n * n) { idx =>
+        val (i, j) = (idx / n, idx % n)
+        (0 until n).map(k => m(k * n + i) * m(k * n + j)).sum +
+          (if (i == j) n.toDouble else 0.0)
+      }
+      val b = Array.fill(n)(rnd.nextDouble() * 10 - 5)
+      val aug = new Array[Double](n * (n + 1))
+      for (i <- 0 until n) {
+        System.arraycopy(a, i * n, aug, i * (n + 1), n)
+        aug(i * (n + 1) + n) = b(i)
+      }
+      graft.la.Kernels.solveAugmented(n, n + 1, aug)
+      val x = Array.tabulate(n)(i => aug(i * (n + 1) + n))
+      for (i <- 0 until n) {
+        val ax = (0 until n).map(j => a(i * n + j) * x(j)).sum
+        assert(math.abs(ax - b(i)) < 1e-8, s"trial $trial row $i: $ax vs ${b(i)}")
+      }
+    }
+  }
+
+  test("dupClusters == local union-find on random pair graphs") {
+    import spark.implicits._
+    for (trial <- 1 to 5) {
+      val nNodes = rnd.nextInt(30) + 5
+      val pairs = List.fill(rnd.nextInt(25) + 1) {
+        val a = rnd.nextInt(nNodes).toLong
+        val b = rnd.nextInt(nNodes).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2)
+      if (pairs.nonEmpty) {
+        val got = graft.operators.Dedup.dupClusters(pairs.toDF("id_a", "id_b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        // reference: union-find with min-id representatives
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        val want = nodes.map(x => x -> find(x)).toMap
+        assert(got == want, s"trial $trial pairs $pairs")
+      }
+    }
+  }
 }
