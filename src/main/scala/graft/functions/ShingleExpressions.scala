@@ -39,6 +39,31 @@ object ShingleKernel {
     while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
     new GenericArrayData(out)
   }
+
+  /** All contiguous word n-grams WITH multiplicity, in position order —
+    * the counting form (repetition metrics need per-gram frequencies,
+    * which the distinct form above destroys). Same tokenization contract.
+    */
+  def shinglesAll(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Distinct word n-gram shingles as ONE codegen'd pass per row.
@@ -51,17 +76,21 @@ object ShingleKernel {
   * once and emits all windows in a single fused loop, and stays inside
   * whole-stage codegen via a static kernel call.
   */
-case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+case class WordShingles(child: Expression, n: Int, distinctOnly: Boolean = true)
+    extends UnaryExpression {
   require(n >= 1, s"shingle width must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
   override def nullSafeEval(input: Any): Any =
-    ShingleKernel.shingles(input.asInstanceOf[UTF8String], n)
+    if (distinctOnly) ShingleKernel.shingles(input.asInstanceOf[UTF8String], n)
+    else ShingleKernel.shinglesAll(input.asInstanceOf[UTF8String], n)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernel.shingles($c, $n)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = if (distinctOnly) "shingles" else "shinglesAll"
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernel.$kernel($c, $n)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -71,4 +100,10 @@ object ShingleExpressions {
   def wordShinglesNative(text: Column, n: Int): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       WordShingles(org.apache.spark.sql.graft.ColumnBridge.expression(text), n))
+
+  /** counting form: every contiguous n-gram, duplicates preserved */
+  def wordShinglesAll(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      WordShingles(org.apache.spark.sql.graft.ColumnBridge.expression(text), n,
+        distinctOnly = false))
 }

@@ -142,6 +142,62 @@ object TextAnalysis {
       |  round(tf.tf * ln((SELECT n FROM nn) / dfreq.df), 6) AS tfidf
       |FROM tf JOIN dfreq USING (word)""".stripMargin
 
+  /** Repetition quality signals (the Gopher-rules family): per document,
+    * the duplicate-word fraction (1 − distinct/total) and the fraction of
+    * all word bigrams taken by the single most frequent bigram. High values
+    * flag boilerplate / degenerate documents for corpus filtering.
+    *
+    * Shape: two explode→aggregate passes over the pruned (id, text)
+    * columns, joined on doc_id. Both aggregations get map-side partial
+    * combine, and bigram counting uses the codegen'd counting shingler
+    * ([[graft.functions.ShingleExpressions.wordShinglesAll]]) — one fused
+    * tokenize pass per row, never the interpreted nested-HOF form. Each
+    * side shuffles once on doc_id, so at 100 TB this is two scans + two
+    * well-combined shuffles; no per-doc state exceeds the doc's own
+    * distinct-gram count.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.ShingleExpressions.wordShinglesAll
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("word"))
+    val wordAgg = words.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        countDistinct(col("word")).as("n_distinct_words"))
+    val bigramAgg = docs.select(col(idCol).as("doc_id"),
+        explode(wordShinglesAll(col(textCol), 2)).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bigrams"))
+    wordAgg.join(bigramAgg, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        round(lit(1.0) - col("n_distinct_words").cast("double") / col("n_words"), 6)
+          .as("dup_word_frac"),
+        round(col("top_c").cast("double") / col("n_bigrams"), 6)
+          .as("top_bigram_frac"))
+  }
+
+  val repetitionStatsSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |wstats AS (
+      |  SELECT doc_id, COUNT(*) AS n_words,
+      |         COUNT(DISTINCT word) AS n_distinct_words
+      |  FROM words GROUP BY 1),
+      |bigrams AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+      |      AS bigram
+      |  FROM documents),
+      |bstats AS (
+      |  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bigrams FROM (
+      |    SELECT doc_id, bigram, COUNT(*) AS c FROM bigrams GROUP BY 1, 2) t
+      |  GROUP BY 1)
+      |SELECT w.doc_id, n_words, n_distinct_words,
+      |  round(1.0 - CAST(n_distinct_words AS DOUBLE) / n_words, 6) AS dup_word_frac,
+      |  round(CAST(top_c AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac
+      |FROM wstats w JOIN bstats b ON w.doc_id = b.doc_id""".stripMargin
+
   /** Document fingerprint: rolling polynomial hash over the character
     * stream, mod 2^61-1 (Rabin-Karp). A native codegen'd expression
     * ([[graft.functions.RollingHash61]]) — no per-row UDF ser/de — whose

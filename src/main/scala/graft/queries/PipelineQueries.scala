@@ -301,6 +301,7 @@ object PipelineQueries {
     "txt_tokens" -> txtTokens,
     "txt_fingerprint" -> txtFingerprint,
     "txt_tfidf" -> ((sp, d) => TextAnalysis.tfidf(Tables.documents(sp, d), "doc_id", "text")),
+    "txt_repetition" -> ((sp, d) => TextAnalysis.repetitionStats(Tables.documents(sp, d), "doc_id", "text")),
     "mm_features" -> mmFeatures,
     "mm_resize" -> mmResize)
 
@@ -319,6 +320,7 @@ object PipelineQueries {
     "txt_tokens" -> TextAnalysis.tokenStatsSql,
     "txt_fingerprint" -> txtFingerprintSql,
     "txt_tfidf" -> TextAnalysis.tfidfSql,
+    "txt_repetition" -> TextAnalysis.repetitionStatsSql,
     "mm_features" -> mmFeaturesSql,
     "mm_resize" -> mmResizeSql)
 }

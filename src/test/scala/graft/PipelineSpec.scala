@@ -100,6 +100,26 @@ class PipelineSpec extends GraftSpecBase {
     assert(frames.columns.toSeq == Seq("doc_id", "frame_no", "frame"))
   }
 
+  test("repetition stats: dup-word and top-bigram fractions, hand-checked") {
+    import spark.implicits._
+    // "a a a b": 4 words, 2 distinct -> dup 0.5; bigrams [a a, a a, a b]
+    // -> top 2/3. "x y z": no repetition -> 0.0 and 1/2.
+    val docs = Seq((1L, "a a a b"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((4L, 2L, 0.5, 0.666667)))
+    assert(out(2L) == ((3L, 3L, 0.0, 0.5)))
+  }
+
+  test("counting shingler preserves duplicates in position order") {
+    import spark.implicits._
+    val out = Seq("a b a b").toDF("t")
+      .select(graft.functions.ShingleExpressions.wordShinglesAll(col("t"), 2).as("s"))
+      .head().getSeq[String](0)
+    assert(out == Seq("a b", "b a", "a b"))
+  }
+
   test("charShingles produces length-n grams") {
     import spark.implicits._
     val out = Seq("abcd").toDF("t")
