@@ -172,7 +172,17 @@ object Dedup {
     * representative. Every id appearing in a pair is labeled with the
     * SMALLEST id reachable through the pair graph (its cluster id).
     *
-    * Min-label propagation: each iteration symmetrized-edges ⋈ labels +
+    * Two regimes, like [[graft.la.BlockMatrix]]'s size-gated inverse:
+    * the pair graph is orders smaller than the corpus (LSH emits only
+    * verified near-dup pairs), so when it fits comfortably on the driver
+    * (≤ `spark.graft.dedup.cc.driverMaxPairs`, default 4M, long ids) a
+    * single-pass union-find replaces O(diameter) Spark jobs — the
+    * iterative path costs ~2 s of scheduler/shuffle overhead PER PASS
+    * regardless of data size, which dominated the bench. Above the gate
+    * (billions of pairs at 100 TB) the distributed min-label loop below
+    * is the scale path.
+    *
+    * Distributed path: each iteration symmetrized-edges ⋈ labels +
     * min-aggregate — one shuffle join and one shuffle agg over the PAIR
     * graph only (documents in no pair never enter), converging in
     * O(component diameter) passes. Near-dup components are shallow (dup
@@ -182,6 +192,23 @@ object Dedup {
     * reference's client-side iteration (SURVEY.md §2.6).
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val longIds = pairs.schema.fields.take(2).forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val gate = spark.conf
+      .get("spark.graft.dedup.cc.driverMaxPairs", "4000000").toLong
+    if (longIds) {
+      val p = pairs.select(col("id_a"), col("id_b")).persist()
+      val n = p.count()
+      if (n <= gate) {
+        val edges = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+        p.unpersist(blocking = false)
+        import spark.implicits._
+        return unionFindMinLabel(edges).toSeq
+          .toDF("doc_id", "cluster_id")
+      }
+      p.unpersist(blocking = false)
+    }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
@@ -203,6 +230,30 @@ object Dedup {
     }
     edges.unpersist(blocking = false)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Path-compressed union-find linking the larger root under the
+    * smaller, so every component's root IS its minimum id — the same
+    * labeling the distributed loop converges to.
+    */
+  private def unionFindMinLabel(
+      edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    parent.keysIterator.map(k => (k, find(k))).toArray
   }
 
   /** SimHash near-dup: 61-bit signature whose bits are the sign of the

@@ -49,9 +49,19 @@ class PipelineSpec extends GraftSpecBase {
     // a pair; 20 appears in no pair and must be absent
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("id_a", "id_b")
-    val out = Dedup.dupClusters(pairs)
+    val expected =
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
+    // driver union-find regime (default gate)
+    val fast = Dedup.dupClusters(pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(fast == expected)
+    // distributed min-label regime (gate forced to 0)
+    spark.conf.set("spark.graft.dedup.cc.driverMaxPairs", "0")
+    try {
+      val dist = Dedup.dupClusters(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(dist == expected)
+    } finally spark.conf.unset("spark.graft.dedup.cc.driverMaxPairs")
   }
 
   test("IVF ANN recall vs brute force >= 0.6 on fixture") {
