@@ -30,4 +30,23 @@ object Sampling {
       .filter(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** Weighted sample without replacement, k rows, inclusion probability
+    * proportional to `weight` — Efraimidis–Spirakis A-ES: each row gets
+    * key ln(u)/w for a uniform u and the k LARGEST keys win. u is
+    * md5-derived (top 15 hex digits / 2⁶⁰) instead of `rand()`, so the
+    * sample is rerun-stable and a SQL oracle reproduces the exact row
+    * set. One map pass + a global top-k (TakeOrderedAndProject — each
+    * partition keeps k, driver merges k·partitions); no full sort, no
+    * window over the whole table, scale-safe at any row count.
+    */
+  def weightedSample(
+      df: DataFrame, id: Column, weight: Column, k: Int): DataFrame = {
+    val u = conv(substring(md5(id.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("double") / lit(math.pow(2.0, 60))
+    df.withColumn("__key", log(u) / weight)
+      .orderBy(col("__key").desc, id)
+      .limit(k)
+      .drop("__key")
+  }
 }

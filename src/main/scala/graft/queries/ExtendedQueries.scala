@@ -338,6 +338,92 @@ object ExtendedQueries {
          |SELECT k AS cluster, COUNT(*) AS n FROM fa GROUP BY 1""".stripMargin
   }
 
+  /** CDC merge/upsert: apply a deterministic change batch (updates on
+    * keys ≡0 mod 10, deletes on ≡1, inserts on ≡2 re-keyed +10M) to the
+    * customer snapshot — one anti join + union
+    * ([[graft.operators.MergeOps.applyChanges]]).
+    */
+  def mergeUpsert(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"))
+    val updates = base.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_name",
+        concat(lit("UPDATED-"), col("c_custkey").cast("string")))
+      .withColumn("op", lit("U"))
+    val deletes = base.filter(col("c_custkey") % 10 === 1)
+      .withColumn("op", lit("D"))
+    val inserts = base.filter(col("c_custkey") % 10 === 2)
+      .withColumn("c_custkey", col("c_custkey") + lit(10000000L))
+      .withColumn("op", lit("I"))
+    graft.operators.MergeOps.applyChanges(
+      base, updates.unionByName(deletes).unionByName(inserts),
+      Seq("c_custkey"))
+  }
+
+  val mergeUpsertSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer),
+      |changes AS (
+      |  SELECT c_custkey,
+      |    'UPDATED-' || CAST(c_custkey AS VARCHAR) AS c_name,
+      |    c_nationkey, c_acctbal, 'U' AS op
+      |  FROM base WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, 'D'
+      |  FROM base WHERE c_custkey % 10 = 1
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal, 'I'
+      |  FROM base WHERE c_custkey % 10 = 2)
+      |SELECT b.c_custkey, b.c_name, b.c_nationkey, b.c_acctbal FROM base b
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM changes c WHERE c.c_custkey = b.c_custkey)
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM changes
+      |WHERE op <> 'D'""".stripMargin
+
+  /** Bloom-pruned semi join: lineitems of URGENT orders, pre-filtered by
+    * a Bloom sketch of the urgent order keys before the exact semi join
+    * ([[graft.operators.JoinPruning.bloomSemiJoin]] — result identical to
+    * the plain semi join, which is exactly what the oracle states).
+    */
+  def bloomSemi(spark: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(spark, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"))
+    val rows = graft.operators.JoinPruning.bloomSemiJoin(
+      Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag")),
+      urgent, "l_orderkey", expectedKeys = 200000L)
+    rows.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(TpchQueries.d2(col("l_quantity"))).cast("double").as("sum_qty"))
+  }
+
+  val bloomSemiSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem l
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+      |              AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** Weighted sample (A-ES): 50 parts, inclusion odds ∝ retail price,
+    * md5-keyed so the exact row set is rerun-stable and oracle-checkable
+    * ([[graft.operators.Sampling.weightedSample]]).
+    */
+  def weightedSample(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.weightedSample(
+      Tables.part(spark, d).select(col("p_partkey"), col("p_retailprice")),
+      col("p_partkey"), col("p_retailprice"), k = 50)
+
+  val weightedSampleSql: String =
+    """SELECT p_partkey, p_retailprice FROM (
+      |  SELECT p_partkey, p_retailprice,
+      |    ln(CAST(concat('0x', substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15))
+      |        AS BIGINT) / 1152921504606846976.0) / p_retailprice AS k
+      |  FROM part ORDER BY k DESC, p_partkey LIMIT 50) t""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_cube" -> cube,
     "op_pivot" -> pivot,
@@ -351,6 +437,9 @@ object ExtendedQueries {
     "op_stratified_sample" -> stratifiedSample,
     "op_approx_quantiles" -> approxQuantiles,
     "op_session_window" -> sessionWindow,
+    "op_merge_upsert" -> mergeUpsert,
+    "op_bloom_semi" -> bloomSemi,
+    "op_weighted_sample" -> weightedSample,
     "ml_kmeans" -> kmeans)
 
   val oracles: Map[String, String] = Map(
@@ -366,5 +455,8 @@ object ExtendedQueries {
     "op_stratified_sample" -> stratifiedSampleSql,
     "op_approx_quantiles" -> approxQuantilesSql,
     "op_session_window" -> sessionWindowSql,
+    "op_merge_upsert" -> mergeUpsertSql,
+    "op_bloom_semi" -> bloomSemiSql,
+    "op_weighted_sample" -> weightedSampleSql,
     "ml_kmeans" -> kmeansSql)
 }

@@ -11,6 +11,43 @@ import graft.queries.ExtendedQueries
   */
 class ExtendedSpec extends GraftSpecBase {
 
+  test("merge upsert applies I/U/D and leaves untouched keys alone") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq((2L, "B", "U"), (3L, "c", "D"), (4L, "d", "I"))
+      .toDF("k", "v", "op")
+    val out = graft.operators.MergeOps.applyChanges(base, changes, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "a"), (2L, "B"), (4L, "d")))
+  }
+
+  test("bloom-pruned semi join == plain semi join on the fixture") {
+    val orders = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"))
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val pruned = graft.operators.JoinPruning
+      .bloomSemiJoin(li, orders, "l_orderkey", expectedKeys = 1000L)
+      .collect().map(_.toSeq).toSet
+    val plain = li.join(orders, Seq("l_orderkey"), "left_semi")
+      .collect().map(_.toSeq).toSet
+    assert(pruned == plain && pruned.nonEmpty)
+  }
+
+  test("weighted sample: exactly k rows, rerun-stable, weight-biased") {
+    import spark.implicits._
+    // weight 1000 vs 1: the heavy half must dominate the sample
+    val rows = (1L to 400L).map(i =>
+      (i, if (i % 2 == 0) 1000.0 else 1.0)).toDF("id", "w")
+    val s1 = graft.operators.Sampling.weightedSample(rows, col("id"), col("w"), 40)
+      .collect().map(_.getLong(0)).toSeq
+    val s2 = graft.operators.Sampling.weightedSample(rows, col("id"), col("w"), 40)
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2)
+    assert(s1.length == 40)
+    assert(s1.count(_ % 2 == 0) >= 35, s"heavy-weight rows: ${s1.count(_ % 2 == 0)}")
+  }
+
   test("banded range join == naive inequality join") {
     import spark.implicits._
     val points = Seq((1L, -5.0), (2L, 0.0), (3L, 9.99), (4L, 10.0),
