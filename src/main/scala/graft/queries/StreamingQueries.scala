@@ -81,6 +81,29 @@ object StreamingQueries {
       |    FROM events) g) s
       |GROUP BY user_id""".stripMargin
 
+  /** streaming incremental upsert: per-user latest event state maintained
+    * across micro-batches (foreachBatch MERGE loop) ≡ batch last-row-per-key
+    */
+  def stUpsert(spark: SparkSession, d: String): DataFrame = {
+    val stream = EventStreams.readEventStream(spark, s"$d/events.parquet")
+    EventStreams.upsertSnapshot(stream)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+  }
+
+  /** Batch oracle: newest event per user by (µs-truncated ts, event_id) —
+    * the same key order the merge uses; DuckDB reads the fixture at nanos,
+    * so truncate to Spark's µs before comparing.
+    */
+  val stUpsertSql: String =
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+      |  value AS last_value
+      |FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rk
+      |  FROM events) t WHERE rk = 1""".stripMargin
+
   /** streaming exact-dedup (dropDuplicates keyed on event_id, state bounded
     * by the watermark) → per-type counts ≡ batch COUNT(DISTINCT)
     */
@@ -162,7 +185,8 @@ object StreamingQueries {
     "st_sessions" -> stSessions,
     "st_dedup" -> stDedup,
     "st_enrich" -> stEnrich,
-    "st_join" -> stJoin)
+    "st_join" -> stJoin,
+    "st_upsert" -> stUpsert)
 
   val oracles: Map[String, String] = Map(
     "st_hourly" -> stHourlySql,
@@ -170,5 +194,6 @@ object StreamingQueries {
     "st_sessions" -> stSessionsSql,
     "st_dedup" -> stDedupSql,
     "st_enrich" -> stEnrichSql,
-    "st_join" -> stJoinSql)
+    "st_join" -> stJoinSql,
+    "st_upsert" -> stUpsertSql)
 }

@@ -121,6 +121,52 @@ object EventStreams {
         |p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour""".stripMargin))
   }
 
+  /** Streaming incremental upsert ("CDC apply" sink): each micro-batch is
+    * compacted to its newest change per key, then merged into the running
+    * snapshot keeping the row with the LARGEST (ts, event_id) — so the
+    * result is identical no matter how the stream is batched, including
+    * out-of-order arrival across batches. This is the foreachBatch MERGE
+    * loop every table-format sink (Delta/Iceberg/Hudi upsert) runs; here
+    * the snapshot is a DataFrame checkpointed per batch (the batch
+    * boundary is a driver action anyway — same pattern as the reference's
+    * client-side iteration, SURVEY.md §2.6).
+    *
+    * Scale: the merge is one groupBy per batch over snapshot ∪ batch,
+    * shuffled on the key — at production scale the snapshot would live in
+    * a keyed table (bucketed parquet via [[graft.storage.SetCatalog]]) so
+    * the union reads co-partitioned and the merge is exchange-free on the
+    * snapshot side.
+    */
+  def upsertSnapshot(stream: DataFrame): DataFrame = {
+    def latestPerKey(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("s"))
+        .select(col("user_id"), col("s.ts").as("ts"),
+          col("s.event_id").as("event_id"),
+          col("s.event_type").as("event_type"), col("s.value").as("value"))
+    var snapshot: Option[DataFrame] = None
+    val q = stream
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val compacted = latestPerKey(batch.toDF())
+        val merged = snapshot match {
+          case Some(s) => latestPerKey(s.unionByName(compacted))
+          case None => compacted
+        }
+        snapshot = Some(merged.localCheckpoint(eager = true))
+        ()
+      }
+      .outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    snapshot.getOrElse(
+      stream.sparkSession.emptyDataFrame)
+  }
+
   /** Streaming parquet sink: the full readStream → transform → writeStream
     * loop with exactly-once file output (the parquet sink commits files
     * through its sink log, so batch replays after failure do not

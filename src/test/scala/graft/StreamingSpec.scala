@@ -65,6 +65,27 @@ class StreamingSpec extends GraftSpecBase {
     assert(got == batch)
   }
 
+  test("incremental upsert keeps newest-by-ts across out-of-order batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // batch 1: user 7 at t+20 (value 1.0), user 8 at t+0
+    input.addData(Event(1, new Timestamp(1704067200000L + 20 * 60000L), 7,
+      "view", 1.0, "{}"), ev(2, 8, 0))
+    // batch 2 (a separate MemoryStream batch) arrives LATER but user 7's
+    // event is OLDER (t+5) — must NOT overwrite; user 8's is newer (t+30)
+    // — must overwrite
+    input.addData(Event(3, new Timestamp(1704067200000L + 5 * 60000L), 7,
+      "click", 9.0, "{}"),
+      Event(4, new Timestamp(1704067200000L + 30 * 60000L), 8,
+        "click", 2.0, "{}"))
+    val out = EventStreams.upsertSnapshot(input.toDS().toDF())
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("event_id"), r.getAs[String]("event_type")))).toMap
+    assert(out(7L) == ((1L, "view")), s"user 7 got ${out(7L)}")
+    assert(out(8L) == ((4L, "click")), s"user 8 got ${out(8L)}")
+  }
+
   test("streaming parquet sink lands exactly the filtered rows") {
     val out = "/tmp/graft-test-stream-sink"
     val ckpt = "/tmp/graft-test-stream-ckpt"
