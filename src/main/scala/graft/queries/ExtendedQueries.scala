@@ -424,6 +424,27 @@ object ExtendedQueries {
       |        AS BIGINT) / 1152921504606846976.0) / p_retailprice AS k
       |  FROM part ORDER BY k DESC, p_partkey LIMIT 50) t""".stripMargin
 
+  /** 2-D box query through the z-order path: the codegen'd Morton
+    * z-value pre-filter (the predicate a z-clustered layout prunes files
+    * with — [[graft.operators.Layout]]) plus the exact box bounds; the
+    * result is exactly the plain box query, which is what the oracle
+    * states.
+    */
+  def zorderBox(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Layout.zBoxFilter(
+        Tables.lineitem(spark, d), "l_partkey", "l_suppkey",
+        100L, 300L, 10L, 60L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(TpchQueries.d2(col("l_quantity"))).cast("double").as("sum_qty"))
+
+  val zorderBoxSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 60
+      |GROUP BY l_returnflag""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_cube" -> cube,
     "op_pivot" -> pivot,
@@ -440,6 +461,7 @@ object ExtendedQueries {
     "op_merge_upsert" -> mergeUpsert,
     "op_bloom_semi" -> bloomSemi,
     "op_weighted_sample" -> weightedSample,
+    "op_zorder_box" -> zorderBox,
     "ml_kmeans" -> kmeans)
 
   val oracles: Map[String, String] = Map(
@@ -458,5 +480,6 @@ object ExtendedQueries {
     "op_merge_upsert" -> mergeUpsertSql,
     "op_bloom_semi" -> bloomSemiSql,
     "op_weighted_sample" -> weightedSampleSql,
+    "op_zorder_box" -> zorderBoxSql,
     "ml_kmeans" -> kmeansSql)
 }

@@ -48,6 +48,43 @@ class ExtendedSpec extends GraftSpecBase {
     assert(s1.count(_ % 2 == 0) >= 35, s"heavy-weight rows: ${s1.count(_ % 2 == 0)}")
   }
 
+  test("z-order: kernel bits, box containment, disjoint cluster ranges") {
+    import spark.implicits._
+    import graft.functions.ZOrderKernel.interleave
+    // x=5 (101) -> even bits 0,4; y=3 (011) -> odd bits 1,3: z = 27
+    assert(interleave(5L, 3L) == 27L)
+    assert(interleave(0L, 0L) == 0L)
+    // every point of a box has z within [z(lo,lo), z(hi,hi)]
+    val (xLo, xHi, yLo, yHi) = (6L, 21L, 9L, 30L)
+    for (x <- xLo to xHi; y <- yLo to yHi) {
+      val z = interleave(x, y)
+      assert(z >= interleave(xLo, yLo) && z <= interleave(xHi, yHi),
+        s"($x,$y) -> $z escapes the box z-interval")
+    }
+    // zBoxFilter == plain box filter on the fixture
+    val li = Tables.lineitem(spark, sfDir)
+    val viaZ = graft.operators.Layout
+      .zBoxFilter(li, "l_partkey", "l_suppkey", 10L, 80L, 5L, 40L)
+      .agg(count(lit(1))).head().getLong(0)
+    val plain = li.filter(col("l_partkey").between(10, 80) &&
+        col("l_suppkey").between(5, 40))
+      .agg(count(lit(1))).head().getLong(0)
+    assert(viaZ == plain && plain > 0)
+    // clustered partitions cover disjoint z-ranges
+    val pts = (0L until 1000L).map(i => (i % 37, i % 53)).toDF("x", "y")
+    val ranges = graft.operators.Layout.zorderCluster(pts, "x", "y", 4)
+      .select(graft.functions.ZOrderExpressions.zValue(
+        col("x").cast("long"), col("y").cast("long")).as("z"))
+      .as[Long].mapPartitions(it => {
+        val s = it.toSeq
+        if (s.isEmpty) Iterator.empty else Iterator((s.min, s.max))
+      }).collect().sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+
   test("banded range join == naive inequality join") {
     import spark.implicits._
     val points = Seq((1L, -5.0), (2L, 0.0), (3L, 9.99), (4L, 10.0),
