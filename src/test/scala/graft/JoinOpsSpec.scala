@@ -64,4 +64,16 @@ class JoinOpsSpec extends GraftSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want)
   }
+
+  test("bloom-pruned semi join handles string keys (xxhash64 makes it type-generic)") {
+    import spark.implicits._
+    val probe = (1 to 500).map(i => (s"key_$i", i)).toDF("k", "v")
+    val build = (1 to 500).filter(_ % 7 == 0).map(i => s"key_$i").toDF("k")
+    val pruned = graft.operators.JoinPruning
+      .bloomSemiJoin(probe, build, "k", expectedKeys = 100L)
+      .collect().map(_.getString(0)).toSet
+    val plain = probe.join(build, Seq("k"), "left_semi")
+      .collect().map(_.getString(0)).toSet
+    assert(pruned == plain && pruned.nonEmpty)
+  }
 }
