@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LSH scale soak (not part of the bench contract): replicates the
+  * documents fixture m× with a per-replica word salt — each replica keeps
+  * the corpus's internal near-dup structure but shares no shingles with
+  * other replicas, so the TRUE pair count grows linearly in m. Measures
+  * the candidate-set size the LSH plans feed into verification at each
+  * scale; if the super-bucket cap and ≥2-band filter hold, candidates
+  * grow ~linearly too (subquadratic), which is the property the 100 TB
+  * design rests on.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.Soak [m1,m2,...]
+  * Prints one line per (family, scale): corpus size, candidates, verified
+  * pairs, seconds.
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scales = args.headOption.getOrElse("1,4,16")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = graft.model.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+
+    /** m disjoint salted copies: every word w in replica i becomes "w_i",
+      * so shingle sets never cross replicas and ids never collide. */
+    def corpus(m: Int): DataFrame = {
+      val n = 10000000L
+      (0 until m).map { i =>
+        base.select((col("doc_id") + lit(i * n)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "$1_" + i).as("text"))
+      }.reduce(_ unionByName _)
+    }
+
+    for (m <- scales) {
+      val docs = corpus(m).persist()
+      val nDocs = docs.count()
+
+      // minhash family: candidate count straight from the shared stage
+      var t0 = System.nanoTime()
+      val (ws, banded, cand) = graft.operators.Dedup.lshCandidateFrames(
+        docs, "doc_id", graft.functions.TextFunctions.wordShingles(col("text"), 2),
+        k = 128, bands = 32)
+      val nCand = cand.count()
+      val candSec = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val nPairs = graft.operators.Dedup
+        .minhashPairs(docs, "doc_id", "text").count()
+      val pairSec = (System.nanoTime() - t0) / 1e9
+      ws.unpersist(); banded.unpersist()
+      println(f"SOAK minhash m=$m%-3d docs=$nDocs%-8d candidates=$nCand%-9d " +
+        f"verified=$nPairs%-7d cand_s=$candSec%.1f full_s=$pairSec%.1f")
+
+      // simhash family: its candidate set IS the quarter-band join output
+      t0 = System.nanoTime()
+      val nSim = graft.operators.Dedup
+        .simhashPairs(docs, "doc_id", "text").count()
+      val simSec = (System.nanoTime() - t0) / 1e9
+      println(f"SOAK simhash m=$m%-3d docs=$nDocs%-8d pairs=$nSim%-9d s=$simSec%.1f")
+
+      // clustering over the minhash pair graph
+      t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup.minhashPairs(docs, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      val nClustered = graft.operators.Dedup.dupClusters(pairs).count()
+      val clSec = (System.nanoTime() - t0) / 1e9
+      println(f"SOAK clusters m=$m%-3d docs=$nDocs%-8d members=$nClustered%-9d s=$clSec%.1f")
+
+      docs.unpersist()
+    }
+    spark.stop()
+  }
+}

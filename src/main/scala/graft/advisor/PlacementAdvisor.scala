@@ -64,14 +64,29 @@ final class PlacementAdvisor(historyPath: Option[String] = None) {
     }
   }
 
+  /** Atomic rewrite (temp file + rename into place): a concurrent reader
+    * or a second advisor sharing the path never sees a torn file. The
+    * replayed per-query history is capped at [[PlacementAdvisor.MaxHistory]]
+    * entries — the learned state (key counts, rewards, partners, sizes)
+    * is already an aggregate and stays bounded by schema size, so only
+    * the raw query log could grow without bound.
+    */
   private def persist(): Unit = historyPath.foreach { path =>
+    if (history.length > PlacementAdvisor.MaxHistory)
+      history.remove(0, history.length - PlacementAdvisor.MaxHistory)
     val sb = new StringBuilder
     keyUse.toSeq.sortBy(_._1).foreach { case ((t, c), n) => sb ++= s"K\t$t\t$c\t$n\n" }
     keyReward.toSeq.sortBy(_._1).foreach { case ((t, c), r) => sb ++= s"R\t$t\t$c\t$r\n" }
     joinPartners.toSeq.sorted.foreach { case (a, b) => sb ++= s"P\t$a\t$b\n" }
     setRows.toSeq.sorted.foreach { case (t, r) => sb ++= s"S\t$t\t$r\n" }
     history.foreach { case (n, ms) => sb ++= s"H\t$n\t$ms\n" }
-    Files.writeString(Paths.get(path), sb.toString)
+    val target = Paths.get(path)
+    val dir = Option(target.toAbsolutePath.getParent).getOrElse(Paths.get("."))
+    val tmp = Files.createTempFile(dir, ".advisor", ".tmp")
+    Files.writeString(tmp, sb.toString)
+    Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   private def tableOf(attr: AttributeReference, plan: LogicalPlan): Option[String] = {
@@ -160,6 +175,38 @@ final class PlacementAdvisor(historyPath: Option[String] = None) {
       case m => Some(m.maxBy { case ((_, c), r) => (r, c) }._1._2)
     }
 
+  /** Exploring chooser over the persisted rewards — the ε-greedy/bandit
+    * reduction of the reference's DRL placement loop (reward = observed
+    * workload latency; reference: RLClient.h:16-28,
+    * scripts/pangeaDeepRL/a3c.py — the A3C network itself stays out of
+    * scope, SURVEY.md §4.3). Samples between the top-2 candidate keys
+    * with probability proportional to their accumulated reward, so a key
+    * that keeps showing up in slow queries gradually takes over from the
+    * incumbent instead of being starved by a pure argmax; falls back to
+    * the frequency rule while total reward is below `minReward` (history
+    * too thin to trust).
+    *
+    * The draw is a hash of (table, salt, history length) — deterministic
+    * and replayable for a given advisor state (no RNG state to persist),
+    * yet it re-rolls as observations accumulate; callers wanting varied
+    * exploration within one state pass different `salt`s.
+    */
+  def chooseKey(table: String, salt: Long = 0L, minReward: Long = 1L): Option[String] = {
+    val cands = keyReward.toSeq
+      .collect { case ((t, c), r) if t == table && r > 0 => (c, r) }
+      .sortBy { case (c, r) => (-r, c) }.take(2)
+    val total = cands.map(_._2).sum
+    if (cands.isEmpty || total < minReward) recommend(table)
+    else if (cands.length == 1) Some(cands.head._1)
+    else {
+      val h = scala.util.hashing.MurmurHash3
+        .stringHash(s"$table:$salt:${history.length}")
+      val u = (h & 0x7fffffff).toDouble / Int.MaxValue
+      Some(if (u < cands.head._2.toDouble / total) cands.head._1
+           else cands(1)._1)
+    }
+  }
+
   /** tables transitively equi-joined with `table` in observed plans */
   def coPartitionGroup(table: String): Set[String] = {
     val seen = mutable.Set(table)
@@ -197,6 +244,8 @@ final class PlacementAdvisor(historyPath: Option[String] = None) {
 
   def observedKeyUse: Map[(String, String), Long] = keyUse.toMap
 
+  def observedKeyReward: Map[(String, String), Long] = keyReward.toMap
+
   /** Save with the learned placement applied (the load-path hook — EP3 in
     * SURVEY.md §3, DispatcherServer + partition policy): bucketed by the
     * recommended column with the group-consistent bucket count when a
@@ -218,4 +267,9 @@ final class PlacementAdvisor(historyPath: Option[String] = None) {
         catalog.createSet(db, set, df, None)
     }
   }
+}
+
+object PlacementAdvisor {
+  /** Cap on replayed per-query history lines in the sidecar file. */
+  val MaxHistory = 10000
 }

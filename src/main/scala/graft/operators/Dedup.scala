@@ -98,6 +98,26 @@ object Dedup {
   private def lshVerifiedPairs(
       docs: DataFrame, idCol: String, shingleExpr: Column,
       threshold: Double, k: Int, bands: Int, maxBucket: Int = 200): DataFrame = {
+    val (withSets, banded, candidates) =
+      lshCandidateFrames(docs, idCol, shingleExpr, k, bands, maxBucket)
+    val verified = candidates
+      .join(withSets.select(col("id").as("id_a"), col("ws").as("ws_a")), Seq("id_a"))
+      .join(withSets.select(col("id").as("id_b"), col("ws").as("ws_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("ws_a"), col("ws_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    materialize(verified, withSets, banded)
+  }
+
+  /** The candidate stage of [[lshVerifiedPairs]], exposed for the scale
+    * soak (graft.Soak): returns (persisted shingle sets, persisted band
+    * keys, candidate pairs after the super-bucket cap and ≥2-band filter)
+    * so candidate-set growth can be measured against corpus size without
+    * paying for verification. Callers must unpersist the first two.
+    */
+  private[graft] def lshCandidateFrames(
+      docs: DataFrame, idCol: String, shingleExpr: Column,
+      k: Int, bands: Int, maxBucket: Int = 200): (DataFrame, DataFrame, DataFrame) = {
     val r = k / bands
     // persisted: referenced by both verify-join sides AND as the explode
     // source below, so the interpreted shingle transform evaluates exactly
@@ -143,13 +163,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
       .filter(col("n_bands") >= 2)
       .select(col("id_a"), col("id_b"))
-    val verified = candidates
-      .join(withSets.select(col("id").as("id_a"), col("ws").as("ws_a")), Seq("id_a"))
-      .join(withSets.select(col("id").as("id_b"), col("ws").as("ws_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        jaccard(col("ws_a"), col("ws_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-    materialize(verified, withSets, banded)
+    (withSets, banded, candidates)
   }
 
   /** N-gram (word shingle) jaccard near-dup pairs — order-sensitive variant.
@@ -229,6 +243,16 @@ object Dedup {
       i += 1
     }
     edges.unpersist(blocking = false)
+    // min-label propagation converges in O(component diameter) passes; a
+    // silent exit with labels still moving would return WRONG cluster ids
+    // for long duplicate chains, so non-convergence is an error, not a
+    // best-effort answer (raise maxIters — or the driver gate — for
+    // pathological chain-shaped corpora)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dupClusters did not converge after $maxIters passes " +
+          s"($changed labels still changing): a duplicate-pair component " +
+          "has diameter > maxIters; raise maxIters")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

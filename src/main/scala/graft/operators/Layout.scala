@@ -37,14 +37,27 @@ object Layout {
     * superset — on a z-clustered table it is the predicate the scan
     * prunes files/row-groups with — and the exact per-dimension bounds
     * then cut the curve's excursions outside the box.
+    *
+    * The superset argument needs every in-box coordinate to interleave
+    * exactly, and [[ZOrderKernel.interleave]] keeps only the low 31 bits
+    * — so the z pre-filter applies only when all four bounds sit in
+    * [0, 2^31) (then any row matching the exact box is in-range too).
+    * Boxes reaching outside that domain keep only the exact predicate:
+    * still correct, just without footer-stats pruning.
     */
   def zBoxFilter(
       df: DataFrame, xCol: String, yCol: String,
       xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
-    val z = zValue(col(xCol).cast("long"), col(yCol).cast("long"))
-    df.filter(z.between(
-        graft.functions.ZOrderKernel.interleave(xLo, yLo),
-        graft.functions.ZOrderKernel.interleave(xHi, yHi)))
-      .filter(col(xCol).between(xLo, xHi) && col(yCol).between(yLo, yHi))
+    val zMax = 1L << 31
+    val inZDomain = Seq(xLo, xHi, yLo, yHi).forall(v => v >= 0 && v < zMax)
+    val pre =
+      if (!inZDomain) df
+      else {
+        val z = zValue(col(xCol).cast("long"), col(yCol).cast("long"))
+        df.filter(z.between(
+          graft.functions.ZOrderKernel.interleave(xLo, yLo),
+          graft.functions.ZOrderKernel.interleave(xHi, yHi)))
+      }
+    pre.filter(col(xCol).between(xLo, xHi) && col(yCol).between(yLo, yHi))
   }
 }

@@ -84,6 +84,19 @@ object MlWorkloads {
       if (i % checkpointEvery == 0 && mode != "none")
         ranks = ranks.localCheckpoint(eager = mode == "eager")
     }
+    // On the eager path the final ranks are materialized (checkpoint the
+    // tail iterations if the loop didn't land on a checkpoint boundary),
+    // so the loop invariants can be released here — repeated calls in one
+    // session (bench loops, notebooks) otherwise accumulate cached blocks
+    // until eviction pressure distorts the latencies being measured. In
+    // lazy/none modes nothing has executed yet — the invariants are still
+    // needed by the caller's action, so releasing them is the caller's
+    // contract (they opted into plan-compile-time semantics).
+    if (mode == "eager") {
+      if (iterations % checkpointEvery != 0)
+        ranks = ranks.localCheckpoint(eager = true)
+      Seq(e, outDeg, nodes, ew, sinks).foreach(_.unpersist(blocking = false))
+    }
     ranks
   }
 

@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed batch-at-a-time via mapPartitions (the
-  * Scala analogue of a vectorized pandas UDF). The actual media codecs are
-  * NOT available in this environment, so the decode step is a clearly
-  * marked deterministic STUB — everything around it (schema, batch
-  * iteration, partitioning, feature shape) is the real pipeline.
+  * Scala analogue of a vectorized pandas UDF). Decoding is pluggable
+  * ([[Multimodal.MediaDecoder]]): the JDK's `javax.imageio` codecs handle
+  * real PNG/JPEG payloads, and a clearly marked deterministic byte-stats
+  * STUB terminates the chain for formats with no codec in the JVM —
+  * everything around the decoder (schema, batch iteration, partitioning,
+  * feature shape) is the real pipeline either way.
   */
 object Multimodal {
 
@@ -31,33 +33,95 @@ object Multimodal {
         lit(64).as("height"),
         length(col("text")).cast("long").as("nBytes")).as("meta"))
 
-  /** STUB decoder: stands in for image decode + feature extraction.
-    * Deterministic fake: a 16-dim feature derived from byte statistics.
-    * A real deployment swaps only this function body for e.g. a JNI/ONNX
-    * call — the batch shape (Iterator of rows per partition, reused
-    * buffers) is already production-form.
+  /** Pluggable decode backend: executor-side (Serializable), returns None
+    * when this backend cannot decode the payload so [[AutoDecoder]] can
+    * chain backends. A production deployment adds a JNI/ONNX-backed
+    * implementation; the Spark-side plumbing (batch iteration per
+    * partition, schema, feature shape) is identical for all of them.
     */
-  private def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    val f = new Array[Float](dim)
-    var i = 0
-    while (i < payload.length) {
-      f(i % dim) += (payload(i) & 0xff) / 255.0f
-      i += 1
+  trait MediaDecoder extends Serializable {
+    def name: String
+    def decode(payload: Array[Byte], dim: Int): Option[Array[Float]]
+  }
+
+  /** STUB decoder: stands in for image decode + feature extraction when
+    * no codec applies. Deterministic fake: a dim-bucket accumulation of
+    * byte values — never fails, so it terminates every decoder chain.
+    */
+  object ByteStatsDecoder extends MediaDecoder {
+    val name = "byte-stats-stub"
+    def decode(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
+      val f = new Array[Float](dim)
+      var i = 0
+      while (i < payload.length) {
+        f(i % dim) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      Some(f)
     }
-    f
+  }
+
+  /** Real image decoder over the JDK's bundled codecs (PNG/JPEG/BMP/GIF
+    * via `javax.imageio` — headless-safe, no native install). Feature =
+    * dim-bin luminance histogram normalized by pixel count: deterministic,
+    * resolution-invariant, and cheap enough to run inline in the map
+    * stage. Returns None for payloads ImageIO cannot parse.
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    val name = "javax-imageio"
+    def decode(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        val f = new Array[Float](dim)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 +
+              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            f(math.min(lum * dim / 256, dim - 1)) += 1.0f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        var i = 0
+        while (i < dim) { f(i) /= n; i += 1 }
+        Some(f)
+      }
+    }
+  }
+
+  /** Default chain: real codecs first, byte-stats stub as the terminal
+    * fallback (the fixture's payloads are utf-8 text, so on fixture data
+    * this reduces to the stub and existing oracles are unchanged).
+    */
+  object AutoDecoder extends MediaDecoder {
+    val name = "auto"
+    def decode(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+      ImageIoDecoder.decode(payload, dim)
+        .orElse(ByteStatsDecoder.decode(payload, dim))
   }
 
   /** Batch feature extraction over partitions. Partition-parallel, no
     * shuffle; at 100 TB this is a map-only stage whose parallelism is the
     * input split count.
     */
-  def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int = 16): Dataset[FeatureRow] = {
+  def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int = 16,
+      decoder: MediaDecoder = AutoDecoder): Dataset[FeatureRow] = {
     implicit val enc = Encoders.product[FeatureRow]
     media.select(col("doc_id"), col("payload")).as(
         Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
-          FeatureRow(id, decodeStub(payload, dim), n_frames = 1)
+          FeatureRow(id,
+            decoder.decode(payload, dim).getOrElse(new Array[Float](dim)),
+            n_frames = 1)
         }
       }
   }

@@ -86,10 +86,16 @@ object TpchQueries {
       .persist()
     val minPerRegion = joined.groupBy(col("r_regionkey").as("mr_regionkey"))
       .agg(min(col("s_acctbal")).as("min_bal"))
-    joined
+    val out = joined
       .join(broadcast(minPerRegion),
         col("r_regionkey") === col("mr_regionkey") && col("s_acctbal") === col("min_bal"))
       .select(col("r_name"), col("n_name"), col("s_name"), col("s_acctbal"))
+      // the result is a handful of rows — materialize it eagerly so the
+      // shared-subtree cache can be released here instead of leaking
+      // cached blocks across repeated calls in one session
+      .localCheckpoint(eager = true)
+    joined.unpersist(blocking = false)
+    out
   }
 
   val q2Sql: String =

@@ -127,6 +127,50 @@ class AdvisorSpec extends GraftSpecBase {
     assert(cold.recommendByReward("lineitem").contains("l_orderkey"))
   }
 
+  test("ε-greedy chooser explores both keys, then switches after contradicting rewards") {
+    val adv = new PlacementAdvisor
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    // thin history → rule-based fallback
+    adv.observe(li.join(o, col("l_orderkey") === col("o_orderkey")))
+    assert(adv.chooseKey("lineitem").contains("l_orderkey"))
+    // orderkey dominates the reward at first
+    adv.observe(li.join(o, col("l_orderkey") === col("o_orderkey")), latencyMs = 900L)
+    adv.observe(li.groupBy(col("l_partkey")).count(), latencyMs = 100L)
+    def tally(): Map[String, Int] =
+      (0 until 200).flatMap(s => adv.chooseKey("lineitem", salt = s))
+        .groupBy(identity).view.mapValues(_.size).toMap
+    val before = tally()
+    assert(before.getOrElse("l_orderkey", 0) > before.getOrElse("l_partkey", 0),
+      s"incumbent should dominate: $before")
+    assert(before.getOrElse("l_partkey", 0) > 0,
+      s"challenger must still be explored: $before")
+    // contradicting observations: partkey aggregations turn out expensive
+    adv.observe(li.groupBy(col("l_partkey")).count(), latencyMs = 20000L)
+    val after = tally()
+    assert(after.getOrElse("l_partkey", 0) > after.getOrElse("l_orderkey", 0),
+      s"chooser must switch with the reward: $after")
+  }
+
+  test("advisor persist is atomic and caps replayed history") {
+    val path = Files.createTempDirectory("graft-adv").resolve("hist.tsv").toString
+    val adv = new PlacementAdvisor(Some(path))
+    val li = Tables.lineitem(spark, sfDir)
+    for (_ <- 1 to 3) adv.observe(li.groupBy(col("l_partkey")).count(), latencyMs = 5L)
+    // no stray temp files left behind by the atomic rewrite
+    val dir = java.nio.file.Paths.get(path).getParent
+    val leftovers = Files.list(dir).toArray.map(_.toString)
+      .filter(_.contains(".advisor"))
+    assert(leftovers.isEmpty, s"temp files left: ${leftovers.mkString(",")}")
+    // a reloaded session sees the learned state
+    val adv2 = new PlacementAdvisor(Some(path))
+    assert(adv2.recommendByReward("lineitem").contains("l_partkey"))
+    // history cap: the sidecar never exceeds MaxHistory H-lines
+    val hLines = Files.readAllLines(java.nio.file.Paths.get(path))
+      .toArray.map(_.toString).count(_.startsWith("H\t"))
+    assert(hLines <= PlacementAdvisor.MaxHistory)
+  }
+
   test("fair dispatcher policy: write slots proportional to node capacity") {
     val root = Files.createTempDirectory("graft-sets4").toString
     val cat = new SetCatalog(spark, root)

@@ -70,6 +70,15 @@ class ExtendedSpec extends GraftSpecBase {
         col("l_suppkey").between(5, 40))
       .agg(count(lit(1))).head().getLong(0)
     assert(viaZ == plain && plain > 0)
+    // out-of-domain bounds (negative / >= 2^31) skip the z pre-filter but
+    // still return the exact box — truncated interleave must never drop rows
+    val viaZNeg = graft.operators.Layout
+      .zBoxFilter(li, "l_partkey", "l_suppkey", -5L, 80L, 5L, 1L << 40)
+      .agg(count(lit(1))).head().getLong(0)
+    val plainNeg = li.filter(col("l_partkey").between(-5, 80) &&
+        col("l_suppkey").between(5L, 1L << 40))
+      .agg(count(lit(1))).head().getLong(0)
+    assert(viaZNeg == plainNeg && plainNeg > 0)
     // clustered partitions cover disjoint z-ranges
     val pts = (0L until 1000L).map(i => (i % 37, i % 53)).toDF("x", "y")
     val ranges = graft.operators.Layout.zorderCluster(pts, "x", "y", 4)
