@@ -33,13 +33,19 @@ object Soak {
     val base = graft.model.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
 
-    /** m disjoint salted copies: every word w in replica i becomes "w_i",
-      * so shingle sets never cross replicas and ids never collide. */
+    /** m disjoint salted copies: every word w in replica i becomes
+      * "r{i}_w", so shingle sets never cross replicas and ids never
+      * collide. The salt is PREPENDED: the word fingerprint is a
+      * base-257 positional hash, so an appended salt would differ only
+      * in the lowest coefficients and leave simhash bit votes almost
+      * unchanged — replicas would read as planted cross-replica
+      * near-dups. A prefix re-mixes every coefficient.
+      */
     def corpus(m: Int): DataFrame = {
       val n = 10000000L
       (0 until m).map { i =>
         base.select((col("doc_id") + lit(i * n)).as("doc_id"),
-          regexp_replace(col("text"), "(\\S+)", "$1_" + i).as("text"))
+          regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1").as("text"))
       }.reduce(_ unionByName _)
     }
 

@@ -64,6 +64,19 @@ class PipelineSpec extends GraftSpecBase {
     } finally spark.conf.unset("spark.graft.dedup.cc.driverMaxPairs")
   }
 
+  test("pointer doubling converges a 60-link chain within O(log d) passes") {
+    import spark.implicits._
+    // diameter 60 ≫ maxIters 12: pure min-label propagation would throw
+    // non-convergence; the label(label) shortcut settles it in ~log2(60)
+    val pairs = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    spark.conf.set("spark.graft.dedup.cc.driverMaxPairs", "0")
+    try {
+      val dist = Dedup.dupClusters(pairs, maxIters = 12)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(dist.size == 61 && dist.values.forall(_ == 0L), s"labels: $dist")
+    } finally spark.conf.unset("spark.graft.dedup.cc.driverMaxPairs")
+  }
+
   test("IVF ANN recall vs brute force >= 0.6 on fixture") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)
