@@ -10,10 +10,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TpchQueries.all ++ OperatorQueries.all ++ PipelineQueries.all ++ LaQueries.all ++ StreamingQueries.all ++ MlQueries.all ++ ExtendedQueries.all
+    TpchQueries.all ++ OperatorQueries.all ++ PipelineQueries.all ++ LaQueries.all ++ StreamingQueries.all ++ MlQueries.all ++ ExtendedQueries.all ++ CurationQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    TpchQueries.oracles ++ OperatorQueries.oracles ++ PipelineQueries.oracles ++ LaQueries.oracles ++ StreamingQueries.oracles ++ MlQueries.oracles ++ ExtendedQueries.oracles
+    TpchQueries.oracles ++ OperatorQueries.oracles ++ PipelineQueries.oracles ++ LaQueries.oracles ++ StreamingQueries.oracles ++ MlQueries.oracles ++ ExtendedQueries.oracles ++ CurationQueries.oracles
 }

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators a training-data pipeline runs between dedup
+  * and tokenization: benchmark decontamination, PII detection/redaction,
+  * token-window chunking (RAG prep), and sequence packing (pretraining
+  * batch prep). All stay in codegen'd Catalyst expressions — no UDFs —
+  * and every shape below is the one that survives 100 TB (noted per op).
+  *
+  * Reference analogue: none — these extend the reference's text pipeline
+  * (src/reddit/headers/, SURVEY.md §2) with the curation stages the
+  * builder brief names first-class.
+  */
+object Curation {
+
+  /** Benchmark decontamination: flag training docs sharing ≥1 word n-gram
+    * with any benchmark/eval document (the GPT-3-style n-gram overlap
+    * rule). Returns (doc_id, n_contaminated_grams) for flagged docs only.
+    *
+    * Scale shape: the benchmark side is eval suites — MBs, not TBs — so
+    * its distinct gram set is broadcast and the probe is a map-side hash
+    * join on the exploded training grams: ONE scan of the corpus, no
+    * shuffle of corpus data at all (only the per-doc overlap counts
+    * aggregate, with map-side partial combine). The gram explode uses the
+    * codegen'd single-pass shingler, not the interpreted nested-HOF form.
+    */
+  def decontaminate(
+      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val benchGrams = bench
+      .select(explode(wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+    train
+      .select(col(idCol).as("doc_id"),
+        explode(wordShingles(col(textCol), n)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      // shingles are distinct within a doc, so count(*) = distinct overlap
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+  }
+
+  /** PII patterns — kept to syntax that Java regex (Spark) and RE2
+    * (DuckDB/the oracle) interpret identically: no backrefs, no lookaround,
+    * ASCII word boundaries only.
+    */
+  val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  val phoneRe = """\b\d{3}-\d{3}-\d{4}\b"""
+
+  /** PII detection + redaction: per-doc match counts for emails / IPv4
+    * addresses / phone numbers, plus the text with each match replaced by
+    * a typed placeholder. Pure codegen'd string expressions — one
+    * projection, zero shuffles, trivially 100 TB-safe (embarrassingly
+    * parallel over rows). Redaction order (email → ip → phone) is part of
+    * the contract: placeholders contain no digits or '@', so later passes
+    * never re-match earlier replacements.
+    */
+  def piiScan(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      regexp_count(col(textCol), lit(emailRe)).as("n_emails"),
+      regexp_count(col(textCol), lit(ipv4Re)).as("n_ips"),
+      regexp_count(col(textCol), lit(phoneRe)).as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), emailRe, "[EMAIL]"),
+          ipv4Re, "[IP]"),
+        phoneRe, "[PHONE]").as("redacted"))
+
+  /** Token-window chunking for retrieval indexing: split each document
+    * into windows of `chunkSize` tokens advancing by `stride` (overlap =
+    * chunkSize − stride). A document of n tokens yields
+    * 1 + max(0, ceil((n − chunkSize)/stride)) chunks — always ≥1, and the
+    * last chunk always reaches the document's end.
+    *
+    * Scale shape: per-row generate-and-explode (sequence → transform →
+    * posexplode), no shuffle, no state; output size is corpus size ×
+    * (chunkSize/stride) by construction. The per-chunk slice runs inside
+    * whole-stage codegen.
+    */
+  def chunkTokens(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      s"need 1 <= stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    // integer ceil((n-C)/S) without float: (n - C + S - 1) div S
+    val lastIdx = when(n <= chunkSize, lit(0))
+      .otherwise(floor((n - chunkSize + stride - 1) / lit(stride)).cast("int"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(transform(sequence(lit(0), lastIdx), k =>
+          struct(
+            size(slice(toks, k * stride + 1, lit(chunkSize))).as("n_tokens"),
+            array_join(slice(toks, k * stride + 1, lit(chunkSize)), " ").as("chunk")))))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+        col("col.n_tokens").as("n_tokens"), col("col.chunk").as("chunk"))
+  }
+
+  /** Sequence packing for pretraining: concatenate the corpus into
+    * `numGroups` independent writer streams (doc → stream by deterministic
+    * content-independent hash of its id) and cut each stream into
+    * fixed-`budget` token windows. Emits, per document, its stream, token
+    * count, start offset in the stream, and the first/last context bins it
+    * lands in — i.e. exactly where each doc's tokens sit in the packed
+    * batches (docs straddle bin boundaries, as concat-and-chunk packing
+    * does).
+    *
+    * Scale shape: ONE window (cumulative sum) partitioned by the stream
+    * id. Parallelism = numGroups, so size numGroups to the cluster (it is
+    * a parameter, not a constant); within a stream the sort key is the
+    * doc id, which a 100 TB run makes a range-partitioned sort, not a
+    * single-task sort, because each group is its own partition. No other
+    * shuffle, no driver state.
+    */
+  def packSequences(
+      docs: DataFrame, idCol: String, textCol: String,
+      budget: Int, numGroups: Int): DataFrame = {
+    require(budget >= 1 && numGroups >= 1,
+      s"need positive budget/numGroups, got budget=$budget numGroups=$numGroups")
+    val grp = pmod(
+      TextAnalysis.fingerprint64(col(idCol).cast("string")), lit(numGroups.toLong))
+    val base = docs.select(col(idCol).as("doc_id"), grp.as("grp"),
+      size(tokens(col(textCol))).as("n_tokens"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("start_off",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)).cast("long"))
+      .select(col("doc_id"), col("grp"), col("n_tokens"), col("start_off"),
+        floor(col("start_off") / lit(budget)).cast("long").as("first_bin"),
+        floor((col("start_off") + col("n_tokens") - 1) / lit(budget))
+          .cast("long").as("last_bin"))
+  }
+}

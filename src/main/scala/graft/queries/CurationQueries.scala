@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.operators.{Curation, SkewJoin}
+
+/** Curation-stage queries: benchmark decontamination, PII scan/redaction,
+  * retrieval chunking, sequence packing, and the salted skew join —
+  * each DuckDB-oracle-checked end to end.
+  */
+object CurationQueries {
+
+  /** Rabin-Karp rolling hash of an expression rendered as VARCHAR — the
+    * DuckDB mirror of [[graft.operators.TextAnalysis.fingerprint64]]
+    * (same kernel as ExtendedQueries.hashSampleSql).
+    */
+  private def rkHashSql(expr: String): String =
+    s"""CAST(list_reduce(
+       |  list_transform(regexp_extract_all(CAST($expr AS VARCHAR), '(?s).'),
+       |    c -> CAST(unicode(c) AS HUGEINT)),
+       |  (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT)""".stripMargin
+
+  /** Decontamination: docs 0-19 play the benchmark/eval set, the rest the
+    * training corpus; flag trainers sharing any word 3-gram with the bench.
+    */
+  def decontaminate(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    Curation.decontaminate(
+      docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+      "doc_id", "text", n = 3)
+  }
+
+  private val gramsSql =
+    """list_distinct(list_transform(
+      |    generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
+      |    i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))""".stripMargin
+
+  val decontaminateSql: String =
+    s"""WITH bench AS (
+       |  SELECT DISTINCT unnest($gramsSql) AS gram
+       |  FROM documents WHERE doc_id < 20),
+       |train AS (
+       |  SELECT doc_id, unnest($gramsSql) AS gram
+       |  FROM documents WHERE doc_id >= 20)
+       |SELECT doc_id, COUNT(*) AS n_contaminated_grams
+       |FROM train JOIN bench USING (gram)
+       |GROUP BY doc_id""".stripMargin
+
+  /** PII scan over the corpus. The fixture text carries no PII, so the
+    * corpus is augmented with deterministic synthetic PII (keyed on
+    * doc_id — same construction on both engines), making the counts and
+    * the redacted text non-trivial. Same fixture-augmentation pattern as
+    * dd_cosine_lsh.
+    */
+  def piiScan(spark: SparkSession, d: String): DataFrame = {
+    val aug = Tables.documents(spark, d).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" host 10.0."), pmod(col("doc_id"), lit(200)), lit(".1 up")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" call 555-123-4567 today"))
+          .otherwise(lit(""))).as("text"))
+    Curation.piiScan(aug, "doc_id", "text")
+  }
+
+  val piiScanSql: String = {
+    val email = Curation.emailRe.replace("'", "''")
+    val ip = Curation.ipv4Re
+    val phone = Curation.phoneRe
+    s"""WITH aug AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 5 = 0
+       |      THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0
+       |      THEN ' host 10.0.' || (doc_id % 200) || '.1 up' ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0
+       |      THEN ' call 555-123-4567 today' ELSE '' END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '$email')) AS n_emails,
+       |  len(regexp_extract_all(text, '$ip')) AS n_ips,
+       |  len(regexp_extract_all(text, '$phone')) AS n_phones,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$email', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'),
+       |    '$phone', '[PHONE]', 'g') AS redacted
+       |FROM aug""".stripMargin
+  }
+
+  /** Retrieval chunking: 32-token windows advancing by 24 (8-token
+    * overlap).
+    */
+  def chunks(spark: SparkSession, d: String): DataFrame =
+    Curation.chunkTokens(Tables.documents(spark, d), "doc_id", "text",
+      chunkSize = 32, stride = 24)
+
+  val chunksSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    CASE WHEN len(string_split(text, ' ')) <= 32 THEN 0
+      |      ELSE (len(string_split(text, ' ')) - 32 + 23) // 24 END AS last_idx
+      |  FROM documents),
+      |e AS (SELECT doc_id, toks, unnest(range(0, last_idx + 1)) AS k FROM t)
+      |SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+      |  len(toks[k*24+1 : k*24+32]) AS n_tokens,
+      |  array_to_string(toks[k*24+1 : k*24+32], ' ') AS chunk
+      |FROM e""".stripMargin
+
+  /** Sequence packing: 8 writer streams, 256-token context windows. */
+  def packSequences(spark: SparkSession, d: String): DataFrame =
+    Curation.packSequences(Tables.documents(spark, d), "doc_id", "text",
+      budget = 256, numGroups = 8)
+
+  val packSequencesSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    ${rkHashSql("doc_id")} % 8 AS grp,
+       |    len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, grp, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_off
+       |  FROM b)
+       |SELECT doc_id, grp, n_tokens, start_off,
+       |  start_off // 256 AS first_bin,
+       |  (start_off + n_tokens - 1) // 256 AS last_bin
+       |FROM o""".stripMargin
+
+  /** Salted skew join conformance: lineitem⋈orders through the
+    * deterministic 8-way salt, aggregated per priority — equals the plain
+    * join by construction (the salt only splits the build of one key
+    * across sub-partitions).
+    */
+  def skewJoin(spark: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables.orders(spark, d).select(col("o_orderkey"), col("o_orderpriority"))
+    SkewJoin.saltedEquiJoin(l, o, "l_orderkey", "o_orderkey", salt = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+  }
+
+  val skewJoinSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_decontaminate" -> decontaminate,
+    "txt_pii" -> piiScan,
+    "txt_chunks" -> chunks,
+    "op_pack_sequences" -> packSequences,
+    "op_skew_join" -> skewJoin)
+
+  val oracles: Map[String, String] = Map(
+    "dd_decontaminate" -> decontaminateSql,
+    "txt_pii" -> piiScanSql,
+    "txt_chunks" -> chunksSql,
+    "op_pack_sequences" -> packSequencesSql,
+    "op_skew_join" -> skewJoinSql)
+}

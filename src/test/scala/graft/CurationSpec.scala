@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+class CurationSpec extends GraftSpecBase {
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the bench set") {
+    import spark.implicits._
+    val bench = Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "a quick brown fox appears"),   // shares "quick brown fox"
+      (11L, "entirely different words here"), // clean
+      (12L, "the quick brown fox jumps")    // verbatim copy: all 3 grams
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(10L -> 1L, 12L -> 3L))
+  }
+
+  test("piiScan counts and redacts emails, IPs, and phones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a@b.com and c.d@e.org from 10.0.0.1 call 555-123-4567"),
+      (2L, "no pii at all")).toDF("doc_id", "text")
+    val rows = Curation.piiScan(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(rows(1L) == ((2, 1, 1,
+      "mail [EMAIL] and [EMAIL] from [IP] call [PHONE]")))
+    assert(rows(2L) == ((0, 0, 0, "no pii at all")))
+  }
+
+  test("chunkTokens covers every token, overlaps by chunkSize-stride, and keeps short docs whole") {
+    import spark.implicits._
+    // 50 tokens: w0 .. w49
+    val text = (0 until 50).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "tiny doc")).toDF("doc_id", "text")
+    val out = Curation.chunkTokens(docs, "doc_id", "text", chunkSize = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val doc1 = out.filter(_.getLong(0) == 1L)
+    // ceil((50-32)/24) = 1 → 2 chunks
+    assert(doc1.length == 2)
+    assert(doc1(0).getString(3) == (0 until 32).map(i => s"w$i").mkString(" "))
+    assert(doc1(1).getString(3) == (24 until 50).map(i => s"w$i").mkString(" "))
+    assert(doc1(1).getInt(2) == 26) // last chunk reaches the end: 50-24
+    val doc2 = out.filter(_.getLong(0) == 2L)
+    assert(doc2.length == 1 && doc2(0).getString(3) == "tiny doc")
+  }
+
+  test("packSequences offsets are the per-stream running sum and bins tile the stream") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, ("tok " * i.toInt).trim))
+      .toDF("doc_id", "text")
+    val out = Curation.packSequences(docs, "doc_id", "text",
+      budget = 16, numGroups = 4)
+      .orderBy("grp", "doc_id").collect()
+    out.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      var expectedOff = 0L
+      rows.foreach { r =>
+        val (n, off, first, last) =
+          (r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        assert(off == expectedOff, s"offset gap at doc ${r.getLong(0)}")
+        assert(first == off / 16 && last == (off + n - 1) / 16)
+        expectedOff += n
+      }
+    }
+    // every group used at the fixture size, and doc count preserved
+    assert(out.map(_.getLong(1)).distinct.length == 4)
+    assert(out.length == 40)
+  }
+}
