@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.storage.SetCatalog
+
+class CatalogSpec extends GraftSpecBase {
+
+  private lazy val root = {
+    val r = Files.createTempDirectory("graft-cat").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.storage.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", r)
+    r
+  }
+
+  test("sets stored by SetCatalog are queryable as graft.<db>.<set> SQL tables") {
+    val sets = new SetCatalog(spark, root)
+    sets.createSet("tpch", "nation", Tables.nation(spark, sfDir))
+    val viaSql = spark.sql(
+      "SELECT n_name FROM graft.tpch.nation WHERE n_regionkey = 0 ORDER BY n_name")
+      .collect().map(_.getString(0)).toSeq
+    val direct = Tables.nation(spark, sfDir)
+      .filter(col("n_regionkey") === 0).orderBy("n_name").select("n_name")
+      .collect().map(_.getString(0)).toSeq
+    assert(viaSql == direct && viaSql.nonEmpty)
+  }
+
+  test("scans through the catalog keep parquet filter pushdown") {
+    val sets = new SetCatalog(spark, root)
+    sets.createSet("tpch", "customer", Tables.customer(spark, sfDir))
+    val plan = spark.sql(
+      "SELECT c_custkey FROM graft.tpch.customer WHERE c_custkey = 17")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,17)]"),
+      s"pushdown missing from plan:\n$plan")
+  }
+
+  test("CTAS, SHOW TABLES, rename, and DROP round-trip") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.scratch")
+    spark.sql(
+      """CREATE TABLE graft.scratch.regions AS
+        |SELECT r_regionkey, r_name FROM parquet.`""".stripMargin +
+        s"$sfDir/region.parquet`")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.scratch.regions")
+      .head().getLong(0) == 5L)
+    val shown = spark.sql("SHOW TABLES IN graft.scratch")
+      .collect().map(_.getString(1)).toSet
+    assert(shown.contains("regions"))
+    spark.sql("ALTER TABLE graft.scratch.regions RENAME TO scratch.regions2")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.scratch.regions2")
+      .head().getLong(0) == 5L)
+    spark.sql("DROP TABLE graft.scratch.regions2")
+    assert(!spark.sql("SHOW TABLES IN graft.scratch")
+      .collect().map(_.getString(1)).toSet.contains("regions2"))
+  }
+}
