@@ -41,4 +41,29 @@ class PlanSpec extends GraftSpecBase {
     assert(!plan.contains("CartesianProduct"),
       s"LSH band join degraded to all-pairs:\n$plan")
   }
+
+  test("decontamination probes a broadcast of the bench grams, not a shuffle join") {
+    val plan = planOf(
+      graft.queries.CurationQueries.all("dd_decontaminate")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench gram set is no longer broadcast:\n$plan")
+  }
+
+  test("PII scan and chunking stay shuffle-free (pure per-row projections)") {
+    for ((name, q) <- Seq(
+        "txt_pii" -> graft.queries.CurationQueries.all("txt_pii")(spark, sfDir),
+        "txt_chunks" -> graft.queries.CurationQueries.all("txt_chunks")(spark, sfDir))) {
+      val plan = planOf(q)
+      assert(!plan.contains("Exchange"),
+        s"$name picked up a shuffle it doesn't need:\n$plan")
+    }
+  }
+
+  test("sequence packing shuffles once, on the writer-stream key") {
+    val plan = planOf(
+      graft.queries.CurationQueries.all("op_pack_sequences")(spark, sfDir))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"packing should have exactly the one stream-partition exchange, found $exchanges:\n$plan")
+  }
 }
