@@ -162,4 +162,69 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
+
+  /** Persist an IVF index into the set catalog: the codebook as a tiny
+    * `<name>_centroids` set and the assigned vectors (id, vector, norm,
+    * bucket) as `<name>_vectors` PARTITIONED BY bucket — one directory per
+    * coarse cell. Build once, search many times: the corpus is scanned
+    * once here, and every later search reads only the probed buckets'
+    * directories (partition pruning at the file listing, dynamic at run
+    * time via the broadcast probe join), never the whole index. This is
+    * the placement thesis applied to ANN: the layout, not the operator,
+    * makes the query cheap.
+    */
+  def buildIvfIndex(
+      spark: SparkSession, catalog: graft.storage.SetCatalog,
+      db: String, name: String, emb: DataFrame,
+      nCentroids: Int = 16, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val centroids = trainCentroids(emb, nCentroids, iters, idCol, vecCol)
+    import spark.implicits._
+    catalog.createSet(db, s"${name}_centroids",
+      centroids.zipWithIndex
+        .map { case (v, b) => (b.toLong, v.toSeq) }.toSeq
+        .toDF("bucket", "centroid"),
+      policy = "none")
+    val assign = nearestUdf(centroids)
+    catalog.createPartitionedSet(db, s"${name}_vectors",
+      emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+        l2Norm(col(vecCol)).as("n_nrm"), assign(col(vecCol)).as("bucket")),
+      "bucket")
+  }
+
+  /** Search a persisted IVF index: load the codebook (tiny), compute each
+    * query's `nprobe` buckets, and join the broadcast probes against the
+    * partitioned vector set — the bucket is the partition directory, so
+    * the scan lists only probed buckets (dynamic partition pruning from
+    * the broadcast). Results are identical to [[ivfTopK]] over the same
+    * corpus because codebook training, assignment, probing, and scoring
+    * share the same deterministic kernels.
+    */
+  def searchIvfIndex(
+      spark: SparkSession, catalog: graft.storage.SetCatalog,
+      db: String, name: String, queries: DataFrame, k: Int,
+      nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = catalog.scanSet(db, s"${name}_centroids")
+      .orderBy(col("bucket")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val probe = probeUdf(centroids, nprobe)
+    val vectors = catalog.scanSet(db, s"${name}_vectors")
+    // partition-column type follows Hive directory inference (int), not
+    // the written long — cast the probe side to whatever came back
+    val bucketType = vectors.schema("bucket").dataType
+    val probes = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"), l2Norm(col(vecCol)).as("q_nrm"),
+      explode(probe(col(vecCol))).as("bucket"))
+      .withColumn("bucket", col("bucket").cast(bucketType))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    vectors.join(broadcast(probes), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        round(dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
 }

@@ -235,6 +235,22 @@ object PipelineQueries {
         |         ORDER BY cos DESC, neighbor_id) AS INT) AS rank
         |  FROM scored) t WHERE rank <= 5""".stripMargin
 
+  /** The persisted-index variant of [[simIvf]]: build the IVF index into a
+    * throwaway set catalog (codebook set + bucket-partitioned vector set),
+    * then search it. Same deterministic kernels end to end, so the oracle
+    * is [[simIvfSql]] unchanged — what this query adds is coverage of the
+    * build→persist→prune→search lifecycle (partition-pruned scan instead
+    * of full-corpus scan).
+    */
+  def simIvfIndexed(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val cat = new graft.storage.SetCatalog(spark, root)
+    SimilaritySearch.buildIvfIndex(spark, cat, "idx", "emb", emb)
+    SimilaritySearch.searchIvfIndex(spark, cat, "idx", "emb",
+      emb.filter(col("vec_id") < 10), k = 5)
+  }
+
   def txtLangId(spark: SparkSession, d: String): DataFrame =
     TextAnalysis.languageId(Tables.documents(spark, d), "doc_id", "text")
 
@@ -296,6 +312,7 @@ object PipelineQueries {
     "dd_cosine_lsh" -> ddCosineLsh,
     "sim_topk" -> simTopK,
     "sim_ivf_topk" -> simIvf,
+    "sim_ivf_indexed" -> simIvfIndexed,
     "txt_langid" -> txtLangId,
     "txt_quality" -> txtQuality,
     "txt_tokens" -> txtTokens,
@@ -315,6 +332,7 @@ object PipelineQueries {
     "dd_cosine_lsh" -> ddCosineLshSql,
     "sim_topk" -> simTopKSql,
     "sim_ivf_topk" -> simIvfSql,
+    "sim_ivf_indexed" -> simIvfSql,
     "txt_langid" -> TextAnalysis.languageIdSql,
     "txt_quality" -> TextAnalysis.qualityScoreSql,
     "txt_tokens" -> TextAnalysis.tokenStatsSql,

@@ -78,6 +78,23 @@ final class SetCatalog(spark: SparkSession, root: String) {
   def scanSet(db: String, set: String): DataFrame =
     spark.read.parquet(dir(db, set))
 
+  /** Directory-partitioned set: one subdirectory per distinct value of
+    * `partitionColumn` (Hive layout). Reads filtering on that column prune
+    * at the FILE LISTING — including runtime dynamic-partition-pruning
+    * when the filter arrives through a broadcast join — so a probe of k
+    * partitions costs k directories of IO regardless of set size. The
+    * column must be low-cardinality (it becomes the directory fanout);
+    * that is the operator's contract, not a config default.
+    */
+  def createPartitionedSet(db: String, set: String, df: DataFrame,
+      partitionColumn: String): Unit = {
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionColumn)
+      .parquet(dir(db, set))
+    val rows = spark.read.parquet(dir(db, set)).count()
+    writeMeta(db, set, Some(partitionColumn), 0, rows, "dirpart")
+  }
+
   /** Bucketed set via the session catalog: `bucketBy` + `sortBy` on the
     * key, so a later equi-join between two sets bucketed on the same key
     * with the same bucket count plans with NO shuffle exchange on either
