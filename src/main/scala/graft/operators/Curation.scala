@@ -71,6 +71,33 @@ object Curation {
           ipv4Re, "[IP]"),
         phoneRe, "[PHONE]").as("redacted"))
 
+  /** Composite Gopher-style document filter: the rule set a curation
+    * pipeline actually gates on, combining length bounds, mean-token-length
+    * bounds, and the repetition fractions from
+    * [[TextAnalysis.repetitionStats]]. Emits per-doc rule verdicts plus the
+    * conjunction (`keep`), so downstream can both filter and audit WHY a
+    * doc was dropped (rule attribution is what you tune at corpus scale).
+    *
+    * Scale shape: repetitionStats' two explode→aggregate passes (the
+    * dominant cost, map-side combined) + one per-row projection joined on
+    * doc_id. Thresholds compare round(…,6) doubles computed identically on
+    * both engines, so the booleans are bit-deterministic.
+    */
+  def gopherFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val rep = TextAnalysis.repetitionStats(docs, idCol, textCol)
+    val proj = docs.select(col(idCol).as("doc_id"),
+      (length(regexp_replace(col(textCol), " ", "")).cast("double") /
+        size(tokens(col(textCol)))).as("mean_tok_len"))
+    rep.join(proj, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("n_words") >= 10 && col("n_words") <= 10000).as("len_ok"),
+        (col("mean_tok_len") >= 2.0 && col("mean_tok_len") <= 12.0).as("tok_len_ok"),
+        (col("dup_word_frac") < 0.6).as("dup_ok"),
+        (col("top_bigram_frac") < 0.3).as("bigram_ok"))
+      .withColumn("keep",
+        col("len_ok") && col("tok_len_ok") && col("dup_ok") && col("bigram_ok"))
+  }
+
   /** Token-window chunking for retrieval indexing: split each document
     * into windows of `chunkSize` tokens advancing by `stride` (overlap =
     * chunkSize − stride). A document of n tokens yields

@@ -90,6 +90,27 @@ object CurationQueries {
        |FROM aug""".stripMargin
   }
 
+  /** Gopher-rule document gate with per-rule attribution. */
+  def docFilter(spark: SparkSession, d: String): DataFrame =
+    Curation.gopherFilter(Tables.documents(spark, d), "doc_id", "text")
+
+  val docFilterSql: String =
+    s"""WITH rep AS (${graft.operators.TextAnalysis.repetitionStatsSql}),
+       |proj AS (
+       |  SELECT doc_id,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+       |      len(string_split(text, ' ')) AS mean_tok_len
+       |  FROM documents)
+       |SELECT rep.doc_id,
+       |  (n_words >= 10 AND n_words <= 10000) AS len_ok,
+       |  (mean_tok_len >= 2.0 AND mean_tok_len <= 12.0) AS tok_len_ok,
+       |  (dup_word_frac < 0.6) AS dup_ok,
+       |  (top_bigram_frac < 0.3) AS bigram_ok,
+       |  ((n_words >= 10 AND n_words <= 10000)
+       |    AND (mean_tok_len >= 2.0 AND mean_tok_len <= 12.0)
+       |    AND (dup_word_frac < 0.6) AND (top_bigram_frac < 0.3)) AS keep
+       |FROM rep JOIN proj ON rep.doc_id = proj.doc_id""".stripMargin
+
   /** Retrieval chunking: 32-token windows advancing by 24 (8-token
     * overlap).
     */
@@ -154,6 +175,7 @@ object CurationQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_decontaminate" -> decontaminate,
     "txt_pii" -> piiScan,
+    "txt_doc_filter" -> docFilter,
     "txt_chunks" -> chunks,
     "op_pack_sequences" -> packSequences,
     "op_skew_join" -> skewJoin)
@@ -161,6 +183,7 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "dd_decontaminate" -> decontaminateSql,
     "txt_pii" -> piiScanSql,
+    "txt_doc_filter" -> docFilterSql,
     "txt_chunks" -> chunksSql,
     "op_pack_sequences" -> packSequencesSql,
     "op_skew_join" -> skewJoinSql)

@@ -48,6 +48,24 @@ class CurationSpec extends GraftSpecBase {
     assert(doc2.length == 1 && doc2(0).getString(3) == "tiny doc")
   }
 
+  test("gopherFilter attributes each rule and keeps only clean docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 30).map(i => s"word$i").mkString(" ")), // clean
+      (2L, "too short"),                                 // fails len
+      (3L, ("spam " * 30).trim),                         // fails dup + bigram
+      (4L, (1 to 20).map(_ => "a").mkString(" "))        // fails tok_len + dup
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Curation.gopherFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5))).toMap
+    assert(out(1L) == ((true, true, true, true, true)))
+    assert(out(2L)._1 == false && out(2L)._5 == false)
+    assert(out(3L)._3 == false && out(3L)._4 == false && out(3L)._5 == false)
+    assert(out(4L)._2 == false && out(4L)._3 == false && out(4L)._5 == false)
+  }
+
   test("packSequences offsets are the per-stream running sum and bins tile the stream") {
     import spark.implicits._
     val docs = (1L to 40L).map(i => (i, ("tok " * i.toInt).trim))
