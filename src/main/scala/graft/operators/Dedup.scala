@@ -115,9 +115,14 @@ object Dedup {
     * so candidate-set growth can be measured against corpus size without
     * paying for verification. Callers must unpersist the first two.
     */
-  private[graft] def lshCandidateFrames(
+  /** The shingle-set and band-key frames shared by the self-join LSH, the
+    * cross-corpus LSH, and the streaming ingest dedup: (persisted
+    * (id, ws) sets, persisted (id, band, bkey) scalars). Callers own the
+    * unpersist.
+    */
+  private[graft] def bandFrames(
       docs: DataFrame, idCol: String, shingleExpr: Column,
-      k: Int, bands: Int, maxBucket: Int = 200): (DataFrame, DataFrame, DataFrame) = {
+      k: Int, bands: Int): (DataFrame, DataFrame) = {
     val r = k / bands
     // persisted: referenced by both verify-join sides AND as the explode
     // source below, so the interpreted shingle transform evaluates exactly
@@ -146,6 +151,13 @@ object Dedup {
       // the (id, band, bkey) scalars or the whole signature pipeline
       // re-executes once per reference
       .persist()
+    (withSets, banded)
+  }
+
+  private[graft] def lshCandidateFrames(
+      docs: DataFrame, idCol: String, shingleExpr: Column,
+      k: Int, bands: Int, maxBucket: Int = 200): (DataFrame, DataFrame, DataFrame) = {
+    val (withSets, banded) = bandFrames(docs, idCol, shingleExpr, k, bands)
     val hot = banded.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)
@@ -180,6 +192,110 @@ object Dedup {
       threshold: Double = 0.5, k: Int = 96, bands: Int = 48): DataFrame =
     lshVerifiedPairs(docs, idCol, wordShingles(col(textCol), n),
       threshold, k, bands)
+
+  /** A reusable LSH index of an existing corpus for INGEST-TIME dedup:
+    * (persisted shingle sets, persisted band keys with hot buckets already
+    * removed). The hot-bucket cap is computed on the corpus ALONE — never
+    * on the arriving data — so matching against the index is invariant to
+    * how the new data is batched (the streaming path depends on this).
+    * Callers own the unpersist of both frames.
+    */
+  def corpusLshIndex(
+      corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 128, bands: Int = 32, shingleN: Int = 2,
+      maxBucket: Int = 200): (DataFrame, DataFrame) = {
+    val (cSets, cBanded) =
+      bandFrames(corpus, idCol, wordShingles(col(textCol), shingleN), k, bands)
+    val hot = cBanded.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(col("band"), col("bkey"))
+    (cSets, cBanded.join(broadcast(hot), Seq("band", "bkey"), "left_anti"))
+  }
+
+  /** Near-dup pairs of `newDocs` AGAINST a [[corpusLshIndex]] — the
+    * incremental form of [[minhashPairs]] a pipeline runs on every ingest
+    * batch instead of re-deduping the whole corpus. Same geometry and
+    * ≥2-band candidate filter as the self-join path; the corpus side's
+    * shuffles are amortized across calls through the index's persisted
+    * frames. Per-doc results depend only on that doc and the static index,
+    * so unioning per-batch outputs equals the one-shot batch result.
+    */
+  def crossPairsAgainstIndex(
+      newDocs: DataFrame, corpusSets: DataFrame, corpusBanded: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      k: Int = 128, bands: Int = 32, shingleN: Int = 2): DataFrame = {
+    val (nSets, nBanded) =
+      bandFrames(newDocs, idCol, wordShingles(col(textCol), shingleN), k, bands)
+    val candidates = nBanded
+      .select(col("band"), col("bkey"), col("id").as("new_id"))
+      .join(corpusBanded.select(col("band"), col("bkey"), col("id").as("corpus_id")),
+        Seq("band", "bkey"))
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= 2)
+      .select(col("new_id"), col("corpus_id"))
+    val verified = candidates
+      .join(nSets.select(col("id").as("new_id"), col("ws").as("ws_n")), Seq("new_id"))
+      .join(corpusSets.select(col("id").as("corpus_id"), col("ws").as("ws_c")),
+        Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        jaccard(col("ws_n"), col("ws_c")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    materialize(verified, nSets, nBanded)
+  }
+
+  /** One-shot batch form: index the corpus, match the new docs, release
+    * the index.
+    */
+  def crossPairs(
+      newDocs: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, k: Int = 128, bands: Int = 32,
+      shingleN: Int = 2, maxBucket: Int = 200): DataFrame = {
+    val (cSets, cBanded) =
+      corpusLshIndex(corpus, idCol, textCol, k, bands, shingleN, maxBucket)
+    try crossPairsAgainstIndex(newDocs, cSets, cBanded, idCol, textCol,
+      threshold, k, bands, shingleN)
+    finally { cSets.unpersist(blocking = false); cBanded.unpersist(blocking = false) }
+  }
+
+  /** Streaming ingest dedup: match an arriving document stream against the
+    * static corpus index, one [[crossPairsAgainstIndex]] per micro-batch
+    * (foreachBatch — the batch kernels run unchanged on each batch, the
+    * same pattern as [[graft.streaming.EventStreams.upsertSnapshot]]).
+    * Output is batching-invariant by construction: the hot-bucket cap
+    * lives in the index, and each arriving doc's pairs depend only on that
+    * doc plus the index — so any batching unions to the one-shot batch
+    * result. At scale the accumulated pair log would append to a sink;
+    * here it accumulates via per-batch checkpoints and is returned when
+    * the stream drains.
+    */
+  def streamNearDupPairs(
+      stream: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, k: Int = 128, bands: Int = 32,
+      shingleN: Int = 2, maxBucket: Int = 200): DataFrame = {
+    val (cSets, cBanded) =
+      corpusLshIndex(corpus, idCol, textCol, k, bands, shingleN, maxBucket)
+    var acc: Option[DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val pairs = crossPairsAgainstIndex(batch.toDF(), cSets, cBanded,
+          idCol, textCol, threshold, k, bands, shingleN)
+        acc = Some(acc.map(_.unionByName(pairs)).getOrElse(pairs)
+          .localCheckpoint(eager = true))
+        ()
+      }
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = acc.getOrElse(
+      // empty stream: an empty-input run of the same plan, for the schema
+      crossPairsAgainstIndex(corpus.limit(0), cSets, cBanded, idCol, textCol,
+        threshold, k, bands, shingleN))
+    cSets.unpersist(blocking = false)
+    cBanded.unpersist(blocking = false)
+    out
+  }
 
   /** Connected components over a near-dup pair set — the step a dedup
     * pipeline runs after pair generation so each cluster keeps one

@@ -82,6 +82,32 @@ object PipelineQueries {
       |WHERE CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE) /
       |  (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) >= 0.5""".stripMargin
 
+  /** Ingest-time cross-corpus dedup: docs ≥250 play the arriving batch,
+    * docs <250 the already-ingested corpus; near-dup pairs between the two
+    * (never within either side) at j≥0.8 on 2-gram shingles.
+    */
+  def ddCross(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    Dedup.crossPairs(
+      docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+      "doc_id", "text", threshold = 0.8)
+  }
+
+  /** exact O(n·m) cross jaccard — LSH equality holds for the same reason
+    * as [[ddMinhashSql]] (banding miss prob ~1e-28 at j≥0.8)
+    */
+  val ddCrossSql: String =
+    """WITH w AS (SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(string_split(text,' '))-1, 0)),
+      |    i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS ws
+      |  FROM documents)
+      |SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+      |  CAST(len(list_intersect(n.ws,c.ws)) AS DOUBLE) /
+      |  (len(n.ws)+len(c.ws)-len(list_intersect(n.ws,c.ws))) AS jaccard
+      |FROM w n JOIN w c ON n.doc_id >= 250 AND c.doc_id < 250
+      |WHERE CAST(len(list_intersect(n.ws,c.ws)) AS DOUBLE) /
+      |  (len(n.ws)+len(c.ws)-len(list_intersect(n.ws,c.ws))) >= 0.8""".stripMargin
+
   def ddSimhash(spark: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, d), "doc_id", "text")
 
@@ -307,6 +333,7 @@ object PipelineQueries {
     "dd_minhash_pairs" -> ddMinhash,
     "dd_clusters" -> ddClusters,
     "dd_ngram_pairs" -> ddNgram,
+    "dd_cross_pairs" -> ddCross,
     "dd_simhash_pairs" -> ddSimhash,
     "dd_cosine_pairs" -> ddCosine,
     "dd_cosine_lsh" -> ddCosineLsh,
@@ -327,6 +354,7 @@ object PipelineQueries {
     "dd_minhash_pairs" -> ddMinhashSql,
     "dd_clusters" -> ddClustersSql,
     "dd_ngram_pairs" -> ddNgramSql,
+    "dd_cross_pairs" -> ddCrossSql,
     "dd_simhash_pairs" -> ddSimhashSql,
     "dd_cosine_pairs" -> ddCosineSql,
     "dd_cosine_lsh" -> ddCosineLshSql,

@@ -179,6 +179,34 @@ object StreamingQueries {
       | AND p.us >= v.us AND p.us <= v.us + 3600000000
       |GROUP BY p.user_id""".stripMargin
 
+  /** file-source streaming read of the documents fixture */
+  private def readDocStream(spark: SparkSession, d: String): DataFrame = {
+    val p = java.nio.file.Paths.get(s"$d/documents.parquet")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", p.getFileName.toString)
+      .parquet(p.getParent.toString)
+  }
+
+  /** streaming ingest dedup: arriving docs (≥250) matched per micro-batch
+    * against the static corpus LSH index (<250) ≡ the one-shot batch
+    * cross-corpus pairs
+    */
+  def stNearDup(spark: SparkSession, d: String): DataFrame = {
+    val corpus = graft.model.Tables.documents(spark, d)
+      .filter(col("doc_id") < 250)
+    val stream = readDocStream(spark, d).filter(col("doc_id") >= 250)
+    graft.operators.Dedup.streamNearDupPairs(stream, corpus, "doc_id", "text",
+      threshold = 0.8)
+  }
+
+  val stNearDupSql: String = PipelineQueries.ddCrossSql
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_hourly" -> stHourly,
     "st_sliding" -> stSliding,
@@ -186,7 +214,8 @@ object StreamingQueries {
     "st_dedup" -> stDedup,
     "st_enrich" -> stEnrich,
     "st_join" -> stJoin,
-    "st_upsert" -> stUpsert)
+    "st_upsert" -> stUpsert,
+    "st_neardup" -> stNearDup)
 
   val oracles: Map[String, String] = Map(
     "st_hourly" -> stHourlySql,
@@ -195,5 +224,6 @@ object StreamingQueries {
     "st_dedup" -> stDedupSql,
     "st_enrich" -> stEnrichSql,
     "st_join" -> stJoinSql,
-    "st_upsert" -> stUpsertSql)
+    "st_upsert" -> stUpsertSql,
+    "st_neardup" -> stNearDupSql)
 }

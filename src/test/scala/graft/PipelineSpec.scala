@@ -24,6 +24,27 @@ class PipelineSpec extends GraftSpecBase {
     assert(lsh == exact)
   }
 
+  test("cross-corpus pairs are batching-invariant against a shared index") {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") < 250)
+    val arriving = docs.filter(col("doc_id") >= 250)
+    val oneShot = Dedup.crossPairs(arriving, corpus, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    // same docs in two arbitrary batches against the same persisted index
+    val (cSets, cBanded) = Dedup.corpusLshIndex(corpus, "doc_id", "text")
+    val batched = Seq(
+        arriving.filter(col("doc_id") % 2 === 0),
+        arriving.filter(col("doc_id") % 2 === 1))
+      .flatMap(b => Dedup.crossPairsAgainstIndex(b, cSets, cBanded,
+        "doc_id", "text").collect())
+      .map(_.toSeq).toSet
+    cSets.unpersist(); cBanded.unpersist()
+    assert(batched == oneShot)
+    // and the pairs really cross the boundary
+    assert(oneShot.forall(r =>
+      r(1).asInstanceOf[Long] < 250 && r(0).asInstanceOf[Long] >= 250))
+  }
+
   test("simhash: identical word sets collide at hamming 0") {
     import spark.implicits._
     val docs = Seq(
