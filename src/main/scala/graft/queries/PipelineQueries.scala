@@ -65,6 +65,23 @@ object PipelineQueries {
        |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id)
        |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
 
+  /** The dedup pipeline's terminal action: pairs → clusters → drop list.
+    * Every clustered doc that is NOT its cluster's representative (min id)
+    * is dropped, labeled with the doc it duplicates — the exact row set a
+    * curation job anti-joins against the corpus.
+    */
+  def ddKeepList(spark: SparkSession, d: String): DataFrame =
+    Dedup.dupClusters(
+      Dedup.minhashPairs(Tables.documents(spark, d), "doc_id", "text",
+        threshold = 0.8))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("drop_id"), col("cluster_id").as("keep_id"))
+
+  val ddKeepListSql: String =
+    s"""WITH clusters AS ($ddClustersSql)
+       |SELECT doc_id AS drop_id, cluster_id AS keep_id FROM clusters
+       |WHERE doc_id <> cluster_id""".stripMargin
+
   def ddNgram(spark: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(spark, d), "doc_id", "text",
       n = 3, threshold = 0.5)
@@ -332,6 +349,7 @@ object PipelineQueries {
     "dd_exact" -> ddExact,
     "dd_minhash_pairs" -> ddMinhash,
     "dd_clusters" -> ddClusters,
+    "dd_keep_list" -> ddKeepList,
     "dd_ngram_pairs" -> ddNgram,
     "dd_cross_pairs" -> ddCross,
     "dd_simhash_pairs" -> ddSimhash,
@@ -353,6 +371,7 @@ object PipelineQueries {
     "dd_exact" -> ddExactSql,
     "dd_minhash_pairs" -> ddMinhashSql,
     "dd_clusters" -> ddClustersSql,
+    "dd_keep_list" -> ddKeepListSql,
     "dd_ngram_pairs" -> ddNgramSql,
     "dd_cross_pairs" -> ddCrossSql,
     "dd_simhash_pairs" -> ddSimhashSql,
