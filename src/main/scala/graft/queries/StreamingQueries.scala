@@ -13,8 +13,26 @@ import graft.streaming.EventStreams
   */
 object StreamingQueries {
 
+  /** Streaming state partitioning is a deliberate knob, not inherited
+    * ambient config: the state-store instance count per stateful operator
+    * equals the shuffle-partition count at the FIRST micro-batch and is
+    * then pinned in the checkpoint for the query's life. Each instance
+    * pays its own per-batch checkpoint + maintenance IO, so dozens of
+    * stores for kilobytes of state multiply fixed costs (measured ~2× on
+    * the fixture stream-stream join) — while a TB-state join would want
+    * thousands. Streaming plans therefore run in a child session sized
+    * for their state; batch plans keep the session's wide shuffle.
+    */
+  private def streamSession(spark: SparkSession): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+    ss
+  }
+
   /** streaming hourly window aggregate ≡ op_events_hourly's batch result */
-  def stHourly(spark: SparkSession, d: String): DataFrame = {
+  def stHourly(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
     val stream = EventStreams.readEventStream(spark, s"$d/events.parquet")
     val q = EventStreams.hourlyCounts(stream)
       .writeStream.format("memory").queryName("st_hourly_sink")
@@ -28,7 +46,8 @@ object StreamingQueries {
   /** sliding-window (1 h / 15 min) counts — every event in exactly 4
     * overlapping windows
     */
-  def stSliding(spark: SparkSession, d: String): DataFrame = {
+  def stSliding(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
     val stream = EventStreams.readEventStream(spark, s"$d/events.parquet")
     val q = EventStreams.slidingCounts(stream)
       .writeStream.format("memory").queryName("st_sliding_sink")
@@ -54,7 +73,8 @@ object StreamingQueries {
   /** streaming stateful sessionization; per-user session count ≡ the batch
     * window-function sessionization
     */
-  def stSessions(spark: SparkSession, d: String): DataFrame = {
+  def stSessions(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
     import spark.implicits._
     val stream = EventStreams.readEventStream(spark, s"$d/events.parquet")
       .as[Event]
@@ -84,7 +104,8 @@ object StreamingQueries {
   /** streaming incremental upsert: per-user latest event state maintained
     * across micro-batches (foreachBatch MERGE loop) ≡ batch last-row-per-key
     */
-  def stUpsert(spark: SparkSession, d: String): DataFrame = {
+  def stUpsert(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
     val stream = EventStreams.readEventStream(spark, s"$d/events.parquet")
     EventStreams.upsertSnapshot(stream)
       .select(col("user_id"), col("event_id").as("last_event_id"),
@@ -107,7 +128,8 @@ object StreamingQueries {
   /** streaming exact-dedup (dropDuplicates keyed on event_id, state bounded
     * by the watermark) → per-type counts ≡ batch COUNT(DISTINCT)
     */
-  def stDedup(spark: SparkSession, d: String): DataFrame = {
+  def stDedup(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
     val stream = EventStreams.readEventStream(spark, s"$d/events.parquet")
     val q = stream
       .withWatermark("ts", "2 hours")
@@ -128,7 +150,8 @@ object StreamingQueries {
     * (heavy_user = integer event-count threshold, so the flag is
     * deterministic across engines)
     */
-  def stEnrich(spark: SparkSession, d: String): DataFrame = {
+  def stEnrich(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
     val dim = graft.model.Tables.events(spark, d)
       .groupBy(col("user_id"))
       .agg((count(lit(1)) >= 70L).as("heavy_user"))
@@ -151,7 +174,8 @@ object StreamingQueries {
     * preceding hour), watermark-bounded state; pair counts per user ≡ the
     * batch interval join
     */
-  def stJoin(spark: SparkSession, d: String): DataFrame = {
+  def stJoin(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
     val purchases = EventStreams.readEventStream(spark, s"$d/events.parquet")
       .filter(col("event_type") === "purchase")
     val views = EventStreams.readEventStream(spark, s"$d/events.parquet")
@@ -197,7 +221,8 @@ object StreamingQueries {
     * against the static corpus LSH index (<250) ≡ the one-shot batch
     * cross-corpus pairs
     */
-  def stNearDup(spark: SparkSession, d: String): DataFrame = {
+  def stNearDup(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
     val corpus = graft.model.Tables.documents(spark, d)
       .filter(col("doc_id") < 250)
     val stream = readDocStream(spark, d).filter(col("doc_id") >= 250)
