@@ -71,6 +71,19 @@ object Curation {
           ipv4Re, "[IP]"),
         phoneRe, "[PHONE]").as("redacted"))
 
+  /** Text normalization — the canonical-form stage run before hashing /
+    * shingling so trivial variants (case, punctuation, whitespace runs)
+    * dedup together: lowercase, strip everything outside [a-z0-9 ],
+    * collapse whitespace runs, trim. Pure codegen'd string expressions,
+    * shuffle-free; patterns are Java/RE2-identical.
+    */
+  def normalizeText(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
+    docs.select(col(idCol).as("doc_id"), norm.as("norm_text"),
+      size(split(norm, " ")).as("n_tokens"))
+  }
+
   /** Composite Gopher-style document filter: the rule set a curation
     * pipeline actually gates on, combining length bounds, mean-token-length
     * bounds, and the repetition fractions from

@@ -90,6 +90,17 @@ object CurationQueries {
        |FROM aug""".stripMargin
   }
 
+  /** Canonical text normalization (case/punctuation/whitespace). */
+  def normalize(spark: SparkSession, d: String): DataFrame =
+    Curation.normalizeText(Tables.documents(spark, d), "doc_id", "text")
+
+  val normalizeSql: String =
+    """SELECT doc_id, norm_text, len(string_split(norm_text, ' ')) AS n_tokens
+      |FROM (
+      |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text
+      |  FROM documents) t""".stripMargin
+
   /** Gopher-rule document gate with per-rule attribution. */
   def docFilter(spark: SparkSession, d: String): DataFrame =
     Curation.gopherFilter(Tables.documents(spark, d), "doc_id", "text")
@@ -176,6 +187,7 @@ object CurationQueries {
     "dd_decontaminate" -> decontaminate,
     "txt_pii" -> piiScan,
     "txt_doc_filter" -> docFilter,
+    "txt_normalize" -> normalize,
     "txt_chunks" -> chunks,
     "op_pack_sequences" -> packSequences,
     "op_skew_join" -> skewJoin)
@@ -184,6 +196,7 @@ object CurationQueries {
     "dd_decontaminate" -> decontaminateSql,
     "txt_pii" -> piiScanSql,
     "txt_doc_filter" -> docFilterSql,
+    "txt_normalize" -> normalizeSql,
     "txt_chunks" -> chunksSql,
     "op_pack_sequences" -> packSequencesSql,
     "op_skew_join" -> skewJoinSql)

@@ -54,6 +54,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     Paths.get(root, s"${db(ident)}.${ident.name()}")
   private def metaPath(ident: Identifier): java.nio.file.Path =
     Paths.get(root, s"${db(ident)}.${ident.name()}.meta")
+  private def schemaPath(ident: Identifier): java.nio.file.Path =
+    Paths.get(root, s"${db(ident)}.${ident.name()}.schema")
 
   // -- tables ---------------------------------------------------------
 
@@ -69,9 +71,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     val path = dir(ident)
     if (!Files.isDirectory(path)) throw new NoSuchTableException(ident)
+    // DDL-declared schema (sidecar) wins; data-first sets (SetCatalog
+    // writes, no sidecar) infer from their parquet footers as usual.
+    // Without this, INSERT into a freshly-declared (still empty) table
+    // would fail schema inference.
+    val declared =
+      if (Files.exists(schemaPath(ident)))
+        Some(org.apache.spark.sql.types.DataType
+          .fromJson(Files.readString(schemaPath(ident)))
+          .asInstanceOf[StructType])
+      else None
     ParquetTable(
       s"$catalogName.${db(ident)}.${ident.name()}", spark,
-      CaseInsensitiveStringMap.empty(), Seq(path.toString), None,
+      CaseInsensitiveStringMap.empty(), Seq(path.toString), declared,
       classOf[ParquetFileFormat])
   }
 
@@ -86,6 +98,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // sidecar meta mirrors SetCatalog.createSet defaults; rows filled by
     // the first write (CTAS) are unknown at DDL time
     Files.writeString(metaPath(ident), "\n0\n0\nnone\n\n")
+    Files.writeString(schemaPath(ident), schema.json)
     ParquetTable(
       s"$catalogName.${db(ident)}.${ident.name()}", spark,
       CaseInsensitiveStringMap.empty(), Seq(dir(ident).toString), Some(schema),
@@ -105,6 +118,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     rm(path)
     Files.deleteIfExists(metaPath(ident))
+    Files.deleteIfExists(schemaPath(ident))
     true
   }
 
@@ -114,6 +128,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     Files.move(dir(oldIdent), dir(newIdent))
     if (Files.exists(metaPath(oldIdent)))
       Files.move(metaPath(oldIdent), metaPath(newIdent))
+    if (Files.exists(schemaPath(oldIdent)))
+      Files.move(schemaPath(oldIdent), schemaPath(newIdent))
   }
 
   // -- namespaces (databases) ----------------------------------------

@@ -36,6 +36,17 @@ class CatalogSpec extends GraftSpecBase {
       s"pushdown missing from plan:\n$plan")
   }
 
+  test("declared tables accept INSERT INTO before and after first data") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.scratch")
+    spark.sql("CREATE TABLE graft.scratch.kv (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.scratch.kv VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.scratch.kv VALUES (3, 'c')")
+    val rows = spark.sql("SELECT k, v FROM graft.scratch.kv ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    spark.sql("DROP TABLE graft.scratch.kv")
+  }
+
   test("CTAS, SHOW TABLES, rename, and DROP round-trip") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.scratch")
     spark.sql(
