@@ -41,13 +41,12 @@ object Soak {
       * unchanged — replicas would read as planted cross-replica
       * near-dups. A prefix re-mixes every coefficient.
       */
-    def corpus(m: Int): DataFrame = {
-      val n = 10000000L
+    val n = 10000000L
+    def corpus(m: Int): DataFrame =
       (0 until m).map { i =>
         base.select((col("doc_id") + lit(i * n)).as("doc_id"),
           regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1").as("text"))
       }.reduce(_ unionByName _)
-    }
 
     for (m <- scales) {
       val docs = corpus(m).persist()
@@ -82,6 +81,29 @@ object Soak {
       val nClustered = graft.operators.Dedup.dupClusters(pairs).count()
       val clSec = (System.nanoTime() - t0) / 1e9
       println(f"SOAK clusters m=$m%-3d docs=$nDocs%-8d members=$nClustered%-9d s=$clSec%.1f")
+
+      // ingest-time cross dedup: first replica plays the corpus index,
+      // the rest arrive — corpus stays FIXED while arrivals grow, the
+      // regime a standing ingest pipeline actually runs in. Salted
+      // replicas share nothing with the corpus (background traffic);
+      // every 50th corpus doc additionally RE-ARRIVES verbatim per
+      // replica, so true cross pairs grow linearly in m by construction.
+      if (m > 1) {
+        t0 = System.nanoTime()
+        val planted = (1 until m).map { i =>
+          base.filter(col("doc_id") % 50 === 0)
+            .select((col("doc_id") + lit(100L * n + i * n)).as("doc_id"),
+              // replica 0's salt: planted re-arrivals must match the
+              // CORPUS side's text, which is salted like every replica
+              regexp_replace(col("text"), "(\\S+)", "r0_$1").as("text"))
+        }.reduce(_ unionByName _)
+        val nCross = graft.operators.Dedup.crossPairs(
+          docs.filter(col("doc_id") >= n).unionByName(planted),
+          docs.filter(col("doc_id") < n),
+          "doc_id", "text").count()
+        val crSec = (System.nanoTime() - t0) / 1e9
+        println(f"SOAK cross    m=$m%-3d docs=$nDocs%-8d pairs=$nCross%-9d s=$crSec%.1f")
+      }
 
       docs.unpersist()
     }

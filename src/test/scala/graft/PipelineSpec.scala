@@ -26,8 +26,12 @@ class PipelineSpec extends GraftSpecBase {
 
   test("cross-corpus pairs are batching-invariant against a shared index") {
     val docs = Tables.documents(spark, sfDir)
-    val corpus = docs.filter(col("doc_id") < 250)
-    val arriving = docs.filter(col("doc_id") >= 250)
+    val corpus = docs.filter(col("doc_id") < 25)
+    // the tail of the fixture plus verbatim re-arrivals of 5 corpus docs
+    // (fresh ids) — the planted dups GUARANTEE nonempty cross pairs
+    val arriving = docs.filter(col("doc_id") >= 25).unionByName(
+      corpus.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
     val oneShot = Dedup.crossPairs(arriving, corpus, "doc_id", "text")
       .collect().map(_.toSeq).toSet
     // same docs in two arbitrary batches against the same persisted index
@@ -40,9 +44,11 @@ class PipelineSpec extends GraftSpecBase {
       .map(_.toSeq).toSet
     cSets.unpersist(); cBanded.unpersist()
     assert(batched == oneShot)
+    // the 5 planted verbatim copies MUST be found (jaccard 1.0)
+    val planted = oneShot.filter(_(0).asInstanceOf[Long] >= 1000000L)
+    assert(planted.size >= 5, s"planted dups not all found: $oneShot")
     // and the pairs really cross the boundary
-    assert(oneShot.forall(r =>
-      r(1).asInstanceOf[Long] < 250 && r(0).asInstanceOf[Long] >= 250))
+    assert(oneShot.forall(r => r(1).asInstanceOf[Long] < 25))
   }
 
   test("simhash: identical word sets collide at hamming 0") {
