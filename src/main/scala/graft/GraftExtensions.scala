@@ -6,17 +6,22 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.IntegerType
 import graft.functions.{DotProduct, WordShingles}
 
-/** Session extensions registering graft's native expressions for SQL use:
+/** Session extensions registering graft's native expressions for SQL use
+  * plus the bucketed-set analyzer rule:
   *
   * {{{
-  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")...
   * spark.sql("SELECT dot_product(a.embedding, b.embedding) FROM ...")
   * }}}
   *
-  * (Custom-operator path (c) from the design notes: expressions are
-  * injected rather than planner rules — every graft operator's plan shape
-  * is already expressible with built-in logical operators, so no custom
-  * Strategy is warranted; see SURVEY.md §7.3.)
+  * (Custom-operator paths (b)+(c) from the design notes: native
+  * expressions for SQL, and one resolution rule —
+  * [[graft.plans.BucketedSetReads]] — that restores the co-partitioned
+  * local-join plan for bucketed sets read through the `graft.*` SQL
+  * catalog. Every other operator's plan shape is already expressible with
+  * built-in logical operators, so no custom Strategy is warranted; see
+  * SURVEY.md §7.3.)
   *
   * The builders live on the companion so the test suite exercises the SAME
   * argument handling the extension installs, not a reimplementation.
@@ -49,5 +54,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       GraftExtensions.wordShinglesBuilder))
+    e.injectResolutionRule(graft.plans.BucketedSetReads(_))
   }
 }

@@ -198,7 +198,13 @@ object Dedup {
     * removed). The hot-bucket cap is computed on the corpus ALONE — never
     * on the arriving data — so matching against the index is invariant to
     * how the new data is batched (the streaming path depends on this).
-    * Callers own the unpersist of both frames.
+    * Callers own the unpersist of both frames — and both RETURNED frames
+    * are the persisted frames themselves: the pruned band frame is
+    * persisted and eagerly materialized here, then the intermediate
+    * full band frame is released before returning. (Returning a plan
+    * DERIVED from a persisted frame would make the caller's unpersist a
+    * no-op — Dataset.unpersist only drops same-result plans — leaking the
+    * band cache for the session lifetime.)
     */
   def corpusLshIndex(
       corpus: DataFrame, idCol: String, textCol: String,
@@ -210,7 +216,11 @@ object Dedup {
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)
       .select(col("band"), col("bkey"))
-    (cSets, cBanded.join(broadcast(hot), Seq("band", "bkey"), "left_anti"))
+    val pruned = cBanded.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+      .persist()
+    pruned.count() // materialize while the base band cache is still hot
+    cBanded.unpersist(blocking = false)
+    (cSets, pruned)
   }
 
   /** Near-dup pairs of `newDocs` AGAINST a [[corpusLshIndex]] — the
@@ -266,32 +276,55 @@ object Dedup {
     * Output is batching-invariant by construction: the hot-bucket cap
     * lives in the index, and each arriving doc's pairs depend only on that
     * doc plus the index — so any batching unions to the one-shot batch
-    * result. At scale the accumulated pair log would append to a sink;
-    * here it accumulates via per-batch checkpoints and is returned when
-    * the stream drains.
+    * result.
+    *
+    * Two accumulation modes for the pair log. With `sink` set to
+    * `(catalog, db, set)`, each batch's pairs APPEND to that stored set
+    * and the returned frame scans it — the production form: the log
+    * lives in reliable storage, nothing driver-anchored grows with the
+    * stream, and a restarted pipeline keeps appending to the same set.
+    * Without a sink (the oracle-query form) the log accumulates as
+    * per-batch driver-held checkpoints and is returned when the stream
+    * drains — fine at fixture scale, but the checkpoint chain is pinned
+    * to this session's executors.
     */
   def streamNearDupPairs(
       stream: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, k: Int = 128, bands: Int = 32,
-      shingleN: Int = 2, maxBucket: Int = 200): DataFrame = {
+      shingleN: Int = 2, maxBucket: Int = 200,
+      sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame = {
     val (cSets, cBanded) =
       corpusLshIndex(corpus, idCol, textCol, k, bands, shingleN, maxBucket)
+    def emptyPairs = crossPairsAgainstIndex(corpus.limit(0), cSets, cBanded,
+      idCol, textCol, threshold, k, bands, shingleN)
+    // sink mode: make sure the log set exists (idempotent — an existing
+    // log is APPENDED to, the restart semantics a standing pipeline needs)
+    sink.foreach { case (cat, db, set) =>
+      if (cat.meta(db, set).isEmpty)
+        cat.createSet(db, set, emptyPairs, policy = "none")
+    }
     var acc: Option[DataFrame] = None
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val pairs = crossPairsAgainstIndex(batch.toDF(), cSets, cBanded,
           idCol, textCol, threshold, k, bands, shingleN)
-        acc = Some(acc.map(_.unionByName(pairs)).getOrElse(pairs)
-          .localCheckpoint(eager = true))
+        sink match {
+          case Some((cat, db, set)) => cat.appendToSet(db, set, pairs)
+          case None =>
+            acc = Some(acc.map(_.unionByName(pairs)).getOrElse(pairs)
+              .localCheckpoint(eager = true))
+        }
         ()
       }
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .start()
     try q.processAllAvailable() finally q.stop()
-    val out = acc.getOrElse(
-      // empty stream: an empty-input run of the same plan, for the schema
-      crossPairsAgainstIndex(corpus.limit(0), cSets, cBanded, idCol, textCol,
-        threshold, k, bands, shingleN))
+    val out = sink match {
+      case Some((cat, db, set)) => cat.scanSet(db, set)
+      case None => acc.getOrElse(
+        // empty stream: an empty-input run of the same plan, for the schema
+        emptyPairs)
+    }
     cSets.unpersist(blocking = false)
     cBanded.unpersist(blocking = false)
     out

@@ -141,11 +141,10 @@ object MlWorkloads2 {
     * next θ, the latter re-normalized per doc and kept as a DataFrame
     * keyed by doc (a shuffle join next iteration). Only φ is gathered to
     * the driver for broadcast — |vocab| × nTopics doubles, the same
-    * O(model) footprint as [[gmmFit]]'s sufficient statistics. The one
-    * non-distributed step is the sin-seeded deterministic init, which
-    * ranks docs globally to reproduce the reference's index-seeded init;
-    * at scale that seed would come from hash(doc) instead (init-only,
-    * does not affect the per-iteration plans).
+    * O(model) footprint as [[gmmFit]]'s sufficient statistics. The
+    * sin-seeded θ init derives each doc's seed from its own id (a
+    * modular residue — no global rank, no single-partition window), so
+    * every stage of the fit is partition-parallel.
     *
     * Returns the word-topic matrix as (word, topic, phi) rows.
     */
@@ -192,9 +191,17 @@ object MlWorkloads2 {
     normalizeCols(phi)
 
     val docNorm = Window.partitionBy(col("d"))
-    // θ₀: sin-seeded from each doc's rank in sorted doc order, row-normalized
+    // θ₀: sin-seeded PER DOC from a modular residue of the doc id,
+    // row-normalized. Partition-free by construction — the earlier
+    // rank-based seed (row_number over a global Window.orderBy) moved
+    // every doc id through ONE partition, the only all-rows
+    // single-partition stage in the engine. A residue of d is the same
+    // deterministic per-doc seed without any exchange, and unlike a
+    // builtin 64-bit hash it is integer-exact to mirror in the DuckDB
+    // oracle (the modulus keeps the sin argument ≤ ~3e7, where both
+    // libms' argument reduction agrees).
     var theta = counts.select(col("d")).distinct()
-      .withColumn("dI", row_number().over(Window.orderBy(col("d"))) - 1)
+      .withColumn("dI", col("d") % 1000003)
       .select(col("d"), col("dI"),
         explode(sequence(lit(0), lit(nTopics - 1))).as("t"))
       .withColumn("raw", lit(0.5) + lit(0.5) *

@@ -1,6 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Window}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
 /** Width guard for compute-heavy per-row stages (interpreted shingle
   * transforms, UDF hashing, brute-force pair loops).
@@ -12,17 +15,44 @@ import org.apache.spark.sql.DataFrame
   * text payload for nothing. So: widen only when the input is narrower
   * than the session's shuffle parallelism.
   *
-  * Call-site contract: pass RAW SCANS (or cheap projections of scans).
-  * The width probe compiles `df.rdd`, which (a) builds a separate
-  * non-adaptive physical plan — cheap for a scan, wasteful for a deep
-  * plan — and (b) under AQE reports the NON-adaptive partition count, so
-  * for post-shuffle inputs the check can misjudge the true runtime width.
-  * Every current call site passes a scan, where both caveats are moot.
+  * The width probe reads the relations' FILE STATISTICS from the logical
+  * plan (`BaseRelation.sizeInBytes`, summed over scan leaves — the same
+  * totals the file-source planner packs splits from, at
+  * `spark.sql.files.maxPartitionBytes` bytes per split): no second
+  * physical plan is compiled and nothing depends on AQE state — the
+  * probe that preceded this one (`df.rdd.getNumPartitions`) compiled a
+  * whole non-adaptive physical plan per call. The estimator is only
+  * meaningful for scan-shaped input (scans, projections/filters/
+  * explodes/unions of scans), so the call-site contract is now
+  * structural: a plan containing a join, aggregate, or window throws
+  * instead of silently misjudging the post-shuffle width. Inputs with no
+  * file leaf at all (streaming micro batches arriving through
+  * foreachBatch, driver-local test frames) have no file statistics and
+  * are by nature small — they widen unconditionally, the same decision
+  * the old partition-count probe made for them.
   */
 object Parallelism {
 
   def ensureWidth(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val conf = df.sparkSession.sessionState.conf
+    val target = conf.numShufflePartitions
+    val plan = df.queryExecution.analyzed
+    require(!plan.exists {
+        case _: Join | _: Aggregate | _: Window => true
+        case _ => false
+      },
+      "ensureWidth is a scan-shaped-input guard: pass scans (or cheap " +
+        "projections/filters/unions of scans), not a joined/aggregated " +
+        s"plan — got:\n${plan.treeString}")
+    val scanBytes = plan.collectLeaves().collect {
+      case lr: LogicalRelation => lr.relation.sizeInBytes
+      case r: DataSourceV2Relation => r.computeStats().sizeInBytes.toLong
+    }
+    if (scanBytes.isEmpty) df.repartition(target)
+    else {
+      val maxSplit = conf.filesMaxPartitionBytes
+      val estWidth = math.max(1L, (scanBytes.sum + maxSplit - 1) / maxSplit)
+      if (estWidth >= target) df else df.repartition(target)
+    }
   }
 }

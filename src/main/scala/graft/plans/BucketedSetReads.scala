@@ -1,0 +1,77 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.catalog.BucketSpec
+import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, V2WriteCommand}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.storage.GraftCatalog
+
+/** Analyzer rule restoring the co-partitioned "local join" fast path for
+  * sets reached THROUGH THE SQL CATALOG (`graft.<db>.<set>`).
+  *
+  * [[graft.storage.SetCatalog.createBucketedSet]] buckets a set on its
+  * join key so later equi-joins plan with zero shuffle exchanges — the
+  * reference engine's local-join payoff (reference: src/builtInPDBObjects/
+  * headers/ScanUserSet.h:69-76, isFollowedByLocalJoin →
+  * PartitionedVectorTupleSetIterator) and the whole point of the Lachesis
+  * placement layer. The DSv2 parquet table the catalog plugin serves has
+  * no bucketing metadata (ParquetTable reports no partitioning), so
+  * without this rule `graft.db.a ⋈ graft.db.b` re-shuffles both sides.
+  *
+  * The rule rewrites each READ of a bucketed set (recorded in the set's
+  * sidecar meta) into the classic bucket-aware file-source relation — the
+  * same physical path `SetCatalog.scanBucketedSet` uses — carrying
+  * `BucketSpec(n, key, key)`. The file-source planner then derives
+  * `HashPartitioning(key, n)` from the bucket ids baked into the file
+  * names, and `EnsureRequirements` elides both exchanges of a same-key
+  * same-n join. Non-bucketed sets keep the native DSv2 scan (its
+  * pushdown/pruning is asserted by CatalogSpec); write commands are left
+  * untouched — bucketed sets are written by `createBucketedSet`, not SQL
+  * INSERT. Pushdown survives the rewrite because v1 file-source pruning
+  * and filter pushdown happen at physical planning, after this rule.
+  */
+case class BucketedSetReads(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // relations that are INSERT targets must stay DSv2 (reference
+    // equality: the write node holds the same relation instance)
+    val writeTargets = plan.collect { case w: V2WriteCommand => w.table }.toSet
+    plan.resolveOperatorsUp {
+      case r: DataSourceV2Relation if !writeTargets.contains(r) =>
+        (r.catalog, r.identifier) match {
+          case (Some(cat: GraftCatalog), Some(ident)) =>
+            cat.bucketLayoutOf(ident)
+              .flatMap { case (path, bcol, n) => rewrite(r, path, bcol, n) }
+              .getOrElse(r)
+          case _ => r
+        }
+    }
+  }
+
+  private def rewrite(
+      r: DataSourceV2Relation, path: String, bucketCol: String,
+      numBuckets: Int): Option[LogicalPlan] = {
+    val v1 = spark.read.parquet(path).queryExecution.analyzed.collectFirst {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] => lr
+    }
+    v1.flatMap { lr =>
+      val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+      val bucketed = fs.copy(bucketSpec =
+        Some(BucketSpec(numBuckets, Seq(bucketCol), Seq(bucketCol))))(spark)
+      val newRel = lr.copy(relation = bucketed)
+      val resolver = spark.sessionState.conf.resolver
+      // re-expose the DSv2 relation's attribute ids so references above
+      // the rewritten scan stay bound
+      val proj: Seq[Option[NamedExpression]] = r.output.map { o =>
+        newRel.output.find(a => resolver(a.name, o.name))
+          .map(a => Alias(a, o.name)(exprId = o.exprId, qualifier = o.qualifier))
+      }
+      if (proj.exists(_.isEmpty)) None
+      else Some(Project(proj.flatten, newRel))
+    }
+  }
+}

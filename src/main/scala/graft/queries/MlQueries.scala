@@ -354,7 +354,7 @@ object MlQueries {
   }
 
   /** Oracle for [[mlLda]]: the PLSA EM unrolled — deterministic sin-seeded
-    * init over sorted word/doc indices, per-(doc,word) topic
+    * init over sorted word indices and per-doc id residues, per-(doc,word) topic
     * responsibilities, column-normalized φ and row-normalized θ per
     * iteration, final φ rounded to 1e-6 like the kernel.
     */
@@ -370,7 +370,7 @@ object MlQueries {
          |  SELECT word, ROW_NUMBER() OVER (ORDER BY word) - 1 AS w
          |  FROM (SELECT DISTINCT word FROM counts) x),
          |di AS (
-         |  SELECT d, ROW_NUMBER() OVER (ORDER BY d) - 1 AS dI
+         |  SELECT d, d % 1000003 AS dI
          |  FROM (SELECT DISTINCT d FROM counts) x),
          |phiraw AS (
          |  SELECT wi.word, wi.w, t.t,

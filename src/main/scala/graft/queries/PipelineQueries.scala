@@ -287,11 +287,22 @@ object PipelineQueries {
     */
   def simIvfIndexed(spark: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(spark, d)
-    val root = java.nio.file.Files.createTempDirectory("graft-ivf").toString
-    val cat = new graft.storage.SetCatalog(spark, root)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
     SimilaritySearch.buildIvfIndex(spark, cat, "idx", "emb", emb)
-    SimilaritySearch.searchIvfIndex(spark, cat, "idx", "emb",
+    val hits = SimilaritySearch.searchIvfIndex(spark, cat, "idx", "emb",
       emb.filter(col("vec_id") < 10), k = 5)
+      // k × queries rows — materialize eagerly so the throwaway index can
+      // be deleted NOW instead of accumulating one copy per invocation
+      // under /tmp (bench runs this query repeatedly per session)
+      .localCheckpoint(true)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rm)
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(root)
+    hits
   }
 
   def txtLangId(spark: SparkSession, d: String): DataFrame =

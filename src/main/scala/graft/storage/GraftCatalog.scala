@@ -57,6 +57,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def schemaPath(ident: Identifier): java.nio.file.Path =
     Paths.get(root, s"${db(ident)}.${ident.name()}.schema")
 
+  /** Bucket layout recorded by [[SetCatalog.createBucketedSet]]'s sidecar
+    * meta, surfaced so the analyzer rule (graft.plans.BucketedSetReads)
+    * can re-plan SQL reads of `graft.<db>.<set>` with the bucket spec —
+    * without it, two co-bucketed sets joined through the SQL catalog
+    * would re-shuffle, losing the engine's local-join payoff (reference:
+    * src/builtInPDBObjects/headers/ScanUserSet.h:69-76). Returns
+    * (data path, bucket column, bucket count) for bucketed sets only.
+    */
+  def bucketLayoutOf(ident: Identifier): Option[(String, String, Int)] = {
+    if (ident.namespace().length != 1) return None
+    val p = metaPath(ident)
+    if (!Files.exists(p)) return None
+    val lines = Files.readString(p).split("\n", -1)
+    if (lines.length > 3 && lines(3) == "bucket" && lines(0).nonEmpty)
+      Some((dir(ident).toString, lines(0), lines(1).toInt))
+    else None
+  }
+
   // -- tables ---------------------------------------------------------
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -154,6 +172,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
+    // SupportsNamespaces contract: an existing leaf namespace has no
+    // children — return empty, don't error (SHOW NAMESPACES IN graft.db)
+    else if (namespaceExists(namespace)) Array.empty
     else throw new NoSuchNamespaceException(namespace)
 
   override def namespaceExists(namespace: Array[String]): Boolean =

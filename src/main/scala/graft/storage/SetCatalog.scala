@@ -78,6 +78,26 @@ final class SetCatalog(spark: SparkSession, root: String) {
   def scanSet(db: String, set: String): DataFrame =
     spark.read.parquet(dir(db, set))
 
+  /** Append rows to an existing set, keeping its recorded layout policy —
+    * the streaming-sink form of [[createSet]] (a foreachBatch writer calls
+    * this once per micro-batch; the reference's dispatcher likewise adds
+    * pages to an existing set rather than rewriting it —
+    * src/builtInPDBObjects/headers/DistributedStorageAddSet.h). The
+    * sidecar row count is advanced by the BATCH's count, not a full
+    * rescan of the set — an append must stay O(batch) however large the
+    * accumulated log grows.
+    */
+  def appendToSet(db: String, set: String, df: DataFrame): Unit = {
+    val m = meta(db, set).getOrElse(throw new IllegalArgumentException(
+      s"appendToSet: set $db.$set does not exist — createSet it first"))
+    val batch = df.persist()
+    val n = batch.count()
+    batch.write.mode(SaveMode.Append).parquet(dir(db, set))
+    batch.unpersist(blocking = false)
+    writeMeta(db, set, m.partitionColumn, m.numPartitions, m.rows + n,
+      m.policy, m.nodeShares)
+  }
+
   /** Directory-partitioned set: one subdirectory per distinct value of
     * `partitionColumn` (Hive layout). Reads filtering on that column prune
     * at the FILE LISTING — including runtime dynamic-partition-pruning

@@ -47,6 +47,37 @@ class CatalogSpec extends GraftSpecBase {
     spark.sql("DROP TABLE graft.scratch.kv")
   }
 
+  test("co-bucketed sets joined THROUGH SQL plan with no shuffle exchange") {
+    val sets = new SetCatalog(spark, root)
+    sets.createBucketedSet("bk", "lineitem",
+      Tables.lineitem(spark, sfDir), "l_orderkey", 4)
+    sets.createBucketedSet("bk", "orders",
+      Tables.orders(spark, sfDir), "o_orderkey", 4)
+    val joined = spark.sql(
+      """SELECT l.l_orderkey, o.o_orderdate
+        |FROM graft.bk.lineitem l JOIN graft.bk.orders o
+        |  ON l.l_orderkey = o.o_orderkey""".stripMargin)
+    // disable broadcast so the join strategy must exploit bucketing
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"SQL join of co-bucketed graft.* sets must not shuffle:\n$plan")
+      assert(joined.count() ==
+        Tables.lineitem(spark, sfDir).count(),
+        "inner join on FK preserves lineitems")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("SHOW NAMESPACES IN an existing leaf namespace returns no children") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.leafns")
+    assert(spark.sql("SHOW NAMESPACES IN graft.leafns").collect().isEmpty)
+    intercept[Exception] {
+      spark.sql("SHOW NAMESPACES IN graft.no_such_ns").collect()
+    }
+  }
+
   test("CTAS, SHOW TABLES, rename, and DROP round-trip") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.scratch")
     spark.sql(

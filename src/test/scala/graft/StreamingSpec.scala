@@ -118,6 +118,43 @@ class StreamingSpec extends GraftSpecBase {
     assert(got == batch && got.nonEmpty)
   }
 
+  test("sink-backed streaming dedup pair log == in-memory mode == one-shot batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") < 25)
+    // tail of the fixture + verbatim re-arrivals of 5 corpus docs: the
+    // planted dups guarantee a nonempty pair log
+    val arriving = docs.filter(col("doc_id") >= 25).unionByName(
+      corpus.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val oneShot = graft.operators.Dedup
+      .crossPairs(arriving, corpus, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+
+    val rows = arriving.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    def runStream(
+        sink: Option[(graft.storage.SetCatalog, String, String)]): Set[Seq[Any]] = {
+      val input = MemoryStream[(Long, String)]
+      input.addData(rows.take(rows.length / 2))
+      input.addData(rows.drop(rows.length / 2))
+      graft.operators.Dedup.streamNearDupPairs(
+        input.toDS().toDF("doc_id", "text"), corpus, "doc_id", "text",
+        sink = sink)
+        .collect().map(_.toSeq).toSet
+    }
+
+    val root = java.nio.file.Files.createTempDirectory("graft-pairlog").toString
+    val cat = new graft.storage.SetCatalog(spark, root)
+    val sinkMode = runStream(Some((cat, "logs", "pairs")))
+    val memMode = runStream(None)
+    assert(sinkMode == oneShot, "sink-backed pair log diverged from batch")
+    assert(memMode == oneShot, "in-memory pair log diverged from batch")
+    // the sidecar meta tracks the appended log without rescanning it
+    assert(cat.meta("logs", "pairs").exists(_.rows == oneShot.size))
+  }
+
   test("stream-stream interval join == batch interval join") {
     val got = graft.queries.StreamingQueries.stJoin(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
