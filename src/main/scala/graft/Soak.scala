@@ -30,6 +30,13 @@ object Soak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional comma-separated family filter (minhash, simhash, clusters,
+    // ccdist, cross) for isolated soak runs
+    val onlyFam = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    def fam(name: String): Boolean = onlyFam.forall(_.contains(name))
+
     val base = graft.model.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
 
@@ -54,33 +61,58 @@ object Soak {
 
       // minhash family: candidate count straight from the shared stage
       var t0 = System.nanoTime()
-      val (ws, banded, cand) = graft.operators.Dedup.lshCandidateFrames(
-        docs, "doc_id", graft.functions.TextFunctions.wordShingles(col("text"), 2),
-        k = 128, bands = 32)
-      val nCand = cand.count()
-      val candSec = (System.nanoTime() - t0) / 1e9
-      t0 = System.nanoTime()
-      val nPairs = graft.operators.Dedup
-        .minhashPairs(docs, "doc_id", "text").count()
-      val pairSec = (System.nanoTime() - t0) / 1e9
-      ws.unpersist(); banded.unpersist()
-      println(f"SOAK minhash m=$m%-3d docs=$nDocs%-8d candidates=$nCand%-9d " +
-        f"verified=$nPairs%-7d cand_s=$candSec%.1f full_s=$pairSec%.1f")
+      if (fam("minhash")) {
+        val (ws, banded, cand) = graft.operators.Dedup.lshCandidateFrames(
+          docs, "doc_id", graft.functions.TextFunctions.wordShingles(col("text"), 2),
+          k = 128, bands = 32)
+        val nCand = cand.count()
+        val candSec = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val nPairs = graft.operators.Dedup
+          .minhashPairs(docs, "doc_id", "text").count()
+        val pairSec = (System.nanoTime() - t0) / 1e9
+        ws.unpersist(); banded.unpersist()
+        println(f"SOAK minhash m=$m%-3d docs=$nDocs%-8d candidates=$nCand%-9d " +
+          f"verified=$nPairs%-7d cand_s=$candSec%.1f full_s=$pairSec%.1f")
+      }
 
       // simhash family: its candidate set IS the quarter-band join output
-      t0 = System.nanoTime()
-      val nSim = graft.operators.Dedup
-        .simhashPairs(docs, "doc_id", "text").count()
-      val simSec = (System.nanoTime() - t0) / 1e9
-      println(f"SOAK simhash m=$m%-3d docs=$nDocs%-8d pairs=$nSim%-9d s=$simSec%.1f")
+      if (fam("simhash")) {
+        t0 = System.nanoTime()
+        val nSim = graft.operators.Dedup
+          .simhashPairs(docs, "doc_id", "text").count()
+        val simSec = (System.nanoTime() - t0) / 1e9
+        println(f"SOAK simhash m=$m%-3d docs=$nDocs%-8d pairs=$nSim%-9d s=$simSec%.1f")
+      }
 
-      // clustering over the minhash pair graph
-      t0 = System.nanoTime()
-      val pairs = graft.operators.Dedup.minhashPairs(docs, "doc_id", "text")
-        .select(col("id_a"), col("id_b"))
-      val nClustered = graft.operators.Dedup.dupClusters(pairs).count()
-      val clSec = (System.nanoTime() - t0) / 1e9
-      println(f"SOAK clusters m=$m%-3d docs=$nDocs%-8d members=$nClustered%-9d s=$clSec%.1f")
+      // clustering over the minhash pair graph — driver union-find regime
+      if (fam("clusters") || fam("ccdist")) {
+        t0 = System.nanoTime()
+        val pairs = graft.operators.Dedup.minhashPairs(docs, "doc_id", "text")
+          .select(col("id_a"), col("id_b")).localCheckpoint(true)
+        if (fam("clusters")) {
+          t0 = System.nanoTime()
+          val nClustered = graft.operators.Dedup.dupClusters(pairs).count()
+          val clSec = (System.nanoTime() - t0) / 1e9
+          println(f"SOAK clusters m=$m%-3d docs=$nDocs%-8d members=$nClustered%-9d s=$clSec%.1f")
+        }
+
+        // distributed regime on the SAME pair graph: driver gate off, so
+        // the pointer-doubled min-label loop must answer — measures the
+        // pass count against its O(log diameter) bound and its wall
+        // against the union-find path (the pair graph is checkpointed
+        // above, so neither regime pays the LSH plan again)
+        if (fam("ccdist")) {
+          t0 = System.nanoTime()
+          spark.conf.set("spark.graft.dedup.cc.driverMaxPairs", "0")
+          val nDist =
+            try graft.operators.Dedup.dupClusters(pairs).count()
+            finally spark.conf.unset("spark.graft.dedup.cc.driverMaxPairs")
+          val distSec = (System.nanoTime() - t0) / 1e9
+          println(f"SOAK ccdist   m=$m%-3d docs=$nDocs%-8d members=$nDist%-9d " +
+            f"passes=${graft.operators.Dedup.lastCcPasses}%-3d s=$distSec%.1f")
+        }
+      }
 
       // ingest-time cross dedup: first replica plays the corpus index,
       // the rest arrive — corpus stays FIXED while arrivals grow, the
@@ -88,7 +120,7 @@ object Soak {
       // replicas share nothing with the corpus (background traffic);
       // every 50th corpus doc additionally RE-ARRIVES verbatim per
       // replica, so true cross pairs grow linearly in m by construction.
-      if (m > 1) {
+      if (m > 1 && fam("cross")) {
         t0 = System.nanoTime()
         val planted = (1 until m).map { i =>
           base.filter(col("doc_id") % 50 === 0)

@@ -358,6 +358,13 @@ object Dedup {
     * checkpoints — the convergence check is a driver action anyway,
     * mirroring the reference's client-side iteration (SURVEY.md §2.6).
     */
+  /** Diagnostic: passes the last distributed [[dupClusters]] run took to
+    * converge (−1 when the driver union-find regime answered instead).
+    * Read by graft.Soak to report the measured pass count against the
+    * O(log diameter) bound.
+    */
+  @volatile private[graft] var lastCcPasses: Int = -1
+
   def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
     val longIds = pairs.schema.fields.take(2).forall(
@@ -370,6 +377,7 @@ object Dedup {
       if (n <= gate) {
         val edges = p.collect().map(r => (r.getLong(0), r.getLong(1)))
         p.unpersist(blocking = false)
+        lastCcPasses = -1
         import spark.implicits._
         return unionFindMinLabel(edges).toSeq
           .toDF("doc_id", "cluster_id")
@@ -405,6 +413,7 @@ object Dedup {
       i += 1
     }
     edges.unpersist(blocking = false)
+    lastCcPasses = i
     // min-label propagation converges in O(component diameter) passes; a
     // silent exit with labels still moving would return WRONG cluster ids
     // for long duplicate chains, so non-convergence is an error, not a

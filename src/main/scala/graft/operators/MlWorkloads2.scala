@@ -193,7 +193,7 @@ object MlWorkloads2 {
     val docNorm = Window.partitionBy(col("d"))
     // θ₀: sin-seeded PER DOC from a modular residue of the doc id,
     // row-normalized. Partition-free by construction — the earlier
-    // rank-based seed (row_number over a global Window.orderBy) moved
+    // rank-based seed (row_number over a global order-only window) moved
     // every doc id through ONE partition, the only all-rows
     // single-partition stage in the engine. A residue of d is the same
     // deterministic per-doc seed without any exchange, and unlike a

@@ -94,6 +94,32 @@ object LaQueries {
       | round(CAST(embedding[g.k] AS DOUBLE) * CAST(embedding[g.k] AS DOUBLE), 6) AS v
       |FROM embeddings, generate_series(1,64) g(k)""".stripMargin
 
+  /** Dense multiply Y = X %*% W (n×64 · 64×8) — the baseline's headline
+    * matrix-multiply anchor (reference: DSLSamples, LASillyMultiply*.h;
+    * BASELINE.md's TensorFlow-comparison task) registered directly, in
+    * the general `%*%` form with a non-square result (la_gram covers the
+    * transpose-multiply `'*` special case). W is formula-seeded (sin of
+    * the row-major index, like ml_ff_inference's weights) so the oracle
+    * inlines bit-identical weights; the 64-wide inner product sums as two
+    * 32-wide block partials, which the SQL mirrors exactly.
+    */
+  def laMultiply(spark: SparkSession, d: String): DataFrame = {
+    val (x, _) = matrixOf(spark, d)
+    val w = BlockMatrix.fromLocal(spark,
+      Array.tabulate(64 * 8)(i => math.sin(i.toDouble)), 64, 8, 32, 8)
+    val out = Pdml.run(spark, "Y = X %*% W", Map("X" -> x, "W" -> w))
+    cells(out("Y"))
+  }
+
+  val laMultiplySql: String =
+    """SELECT e.vec_id AS i, CAST(j AS BIGINT) AS j,
+      | round(
+      |  (SELECT SUM(CAST(e.embedding[k+1] AS DOUBLE) * sin(CAST(k*8+j AS DOUBLE)))
+      |   FROM generate_series(0,31) g(k)) +
+      |  (SELECT SUM(CAST(e.embedding[k+1] AS DOUBLE) * sin(CAST(k*8+j AS DOUBLE)))
+      |   FROM generate_series(32,63) g(k)), 6) AS v
+      |FROM embeddings e, generate_series(0,7) gj(j)""".stripMargin
+
   /** G %*% G^-1 = I — multiply + driver-gathered Gauss-Jordan inverse
     * (reference: LASillyInverse*.h gathers the full matrix too; SURVEY.md
     * §7.4 risk 5). Output: off-diagonal max |v|, diagonal max |v-1| —
@@ -113,6 +139,7 @@ object LaQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "la_gram" -> laGram,
+    "la_multiply" -> laMultiply,
     "la_rowsum" -> laRowSum,
     "la_colsum" -> laColSum,
     "la_hadamard" -> laHadamard,
@@ -121,6 +148,7 @@ object LaQueries {
 
   val oracles: Map[String, String] = Map(
     "la_gram" -> laGramSql,
+    "la_multiply" -> laMultiplySql,
     "la_rowsum" -> laRowSumSql,
     "la_colsum" -> laColSumSql,
     "la_hadamard" -> laHadamardSql,

@@ -132,12 +132,22 @@ object EventStreams {
     * client-side iteration, SURVEY.md §2.6).
     *
     * Scale: the merge is one groupBy per batch over snapshot ∪ batch,
-    * shuffled on the key — at production scale the snapshot would live in
-    * a keyed table (bucketed parquet via [[graft.storage.SetCatalog]]) so
-    * the union reads co-partitioned and the merge is exchange-free on the
-    * snapshot side.
+    * shuffled on the key.
+    *
+    * Two homes for the snapshot. With `sink` set to `(catalog, db,
+    * set)`, it lives in a stored set: each batch reads the set, merges,
+    * and rewrites it (staged through a transient checkpoint so the read
+    * and the overwrite never race) — the copy-on-write loop every
+    * table-format upsert sink (Delta/Iceberg/Hudi) runs per commit, with
+    * the durable copy in reliable storage and nothing driver-anchored
+    * growing with the stream; a restarted pipeline keeps merging into
+    * the same set. Without a sink (the oracle-query form) the snapshot
+    * is a driver-referenced checkpoint chain advanced per batch — fine
+    * at fixture scale, pinned to this session's executors.
     */
-  def upsertSnapshot(stream: DataFrame): DataFrame = {
+  def upsertSnapshot(
+      stream: DataFrame,
+      sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame = {
     def latestPerKey(df: DataFrame): DataFrame =
       df.groupBy(col("user_id"))
         .agg(max_by(
@@ -146,25 +156,45 @@ object EventStreams {
         .select(col("user_id"), col("s.ts").as("ts"),
           col("s.event_id").as("event_id"),
           col("s.event_type").as("event_type"), col("s.value").as("value"))
+    val cols = Seq(col("user_id"), col("ts"), col("event_id"),
+      col("event_type"), col("value"))
+    // sink mode needs no init: the first batch creates the set, a later
+    // run finds it and keeps merging into it (restart semantics)
     var snapshot: Option[DataFrame] = None
     val q = stream
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
-        col("value"))
+      .select(cols: _*)
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val compacted = latestPerKey(batch.toDF())
-        val merged = snapshot match {
-          case Some(s) => latestPerKey(s.unionByName(compacted))
-          case None => compacted
+        sink match {
+          case Some((cat, db, set)) =>
+            val prior =
+              if (cat.meta(db, set).exists(_.rows > 0))
+                Some(cat.scanSet(db, set)) else None
+            val merged = prior match {
+              case Some(s) => latestPerKey(s.unionByName(compacted))
+              case None => compacted
+            }
+            // stage: the merge READS the set it is about to overwrite
+            val staged = merged.localCheckpoint(eager = true)
+            cat.createSet(db, set, staged, policy = "none")
+          case None =>
+            snapshot = Some((snapshot match {
+              case Some(s) => latestPerKey(s.unionByName(compacted))
+              case None => compacted
+            }).localCheckpoint(eager = true))
         }
-        snapshot = Some(merged.localCheckpoint(eager = true))
         ()
       }
       .outputMode(OutputMode.Append)
       .start()
     try q.processAllAvailable() finally q.stop()
-    snapshot.getOrElse(
-      stream.sparkSession.emptyDataFrame)
+    sink match {
+      case Some((cat, db, set)) =>
+        if (cat.meta(db, set).exists(_.rows > 0)) cat.scanSet(db, set)
+        else stream.sparkSession.emptyDataFrame
+      case None => snapshot.getOrElse(stream.sparkSession.emptyDataFrame)
+    }
   }
 
   /** Streaming parquet sink: the full readStream → transform → writeStream

@@ -86,6 +86,37 @@ class StreamingSpec extends GraftSpecBase {
     assert(out(8L) == ((4L, "click")), s"user 8 got ${out(8L)}")
   }
 
+  test("sink-backed upsert snapshot == in-memory snapshot, and survives restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val cat = new graft.storage.SetCatalog(spark, root)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("event_id"), r.getAs[String]("event_type")))).toMap
+
+    val run1 = MemoryStream[Event]
+    run1.addData(Event(1, new Timestamp(1704067200000L + 20 * 60000L), 7,
+      "view", 1.0, "{}"), ev(2, 8, 0))
+    val snap1 = key(EventStreams.upsertSnapshot(run1.toDS().toDF(),
+      sink = Some((cat, "state", "latest"))))
+    assert(snap1 == Map(7L -> ((1L, "view")), 8L -> ((2L, "view"))))
+
+    // a SECOND stream run against the same set: the out-of-order pair
+    // from the in-memory test, now split across pipeline restarts — the
+    // stored snapshot must carry the state between them
+    val run2 = MemoryStream[Event]
+    run2.addData(Event(3, new Timestamp(1704067200000L + 5 * 60000L), 7,
+      "click", 9.0, "{}"),
+      Event(4, new Timestamp(1704067200000L + 30 * 60000L), 8,
+        "click", 2.0, "{}"))
+    val snap2 = key(EventStreams.upsertSnapshot(run2.toDS().toDF(),
+      sink = Some((cat, "state", "latest"))))
+    assert(snap2(7L) == ((1L, "view")),
+      s"older cross-restart event overwrote: ${snap2(7L)}")
+    assert(snap2(8L) == ((4L, "click")), s"user 8 got ${snap2(8L)}")
+  }
+
   test("streaming parquet sink lands exactly the filtered rows") {
     val out = "/tmp/graft-test-stream-sink"
     val ckpt = "/tmp/graft-test-stream-ckpt"
