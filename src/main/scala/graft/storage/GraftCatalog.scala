@@ -30,6 +30,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * adds name resolution only, nothing sits between Catalyst and the
   * files, so 100 TB scans plan identically to `spark.read.parquet`).
   */
+/** Read-side delegate that hides a table's write capability — served for
+  * bucketed sets, whose layout only [[SetCatalog.createBucketedSet]] may
+  * produce (see [[GraftCatalog.loadTable]]).
+  */
+private[storage] class ReadOnlyTable(delegate: Table)
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+  override def name(): String = delegate.name()
+  override def schema(): StructType = delegate.schema()
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    delegate.capabilities().asScala
+      .filter(_ == org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+      .asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    delegate.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(options)
+}
+
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var root: String = _
@@ -99,10 +117,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           .fromJson(Files.readString(schemaPath(ident)))
           .asInstanceOf[StructType])
       else None
-    ParquetTable(
+    val table = ParquetTable(
       s"$catalogName.${db(ident)}.${ident.name()}", spark,
       CaseInsensitiveStringMap.empty(), Seq(path.toString), declared,
       classOf[ParquetFileFormat])
+    // A bucketed set's files carry bucket ids in their NAMES and every
+    // row must sit in its key's bucket file — a plain SQL INSERT would
+    // drop unbucketed files into the directory and silently break the
+    // bucket contract the zero-exchange join plan relies on. So bucketed
+    // sets are read-only through SQL; rewrites go through
+    // SetCatalog.createBucketedSet (the reference's dispatcher likewise
+    // owns placement — data enters a partitioned set only through it).
+    if (bucketLayoutOf(ident).isDefined) new ReadOnlyTable(table) else table
   }
 
   override def createTable(

@@ -90,6 +90,9 @@ final class SetCatalog(spark: SparkSession, root: String) {
   def appendToSet(db: String, set: String, df: DataFrame): Unit = {
     val m = meta(db, set).getOrElse(throw new IllegalArgumentException(
       s"appendToSet: set $db.$set does not exist — createSet it first"))
+    require(m.policy != "bucket",
+      s"appendToSet: $db.$set is bucketed — appending unbucketed files " +
+        "would break the bucket contract; rewrite via createBucketedSet")
     val batch = df.persist()
     val n = batch.count()
     batch.write.mode(SaveMode.Append).parquet(dir(db, set))

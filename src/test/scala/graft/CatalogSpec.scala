@@ -70,6 +70,17 @@ class CatalogSpec extends GraftSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed sets are read-only through SQL (INSERT would break the bucket layout)") {
+    val sets = new SetCatalog(spark, root)
+    sets.createBucketedSet("bk2", "nation",
+      Tables.nation(spark, sfDir), "n_nationkey", 2)
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.bk2.nation SELECT * FROM graft.bk2.nation")
+    }
+    assert(spark.sql("SELECT COUNT(*) FROM graft.bk2.nation")
+      .head().getLong(0) == 25L, "reads must survive the write guard")
+  }
+
   test("SHOW NAMESPACES IN an existing leaf namespace returns no children") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.leafns")
     assert(spark.sql("SHOW NAMESPACES IN graft.leafns").collect().isEmpty)
