@@ -209,4 +209,41 @@ class PipelineSpec extends GraftSpecBase {
       .head().getSeq[String](0)
     assert(out == Seq("abc", "bcd"))
   }
+
+  test("ensureWidth: widens small scans and in-memory frames, rejects derived plans") {
+    import spark.implicits._
+    import graft.operators.Parallelism.ensureWidth
+    val target = spark.sessionState.conf.numShufflePartitions
+    // the fixture documents table is one small file — must widen
+    val docs = Tables.documents(spark, sfDir)
+    assert(ensureWidth(docs).rdd.getNumPartitions == target)
+    // a union of scans (the Soak corpus shape) still widens
+    assert(ensureWidth(docs.unionByName(docs)).rdd.getNumPartitions == target)
+    // an in-memory frame (foreachBatch micro-batch shape) widens too
+    assert(ensureWidth(Seq((1L, "a")).toDF("doc_id", "text"))
+      .rdd.getNumPartitions == target)
+    // joined/aggregated plans violate the scan-shaped contract: throw,
+    // don't silently misjudge the post-shuffle width
+    intercept[IllegalArgumentException] {
+      ensureWidth(docs.groupBy(col("doc_id")).count())
+    }
+    intercept[IllegalArgumentException] {
+      ensureWidth(docs.join(docs.select(col("doc_id")), Seq("doc_id")))
+    }
+  }
+
+  test("corpusLshIndex returns the PERSISTED band frame, so unpersist really frees it") {
+    // regression: the index used to return an anti-join DERIVED from the
+    // persisted frame — the caller's unpersist matched nothing and the
+    // band cache leaked for the session lifetime
+    val corpus = Tables.documents(spark, sfDir).filter(col("doc_id") < 25)
+    val (cSets, cBanded) = Dedup.corpusLshIndex(corpus, "doc_id", "text")
+    assert(cSets.storageLevel.useMemory,
+      "returned shingle-set frame is not the persisted one")
+    assert(cBanded.storageLevel.useMemory,
+      "returned band frame is not the persisted one (unpersist would no-op)")
+    cSets.unpersist(blocking = true)
+    cBanded.unpersist(blocking = true)
+    assert(!cSets.storageLevel.useMemory && !cBanded.storageLevel.useMemory)
+  }
 }
