@@ -31,6 +31,34 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Corpus mixing by target weights — the "data mixing" step of a
+    * pretraining pipeline (rebalance languages/sources to target
+    * proportions before tokenization). Each stratum g gets quota
+    * ⌊w_g/Σw × total⌋ rows, chosen in the same reproducible md5 order as
+    * [[stratified]]; strata missing from `weights` contribute nothing,
+    * and a stratum shorter than its quota contributes all it has (the
+    * standard under-sampled-language behavior — upsampling/repetition is
+    * a policy decision left to the caller). One windowed rank per
+    * stratum, same spill/scale shape as [[stratified]].
+    */
+  def mixByWeights(
+      df: DataFrame, stratum: Column, id: Column,
+      weights: Map[String, Double], total: Int): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixByWeights needs positive stratum weights")
+    val sum = weights.values.sum
+    val quota = weights.foldLeft(lit(0L)) { case (acc, (g, w)) =>
+      when(stratum === g, lit(math.floor(w / sum * total).toLong))
+        .otherwise(acc)
+    }
+    val win = Window.partitionBy(stratum)
+      .orderBy(md5(id.cast("string").cast("binary")), id)
+    df.withColumn("__q", quota)
+      .withColumn("__rk", row_number().over(win))
+      .filter(col("__rk") <= col("__q"))
+      .drop("__q", "__rk")
+  }
+
   /** Weighted sample without replacement, k rows, inclusion probability
     * proportional to `weight` — Efraimidis–Spirakis A-ES: each row gets
     * key ln(u)/w for a uniform u and the k LARGEST keys win. u is

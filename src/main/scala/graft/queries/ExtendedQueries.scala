@@ -452,7 +452,88 @@ object ExtendedQueries {
       |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 60
       |GROUP BY l_returnflag""".stripMargin
 
+  /** Language-rebalancing corpus mix: en weighted 0.5, the four other
+    * fixture languages 0.125 each, 200-doc budget → quotas 100/25/25/25/
+    * 25 in reproducible md5 order ([[graft.operators.Sampling
+    * .mixByWeights]] — the "data mixing" step of a pretraining pipeline,
+    * here downsampling the en-heavy fixture toward balance).
+    */
+  private val mixWeights = Map(
+    "en" -> 0.5, "de" -> 0.125, "zh" -> 0.125, "fr" -> 0.125, "es" -> 0.125)
+
+  def mixSample(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.mixByWeights(
+      Tables.documents(spark, d), col("lang"), col("doc_id"),
+      mixWeights, total = 200)
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  val mixSampleSql: String = {
+    val sum = mixWeights.values.sum
+    val cases = mixWeights.toSeq.sortBy(_._1).map { case (g, w) =>
+      s"WHEN '$g' THEN ${math.floor(w / sum * 200).toLong}"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang, source FROM (
+       |  SELECT doc_id, lang, source,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+       |      md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM documents) t
+       |WHERE rk <= CASE lang $cases ELSE 0 END""".stripMargin
+  }
+
+  /** Ordered view→click→purchase funnel over the events fixture
+    * ([[graft.operators.EventAnalytics.funnel]], first-touch,
+    * strictly-after semantics).
+    */
+  def funnel(spark: SparkSession, d: String): DataFrame =
+    graft.operators.EventAnalytics.funnel(
+      Tables.events(spark, d), "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+
+  /** Chained first-touch CTEs; all timestamp math on epoch_ns//1000
+    * (microseconds) because the Spark-side read truncates the fixture's
+    * nanosecond timestamps to micros — a strict `>` at nanosecond
+    * precision could admit pairs the micro-truncated engine sees as
+    * simultaneous.
+    */
+  val funnelSql: String =
+    """WITH raw AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+      |s1 AS (SELECT user_id, MIN(us) AS t FROM raw
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT r.user_id, MIN(r.us) AS t FROM raw r
+      |       JOIN s1 ON r.user_id = s1.user_id AND r.us > s1.t
+      |       WHERE r.event_type = 'click' GROUP BY 1),
+      |s3 AS (SELECT r.user_id, MIN(r.us) AS t FROM raw r
+      |       JOIN s2 ON r.user_id = s2.user_id AND r.us > s2.t
+      |       WHERE r.event_type = 'purchase' GROUP BY 1)
+      |SELECT CAST(1 AS INT) AS stage, 'view' AS event_type,
+      |       (SELECT COUNT(*) FROM s1) AS users
+      |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+      |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)""".stripMargin
+
+  /** Weekly cohort retention over events
+    * ([[graft.operators.EventAnalytics.retention]], integer epoch-week
+    * cohorts).
+    */
+  def retention(spark: SparkSession, d: String): DataFrame =
+    graft.operators.EventAnalytics.retention(
+      Tables.events(spark, d), "user_id", "ts")
+
+  val retentionSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_ns(ts) // 1000 // 1000000 // 604800 AS w
+      |  FROM events),
+      |c AS (SELECT user_id, MIN(w) AS cw FROM uw GROUP BY 1)
+      |SELECT c.cw AS cohort_week, uw.w - c.cw AS week_offset,
+      |  COUNT(*) AS users
+      |FROM uw JOIN c ON uw.user_id = c.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_mix_sample" -> mixSample,
+    "op_funnel" -> funnel,
+    "op_retention" -> retention,
     "op_cube" -> cube,
     "op_pivot" -> pivot,
     "op_window_suite" -> windowSuite,
@@ -472,6 +553,9 @@ object ExtendedQueries {
     "ml_kmeans" -> kmeans)
 
   val oracles: Map[String, String] = Map(
+    "op_mix_sample" -> mixSampleSql,
+    "op_funnel" -> funnelSql,
+    "op_retention" -> retentionSql,
     "op_cube" -> cubeSql,
     "op_pivot" -> pivotSql,
     "op_window_suite" -> windowSuiteSql,

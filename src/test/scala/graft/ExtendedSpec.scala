@@ -7,9 +7,59 @@ import graft.operators.RangeJoin
 import graft.queries.ExtendedQueries
 
 /** Extended-capability operators: banded range join, shingle expression
-  * semantics, grouping sets, stats aggregates, sketch bounds, kmeans.
+  * semantics, grouping sets, stats aggregates, sketch bounds, kmeans,
+  * funnel/retention/mixing.
   */
 class ExtendedSpec extends GraftSpecBase {
+
+  test("funnel binds stages first-touch and strictly after the prior stage") {
+    import spark.implicits._
+    def t(m: Long) = new java.sql.Timestamp(1704067200000L + m * 60000L)
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", t(0)), (1L, "click", t(10)), (1L, "purchase", t(20)),
+      // user 2: click BEFORE view, no click after → stops at view
+      (2L, "click", t(0)), (2L, "view", t(5)), (2L, "purchase", t(9)),
+      // user 3: view only
+      (3L, "view", t(0)),
+      // user 4: click at the SAME instant as view — strictly-after
+      // semantics must not count it
+      (4L, "view", t(0)), (4L, "click", t(0)))
+      .toDF("user_id", "event_type", "ts")
+    val got = graft.operators.EventAnalytics
+      .funnel(ev, "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, "view", 4L), (2, "click", 1L), (3, "purchase", 1L)))
+  }
+
+  test("retention cohorts by first epoch week and counts return visits") {
+    import spark.implicits._
+    val week = 604800L * 1000
+    def t(w: Long) = new java.sql.Timestamp(2800L * week + w * week + 1000L)
+    val ev = Seq(
+      (1L, t(0)), (1L, t(0)), (1L, t(2)), // user 1: week 0 and week 2
+      (2L, t(0)),                         // user 2: week 0 only
+      (3L, t(1)))                         // user 3: cohort week 1
+      .toDF("user_id", "ts")
+    val got = graft.operators.EventAnalytics.retention(ev, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (2800L, 0L) -> 2L, (2800L, 2L) -> 1L, (2801L, 0L) -> 1L))
+  }
+
+  test("mixByWeights honors quotas, short strata, and unweighted strata") {
+    import spark.implicits._
+    val df = ((1 to 8).map(i => (i.toLong, "a")) ++
+      Seq((100L, "b"), (101L, "b")) ++
+      Seq((200L, "c"))).toDF("id", "g")
+    val out = graft.operators.Sampling
+      .mixByWeights(df, col("g"), col("id"), Map("a" -> 0.5, "b" -> 0.5), 8)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byG = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // quota 4 each; b only has 2 rows (under-sampled stratum keeps all);
+    // c carries no weight and is dropped
+    assert(byG == Map("a" -> 4, "b" -> 2), s"got $byG")
+  }
 
   test("merge upsert applies I/U/D and leaves untouched keys alone") {
     import spark.implicits._
