@@ -192,6 +192,31 @@ object SimilaritySearch {
       "bucket")
   }
 
+  /** Incrementally extend a persisted IVF index: assign the NEW vectors
+    * with the index's EXISTING codebook and append them into the
+    * bucket-partitioned vector set — no retrain, no rewrite of standing
+    * data, one scan of the batch. This is how a standing ANN index keeps
+    * up with a continuously-embedding ingest pipeline; the codebook only
+    * needs retraining when the corpus distribution drifts enough that
+    * cell sizes skew (rebuild = [[buildIvfIndex]], a policy decision).
+    * Search results over build(A)+append(B) are IDENTICAL to an index
+    * whose vectors were all assigned under A's codebook in one pass —
+    * assignment depends only on (vector, codebook).
+    */
+  def appendToIvfIndex(
+      spark: SparkSession, catalog: graft.storage.SetCatalog,
+      db: String, name: String, newEmb: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val centroids = catalog.scanSet(db, s"${name}_centroids")
+      .orderBy(col("bucket")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val assign = nearestUdf(centroids)
+    catalog.appendToPartitionedSet(db, s"${name}_vectors",
+      newEmb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+        l2Norm(col(vecCol)).as("n_nrm"), assign(col(vecCol)).as("bucket")),
+      "bucket")
+  }
+
   /** Search a persisted IVF index: load the codebook (tiny), compute each
     * query's `nprobe` buckets, and join the broadcast probes against the
     * partitioned vector set — the bucket is the partition directory, so

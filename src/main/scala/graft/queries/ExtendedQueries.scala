@@ -288,7 +288,7 @@ object ExtendedQueries {
     * distance with lowest-cluster tiebreak; update = per-dimension mean
     * with empty clusters keeping their old centroid.
     */
-  def lloydCtes(k: Int, iters: Int): String = {
+  def lloydCtes(k: Int, iters: Int, sourceWhere: String = ""): String = {
     // The trainer iterates over a bounded deterministic-hash sample —
     // the 10000 rows with the smallest (md5(vec_id), vec_id), the same
     // kernel as op_stratified_sample — so the training CTEs read the
@@ -297,12 +297,15 @@ object ExtendedQueries {
     // full table. Seeds are the first $k sample rows and centroid labels
     // are their 0-based sample ranks, matching the trainer's array
     // indices (the argmin tiebreak orders by that label).
+    // `sourceWhere` restricts the TRAINING corpus (e.g. the already-built
+    // half of an incrementally-appended index); assignment CTEs authored
+    // by callers still scan whatever corpus they choose.
     val base =
       s"""WITH se AS (
          |  SELECT * FROM (
          |    SELECT e.*, ROW_NUMBER() OVER (
          |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srk
-         |    FROM embeddings e) z WHERE srk <= 10000),
+         |    FROM embeddings e $sourceWhere) z WHERE srk <= 10000),
          |c0 AS (
          |  SELECT srk - 1 AS k, g.i - 1 AS i, CAST(embedding[g.i] AS DOUBLE) AS v
          |  FROM se, generate_series(1, 64) g(i) WHERE srk <= $k)""".stripMargin

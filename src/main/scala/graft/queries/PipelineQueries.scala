@@ -242,9 +242,14 @@ object PipelineQueries {
     * probed buckets only (the oracle reproduces the ANN's bucket pruning,
     * not a brute-force scan — results match the operator exactly).
     */
-  val simIvfSql: String =
-    ExtendedQueries.lloydCtes(16, 3) + ",\n" +
-      """bdist AS (
+  /** IVF probing + scoring tail shared by every IVF oracle: coarse
+    * assignment of the WHOLE corpus under the trained codebook (`c3`),
+    * 4-bucket probes for the query set, exact rounded cosine within the
+    * probed buckets, top-5. Which corpus TRAINED the codebook is the
+    * caller's choice via lloydCtes' sourceWhere.
+    */
+  private val ivfSearchTailSql: String =
+    """bdist AS (
         |  SELECT e.vec_id AS r, c.k,
         |    SUM((CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v) *
         |        (CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v)) AS dist
@@ -278,6 +283,17 @@ object PipelineQueries {
         |         ORDER BY cos DESC, neighbor_id) AS INT) AS rank
         |  FROM scored) t WHERE rank <= 5""".stripMargin
 
+  val simIvfSql: String =
+    ExtendedQueries.lloydCtes(16, 3) + ",\n" + ivfSearchTailSql
+
+  /** Codebook trained on the BUILT half only (vec_id < 250); assignment
+    * in the shared tail still covers the whole corpus — exactly what
+    * build(A) + append(B) produces.
+    */
+  val simIvfAppendSql: String =
+    ExtendedQueries.lloydCtes(16, 3, "WHERE vec_id < 250") + ",\n" +
+      ivfSearchTailSql
+
   /** The persisted-index variant of [[simIvf]]: build the IVF index into a
     * throwaway set catalog (codebook set + bucket-partitioned vector set),
     * then search it. Same deterministic kernels end to end, so the oracle
@@ -295,6 +311,34 @@ object PipelineQueries {
       // k × queries rows — materialize eagerly so the throwaway index can
       // be deleted NOW instead of accumulating one copy per invocation
       // under /tmp (bench runs this query repeatedly per session)
+      .localCheckpoint(true)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rm)
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(root)
+    hits
+  }
+
+  /** Incremental-maintenance variant of [[simIvfIndexed]]: build the
+    * index on the first half of the corpus, APPEND the second half with
+    * the standing codebook ([[SimilaritySearch.appendToIvfIndex]] — the
+    * continuous-ingest path: no retrain, no rewrite), then search. The
+    * oracle trains its Lloyd CTEs on the built half only and assigns the
+    * whole corpus with that codebook, which is exactly what the appended
+    * index contains.
+    */
+  def simIvfAppend(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfa")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    SimilaritySearch.buildIvfIndex(spark, cat, "idx", "emb",
+      emb.filter(col("vec_id") < 250))
+    SimilaritySearch.appendToIvfIndex(spark, cat, "idx", "emb",
+      emb.filter(col("vec_id") >= 250))
+    val hits = SimilaritySearch.searchIvfIndex(spark, cat, "idx", "emb",
+      emb.filter(col("vec_id") < 10), k = 5)
       .localCheckpoint(true)
     def rm(p: java.nio.file.Path): Unit = {
       if (java.nio.file.Files.isDirectory(p))
@@ -369,6 +413,7 @@ object PipelineQueries {
     "sim_topk" -> simTopK,
     "sim_ivf_topk" -> simIvf,
     "sim_ivf_indexed" -> simIvfIndexed,
+    "sim_ivf_append" -> simIvfAppend,
     "txt_langid" -> txtLangId,
     "txt_quality" -> txtQuality,
     "txt_tokens" -> txtTokens,
@@ -391,6 +436,7 @@ object PipelineQueries {
     "sim_topk" -> simTopKSql,
     "sim_ivf_topk" -> simIvfSql,
     "sim_ivf_indexed" -> simIvfSql,
+    "sim_ivf_append" -> simIvfAppendSql,
     "txt_langid" -> TextAnalysis.languageIdSql,
     "txt_quality" -> TextAnalysis.qualityScoreSql,
     "txt_tokens" -> TextAnalysis.tokenStatsSql,

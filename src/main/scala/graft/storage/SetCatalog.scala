@@ -118,6 +118,29 @@ final class SetCatalog(spark: SparkSession, root: String) {
     writeMeta(db, set, Some(partitionColumn), 0, rows, "dirpart")
   }
 
+  /** Append rows to an existing directory-partitioned set: new files land
+    * inside their partition-value directories (existing or new), so every
+    * pruning property of [[createPartitionedSet]] — file-listing pruning,
+    * dynamic partition pruning — holds for the appended rows with no
+    * rewrite of the standing data. O(batch) like [[appendToSet]].
+    */
+  def appendToPartitionedSet(
+      db: String, set: String, df: DataFrame, partitionColumn: String): Unit = {
+    val m = meta(db, set).getOrElse(throw new IllegalArgumentException(
+      s"appendToPartitionedSet: set $db.$set does not exist"))
+    require(m.policy == "dirpart" && m.partitionColumn.contains(partitionColumn),
+      s"appendToPartitionedSet: $db.$set is laid out as " +
+        s"(${m.policy}, ${m.partitionColumn}); refusing to mix layouts")
+    val batch = df.persist()
+    val n = batch.count()
+    batch.write.mode(SaveMode.Append)
+      .partitionBy(partitionColumn)
+      .parquet(dir(db, set))
+    batch.unpersist(blocking = false)
+    writeMeta(db, set, m.partitionColumn, m.numPartitions, m.rows + n,
+      m.policy, m.nodeShares)
+  }
+
   /** Bucketed set via the session catalog: `bucketBy` + `sortBy` on the
     * key, so a later equi-join between two sets bucketed on the same key
     * with the same bucket count plans with NO shuffle exchange on either

@@ -41,6 +41,43 @@ class IvfIndexSpec extends GraftSpecBase {
       s"probe join no longer prunes index partitions:\n$plan")
   }
 
+  test("build(A) + append(B) searches identically to one-pass assignment under A's codebook") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val queries = emb.filter(col("vec_id") < 10)
+
+    val rootApp = Files.createTempDirectory("graft-ivf-app").toString
+    val capp = new SetCatalog(spark, rootApp)
+    SimilaritySearch.buildIvfIndex(spark, capp, "idx", "emb", a)
+    SimilaritySearch.appendToIvfIndex(spark, capp, "idx", "emb", b)
+    val appended = SimilaritySearch
+      .searchIvfIndex(spark, capp, "idx", "emb", queries, k = 5)
+      .collect().map(_.toSeq).toSet
+
+    // reference: same codebook (trained on A), the WHOLE corpus assigned
+    // in one pass — rebuilt by hand from the public kernels
+    val rootRef = Files.createTempDirectory("graft-ivf-ref").toString
+    val cref = new SetCatalog(spark, rootRef)
+    SimilaritySearch.buildIvfIndex(spark, cref, "idx", "emb", a)
+    val centroids = cref.scanSet("idx", "emb_centroids")
+      .orderBy(col("bucket")).collect().map(_.getSeq[Double](1).toArray)
+    val assign = SimilaritySearch.nearestUdf(centroids)
+    cref.createPartitionedSet("idx", "emb_vectors",
+      emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_vec"),
+        graft.functions.TextFunctions.l2Norm(col("embedding")).as("n_nrm"),
+        assign(col("embedding")).as("bucket")),
+      "bucket")
+    val onePass = SimilaritySearch
+      .searchIvfIndex(spark, cref, "idx", "emb", queries, k = 5)
+      .collect().map(_.toSeq).toSet
+
+    assert(appended == onePass && appended.nonEmpty)
+    // appended rows must actually live in the standing bucket layout
+    assert(capp.meta("idx", "emb_vectors").exists(_.rows == emb.count()))
+  }
+
   test("the vector set is laid out as one directory per bucket") {
     assert(built)
     val meta = cat.meta("idx", "emb_vectors")
