@@ -223,6 +223,49 @@ object Dedup {
     (cSets, pruned)
   }
 
+  /** Persist a [[corpusLshIndex]] into the set catalog: the shingle sets
+    * BUCKETED on id and the (hot-pruned) band keys BUCKETED on the
+    * composite (band, bkey) — the Lachesis placement thesis applied to
+    * the standing dedup index. Build once; every later ingest batch
+    * joins against the stored sets, and because each join's key set
+    * equals its set's bucket columns exactly ((band, bkey) for the
+    * candidate join, id for the verify join — Spark's co-partition check
+    * demands the full match), the CORPUS side — the side that dwarfs
+    * every arriving batch at 100 TB — re-shuffles in neither.
+    * Session-survivable, unlike the in-memory index's executor-pinned
+    * caches.
+    */
+  def persistLshIndex(
+      catalog: graft.storage.SetCatalog, db: String, name: String,
+      corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 128, bands: Int = 32, shingleN: Int = 2,
+      maxBucket: Int = 200, numBuckets: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    val n = if (numBuckets > 0) numBuckets
+      else spark.sessionState.conf.numShufflePartitions
+    val (cSets, cBanded) =
+      corpusLshIndex(corpus, idCol, textCol, k, bands, shingleN, maxBucket)
+    catalog.createBucketedSet(db, s"${name}_sets", cSets, "id", n)
+    catalog.createBucketedSet(db, s"${name}_bands", cBanded,
+      Seq("band", "bkey"), n)
+    cSets.unpersist(blocking = false)
+    cBanded.unpersist(blocking = false)
+  }
+
+  /** [[crossPairsAgainstIndex]] over a [[persistLshIndex]]-stored index:
+    * scans the bucketed sets through the catalog, so the corpus side
+    * arrives pre-partitioned on the join keys.
+    */
+  def crossPairsAgainstStoredIndex(
+      newDocs: DataFrame, catalog: graft.storage.SetCatalog,
+      db: String, name: String, idCol: String, textCol: String,
+      threshold: Double = 0.8, k: Int = 128, bands: Int = 32,
+      shingleN: Int = 2): DataFrame =
+    crossPairsAgainstIndex(newDocs,
+      catalog.scanBucketedSet(db, s"${name}_sets"),
+      catalog.scanBucketedSet(db, s"${name}_bands"),
+      idCol, textCol, threshold, k, bands, shingleN)
+
   /** Near-dup pairs of `newDocs` AGAINST a [[corpusLshIndex]] — the
     * incremental form of [[minhashPairs]] a pipeline runs on every ingest
     * batch instead of re-deduping the whole corpus. Same geometry and

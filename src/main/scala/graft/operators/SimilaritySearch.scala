@@ -217,6 +217,28 @@ object SimilaritySearch {
       "bucket")
   }
 
+  /** Streaming form of [[appendToIvfIndex]]: every micro-batch of
+    * arriving embeddings is assigned under the standing codebook and
+    * appended to the index — the continuously-embedding ingest pipeline
+    * end to end. Batching-invariant by construction (a vector's bucket
+    * depends only on the vector and the codebook), so any batching of
+    * the same arrivals produces the same index as one batch append.
+    */
+  def streamAppendToIvfIndex(
+      stream: DataFrame, catalog: graft.storage.SetCatalog,
+      db: String, name: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = stream.sparkSession
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        appendToIvfIndex(spark, catalog, db, name, batch.toDF(), idCol, vecCol)
+        ()
+      }
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Search a persisted IVF index: load the codebook (tiny), compute each
     * query's `nprobe` buckets, and join the broadcast probes against the
     * partitioned vector set — the bucket is the partition directory, so

@@ -45,7 +45,7 @@ case class BucketedSetReads(spark: SparkSession) extends Rule[LogicalPlan] {
         (r.catalog, r.identifier) match {
           case (Some(cat: GraftCatalog), Some(ident)) =>
             cat.bucketLayoutOf(ident)
-              .flatMap { case (path, bcol, n) => rewrite(r, path, bcol, n) }
+              .flatMap { case (path, bcols, n) => rewrite(r, path, bcols, n) }
               .getOrElse(r)
           case _ => r
         }
@@ -53,7 +53,7 @@ case class BucketedSetReads(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def rewrite(
-      r: DataSourceV2Relation, path: String, bucketCol: String,
+      r: DataSourceV2Relation, path: String, bucketCols: Seq[String],
       numBuckets: Int): Option[LogicalPlan] = {
     val v1 = spark.read.parquet(path).queryExecution.analyzed.collectFirst {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] => lr
@@ -61,7 +61,7 @@ case class BucketedSetReads(spark: SparkSession) extends Rule[LogicalPlan] {
     v1.flatMap { lr =>
       val fs = lr.relation.asInstanceOf[HadoopFsRelation]
       val bucketed = fs.copy(bucketSpec =
-        Some(BucketSpec(numBuckets, Seq(bucketCol), Seq(bucketCol))))(spark)
+        Some(BucketSpec(numBuckets, bucketCols, bucketCols)))(spark)
       val newRel = lr.copy(relation = bucketed)
       val resolver = spark.sessionState.conf.resolver
       // re-expose the DSv2 relation's attribute ids so references above

@@ -125,6 +125,34 @@ object PipelineQueries {
       |WHERE CAST(len(list_intersect(n.ws,c.ws)) AS DOUBLE) /
       |  (len(n.ws)+len(c.ws)-len(list_intersect(n.ws,c.ws))) >= 0.8""".stripMargin
 
+  /** [[ddCross]] through a CATALOG-PERSISTED index
+    * ([[Dedup.persistLshIndex]]: shingle sets bucketed on id, pruned
+    * band keys bucketed on (band, bkey)): build the stored index on the
+    * corpus half, then match the arriving half against the stored sets.
+    * Same kernels, so the oracle is [[ddCrossSql]] unchanged — what this
+    * query adds is the standing, session-survivable dedup index whose
+    * corpus side joins without re-shuffling (the placement payoff;
+    * PipelineSpec asserts the exchange-free plan).
+    */
+  def ddCrossIndexed(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val root = java.nio.file.Files.createTempDirectory("graft-lshx")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    Dedup.persistLshIndex(cat, "ddx", "corpus",
+      docs.filter(col("doc_id") < 250), "doc_id", "text")
+    val pairs = Dedup.crossPairsAgainstStoredIndex(
+      docs.filter(col("doc_id") >= 250), cat, "ddx", "corpus",
+      "doc_id", "text", threshold = 0.8)
+      .localCheckpoint(true)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rm)
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(root)
+    pairs
+  }
+
   def ddSimhash(spark: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, d), "doc_id", "text")
 
@@ -407,6 +435,7 @@ object PipelineQueries {
     "dd_keep_list" -> ddKeepList,
     "dd_ngram_pairs" -> ddNgram,
     "dd_cross_pairs" -> ddCross,
+    "dd_cross_indexed" -> ddCrossIndexed,
     "dd_simhash_pairs" -> ddSimhash,
     "dd_cosine_pairs" -> ddCosine,
     "dd_cosine_lsh" -> ddCosineLsh,
@@ -430,6 +459,7 @@ object PipelineQueries {
     "dd_keep_list" -> ddKeepListSql,
     "dd_ngram_pairs" -> ddNgramSql,
     "dd_cross_pairs" -> ddCrossSql,
+    "dd_cross_indexed" -> ddCrossSql,
     "dd_simhash_pairs" -> ddSimhashSql,
     "dd_cosine_pairs" -> ddCosineSql,
     "dd_cosine_lsh" -> ddCosineLshSql,

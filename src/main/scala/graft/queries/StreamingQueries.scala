@@ -232,6 +232,53 @@ object StreamingQueries {
 
   val stNearDupSql: String = PipelineQueries.ddCrossSql
 
+  /** file-source streaming read of the embeddings fixture */
+  private def readEmbStream(spark: SparkSession, d: String): DataFrame = {
+    val p = java.nio.file.Paths.get(s"$d/embeddings.parquet")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType)))
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", p.getFileName.toString)
+      .parquet(p.getParent.toString)
+  }
+
+  /** streaming IVF maintenance: the index is built on the first half of
+    * the corpus, the second half ARRIVES as a stream and is appended per
+    * micro-batch under the standing codebook
+    * ([[graft.operators.SimilaritySearch.streamAppendToIvfIndex]]), then
+    * the index is searched — ≡ the one-shot batch append, so the oracle
+    * is sim_ivf_append's unchanged
+    */
+  def stIvfAppend(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val emb = graft.model.Tables.embeddings(spark, d)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfs")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    graft.operators.SimilaritySearch.buildIvfIndex(spark, cat, "idx", "emb",
+      emb.filter(col("vec_id") < 250))
+    graft.operators.SimilaritySearch.streamAppendToIvfIndex(
+      readEmbStream(spark, d).filter(col("vec_id") >= 250),
+      cat, "idx", "emb")
+    val hits = graft.operators.SimilaritySearch.searchIvfIndex(
+      spark, cat, "idx", "emb", emb.filter(col("vec_id") < 10), k = 5)
+      .localCheckpoint(true)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rm)
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(root)
+    hits
+  }
+
+  val stIvfAppendSql: String = PipelineQueries.simIvfAppendSql
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_hourly" -> stHourly,
     "st_sliding" -> stSliding,
@@ -240,7 +287,8 @@ object StreamingQueries {
     "st_enrich" -> stEnrich,
     "st_join" -> stJoin,
     "st_upsert" -> stUpsert,
-    "st_neardup" -> stNearDup)
+    "st_neardup" -> stNearDup,
+    "st_ivf_append" -> stIvfAppend)
 
   val oracles: Map[String, String] = Map(
     "st_hourly" -> stHourlySql,
@@ -250,5 +298,6 @@ object StreamingQueries {
     "st_enrich" -> stEnrichSql,
     "st_join" -> stJoinSql,
     "st_upsert" -> stUpsertSql,
-    "st_neardup" -> stNearDupSql)
+    "st_neardup" -> stNearDupSql,
+    "st_ivf_append" -> stIvfAppendSql)
 }

@@ -81,15 +81,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * without it, two co-bucketed sets joined through the SQL catalog
     * would re-shuffle, losing the engine's local-join payoff (reference:
     * src/builtInPDBObjects/headers/ScanUserSet.h:69-76). Returns
-    * (data path, bucket column, bucket count) for bucketed sets only.
+    * (data path, bucket columns, bucket count) for bucketed sets only —
+    * composite bucket keys are recorded comma-joined in the sidecar.
     */
-  def bucketLayoutOf(ident: Identifier): Option[(String, String, Int)] = {
+  def bucketLayoutOf(ident: Identifier): Option[(String, Seq[String], Int)] = {
     if (ident.namespace().length != 1) return None
     val p = metaPath(ident)
     if (!Files.exists(p)) return None
     val lines = Files.readString(p).split("\n", -1)
     if (lines.length > 3 && lines(3) == "bucket" && lines(0).nonEmpty)
-      Some((dir(ident).toString, lines(0), lines(1).toInt))
+      Some((dir(ident).toString, lines(0).split(",").toSeq, lines(1).toInt))
     else None
   }
 

@@ -151,15 +151,27 @@ final class SetCatalog(spark: SparkSession, root: String) {
     * SURVEY.md §4.2).
     */
   def createBucketedSet(db: String, set: String, df: DataFrame,
-      bucketColumn: String, numBuckets: Int): Unit = {
+      bucketColumn: String, numBuckets: Int): Unit =
+    createBucketedSet(db, set, df, Seq(bucketColumn), numBuckets)
+
+  /** Multi-column form: joins planned ON EXACTLY these columns avoid the
+    * exchange on this side. Spark's co-partition check requires the full
+    * join key set to match the bucket columns
+    * (`spark.sql.requireAllClusterKeysForCoPartition` default), so a set
+    * joined on a composite key — e.g. the LSH band set's (band, bkey) —
+    * must be bucketed on the composite, not a subset.
+    */
+  def createBucketedSet(db: String, set: String, df: DataFrame,
+      bucketColumns: Seq[String], numBuckets: Int): Unit = {
+    require(bucketColumns.nonEmpty, "need at least one bucket column")
     val tableName = s"${db}_$set"
     df.write.mode(SaveMode.Overwrite)
-      .bucketBy(numBuckets, bucketColumn)
-      .sortBy(bucketColumn)
+      .bucketBy(numBuckets, bucketColumns.head, bucketColumns.tail: _*)
+      .sortBy(bucketColumns.head, bucketColumns.tail: _*)
       .option("path", dir(db, set))
       .format("parquet")
       .saveAsTable(tableName)
-    writeMeta(db, set, Some(bucketColumn), numBuckets,
+    writeMeta(db, set, Some(bucketColumns.mkString(",")), numBuckets,
       spark.table(tableName).count(), "bucket")
   }
 

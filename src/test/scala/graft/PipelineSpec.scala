@@ -51,6 +51,39 @@ class PipelineSpec extends GraftSpecBase {
     assert(oneShot.forall(r => r(1).asInstanceOf[Long] < 25))
   }
 
+  test("stored LSH index == in-memory index; bucketed bands join without exchange") {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") < 25)
+    val arriving = docs.filter(col("doc_id") >= 25).unionByName(
+      corpus.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val oneShot = Dedup.crossPairs(arriving, corpus, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+
+    val root = java.nio.file.Files.createTempDirectory("graft-lsh-spec").toString
+    val cat = new graft.storage.SetCatalog(spark, root)
+    Dedup.persistLshIndex(cat, "ddx", "c", corpus, "doc_id", "text")
+    val stored = Dedup.crossPairsAgainstStoredIndex(
+        arriving, cat, "ddx", "c", "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(stored == oneShot && stored.nonEmpty)
+
+    // the placement payoff the stored index exists for: the band set is
+    // bucketed on the composite (band, bkey), so a join ON exactly the
+    // candidate keys needs no exchange on the stored side
+    val bands = cat.scanBucketedSet("ddx", "c_bands")
+    val j = bands.join(
+      bands.select(col("band"), col("bkey"), col("id").as("id2")),
+      Seq("band", "bkey"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"stored band set re-shuffles on its own bucket key:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("simhash: identical word sets collide at hamming 0") {
     import spark.implicits._
     val docs = Seq(
