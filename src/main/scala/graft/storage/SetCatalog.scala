@@ -101,6 +101,64 @@ final class SetCatalog(spark: SparkSession, root: String) {
       m.policy, m.nodeShares)
   }
 
+  /** Compact a set's files back to its recorded layout — the maintenance
+    * pass a standing append pipeline ([[appendToSet]],
+    * [[appendToPartitionedSet]]) runs periodically: each micro-batch
+    * append lands at least one new file, and at 100 TB a scan's task
+    * count (and the namenode's listing cost) degrades with file count,
+    * not byte count. The rewrite goes to a STAGING directory and swaps
+    * in atomically-enough (two renames), so a failure mid-compact leaves
+    * either the old files or the new — never a mix; readers holding the
+    * old directory listing finish against the renamed-away copy's blocks
+    * on a real cluster filesystem.
+    *
+    * Layout is preserved: hash sets re-partition on their recorded
+    * column/count, directory-partitioned sets rewrite one file per
+    * partition directory, plain sets coalesce to
+    * ceil(bytes / targetFileBytes) files. Bucketed sets are refused —
+    * they are write-once via [[createBucketedSet]] (their file NAMES
+    * carry bucket ids; appends are refused too, so they never fragment).
+    */
+  def compactSet(db: String, set: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val m = meta(db, set).getOrElse(throw new IllegalArgumentException(
+      s"compactSet: set $db.$set does not exist"))
+    require(m.policy != "bucket",
+      s"compactSet: $db.$set is bucketed — bucketed sets never fragment")
+    val src = Paths.get(dir(db, set))
+    val tmp = Paths.get(dir(db, set) + ".compacting")
+    val old = Paths.get(dir(db, set) + ".old")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(rmTree)
+      Files.deleteIfExists(p)
+    }
+    rmTree(tmp); rmTree(old)
+    val df = spark.read.parquet(src.toString)
+    val out = (m.policy, m.partitionColumn) match {
+      case ("dirpart", Some(c)) =>
+        // one task (→ one file) per partition value; hash collisions
+        // merging two small directories into one task are fine
+        df.repartition(df(c)).write.partitionBy(c)
+      case ("hash", Some(c)) =>
+        df.repartition(m.numPartitions, df(c)).write
+      case _ =>
+        import scala.jdk.CollectionConverters._
+        val bytes = Files.walk(src).iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(Files.size).sum
+        val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+        df.repartition(n.toInt).write
+    }
+    out.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    Files.move(src, old)
+    Files.move(tmp, src)
+    rmTree(old)
+    // layout and row count are preserved; only the file tiling changed
+    writeMeta(db, set, m.partitionColumn, m.numPartitions, m.rows,
+      m.policy, m.nodeShares)
+  }
+
   /** Directory-partitioned set: one subdirectory per distinct value of
     * `partitionColumn` (Hive layout). Reads filtering on that column prune
     * at the FILE LISTING — including runtime dynamic-partition-pruning

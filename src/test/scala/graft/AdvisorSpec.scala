@@ -184,4 +184,43 @@ class AdvisorSpec extends GraftSpecBase {
     // every node gets at least one slot even when outweighed
     assert(graft.storage.SetCatalog.fairShares(Seq(100.0, 1.0), 4) == Seq(4, 1))
   }
+
+  test("compactSet collapses appended small files, preserving data and layout") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft-compact").toString
+    val cat = new SetCatalog(spark, root)
+    val base = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    cat.createSet("db", "log", base.limit(0), policy = "none")
+    for (b <- 0 until 5)
+      cat.appendToSet("db", "log", base.filter(col("k") % 5 === b))
+    def files(set: String) =
+      Files.walk(java.nio.file.Paths.get(s"$root/db.$set")).iterator().asScala
+        .count(p => p.toString.endsWith(".parquet"))
+    val before = files("log")
+    assert(before >= 5, s"appends should fragment, got $before files")
+    val want = cat.scanSet("db", "log").collect().map(_.toSeq).toSet
+    cat.compactSet("db", "log")
+    assert(files("log") < before)
+    assert(cat.scanSet("db", "log").collect().map(_.toSeq).toSet == want)
+    assert(cat.meta("db", "log").exists(m => m.rows == 100 && m.policy == "none"))
+
+    // directory-partitioned variant: appends fragment inside partition
+    // dirs; compaction restores ~one file per partition value
+    cat.createPartitionedSet("db", "plog",
+      base.withColumn("p", col("k") % 3), "p")
+    for (b <- 0 until 3)
+      cat.appendToPartitionedSet("db", "plog",
+        base.withColumn("p", col("k") % 3).filter(col("k") % 5 === b), "p")
+    val pBefore = files("plog")
+    val pWant = cat.scanSet("db", "plog").collect().map(_.toSeq).toSet
+    cat.compactSet("db", "plog")
+    assert(files("plog") < pBefore && files("plog") <= 6)
+    assert(cat.scanSet("db", "plog").collect().map(_.toSeq).toSet == pWant)
+    assert(cat.meta("db", "plog").exists(_.policy == "dirpart"))
+
+    // bucketed sets never fragment and are refused
+    cat.createBucketedSet("db", "bset", base, "k", 2)
+    intercept[IllegalArgumentException] { cat.compactSet("db", "bset") }
+  }
 }
