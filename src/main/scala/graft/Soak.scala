@@ -31,7 +31,7 @@ object Soak {
     spark.sparkContext.setLogLevel("WARN")
 
     // optional comma-separated family filter (minhash, simhash, clusters,
-    // ccdist, cross) for isolated soak runs
+    // ccdist, cross, crossidx) for isolated soak runs
     val onlyFam = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
@@ -120,8 +120,7 @@ object Soak {
       // replicas share nothing with the corpus (background traffic);
       // every 50th corpus doc additionally RE-ARRIVES verbatim per
       // replica, so true cross pairs grow linearly in m by construction.
-      if (m > 1 && fam("cross")) {
-        t0 = System.nanoTime()
+      if (m > 1 && (fam("cross") || fam("crossidx"))) {
         val planted = (1 until m).map { i =>
           base.filter(col("doc_id") % 50 === 0)
             .select((col("doc_id") + lit(100L * n + i * n)).as("doc_id"),
@@ -129,12 +128,38 @@ object Soak {
               // CORPUS side's text, which is salted like every replica
               regexp_replace(col("text"), "(\\S+)", "r0_$1").as("text"))
         }.reduce(_ unionByName _)
-        val nCross = graft.operators.Dedup.crossPairs(
-          docs.filter(col("doc_id") >= n).unionByName(planted),
-          docs.filter(col("doc_id") < n),
-          "doc_id", "text").count()
-        val crSec = (System.nanoTime() - t0) / 1e9
-        println(f"SOAK cross    m=$m%-3d docs=$nDocs%-8d pairs=$nCross%-9d s=$crSec%.1f")
+        val arrivals = docs.filter(col("doc_id") >= n).unionByName(planted)
+        val corpus = docs.filter(col("doc_id") < n)
+        if (fam("cross")) {
+          t0 = System.nanoTime()
+          val nCross = graft.operators.Dedup.crossPairs(
+            arrivals, corpus, "doc_id", "text").count()
+          val crSec = (System.nanoTime() - t0) / 1e9
+          println(f"SOAK cross    m=$m%-3d docs=$nDocs%-8d pairs=$nCross%-9d s=$crSec%.1f")
+        }
+        // same match through the CATALOG-PERSISTED index: build cost and
+        // match cost reported separately — a standing pipeline pays the
+        // build once and the match per batch
+        if (fam("crossidx")) {
+          val root = java.nio.file.Files.createTempDirectory("graft-soak-lshx")
+          val cat = new graft.storage.SetCatalog(spark, root.toString)
+          t0 = System.nanoTime()
+          graft.operators.Dedup.persistLshIndex(
+            cat, "soak", "c", corpus, "doc_id", "text")
+          val buildSec = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          val nIdx = graft.operators.Dedup.crossPairsAgainstStoredIndex(
+            arrivals, cat, "soak", "c", "doc_id", "text").count()
+          val matchSec = (System.nanoTime() - t0) / 1e9
+          println(f"SOAK crossidx m=$m%-3d docs=$nDocs%-8d pairs=$nIdx%-9d " +
+            f"build_s=$buildSec%.1f match_s=$matchSec%.1f")
+          def rm(p: java.nio.file.Path): Unit = {
+            if (java.nio.file.Files.isDirectory(p))
+              java.nio.file.Files.list(p).forEach(rm)
+            java.nio.file.Files.deleteIfExists(p)
+          }
+          rm(root)
+        }
       }
 
       docs.unpersist()
