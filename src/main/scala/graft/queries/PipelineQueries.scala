@@ -144,6 +144,8 @@ object PipelineQueries {
       docs.filter(col("doc_id") >= 250), cat, "ddx", "corpus",
       "doc_id", "text", threshold = 0.8)
       .localCheckpoint(true)
+    cat.removeSet("ddx", "corpus_sets")
+    cat.removeSet("ddx", "corpus_bands")
     def rm(p: java.nio.file.Path): Unit = {
       if (java.nio.file.Files.isDirectory(p))
         java.nio.file.Files.list(p).forEach(rm)

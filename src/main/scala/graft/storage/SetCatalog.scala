@@ -259,6 +259,10 @@ final class SetCatalog(spark: SparkSession, root: String) {
     }
     rm(Paths.get(dir(db, set)))
     Files.deleteIfExists(Paths.get(metaPath(db, set)))
+    // bucketed sets also live in the session catalog (createBucketedSet
+    // registers them for the bucket-aware read path) — drop that entry
+    // too, or it dangles over the deleted files
+    spark.sql(s"DROP TABLE IF EXISTS `${db}_$set`")
   }
 
   def listSets(): Seq[(String, String)] = {
