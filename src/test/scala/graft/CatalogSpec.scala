@@ -70,6 +70,30 @@ class CatalogSpec extends GraftSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("composite-bucketed sets joined through SQL on both keys stay exchange-free") {
+    val sets = new SetCatalog(spark, root)
+    // the synthetic fixture's (orderkey, linenumber) is not unique —
+    // dedupe so the self-join is 1:1 and the count is exact
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .dropDuplicates("l_orderkey", "l_linenumber")
+    sets.createBucketedSet("bk3", "a", li, Seq("l_orderkey", "l_linenumber"), 4)
+    sets.createBucketedSet("bk3", "b", li, Seq("l_orderkey", "l_linenumber"), 4)
+    val joined = spark.sql(
+      """SELECT a.l_orderkey, a.l_quantity, b.l_quantity AS q2
+        |FROM graft.bk3.a a JOIN graft.bk3.b b
+        |  ON a.l_orderkey = b.l_orderkey
+        | AND a.l_linenumber = b.l_linenumber""".stripMargin)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"composite-key SQL join of co-bucketed sets must not shuffle:\n$plan")
+      assert(joined.count() == li.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed sets are read-only through SQL (INSERT would break the bucket layout)") {
     val sets = new SetCatalog(spark, root)
     sets.createBucketedSet("bk2", "nation",
