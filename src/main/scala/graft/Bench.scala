@@ -50,36 +50,55 @@ object Bench {
     // min-of-2 is the standard noise floor estimator (both passes are kept
     // in the artifact under "passes" so the regime itself stays visible).
     val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
+    // A pass that throws records NaN, not its (fast-failure) wall time —
+    // otherwise an instant plan error would become the reported minimum
+    // and a broken query would read as a speedup.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Double.NaN
         }
-        (System.nanoTime() - t0) / 1e9
       }
       name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.min }
-      .mkString("{", ",", "}")
-    val ps = results.map { case (k, v) =>
-      "\"" + k + "\":" + v.mkString("[", ",", "]")
+    def minOk(v: Seq[Double]): Option[Double] = {
+      val ok = v.filterNot(_.isNaN)
+      if (ok.isEmpty) None else Some(ok.min)
+    }
+    def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    // The stdout line must stay SHORT: the driver parses it out of a
+    // bounded tail of the log, and the r6 line (full-precision doubles
+    // plus a per-pass map for 98 queries) overflowed that window and
+    // arrived unparsed. Millisecond precision, min-of-passes only; the
+    // full-precision per-pass detail goes to target/bench_latest.json.
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + minOk(v).map(r3).getOrElse("null")
     }.mkString("{", ",", "}")
-    val total = results.map(_._2.min).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"sf":"$sfDir"}"""
+    val failed = results.collect { case (k, v) if minOk(v).isEmpty => k }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.flatMap(r => minOk(r._2)).sum
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
-    // The driver captures only the tail of stdout, which truncated the r4
-    // artifact mid-line; persist the full JSON so the per-query numbers
-    // survive regardless of log size.
+    // Full-precision artifact with every pass, for regime analysis.
     locally {
+      val ps = results.map { case (k, v) =>
+        "\"" + k + "\":" + v.map(d => if (d.isNaN) "null" else d.toString)
+          .mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val full = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""queries":$qs,"failed":$failedJson,"passes":$ps,"sf":"$sfDir"}"""
       val out = java.nio.file.Paths.get("target", "bench_latest.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     spark.stop()
   }

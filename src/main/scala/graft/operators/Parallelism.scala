@@ -33,17 +33,34 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   */
 object Parallelism {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.Parallelism")
+
   def ensureWidth(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.sessionState.conf
     val target = conf.numShufflePartitions
     val plan = df.queryExecution.analyzed
-    require(!plan.exists {
-        case _: Join | _: Aggregate | _: Window => true
-        case _ => false
-      },
-      "ensureWidth is a scan-shaped-input guard: pass scans (or cheap " +
-        "projections/filters/unions of scans), not a joined/aggregated " +
-        s"plan — got:\n${plan.treeString}")
+    val derived = plan.exists {
+      case _: Join | _: Aggregate | _: Window => true
+      case _ => false
+    }
+    if (derived) {
+      // Derived (joined/aggregated/windowed) input is a legitimate call —
+      // docs enriched via a metadata join, a pre-aggregated corpus — and
+      // its width is already set by the shuffle those operators performed
+      // (conf.numShufflePartitions, or AQE's coalesced choice). The file
+      // statistics probe below would misjudge such a plan, so pass it
+      // through untouched; the hard throw stays available behind a strict
+      // flag for callers who want the scan-only contract enforced.
+      if (df.sparkSession.conf
+          .get("spark.graft.parallelism.strict", "false").toBoolean)
+        throw new IllegalArgumentException(
+          "ensureWidth(strict): pass scans (or cheap projections/filters/" +
+            s"unions of scans), not a joined/aggregated plan — got:\n" +
+            plan.treeString)
+      log.warn("ensureWidth: derived (join/aggregate/window) input — " +
+        "skipping the width probe; width is set by the upstream shuffle")
+      return df
+    }
     val scanBytes = plan.collectLeaves().collect {
       case lr: LogicalRelation => lr.relation.sizeInBytes
       case r: DataSourceV2Relation => r.computeStats().sizeInBytes.toLong

@@ -52,17 +52,34 @@ case class BucketedSetReads(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  // The v1 bucket-aware relation is expensive to build — a file listing
+  // per analysis pass, and this rule fires for every query touching a
+  // bucketed set — so cache it per layout. Each use takes a fresh
+  // instance (new attribute ids) so self-joins deduplicate normally.
+  // The DSv2 relation's DECLARED schema is passed to the v1 read, so
+  // schema inference can never diverge (types/nullability) from the
+  // relation being replaced.
+  private val relationCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Seq[String], Int), LogicalRelation]()
+
   private def rewrite(
       r: DataSourceV2Relation, path: String, bucketCols: Seq[String],
       numBuckets: Int): Option[LogicalPlan] = {
-    val v1 = spark.read.parquet(path).queryExecution.analyzed.collectFirst {
-      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] => lr
+    val key = (path, bucketCols, numBuckets)
+    val template = Option(relationCache.get(key)).orElse {
+      val built = spark.read.schema(r.schema).parquet(path)
+        .queryExecution.analyzed.collectFirst {
+          case lr: LogicalRelation
+              if lr.relation.isInstanceOf[HadoopFsRelation] =>
+            val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+            lr.copy(relation = fs.copy(bucketSpec =
+              Some(BucketSpec(numBuckets, bucketCols, bucketCols)))(spark))
+        }
+      built.foreach(relationCache.put(key, _))
+      built
     }
-    v1.flatMap { lr =>
-      val fs = lr.relation.asInstanceOf[HadoopFsRelation]
-      val bucketed = fs.copy(bucketSpec =
-        Some(BucketSpec(numBuckets, bucketCols, bucketCols)))(spark)
-      val newRel = lr.copy(relation = bucketed)
+    template.flatMap { cached =>
+      val newRel = cached.newInstance()
       val resolver = spark.sessionState.conf.resolver
       // re-expose the DSv2 relation's attribute ids so references above
       // the rewritten scan stay bound

@@ -132,6 +132,16 @@ final class SetCatalog(spark: SparkSession, root: String) {
       if (Files.isDirectory(p)) Files.list(p).forEach(rmTree)
       Files.deleteIfExists(p)
     }
+    // Crash recovery BEFORE cleanup: a prior compact that died between
+    // the two renames leaves src missing while .old (the original) and
+    // possibly .compacting (the finished rewrite) hold the only copies
+    // of the data — deleting them here would destroy the set. Restore
+    // the original and only then clear leftovers; leftovers are safe to
+    // delete exactly when src exists.
+    if (!Files.exists(src)) {
+      if (Files.exists(old)) Files.move(old, src)
+      else if (Files.exists(tmp)) Files.move(tmp, src)
+    }
     rmTree(tmp); rmTree(old)
     val df = spark.read.parquet(src.toString)
     val out = (m.policy, m.partitionColumn) match {
@@ -252,6 +262,12 @@ final class SetCatalog(spark: SparkSession, root: String) {
   }
 
   def removeSet(db: String, set: String): Unit = {
+    // Read the sidecar BEFORE deleting it: only bucketed sets register a
+    // session-catalog entry (createBucketedSet → saveAsTable), and
+    // session-catalog names are global while catalog roots are
+    // per-directory — dropping unconditionally could take down an
+    // unrelated table that happens to share the db_set name.
+    val wasBucketed = meta(db, set).exists(_.policy == "bucket")
     def rm(path: java.nio.file.Path): Unit = {
       if (Files.isDirectory(path))
         Files.list(path).forEach(rm)
@@ -259,10 +275,8 @@ final class SetCatalog(spark: SparkSession, root: String) {
     }
     rm(Paths.get(dir(db, set)))
     Files.deleteIfExists(Paths.get(metaPath(db, set)))
-    // bucketed sets also live in the session catalog (createBucketedSet
-    // registers them for the bucket-aware read path) — drop that entry
-    // too, or it dangles over the deleted files
-    spark.sql(s"DROP TABLE IF EXISTS `${db}_$set`")
+    if (wasBucketed)
+      spark.sql(s"DROP TABLE IF EXISTS `${db}_$set`")
   }
 
   def listSets(): Seq[(String, String)] = {

@@ -223,4 +223,47 @@ class AdvisorSpec extends GraftSpecBase {
     cat.createBucketedSet("db", "bset", base, "k", 2)
     intercept[IllegalArgumentException] { cat.compactSet("db", "bset") }
   }
+
+  test("compactSet recovers a crash between the two swap renames") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-compact-crash").toString
+    val cat = new SetCatalog(spark, root)
+    val base = (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
+    cat.createSet("db", "log", base, policy = "none")
+    val want = cat.scanSet("db", "log").collect().map(_.toSeq).toSet
+    // simulate a compact that died after `mv src src.old` but before
+    // `mv src.compacting src`: src is GONE, .old holds the only data
+    val src = java.nio.file.Paths.get(s"$root/db.log")
+    Files.move(src, java.nio.file.Paths.get(s"$root/db.log.old"))
+    // the next compact must restore, not delete, the surviving copy
+    cat.compactSet("db", "log")
+    assert(cat.scanSet("db", "log").collect().map(_.toSeq).toSet == want)
+    // and the same for a crash before the FIRST rename completed with a
+    // finished .compacting left behind and src gone (degenerate variant)
+    Files.move(src, java.nio.file.Paths.get(s"$root/db.log.compacting"))
+    cat.compactSet("db", "log")
+    assert(cat.scanSet("db", "log").collect().map(_.toSeq).toSet == want)
+  }
+
+  test("removeSet drops the session-catalog entry only for bucketed sets") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-remove").toString
+    val cat = new SetCatalog(spark, root)
+    val base = (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v")
+    // an UNRELATED session-catalog table that happens to share the
+    // db_set naming convention of a plain (non-bucketed) set
+    spark.sql("DROP TABLE IF EXISTS dbx_plain")
+    base.write.mode("overwrite")
+      .option("path", s"$root/unrelated").saveAsTable("dbx_plain")
+    cat.createSet("dbx", "plain", base, policy = "none")
+    cat.removeSet("dbx", "plain")
+    assert(spark.catalog.tableExists("dbx_plain"),
+      "removing a non-bucketed set must not drop a same-named table")
+    spark.sql("DROP TABLE dbx_plain")
+    // bucketed sets DO own their session-catalog entry — it must go
+    cat.createBucketedSet("dbx", "bkt", base, "k", 2)
+    assert(spark.catalog.tableExists("dbx_bkt"))
+    cat.removeSet("dbx", "bkt")
+    assert(!spark.catalog.tableExists("dbx_bkt"))
+  }
 }

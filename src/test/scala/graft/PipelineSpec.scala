@@ -243,7 +243,7 @@ class PipelineSpec extends GraftSpecBase {
     assert(out == Seq("abc", "bcd"))
   }
 
-  test("ensureWidth: widens small scans and in-memory frames, rejects derived plans") {
+  test("ensureWidth: widens small scans and in-memory frames, passes derived plans through") {
     import spark.implicits._
     import graft.operators.Parallelism.ensureWidth
     val target = spark.sessionState.conf.numShufflePartitions
@@ -255,14 +255,18 @@ class PipelineSpec extends GraftSpecBase {
     // an in-memory frame (foreachBatch micro-batch shape) widens too
     assert(ensureWidth(Seq((1L, "a")).toDF("doc_id", "text"))
       .rdd.getNumPartitions == target)
-    // joined/aggregated plans violate the scan-shaped contract: throw,
-    // don't silently misjudge the post-shuffle width
-    intercept[IllegalArgumentException] {
-      ensureWidth(docs.groupBy(col("doc_id")).count())
-    }
-    intercept[IllegalArgumentException] {
-      ensureWidth(docs.join(docs.select(col("doc_id")), Seq("doc_id")))
-    }
+    // joined/aggregated/windowed plans already had their width set by the
+    // upstream shuffle — the guard passes them through UNTOUCHED (a corpus
+    // enriched via a metadata join is a legitimate dedup input), rather
+    // than throwing or re-shuffling the payload
+    val agg = docs.groupBy(col("doc_id")).count()
+    assert(ensureWidth(agg) eq agg)
+    val joined = docs.join(docs.select(col("doc_id")), Seq("doc_id"))
+    assert(ensureWidth(joined) eq joined)
+    // the scan-only contract stays enforceable behind the strict flag
+    spark.conf.set("spark.graft.parallelism.strict", "true")
+    try intercept[IllegalArgumentException] { ensureWidth(agg) }
+    finally spark.conf.unset("spark.graft.parallelism.strict")
   }
 
   test("corpusLshIndex returns the PERSISTED band frame, so unpersist really frees it") {
