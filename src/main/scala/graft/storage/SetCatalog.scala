@@ -233,7 +233,16 @@ final class SetCatalog(spark: SparkSession, root: String) {
       bucketColumns: Seq[String], numBuckets: Int): Unit = {
     require(bucketColumns.nonEmpty, "need at least one bucket column")
     val tableName = s"${db}_$set"
-    df.write.mode(SaveMode.Overwrite)
+    // Cluster rows by bucket BEFORE the write: a bucketed write from an
+    // unclustered frame has every task emit a file for every bucket it
+    // sees — O(tasks × buckets) small files, the classic bucketed-write
+    // explosion (measured here: ~1k files for a 32-partition frame into
+    // 32 buckets, and every later scan/count pays the listing + footer
+    // cost). repartition uses the same Murmur3-hash-pmod the bucket id
+    // does, so partition i carries exactly bucket i → one file each.
+    val clustered =
+      df.repartition(numBuckets, bucketColumns.map(df(_)): _*)
+    clustered.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketColumns.head, bucketColumns.tail: _*)
       .sortBy(bucketColumns.head, bucketColumns.tail: _*)
       .option("path", dir(db, set))
