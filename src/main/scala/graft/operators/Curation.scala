@@ -177,4 +177,60 @@ object Curation {
         floor((col("start_off") + col("n_tokens") - 1) / lit(budget))
           .cast("long").as("last_bin"))
   }
+
+  /** Global quality gate: keep the top `fraction` of rows by `scoreCol`
+    * (classifier-score pruning, the "keep the best X%" curation step).
+    * Deterministic and order-free: the threshold is the score of the
+    * ⌈fraction·n⌉-th best row and every row scoring ≥ it survives, so
+    * boundary ties all make the cut and a rerun (or a SQL oracle)
+    * reproduces the exact row set.
+    *
+    * Scale shape: one count, one global top-m for the threshold
+    * (TakeOrderedAndProject — each task keeps m rows, the driver merges
+    * m·tasks; never a global sort or an all-rows window), one
+    * broadcast-scalar filter scan. m = ⌈fraction·n⌉ DOCUMENTS must fit
+    * the top-k merge; for fractions where it cannot, swap the threshold
+    * pick to approx_percentile and accept sketch error at the boundary —
+    * the filter scan is unchanged.
+    */
+  def quantileKeep(scored: DataFrame, scoreCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1,
+      s"fraction must be in (0,1], got $fraction")
+    val n = scored.count()
+    val m = math.max(1L, math.ceil(fraction * n).toLong)
+    require(m <= Int.MaxValue, "top-m threshold pick overflows limit()")
+    val thr = scored.select(col(scoreCol).as("__s"))
+      .orderBy(col("__s").desc)
+      .limit(m.toInt)
+      .agg(min(col("__s")).as("__thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
+  /** Deterministic global shuffle + shard assignment — the "shuffle the
+    * corpus before training" step in rerun-stable form: shard =
+    * md5(id) mod `nShards`, position = rank of (md5(id), id) within the
+    * shard. Every rerun or resume sees the identical order and a SQL
+    * oracle reproduces it row-for-row — the reason this keys on md5, not
+    * rand() or a zipWithIndex whose values depend on partition layout.
+    * md5 rather than the Rabin-Karp kernel for the [[Sampling]] reason:
+    * short numeric ids never wrap the rolling modulus, so that hash
+    * would be order-PRESERVING — no shuffle at all.
+    *
+    * Scale shape: one hash projection plus one windowed rank PER SHARD —
+    * parallelism = nShards (a parameter; a 100 TB corpus ships as
+    * thousands of shards anyway), no global sort, no driver state; the
+    * per-shard (md5, id) sort spills like any window sort.
+    */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"need a positive shard count, got $nShards")
+    val h = col(idCol).cast("string").cast("binary")
+    // top 15 md5 hex digits → uniform non-negative 60-bit value
+    val hv = conv(substring(md5(h), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(md5(h), col(idCol))
+    df.withColumn("shard", (hv % nShards).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+  }
 }

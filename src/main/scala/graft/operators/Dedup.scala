@@ -634,6 +634,92 @@ object Dedup {
     * [[cosineLshPairs]] (hyperplane LSH) or
     * [[SimilaritySearch.ivfTopK]]-style bucketing.
     */
+  /** Duplicate k-gram SPANS — substring-level exact dedup (the
+    * "deduplicate repeated passages, not documents" family, here as
+    * hashed k-token windows rather than a suffix array): a window of `k`
+    * consecutive tokens is duplicated when it occurs at ≥2 (doc,
+    * position) sites corpus-wide, and overlapping duplicated windows
+    * merge into maximal per-document spans. This finds repeated PASSAGES
+    * — boilerplate, licenses, quoted blocks — inside otherwise-unique
+    * documents, the case every whole-doc operator above
+    * ([[minhashPairs]] and friends) misses by construction.
+    *
+    * Scale shape: windows are one generate-and-explode projection —
+    * O(total tokens) rows, no join to build them; the duplicate test
+    * groups on the window's md5 fingerprint (map-side partial count, and
+    * the fixed 32-hex key bounds shuffle payload no matter how wide the
+    * window text is); span merging is a per-document gaps-and-islands
+    * window (partitionBy doc → millions of independent partitions at
+    * corpus scale, never a global sort). Output: (idCol, span_start,
+    * span_end, span_tokens), 0-based inclusive token indices.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+      // guards sequence() below (start > stop would DESCEND, not empty)
+      .filter(size(col("t")) >= k)
+      .transform(Parallelism.ensureWidth)
+    val wins = toks
+      .select(col("id"), explode(expr(
+        s"""transform(sequence(0, size(t) - $k),
+           |  i -> named_struct(
+           |    'pos', cast(i AS BIGINT),
+           |    'g', md5(cast(array_join(slice(t, i + 1, $k), ' ') AS BINARY))))"""
+          .stripMargin)).as("w"))
+      .select(col("id"), col("w.pos").as("pos"), col("w.g").as("g"))
+    val dup = wins.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("g"))
+    val hits = wins.join(dup, Seq("g"), "left_semi")
+    // gaps-and-islands: consecutive duplicated start positions share one
+    // (pos - rank) value, so each island is a maximal duplicated span
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    hits
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1).cast("long")).as("span_end"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** SemDeDup-style semantic near-dup pairs: cluster the corpus by a
+    * kmeans codebook over its embeddings
+    * ([[SimilaritySearch.trainCentroids]] — deterministic hash-ordered
+    * sample seed), then verify cosine ONLY within a cluster. Same verify
+    * math as [[cosinePairs]], but the candidate set shrinks from O(n²)
+    * to Σ|cluster|², with the codebook size as the scale knob: k grows
+    * with the corpus so clusters stay bounded, and the cross-cluster
+    * misses are the method's documented recall trade. This is the dedup
+    * regime text LSH cannot reach — paraphrase-level duplicates with
+    * little lexical overlap. Output: (id_a, id_b, cluster, cos).
+    */
+  def semanticPairs(emb: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 4, iters: Int = 3,
+      threshold: Double = 0.4): DataFrame = {
+    val centroids = SimilaritySearch.trainCentroids(
+      emb, nClusters, iters, idCol, vecCol)
+    val assign = SimilaritySearch.nearestUdf(centroids)
+    val withC = emb
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .transform(Parallelism.ensureWidth)
+      .select(col("id"), col("v"), assign(col("v")).as("c"),
+        l2Norm(col("v")).as("nrm"))
+    val a = withC.select(col("c"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = withC.select(col("c"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    a.join(b, Seq("c"))
+      .filter(col("id_a") < col("id_b"))
+      // rounded to 1e-6 like cosinePairs: threshold compare independent
+      // of summation-order noise in the last float bits
+      .withColumn("cos",
+        round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("c").as("cluster"), col("cos"))
+  }
+
   def cosinePairs(
       emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {

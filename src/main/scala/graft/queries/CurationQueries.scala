@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.operators.{Curation, SkewJoin}
+import graft.operators.{Curation, SkewJoin, TextAnalysis}
 
 /** Curation-stage queries: benchmark decontamination, PII scan/redaction,
   * retrieval chunking, sequence packing, and the salted skew join —
@@ -183,13 +183,64 @@ object CurationQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** Quality-percentile gate: keep the top 25% of documents by the
+    * txt_quality score ([[Curation.quantileKeep]]) — the classifier-score
+    * pruning step, thresholded at the ⌈0.25·n⌉-th best score so boundary
+    * ties all survive and the row set is rerun-exact.
+    */
+  def quantileFilter(spark: SparkSession, d: String): DataFrame = {
+    val scored = TextAnalysis
+      .qualityScore(Tables.documents(spark, d), "doc_id", "text")
+      .select(col("doc_id"), col("q_score"))
+    Curation.quantileKeep(scored, "q_score", fraction = 0.25)
+  }
+
+  /** Oracle: same score expression as txt_quality's oracle, same
+    * rank-pick threshold (min over the top-m by (score desc, id)) — the
+    * VALUE is tie-insensitive, so both engines pick the identical
+    * threshold without any quantile interpolation arithmetic.
+    */
+  val quantileFilterSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, q_score FROM (${TextAnalysis.qualityScoreSql}) qs),
+       |ranked AS (
+       |  SELECT doc_id, q_score,
+       |    ROW_NUMBER() OVER (ORDER BY q_score DESC, doc_id) AS rk FROM s),
+       |thr AS (
+       |  SELECT MIN(q_score) AS t FROM ranked
+       |  WHERE rk <= CAST(ceil(0.25 * (SELECT COUNT(*) FROM s)) AS BIGINT))
+       |SELECT s.doc_id, s.q_score FROM s, thr WHERE s.q_score >= thr.t"""
+      .stripMargin
+
+  /** Deterministic global shuffle into 8 shards
+    * ([[Curation.shardAssign]]): every doc gets its (shard, position) for
+    * the training-data writer, rerun-stable and oracle-reproducible.
+    */
+  def globalShuffle(spark: SparkSession, d: String): DataFrame =
+    Curation.shardAssign(
+      Tables.documents(spark, d).select(col("doc_id")), "doc_id", nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+
+  val globalShuffleSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS hv
+      |  FROM documents)
+      |SELECT doc_id, hv % 8 AS shard,
+      |  ROW_NUMBER() OVER (PARTITION BY hv % 8
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+      |FROM h""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_decontaminate" -> decontaminate,
     "txt_pii" -> piiScan,
     "txt_doc_filter" -> docFilter,
     "txt_normalize" -> normalize,
+    "txt_quantile_filter" -> quantileFilter,
     "txt_chunks" -> chunks,
     "op_pack_sequences" -> packSequences,
+    "op_global_shuffle" -> globalShuffle,
     "op_skew_join" -> skewJoin)
 
   val oracles: Map[String, String] = Map(
@@ -197,7 +248,9 @@ object CurationQueries {
     "txt_pii" -> piiScanSql,
     "txt_doc_filter" -> docFilterSql,
     "txt_normalize" -> normalizeSql,
+    "txt_quantile_filter" -> quantileFilterSql,
     "txt_chunks" -> chunksSql,
     "op_pack_sequences" -> packSequencesSql,
+    "op_global_shuffle" -> globalShuffleSql,
     "op_skew_join" -> skewJoinSql)
 }

@@ -191,6 +191,70 @@ object PipelineQueries {
     Dedup.cosinePairs(Tables.embeddings(spark, d), "vec_id", "embedding",
       threshold = 0.4)
 
+  /** Duplicate 8-token spans over the documents corpus — passage-level
+    * exact dedup ([[Dedup.duplicateSpans]]).
+    */
+  def ddSpan(spark: SparkSession, d: String): DataFrame =
+    Dedup.duplicateSpans(Tables.documents(spark, d), "doc_id", "text", k = 8)
+
+  /** Oracle: identical window/fingerprint/island construction in SQL.
+    * `unnest(range(...))` replaces the lateral generate_series DuckDB
+    * refuses; `range` is empty when the doc is shorter than the window,
+    * matching the Spark side's size guard.
+    */
+  val ddSpanSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |posn AS (
+      |  SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS pos FROM toks),
+      |wins AS (
+      |  SELECT doc_id, pos, md5(array_to_string(t[pos + 1 : pos + 8], ' ')) AS g
+      |  FROM posn),
+      |dup AS (SELECT g FROM wins GROUP BY g HAVING COUNT(*) >= 2),
+      |hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup d USING (g)),
+      |isl AS (SELECT doc_id, pos,
+      |  pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM hits)
+      |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+      |  MAX(pos) - MIN(pos) + 8 AS span_tokens
+      |FROM isl GROUP BY doc_id, grp""".stripMargin
+
+  /** SemDeDup pairs over embeddings: kmeans-bucketed cosine verify
+    * ([[Dedup.semanticPairs]]), same codebook geometry as ml_kmeans.
+    */
+  def ddSemantic(spark: SparkSession, d: String): DataFrame =
+    Dedup.semanticPairs(Tables.embeddings(spark, d), "vec_id", "embedding",
+      nClusters = 4, iters = 3, threshold = 0.4)
+
+  /** Oracle: the shared unrolled-Lloyd CTE chain (the ml_kmeans oracle's
+    * trainer, [[ExtendedQueries.lloydCtes]]) for the assignment, then the
+    * ddCosineSql verify restricted to same-cluster pairs.
+    */
+  val ddSemanticSql: String =
+    ExtendedQueries.lloydCtes(4, 3) + ",\n" +
+      """fd AS (
+        |  SELECT e.vec_id AS r, c.k,
+        |    SUM((CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v) *
+        |        (CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v)) AS dist
+        |  FROM embeddings e, c3 c GROUP BY 1, 2),
+        |fa AS (
+        |  SELECT r, k FROM (
+        |    SELECT r, k, ROW_NUMBER() OVER (PARTITION BY r ORDER BY dist, k) AS rk
+        |    FROM fd) z WHERE rk = 1),
+        |v AS (
+        |  SELECT e.vec_id, e.embedding, a.k
+        |  FROM embeddings e JOIN fa a ON e.vec_id = a.r),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.k AS cluster,
+        |    round((SELECT SUM(CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))
+        |     FROM generate_series(1, 64) g(i)) /
+        |    (sqrt((SELECT SUM(CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))
+        |           FROM generate_series(1, 64) g(i))) *
+        |     sqrt((SELECT SUM(CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))
+        |           FROM generate_series(1, 64) g(i)))), 6) AS cos
+        |  FROM v a JOIN v b ON a.k = b.k AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cluster, cos FROM p WHERE cos >= 0.4""".stripMargin
+
   val ddCosineSql: String =
     """WITH c AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -440,6 +504,8 @@ object PipelineQueries {
     "dd_cross_indexed" -> ddCrossIndexed,
     "dd_simhash_pairs" -> ddSimhash,
     "dd_cosine_pairs" -> ddCosine,
+    "dd_span" -> ddSpan,
+    "dd_semantic" -> ddSemantic,
     "dd_cosine_lsh" -> ddCosineLsh,
     "sim_topk" -> simTopK,
     "sim_ivf_topk" -> simIvf,
@@ -464,6 +530,8 @@ object PipelineQueries {
     "dd_cross_indexed" -> ddCrossSql,
     "dd_simhash_pairs" -> ddSimhashSql,
     "dd_cosine_pairs" -> ddCosineSql,
+    "dd_span" -> ddSpanSql,
+    "dd_semantic" -> ddSemanticSql,
     "dd_cosine_lsh" -> ddCosineLshSql,
     "sim_topk" -> simTopKSql,
     "sim_ivf_topk" -> simIvfSql,

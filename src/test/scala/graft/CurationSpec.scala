@@ -87,4 +87,42 @@ class CurationSpec extends GraftSpecBase {
     assert(out.map(_.getLong(1)).distinct.length == 4)
     assert(out.length == 40)
   }
+
+  test("quantileKeep keeps the top fraction with boundary ties surviving") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, 0.9), (2L, 0.8), (3L, 0.7), (4L, 0.7), (5L, 0.6),
+      (6L, 0.5), (7L, 0.4), (8L, 0.3), (9L, 0.2), (10L, 0.1)
+    ).toDF("id", "s")
+    // ceil(0.3 * 10) = 3 → threshold is the 3rd-best score (0.7); the
+    // tied 4th row ALSO survives — order-free semantics
+    val kept = Curation.quantileKeep(scored, "s", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L))
+    // fraction 1 keeps everything
+    assert(Curation.quantileKeep(scored, "s", 1.0).count() == 10)
+  }
+
+  test("shardAssign is a deterministic permutation with dense per-shard positions") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, s"d$i")).toDF("doc_id", "payload")
+    val a = Curation.shardAssign(df, "doc_id", 8).collect()
+    val b = Curation.shardAssign(df, "doc_id", 8)
+      .collect()
+    // rerun-stable: identical (id → shard, pos) mapping
+    assert(a.map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet ==
+      b.map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet)
+    // positions within each shard are dense 0..len-1
+    a.groupBy(_.getLong(2)).foreach { case (_, rows) =>
+      val ps = rows.map(_.getLong(3)).sorted
+      assert(ps.sameElements(0L until ps.length))
+    }
+    // the shuffle actually permutes: hash order differs from id order
+    val shard0 = a.filter(_.getLong(2) == a.head.getLong(2))
+      .sortBy(_.getLong(3)).map(_.getLong(0))
+    assert(!shard0.sameElements(shard0.sorted))
+    // payload columns ride along untouched
+    assert(a.head.schema.fieldNames.toSeq ==
+      Seq("doc_id", "payload", "shard", "pos"))
+  }
 }

@@ -269,6 +269,53 @@ class PipelineSpec extends GraftSpecBase {
     finally spark.conf.unset("spark.graft.parallelism.strict")
   }
 
+  test("duplicateSpans merges overlapping duplicated windows into maximal spans") {
+    import spark.implicits._
+    val docs = Seq(
+      // docs 1 and 2 share the 6-token passage "a b c d e f" at
+      // different offsets; with k=4 that is windows 4,5,6 in doc 1 and
+      // 0,1,2 in doc 2 — each must merge into ONE 6-token span
+      (1L, "p q r s a b c d e f x y z"),
+      (2L, "a b c d e f m n o"),
+      // doc 3 repeats "u v w t" WITHIN itself (positions 0 and 4, not
+      // adjacent) — two separate 4-token spans, no cross-doc sharing
+      (3L, "u v w t u v w t"),
+      // doc 4 shares nothing and is shorter than the window
+      (4L, "h i")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.duplicateSpans(docs, "doc_id", "text", k = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      (1L, 4L, 9L, 6L),
+      (2L, 0L, 5L, 6L),
+      (3L, 0L, 3L, 4L),
+      (3L, 4L, 7L, 4L)))
+  }
+
+  test("semanticPairs finds within-cluster near-dups and only those") {
+    import spark.implicits._
+    // two tight geometric clusters far apart: the near-identical pairs
+    // land in the same kmeans cell for ANY codebook, the cross-cluster
+    // cosines sit near 0 — so the exact output is known without
+    // depending on which seeds the trainer draws
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.98f, 0.02f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.97f, 0.03f, 0.0f)),
+      (5L, Seq(0.4f, 0.0f, 0.9f, 0.2f)) // a loner near neither pair
+    ).toDF("vec_id", "embedding")
+    val rows = graft.operators.Dedup.semanticPairs(
+      emb, "vec_id", "embedding", nClusters = 2, iters = 3, threshold = 0.9)
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (3L, 4L)))
+    // pair members share their cluster by construction; cosines verified
+    assert(rows.forall(_.getDouble(3) >= 0.9))
+  }
+
   test("corpusLshIndex returns the PERSISTED band frame, so unpersist really frees it") {
     // regression: the index used to return an anti-join DERIVED from the
     // persisted frame — the caller's unpersist matched nothing and the
