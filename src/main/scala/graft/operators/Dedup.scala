@@ -684,6 +684,64 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** The ACTION half of [[duplicateSpans]]: rewrite each document with
+    * every duplicated k-token window removed EXCEPT at its corpus-
+    * canonical first site (minimum (doc, position)) — the exact-substring
+    * dedup apply step: boilerplate survives once, every later copy is
+    * stripped, and a verbatim duplicate document collapses to empty.
+    * Returns every input doc as (idCol, clean_text, n_removed).
+    *
+    * Scale shape: canonical-site election is a min(struct) aggregate on
+    * the window fingerprint (map-side combine — no per-gram window
+    * sort); removed positions explode k rows per non-canonical window;
+    * the rebuild is one per-document aggregate whose state is bounded by
+    * the document's own token count (the same bound as reading the doc).
+    * No global order anywhere.
+    */
+  def stripDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+      .transform(Parallelism.ensureWidth)
+    val wins = toks
+      .filter(size(col("t")) >= k)
+      .select(col("id"), explode(expr(
+        s"""transform(sequence(0, size(t) - $k),
+           |  i -> named_struct(
+           |    'pos', cast(i AS BIGINT),
+           |    'g', md5(cast(array_join(slice(t, i + 1, $k), ' ') AS BINARY))))"""
+          .stripMargin)).as("w"))
+      .select(col("id"), col("w.pos").as("pos"), col("w.g").as("g"))
+    val dup = wins.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("g"))
+    val hits = wins.join(dup, Seq("g"), "left_semi")
+    // one canonical site per duplicated gram: lexicographic min of
+    // (doc, pos) — unique because sites are unique
+    val canon = hits.groupBy(col("g"))
+      .agg(min(struct(col("id"), col("pos"))).as("c0"))
+    val removedTok = hits.join(canon, Seq("g"))
+      .filter(struct(col("id"), col("pos")) =!= col("c0"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1).cast("long")))
+          .as("tp"))
+      .distinct()
+    val tokpos = toks.select(col("id"),
+      posexplode(col("t")).as(Seq("tp", "tok")))
+      .withColumn("tp", col("tp").cast("long"))
+    val rebuilt = tokpos.join(removedTok, Seq("id", "tp"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("tp"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    toks.select(col("id"), size(col("t")).cast("long").as("n_tok"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** SemDeDup-style semantic near-dup pairs: cluster the corpus by a
     * kmeans codebook over its embeddings
     * ([[SimilaritySearch.trainCentroids]] — deterministic hash-ordered

@@ -219,6 +219,50 @@ object PipelineQueries {
       |  MAX(pos) - MIN(pos) + 8 AS span_tokens
       |FROM isl GROUP BY doc_id, grp""".stripMargin
 
+  /** Exact-substring dedup APPLY: every duplicated 8-token window
+    * stripped except at its corpus-canonical first site
+    * ([[Dedup.stripDuplicateSpans]]) — verbatim copies collapse to
+    * empty, boilerplate survives exactly once.
+    */
+  def ddSpanStrip(spark: SparkSession, d: String): DataFrame =
+    Dedup.stripDuplicateSpans(Tables.documents(spark, d), "doc_id", "text",
+      k = 8)
+
+  /** Oracle: same construction; canonical election via ROW_NUMBER over
+    * (doc, pos) within each duplicated gram (DuckDB min-over-struct is
+    * awkward; the unique-site argument makes rn=1 ≡ min(struct)).
+    */
+  val ddSpanStripSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |posn AS (
+      |  SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS pos FROM toks),
+      |wins AS (
+      |  SELECT doc_id, pos, md5(array_to_string(t[pos + 1 : pos + 8], ' ')) AS g
+      |  FROM posn),
+      |dup AS (SELECT g FROM wins GROUP BY g HAVING COUNT(*) >= 2),
+      |sites AS (
+      |  SELECT w.doc_id, w.pos,
+      |    ROW_NUMBER() OVER (PARTITION BY w.g ORDER BY w.doc_id, w.pos) AS rn
+      |  FROM wins w JOIN dup d USING (g)),
+      |rem AS (
+      |  SELECT DISTINCT doc_id, pos + i.i AS tp
+      |  FROM sites, generate_series(0, 7) i(i) WHERE rn > 1),
+      |tokpos AS (
+      |  SELECT doc_id, t[pos + 1] AS tok, pos AS tp
+      |  FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS pos FROM toks)),
+      |keep AS (
+      |  SELECT k.doc_id, k.tp, k.tok FROM tokpos k
+      |  LEFT JOIN rem r ON k.doc_id = r.doc_id AND k.tp = r.tp
+      |  WHERE r.doc_id IS NULL),
+      |rebuilt AS (
+      |  SELECT doc_id, array_to_string(list(tok ORDER BY tp), ' ') AS clean_text,
+      |    COUNT(*) AS n_kept
+      |  FROM keep GROUP BY doc_id)
+      |SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+      |  len(t.t) - COALESCE(r.n_kept, 0) AS n_removed
+      |FROM toks t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id""".stripMargin
+
   /** SemDeDup pairs over embeddings: kmeans-bucketed cosine verify
     * ([[Dedup.semanticPairs]]), same codebook geometry as ml_kmeans.
     */
@@ -505,6 +549,7 @@ object PipelineQueries {
     "dd_simhash_pairs" -> ddSimhash,
     "dd_cosine_pairs" -> ddCosine,
     "dd_span" -> ddSpan,
+    "dd_span_strip" -> ddSpanStrip,
     "dd_semantic" -> ddSemantic,
     "dd_cosine_lsh" -> ddCosineLsh,
     "sim_topk" -> simTopK,
@@ -531,6 +576,7 @@ object PipelineQueries {
     "dd_simhash_pairs" -> ddSimhashSql,
     "dd_cosine_pairs" -> ddCosineSql,
     "dd_span" -> ddSpanSql,
+    "dd_span_strip" -> ddSpanStripSql,
     "dd_semantic" -> ddSemanticSql,
     "dd_cosine_lsh" -> ddCosineLshSql,
     "sim_topk" -> simTopKSql,

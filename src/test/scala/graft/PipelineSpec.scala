@@ -294,6 +294,28 @@ class PipelineSpec extends GraftSpecBase {
       (3L, 4L, 7L, 4L)))
   }
 
+  test("stripDuplicateSpans keeps the canonical first site and strips the rest") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc 1 holds the canonical (lowest doc, pos) copy of "a b c d e f"
+      (1L, "p q r s a b c d e f x y z"),
+      // doc 2 repeats it → those 6 tokens are stripped, the rest survive
+      (2L, "a b c d e f m n o"),
+      // doc 3 is a verbatim copy of doc 2 → strips to empty
+      (3L, "a b c d e f m n o"),
+      // doc 4 shares nothing
+      (4L, "h i j k l z1 z2 z3")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .stripDuplicateSpans(docs, "doc_id", "text", k = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == ("p q r s a b c d e f x y z", 0L))
+    assert(out(2L) == ("m n o", 6L))
+    assert(out(3L) == ("", 9L))
+    assert(out(4L) == ("h i j k l z1 z2 z3", 0L))
+  }
+
   test("semanticPairs finds within-cluster near-dups and only those") {
     import spark.implicits._
     // two tight geometric clusters far apart: the near-identical pairs

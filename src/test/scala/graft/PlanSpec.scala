@@ -42,6 +42,17 @@ class PlanSpec extends GraftSpecBase {
       s"LSH band join degraded to all-pairs:\n$plan")
   }
 
+  test("span dedup and semantic dedup never plan a cartesian product") {
+    // dd_span/dd_span_strip join on the gram fingerprint, dd_semantic on
+    // the kmeans cell — all equi keys; a cartesian here means the
+    // candidate pruning silently degraded to all-pairs
+    for (q <- Seq("dd_span", "dd_span_strip", "dd_semantic")) {
+      val plan = planOf(PipelineQueries.all(q)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"),
+        s"$q degraded to all-pairs:\n$plan")
+    }
+  }
+
   test("decontamination probes a broadcast of the bench grams, not a shuffle join") {
     val plan = planOf(
       graft.queries.CurationQueries.all("dd_decontaminate")(spark, sfDir))
