@@ -31,7 +31,7 @@ object Soak {
     spark.sparkContext.setLogLevel("WARN")
 
     // optional comma-separated family filter (minhash, simhash, clusters,
-    // ccdist, cross, crossidx) for isolated soak runs
+    // ccdist, cross, crossidx, span) for isolated soak runs
     val onlyFam = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
@@ -83,6 +83,28 @@ object Soak {
           .simhashPairs(docs, "doc_id", "text").count()
         val simSec = (System.nanoTime() - t0) / 1e9
         println(f"SOAK simhash m=$m%-3d docs=$nDocs%-8d pairs=$nSim%-9d s=$simSec%.1f")
+      }
+
+      // duplicate-span family: replicas share no grams (the salt), so
+      // TRUE span count grows exactly linearly in m while the window
+      // population grows linearly in tokens — if the fingerprint-group +
+      // per-doc-islands plan holds, wall tracks ~linearly too and the
+      // strip pass (canonical election + rebuild) stays in the same
+      // regime. A superlinear candidate or wall here would mean the
+      // gram group degenerated (hot fingerprints) — the property the
+      // 100 TB design rests on.
+      if (fam("span")) {
+        t0 = System.nanoTime()
+        val nSpans = graft.operators.Dedup
+          .duplicateSpans(docs, "doc_id", "text").count()
+        val spanSec = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val nStripped = graft.operators.Dedup
+          .stripDuplicateSpans(docs, "doc_id", "text")
+          .filter(col("n_removed") > 0).count()
+        val stripSec = (System.nanoTime() - t0) / 1e9
+        println(f"SOAK span     m=$m%-3d docs=$nDocs%-8d spans=$nSpans%-7d " +
+          f"stripped_docs=$nStripped%-7d span_s=$spanSec%.1f strip_s=$stripSec%.1f")
       }
 
       // clustering over the minhash pair graph — driver union-find regime
