@@ -687,8 +687,12 @@ object Dedup {
   /** The ACTION half of [[duplicateSpans]]: rewrite each document with
     * every duplicated k-token window removed EXCEPT at its corpus-
     * canonical first site (minimum (doc, position)) — the exact-substring
-    * dedup apply step: boilerplate survives once, every later copy is
-    * stripped, and a verbatim duplicate document collapses to empty.
+    * dedup apply step: later copies of a repeated passage are stripped
+    * and a verbatim duplicate document collapses to empty. The canonical
+    * occurrence survives unless a DIFFERENT duplicated window overlapping
+    * it is itself non-canonical (token removal is the union over
+    * non-canonical windows — the same overlap approximation every
+    * window-hash exact-substring dedup makes).
     * Returns every input doc as (idCol, clean_text, n_removed).
     *
     * Scale shape: canonical-site election is a min(struct) aggregate on

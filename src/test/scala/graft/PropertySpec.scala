@@ -124,6 +124,61 @@ class PropertySpec extends GraftSpecBase {
     }
   }
 
+  test("duplicateSpans/stripDuplicateSpans == local reference on random corpora") {
+    import spark.implicits._
+    val k = 3
+    for (trial <- 1 to 5) {
+      // 4-word vocabulary forces plenty of shared k-grams
+      val vocab = Vector("a", "b", "c", "d")
+      val docs = (1L to (rnd.nextInt(6) + 4).toLong).map { id =>
+        val len = rnd.nextInt(12) + 1
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val sites = for {
+        (id, ts) <- toks.toSeq; p <- 0 to ts.length - k
+      } yield (ts.slice(p, p + k).mkString(" "), id, p.toLong)
+      val dupG = sites.groupBy(_._1).filter(_._2.size >= 2).keySet
+      val dupSites = sites.filter(s => dupG(s._1))
+      // reference spans: ascending-position islands per doc
+      val wantSpans = dupSites.groupBy(_._2).flatMap { case (id, ss) =>
+        val ps = ss.map(_._3).distinct.sorted
+        val islands = ps.foldLeft(List.empty[List[Long]]) {
+          case (acc, p) if acc.nonEmpty && acc.head.head == p - 1 =>
+            (p :: acc.head) :: acc.tail
+          case (acc, p) => List(p) :: acc
+        }
+        islands.map(is =>
+          (id, is.min, is.max + k - 1, is.max + k - 1 - is.min + 1))
+      }.toSet
+      val gotSpans = graft.operators.Dedup
+        .duplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(gotSpans == wantSpans, s"trial $trial docs $docs")
+      // reference strip: remove the union of non-canonical dup windows
+      val canon = dupSites.groupBy(_._1)
+        .map { case (g, ss) => g -> ss.map(s => (s._2, s._3)).min }
+      val removed = dupSites
+        .filter(s => canon(s._1) != ((s._2, s._3)))
+        .flatMap(s => (s._3 until s._3 + k).map(tp => (s._2, tp)))
+        .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+      val wantStrip = toks.map { case (id, ts) =>
+        val rem = removed.getOrElse(id, Set.empty[Long])
+        val kept = ts.zipWithIndex.collect {
+          case (t, i) if !rem(i.toLong) => t
+        }
+        (id, kept.mkString(" "), ts.length.toLong - kept.length)
+      }.toSet
+      val gotStrip = graft.operators.Dedup
+        .stripDuplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(gotStrip == wantStrip, s"trial $trial docs $docs")
+    }
+  }
+
   test("dupClusters == local union-find on random pair graphs") {
     import spark.implicits._
     for (trial <- 1 to 5) {
