@@ -58,14 +58,22 @@ case class BucketedSetReads(spark: SparkSession) extends Rule[LogicalPlan] {
   // instance (new attribute ids) so self-joins deduplicate normally.
   // The DSv2 relation's DECLARED schema is passed to the v1 read, so
   // schema inference can never diverge (types/nullability) from the
-  // relation being replaced.
+  // relation being replaced. The set directory's mtime is part of the
+  // key: an overwrite of the set (same path, same layout) bumps it, so
+  // a rewrite can never serve the previous generation's file listing —
+  // one stat call per analysis instead of a full listing.
   private val relationCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Seq[String], Int), LogicalRelation]()
+    (String, Seq[String], Int, Long), LogicalRelation]()
+
+  private def dirStamp(path: String): Long =
+    try java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(path)).toMillis
+    catch { case _: java.io.IOException => -1L }
 
   private def rewrite(
       r: DataSourceV2Relation, path: String, bucketCols: Seq[String],
       numBuckets: Int): Option[LogicalPlan] = {
-    val key = (path, bucketCols, numBuckets)
+    val key = (path, bucketCols, numBuckets, dirStamp(path))
     val template = Option(relationCache.get(key)).orElse {
       val built = spark.read.schema(r.schema).parquet(path)
         .queryExecution.analyzed.collectFirst {

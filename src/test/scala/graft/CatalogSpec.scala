@@ -47,6 +47,23 @@ class CatalogSpec extends GraftSpecBase {
     spark.sql("DROP TABLE graft.scratch.kv")
   }
 
+  test("bucketed SQL reads see a set overwritten in place (no stale listing)") {
+    import spark.implicits._
+    val sets = new SetCatalog(spark, root)
+    val v1 = (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v")
+    sets.createBucketedSet("bk", "regen", v1, "k", 2)
+    assert(spark.sql("SELECT sum(k) AS s FROM graft.bk.regen")
+      .collect().head.getLong(0) == 55L)
+    // overwrite IN PLACE: same path, same bucket layout, new generation
+    // of files — the analyzer rewrite's cached relation must not serve
+    // the previous generation's listing
+    val v2 = (11L to 20L).map(i => (i, s"v$i")).toDF("k", "v")
+    sets.createBucketedSet("bk", "regen", v2, "k", 2)
+    assert(spark.sql("SELECT sum(k) AS s FROM graft.bk.regen")
+      .collect().head.getLong(0) == 155L)
+    sets.removeSet("bk", "regen")
+  }
+
   test("co-bucketed sets joined THROUGH SQL plan with no shuffle exchange") {
     val sets = new SetCatalog(spark, root)
     sets.createBucketedSet("bk", "lineitem",
