@@ -656,19 +656,7 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
-      // guards sequence() below (start > stop would DESCEND, not empty)
-      .filter(size(col("t")) >= k)
-      .transform(Parallelism.ensureWidth)
-    val wins = toks
-      .select(col("id"), explode(expr(
-        s"""transform(sequence(0, size(t) - $k),
-           |  i -> named_struct(
-           |    'pos', cast(i AS BIGINT),
-           |    'g', md5(cast(array_join(slice(t, i + 1, $k), ' ') AS BINARY))))"""
-          .stripMargin)).as("w"))
-      .select(col("id"), col("w.pos").as("pos"), col("w.g").as("g"))
+    val wins = windowFingerprints(docs, idCol, textCol, k)
     val dup = wins.groupBy(col("g")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select(col("g"))
     val hits = wins.join(dup, Seq("g"), "left_semi")
@@ -702,20 +690,31 @@ object Dedup {
     * the document's own token count (the same bound as reading the doc).
     * No global order anywhere.
     */
+  /** Shared (id, pos, fingerprint) window stream for the span family:
+    * one codegen'd [[graft.functions.ShingleExpressions.wordShinglesAll]]
+    * pass per row (position order, duplicates preserved — the same
+    * kernel the LSH path uses, replacing the interpreted
+    * transform/slice/array_join HOF chain that re-evaluates its captured
+    * subtree per element), md5-fingerprinted so the duplicate test
+    * shuffles a fixed 32-hex key regardless of window text width.
+    */
+  private def windowFingerprints(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .transform(Parallelism.ensureWidth)
+      .select(col("id"),
+        posexplode(graft.functions.ShingleExpressions
+          .wordShinglesAll(col("text"), k)).as(Seq("pos", "gram")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        md5(col("gram").cast("binary")).as("g"))
+
   def stripDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     val toks = docs
       .select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
       .transform(Parallelism.ensureWidth)
-    val wins = toks
-      .filter(size(col("t")) >= k)
-      .select(col("id"), explode(expr(
-        s"""transform(sequence(0, size(t) - $k),
-           |  i -> named_struct(
-           |    'pos', cast(i AS BIGINT),
-           |    'g', md5(cast(array_join(slice(t, i + 1, $k), ' ') AS BINARY))))"""
-          .stripMargin)).as("w"))
-      .select(col("id"), col("w.pos").as("pos"), col("w.g").as("g"))
+    val wins = windowFingerprints(docs, idCol, textCol, k)
     val dup = wins.groupBy(col("g")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select(col("g"))
     val hits = wins.join(dup, Seq("g"), "left_semi")
