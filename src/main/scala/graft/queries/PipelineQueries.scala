@@ -270,6 +270,33 @@ object PipelineQueries {
     Dedup.semanticPairs(Tables.embeddings(spark, d), "vec_id", "embedding",
       nClusters = 4, iters = 3, threshold = 0.4)
 
+  /** Terminal action for the semantic family, mirroring [[ddKeepList]]:
+    * semantic pairs → connected components → drop list (every member
+    * that is not its component's min-id representative).
+    */
+  def ddSemanticKeep(spark: SparkSession, d: String): DataFrame =
+    Dedup.dupClusters(
+      Dedup.semanticPairs(Tables.embeddings(spark, d), "vec_id",
+          "embedding", nClusters = 4, iters = 3, threshold = 0.4)
+        .select(col("id_a"), col("id_b")))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("drop_id"), col("cluster_id").as("keep_id"))
+
+  // lazy: interpolates ddSemanticSql, which is declared further down —
+  // a strict val here would capture null at object init
+  lazy val ddSemanticKeepSql: String =
+    s"""WITH RECURSIVE p0 AS ($ddSemanticSql),
+       |pairs AS (SELECT id_a, id_b FROM p0),
+       |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |      UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM e) n
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id),
+       |cl AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+       |SELECT id AS drop_id, rep AS keep_id FROM cl WHERE id <> rep"""
+      .stripMargin
+
   /** Oracle: the shared unrolled-Lloyd CTE chain (the ml_kmeans oracle's
     * trainer, [[ExtendedQueries.lloydCtes]]) for the assignment, then the
     * ddCosineSql verify restricted to same-cluster pairs.
@@ -551,6 +578,7 @@ object PipelineQueries {
     "dd_span" -> ddSpan,
     "dd_span_strip" -> ddSpanStrip,
     "dd_semantic" -> ddSemantic,
+    "dd_semantic_keep" -> ddSemanticKeep,
     "dd_cosine_lsh" -> ddCosineLsh,
     "sim_topk" -> simTopK,
     "sim_ivf_topk" -> simIvf,
@@ -578,6 +606,7 @@ object PipelineQueries {
     "dd_span" -> ddSpanSql,
     "dd_span_strip" -> ddSpanStripSql,
     "dd_semantic" -> ddSemanticSql,
+    "dd_semantic_keep" -> ddSemanticKeepSql,
     "dd_cosine_lsh" -> ddCosineLshSql,
     "sim_topk" -> simTopKSql,
     "sim_ivf_topk" -> simIvfSql,
