@@ -100,6 +100,41 @@ class PlanSpec extends GraftSpecBase {
       s"queries with all-rows single-partition window stages: $offenders")
   }
 
+  test("cartesian/nested-loop joins appear only in allowlisted queries") {
+    // CartesianProduct / BroadcastNestedLoopJoin are O(n·m): acceptable
+    // only as a deliberate baseline, a conformance query, or a 1-row
+    // scalar broadcast. Everything else must plan equi joins. Sweep the
+    // physical plan of every registered batch query; any NEW query that
+    // degrades to all-pairs fails here with its plan.
+    val allowed: Map[String, String] = Map(
+      "op_join_cartesian" -> "the native-lambda cartesian conformance query",
+      "dd_cosine_pairs" -> "documented O(n^2) brute-force baseline",
+      "sim_topk" -> "documented brute-force ANN baseline",
+      "dd_topk_jaccard" -> "documented all-pairs jaccard baseline",
+      "txt_quantile_filter" -> "1-row threshold scalar broadcast",
+      "op_pivot" -> "1-row header scalar broadcast",
+      "la_l2_check" -> "1-row beta/residual scalar broadcast",
+      "la_inverse_check" -> "1-row identity-error scalar broadcast",
+      "ml_gmm" -> "1-row normalizer scalar broadcast",
+      "ml_lda_topics" -> "1-row normalizer scalar broadcast",
+      "ml_lstm_scores" -> "broadcast weight matrices",
+      "ml_kmeans" -> "broadcast codebook",
+      "op_stats_agg" -> "1-row global-stats scalar broadcast",
+      "op_histogram" -> "1-row min/max bin-bounds scalar broadcast",
+      "q22_idle_customers" -> "1-row avg-acctbal scalar subquery broadcast",
+      "txt_tfidf" -> "1-row corpus-doc-count scalar broadcast")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) =>
+        name.startsWith("st_") || allowed.contains(name) }
+      .flatMap { case (name, fn) =>
+        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct") ||
+            p.contains("BroadcastNestedLoopJoin")) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"non-allowlisted queries planning all-pairs joins: $offenders")
+  }
+
   test("README's stated query count matches the live registry") {
     // the README is contract surface the judge reads; a drifted count
     // (happened rounds 4 and 5) now fails CI instead of shipping
