@@ -233,4 +233,33 @@ object Curation {
     df.withColumn("shard", (hv % nShards).cast("long"))
       .withColumn("pos", row_number().over(w).cast("long") - 1)
   }
+
+  /** Token-budget corpus subset — "train on the first `totalTokens` of
+    * the shuffled mix": documents are taken in [[shardAssign]]'s
+    * deterministic shuffle order until each of the `nShards` writer
+    * streams exhausts its equal share (⌊total/shards⌋) of the budget. A
+    * doc that would cross its stream's share is dropped whole (documents
+    * are the atomic unit here; [[packSequences]] is the operator that
+    * splits across window boundaries). Deterministic, rerun-stable, and
+    * order-free output: (idCol, shard, pos, n_tokens, cum_tokens).
+    *
+    * Scale shape: the shard/pos window of [[shardAssign]] plus ONE
+    * running-sum window over the same per-shard partitioning — no
+    * global cumulative sum (the classic scale trap for "first N tokens"
+    * is a single global prefix scan; the per-stream share is how a
+    * sharded writer meets a corpus-level budget without one).
+    */
+  def tokenBudgetSubset(docs: DataFrame, idCol: String, textCol: String,
+      totalTokens: Long, nShards: Int): DataFrame = {
+    require(totalTokens >= 1, s"need a positive budget, got $totalTokens")
+    val perShard = totalTokens / nShards
+    val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    shardAssign(docs.select(col(idCol), col(textCol)), idCol, nShards)
+      .withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= perShard)
+      .select(col(idCol), col("shard"), col("pos"), col("n_tokens"),
+        col("cum_tokens"))
+  }
 }

@@ -221,6 +221,35 @@ object CurationQueries {
       Tables.documents(spark, d).select(col("doc_id")), "doc_id", nShards = 8)
       .select(col("doc_id"), col("shard"), col("pos"))
 
+  /** Token-budget subset: the first ~30k tokens of the shuffled corpus,
+    * taken as ⌊30000/8⌋ tokens per writer stream
+    * ([[Curation.tokenBudgetSubset]]).
+    */
+  def tokenBudget(spark: SparkSession, d: String): DataFrame =
+    Curation.tokenBudgetSubset(Tables.documents(spark, d), "doc_id", "text",
+      totalTokens = 30000L, nShards = 8)
+
+  val tokenBudgetSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 8 AS shard,
+      |    md5(CAST(doc_id AS VARCHAR)) AS mh,
+      |    len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY mh, doc_id) - 1 AS pos
+      |  FROM h),
+      |c AS (
+      |  SELECT doc_id, shard, pos, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM r)
+      |SELECT doc_id, shard, pos, n_tokens, cum_tokens
+      |FROM c WHERE cum_tokens <= 3750""".stripMargin
+
   val globalShuffleSql: String =
     """WITH h AS (
       |  SELECT doc_id,
@@ -241,6 +270,7 @@ object CurationQueries {
     "txt_chunks" -> chunks,
     "op_pack_sequences" -> packSequences,
     "op_global_shuffle" -> globalShuffle,
+    "op_token_budget" -> tokenBudget,
     "op_skew_join" -> skewJoin)
 
   val oracles: Map[String, String] = Map(
@@ -252,5 +282,6 @@ object CurationQueries {
     "txt_chunks" -> chunksSql,
     "op_pack_sequences" -> packSequencesSql,
     "op_global_shuffle" -> globalShuffleSql,
+    "op_token_budget" -> tokenBudgetSql,
     "op_skew_join" -> skewJoinSql)
 }

@@ -103,6 +103,42 @@ class CurationSpec extends GraftSpecBase {
     assert(Curation.quantileKeep(scored, "s", 1.0).count() == 10)
   }
 
+  test("tokenBudgetSubset takes a maximal whole-doc prefix per writer stream") {
+    import spark.implicits._
+    // doc i carries exactly i tokens
+    val docs = (1L to 40L).map(i => (i, ("tok " * i.toInt).trim))
+      .toDF("doc_id", "text")
+    val perShard = 80L / 4
+    val out = Curation
+      .tokenBudgetSubset(docs, "doc_id", "text", totalTokens = 80L, nShards = 4)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    // within budget, and cum really is the running sum in pos order
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      var run = 0L
+      rows.sortBy(_._2).foreach { case (_, _, _, n, cum) =>
+        run += n
+        assert(cum == run && cum <= perShard)
+      }
+    }
+    // maximality: the next doc in each stream's order would overflow
+    val full = Curation.shardAssign(
+        docs.select(col("doc_id"), col("text")), "doc_id", 4)
+      .collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(0)))
+    val taken = out.map(_._3).toSet
+    full.groupBy(_._1).foreach { case (shard, rows) =>
+      val inOrder = rows.sortBy(_._2)
+      val lastCum = out.filter(_._1 == shard).map(_._5).maxOption.getOrElse(0L)
+      inOrder.find(r => !taken(r._3)).foreach { next =>
+        // next doc id == its token count by construction
+        assert(lastCum + next._3 > perShard,
+          s"shard $shard stopped early: cum $lastCum, next doc ${next._3}")
+      }
+    }
+  }
+
   test("shardAssign is a deterministic permutation with dense per-shard positions") {
     import spark.implicits._
     val df = (1L to 200L).map(i => (i, s"d$i")).toDF("doc_id", "payload")
