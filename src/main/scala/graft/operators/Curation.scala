@@ -185,13 +185,16 @@ object Curation {
     * boundary ties all make the cut and a rerun (or a SQL oracle)
     * reproduces the exact row set.
     *
-    * Scale shape: one count, one global top-m for the threshold
-    * (TakeOrderedAndProject — each task keeps m rows, the driver merges
-    * m·tasks; never a global sort or an all-rows window), one
-    * broadcast-scalar filter scan. m = ⌈fraction·n⌉ DOCUMENTS must fit
-    * the top-k merge; for fractions where it cannot, swap the threshold
-    * pick to approx_percentile and accept sketch error at the boundary —
-    * the filter scan is unchanged.
+    * Scale shape — two regimes picking the SAME exact threshold:
+    * m = ⌈fraction·n⌉ under `spark.graft.quantile.topmMax` (default 2²⁰)
+    * goes through a global top-m (TakeOrderedAndProject — each task
+    * keeps m rows, the driver merges m·tasks; no global sort). Larger m
+    * switches to a sketch-bracketed exact pick: approx_percentile
+    * brackets the boundary, two counts locate the exact rank inside the
+    * bracket, and ONLY the bracket rows (sketch-error-bounded, not
+    * O(m)) are sorted to read the threshold value — so the gate stays
+    * value-exact at any corpus size. Both regimes end in the same
+    * broadcast-scalar filter scan.
     */
   def quantileKeep(scored: DataFrame, scoreCol: String,
       fraction: Double): DataFrame = {
@@ -199,14 +202,59 @@ object Curation {
       s"fraction must be in (0,1], got $fraction")
     val n = scored.count()
     val m = math.max(1L, math.ceil(fraction * n).toLong)
-    require(m <= Int.MaxValue, "top-m threshold pick overflows limit()")
-    val thr = scored.select(col(scoreCol).as("__s"))
-      .orderBy(col("__s").desc)
-      .limit(m.toInt)
-      .agg(min(col("__s")).as("__thr"))
+    val topmMax = scored.sparkSession.conf
+      .get("spark.graft.quantile.topmMax", (1 << 20).toString).toLong
+    val thr = exactRankThreshold(scored, scoreCol, m, topmMax)
     scored.crossJoin(broadcast(thr))
       .filter(col(scoreCol) >= col("__thr"))
       .drop("__thr")
+  }
+
+  /** Exact m-th-largest value at any scale, as a 1-row (__thr) frame.
+    * m within `topmMax` is one global top-m (per-task heap, k·tasks
+    * driver merge). Larger m is distributed rank selection: bracket the
+    * target rank with approx_percentile (±ε quantiles around it), prove
+    * the bracket with two counts (sketch error is rank-bounded, so a
+    * miss is detected and the bracket widens), then RECURSE on the
+    * in-bracket rows — each round shrinks the candidate set by roughly
+    * the sketch's accuracy factor, so a 10¹²-row corpus reaches the
+    * top-m base case in a round or two of counts, never sorting or
+    * merging more than the final bracket.
+    */
+  private def exactRankThreshold(scored: DataFrame, scoreCol: String,
+      m: Long, topmMax: Long): DataFrame = {
+    if (m <= math.min(topmMax, Int.MaxValue.toLong))
+      return scored.select(col(scoreCol).as("__s"))
+        .orderBy(col("__s").desc)
+        .limit(m.toInt)
+        .agg(min(col("__s")).as("__thr"))
+    val n = scored.count()
+    val q = 1.0 - m.toDouble / n // target rank as an ascending quantile
+    val acc = 10000 // approx_percentile rank error ≤ n/acc per bound
+    var eps = 2.0 / acc
+    while (true) {
+      val lo = math.max(0.0, q - eps)
+      val hi = math.min(1.0, q + eps)
+      val Array(bLo, bHi) = scored
+        .agg(expr(s"approx_percentile($scoreCol, array($lo, $hi), $acc)"))
+        .head().getSeq[Any](0).map(_.toString.toDouble).toArray
+      val above = scored.filter(col(scoreCol) > lit(bHi)).count()
+      val aboveLo = scored.filter(col(scoreCol) > lit(bLo)).count()
+      if (above < m && aboveLo >= m) {
+        // the m-th largest lies in (bLo, bHi]: it is the (m - above)-th
+        // largest of the bracket rows — recurse on that small set
+        val inBracket =
+          scored.filter(col(scoreCol) > lit(bLo) && col(scoreCol) <= lit(bHi))
+        return exactRankThreshold(inBracket, scoreCol, m - above, topmMax)
+      }
+      if (lo == 0.0 && hi == 1.0) {
+        // full range and still no bracket: count(> min) < m, so the
+        // m-th largest IS the minimum value
+        return scored.agg(min(col(scoreCol)).as("__thr"))
+      }
+      eps *= 4 // sketch missed the rank: widen and retry
+    }
+    sys.error("unreachable")
   }
 
   /** Deterministic global shuffle + shard assignment — the "shuffle the

@@ -103,6 +103,26 @@ class CurationSpec extends GraftSpecBase {
     assert(Curation.quantileKeep(scored, "s", 1.0).count() == 10)
   }
 
+  test("quantileKeep: sketch-bracketed rank selection == top-m pick") {
+    import spark.implicits._
+    // 2000 rows with heavy ties and a smooth tail — both threshold
+    // regimes must keep the IDENTICAL row set
+    val scored = (1L to 2000L)
+      .map(i => (i, if (i % 7 == 0) 0.5 else (i % 251).toDouble / 251))
+      .toDF("id", "s")
+    val viaTopM = Curation.quantileKeep(scored, "s", 0.2)
+      .select("id").as[Long].collect().toSet
+    spark.conf.set("spark.graft.quantile.topmMax", "1")
+    try {
+      val viaBracket = Curation.quantileKeep(scored, "s", 0.2)
+        .select("id").as[Long].collect().toSet
+      assert(viaBracket == viaTopM)
+      // degenerate all-equal distribution: threshold is the value itself
+      val flat = (1L to 100L).map(i => (i, 0.25)).toDF("id", "s")
+      assert(Curation.quantileKeep(flat, "s", 0.1).count() == 100)
+    } finally spark.conf.unset("spark.graft.quantile.topmMax")
+  }
+
   test("tokenBudgetSubset takes a maximal whole-doc prefix per writer stream") {
     import spark.implicits._
     // doc i carries exactly i tokens
