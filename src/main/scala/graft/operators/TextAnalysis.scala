@@ -80,7 +80,12 @@ object TextAnalysis {
         .as("q_score"))
   }
 
-  val qualityScoreSql: String = {
+  val qualityScoreSql: String = qualityScoreSqlFrom("documents")
+
+  /** The same oracle over any relation exposing (doc_id, text) — lets
+    * pipeline-composition oracles score an upstream CTE's output.
+    */
+  def qualityScoreSqlFrom(rel: String): String = {
     val stopList = stopwords.head._2.map(w => s"'$w'").mkString(", ")
     s"""SELECT doc_id,
        | len(string_split(text,' ')) AS n_tokens,
@@ -93,7 +98,7 @@ object TextAnalysis {
        | 0.3 * least(CAST(length(replace(text,' ','')) AS DOUBLE)/len(string_split(text,' '))/10.0, 1.0) +
        | 0.2 * (1.0 - CAST(length(regexp_replace(text,'[^0-9]','','g')) AS DOUBLE)/length(text))
        |   AS q_score
-       |FROM documents""".stripMargin
+       |FROM $rel""".stripMargin
   }
 
   /** Corpus token statistics: per-word occurrence and document frequency —

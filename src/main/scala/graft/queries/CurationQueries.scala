@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.operators.{Curation, SkewJoin, TextAnalysis}
+import graft.operators.{Curation, Dedup, SkewJoin, TextAnalysis}
 
 /** Curation-stage queries: benchmark decontamination, PII scan/redaction,
   * retrieval chunking, sequence packing, and the salted skew join —
@@ -261,6 +261,67 @@ object CurationQueries {
       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
       |FROM h""".stripMargin
 
+  /** The capstone composition — the round-7 operators chained the way a
+    * real curation job runs them: strip duplicated passages, drop
+    * fully-stripped docs, gate on the quality-score median, then take
+    * each writer stream's share of a corpus token budget in the
+    * deterministic shuffle order. Every stage is individually
+    * oracle-checked (dd_span_strip, txt_quantile_filter,
+    * op_token_budget); this query hash-checks that they COMPOSE.
+    */
+  def pipeCurate(spark: SparkSession, d: String): DataFrame = {
+    val stripped = Dedup
+      .stripDuplicateSpans(Tables.documents(spark, d), "doc_id", "text",
+        k = 8)
+      .filter(col("clean_text") =!= "")
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val scored = TextAnalysis.qualityScore(stripped, "doc_id", "text")
+      .select(col("doc_id"), col("q_score"))
+    val kept = Curation.quantileKeep(scored, "q_score", fraction = 0.5)
+      .select(col("doc_id"))
+    val survivors = stripped.join(kept, Seq("doc_id"))
+    Curation.tokenBudgetSubset(survivors, "doc_id", "text",
+      totalTokens = 20000L, nShards = 4)
+  }
+
+  lazy val pipeCurateSql: String =
+    s"""WITH stripped0 AS (${PipelineQueries.ddSpanStripSql}),
+       |stripped AS (
+       |  SELECT doc_id, clean_text AS text FROM stripped0
+       |  WHERE clean_text <> ''),
+       |s AS (
+       |  SELECT doc_id, q_score FROM (
+       |    ${TextAnalysis.qualityScoreSqlFrom("stripped")}) qs),
+       |ranked AS (
+       |  SELECT doc_id, q_score,
+       |    ROW_NUMBER() OVER (ORDER BY q_score DESC, doc_id) AS rk FROM s),
+       |thr AS (
+       |  SELECT MIN(q_score) AS t FROM ranked
+       |  WHERE rk <= CAST(ceil(0.5 * (SELECT COUNT(*) FROM s)) AS BIGINT)),
+       |kt AS (
+       |  SELECT st.doc_id, st.text FROM stripped st
+       |  JOIN s USING (doc_id) CROSS JOIN thr
+       |  WHERE s.q_score >= thr.t),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 4 AS shard,
+       |    md5(CAST(doc_id AS VARCHAR)) AS mh,
+       |    len(string_split(text, ' ')) AS n_tokens
+       |  FROM kt),
+       |r AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY mh, doc_id) - 1 AS pos
+       |  FROM h),
+       |c AS (
+       |  SELECT doc_id, shard, pos, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM r)
+       |SELECT doc_id, shard, pos, n_tokens, cum_tokens
+       |FROM c WHERE cum_tokens <= 5000""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_decontaminate" -> decontaminate,
     "txt_pii" -> piiScan,
@@ -271,6 +332,7 @@ object CurationQueries {
     "op_pack_sequences" -> packSequences,
     "op_global_shuffle" -> globalShuffle,
     "op_token_budget" -> tokenBudget,
+    "pipe_curate" -> pipeCurate,
     "op_skew_join" -> skewJoin)
 
   val oracles: Map[String, String] = Map(
@@ -283,5 +345,6 @@ object CurationQueries {
     "op_pack_sequences" -> packSequencesSql,
     "op_global_shuffle" -> globalShuffleSql,
     "op_token_budget" -> tokenBudgetSql,
+    "pipe_curate" -> pipeCurateSql,
     "op_skew_join" -> skewJoinSql)
 }
