@@ -270,11 +270,17 @@ object CurationQueries {
     * op_token_budget); this query hash-checks that they COMPOSE.
     */
   def pipeCurate(spark: SparkSession, d: String): DataFrame = {
+    // the strip output feeds the score pass, the threshold pick, AND the
+    // survivor join — without materialization the whole span-strip plan
+    // recomputes once per consumer (measured 6.8 s vs 3.4 s at sf0.1).
+    // localCheckpoint is the query form; a standing pipeline writes this
+    // stage to a catalog set instead (same trade as Dedup.materialize).
     val stripped = Dedup
       .stripDuplicateSpans(Tables.documents(spark, d), "doc_id", "text",
         k = 8)
       .filter(col("clean_text") =!= "")
       .select(col("doc_id"), col("clean_text").as("text"))
+      .localCheckpoint(true)
     val scored = TextAnalysis.qualityScore(stripped, "doc_id", "text")
       .select(col("doc_id"), col("q_score"))
     val kept = Curation.quantileKeep(scored, "q_score", fraction = 0.5)
