@@ -232,6 +232,39 @@ object StreamingQueries {
 
   val stNearDupSql: String = PipelineQueries.ddCrossSql
 
+  /** Streaming curation: the stateless PII scan/redact stage applied per
+    * micro-batch on the document ingest stream (append mode, no state
+    * store at all) — the form a standing ingest pipeline runs curation
+    * in, with per-doc results identical to the batch operator by
+    * construction (each row depends only on itself).
+    */
+  def stCurate(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val stream = readDocStream(spark, d)
+    val q = graft.operators.Curation.piiScan(stream, "doc_id", "text")
+      .writeStream.format("memory").queryName("st_curate_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("st_curate_sink")
+  }
+
+  /** Oracle: the batch PII scan over the same fixture rows (txt_pii's
+    * SELECT without its synthetic PII augmentation).
+    */
+  val stCurateSql: String = {
+    val email = graft.operators.Curation.emailRe.replace("'", "''")
+    val ip = graft.operators.Curation.ipv4Re
+    val phone = graft.operators.Curation.phoneRe
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$email')) AS n_emails,
+       |  len(regexp_extract_all(text, '$ip')) AS n_ips,
+       |  len(regexp_extract_all(text, '$phone')) AS n_phones,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$email', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'),
+       |    '$phone', '[PHONE]', 'g') AS redacted
+       |FROM documents""".stripMargin
+  }
+
   /** file-source streaming read of the embeddings fixture */
   private def readEmbStream(spark: SparkSession, d: String): DataFrame = {
     val p = java.nio.file.Paths.get(s"$d/embeddings.parquet")
@@ -288,6 +321,7 @@ object StreamingQueries {
     "st_join" -> stJoin,
     "st_upsert" -> stUpsert,
     "st_neardup" -> stNearDup,
+    "st_curate" -> stCurate,
     "st_ivf_append" -> stIvfAppend)
 
   val oracles: Map[String, String] = Map(
@@ -299,5 +333,6 @@ object StreamingQueries {
     "st_join" -> stJoinSql,
     "st_upsert" -> stUpsertSql,
     "st_neardup" -> stNearDupSql,
+    "st_curate" -> stCurateSql,
     "st_ivf_append" -> stIvfAppendSql)
 }
