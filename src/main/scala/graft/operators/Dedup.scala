@@ -655,13 +655,19 @@ object Dedup {
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val wins = windowFingerprints(docs, idCol, textCol, k)
     val dup = wins.groupBy(col("g")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select(col("g"))
-    val hits = wins.join(dup, Seq("g"), "left_semi")
-    // gaps-and-islands: consecutive duplicated start positions share one
-    // (pos - rank) value, so each island is a maximal duplicated span
+    spanIslands(wins.join(dup, Seq("g"), "left_semi"), idCol, k)
+  }
+
+  /** Shared span epilogue — gaps-and-islands over duplicated window
+    * start positions: consecutive positions share one (pos - rank)
+    * value, so each island is a maximal duplicated span. One window per
+    * document; `hits` carries (id, pos).
+    */
+  private def spanIslands(hits: DataFrame, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     hits
       .withColumn("grp", col("pos") - row_number().over(w))
@@ -670,6 +676,50 @@ object Dedup {
         (max(col("pos")) + lit(k - 1).cast("long")).as("span_end"))
       .select(col("id").as(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Ingest-time span dedup — the standing-pipeline form of
+    * [[duplicateSpans]], mirroring [[persistLshIndex]] /
+    * [[crossPairsAgainstStoredIndex]] for whole-doc dedup: the corpus's
+    * DISTINCT window fingerprints persist once as a bucketed set keyed
+    * on the fingerprint, and each arriving batch semi-joins its own
+    * windows against it — the index side arrives pre-partitioned on the
+    * join key (zero exchange), the arrival side shuffles only its
+    * 32-hex fingerprints. Per-doc results depend only on that doc and
+    * the static index, so per-batch outputs union to the one-shot
+    * result.
+    */
+  def persistGramIndex(
+      catalog: graft.storage.SetCatalog, db: String, name: String,
+      corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, numBuckets: Int = 0): Unit = {
+    val n = if (numBuckets > 0) numBuckets
+      else corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val grams = windowFingerprints(corpus, idCol, textCol, k)
+      .select(col("g")).distinct()
+    catalog.createBucketedSet(db, s"${name}_grams", grams, "g", n)
+  }
+
+  /** Spans of `newDocs` whose windows already occur in the stored gram
+    * index: (idCol, span_start, span_end, span_tokens) per arriving doc.
+    */
+  def spansAgainstStoredIndex(
+      newDocs: DataFrame, catalog: graft.storage.SetCatalog,
+      db: String, name: String, idCol: String, textCol: String,
+      k: Int = 8): DataFrame =
+    spansAgainstGrams(newDocs,
+      catalog.scanBucketedSet(db, s"${name}_grams"), idCol, textCol, k)
+
+  /** In-memory form of [[spansAgainstStoredIndex]]: `corpusGrams` is any
+    * frame exposing the fingerprint column `g`.
+    */
+  def spansAgainstGrams(
+      newDocs: DataFrame, corpusGrams: DataFrame,
+      idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val wins = windowFingerprints(newDocs, idCol, textCol, k)
+    spanIslands(
+      wins.join(corpusGrams.select(col("g")), Seq("g"), "left_semi"),
+      idCol, k)
   }
 
   /** The ACTION half of [[duplicateSpans]]: rewrite each document with

@@ -219,6 +219,55 @@ object PipelineQueries {
       |  MAX(pos) - MIN(pos) + 8 AS span_tokens
       |FROM isl GROUP BY doc_id, grp""".stripMargin
 
+  /** Ingest-time span dedup against a CATALOG-PERSISTED gram index
+    * (corpus = docs < 250 indexed once; arrivals = the rest probe it) —
+    * [[Dedup.persistGramIndex]] / [[Dedup.spansAgainstStoredIndex]].
+    */
+  def ddSpanCross(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val root = java.nio.file.Files.createTempDirectory("graft-gramx")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    Dedup.persistGramIndex(cat, "ddx", "corpus",
+      docs.filter(col("doc_id") < 250), "doc_id", "text", k = 8)
+    val spans = Dedup.spansAgainstStoredIndex(
+      docs.filter(col("doc_id") >= 250), cat, "ddx", "corpus",
+      "doc_id", "text", k = 8)
+      .localCheckpoint(true)
+    cat.removeSet("ddx", "corpus_grams")
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rm)
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(root)
+    spans
+  }
+
+  val ddSpanCrossSql: String =
+    """WITH ctoks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE doc_id < 250),
+      |cpos AS (
+      |  SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS pos FROM ctoks),
+      |cg AS (
+      |  SELECT DISTINCT md5(array_to_string(t[pos + 1 : pos + 8], ' ')) AS g
+      |  FROM cpos),
+      |atoks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE doc_id >= 250),
+      |apos AS (
+      |  SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS pos FROM atoks),
+      |wins AS (
+      |  SELECT doc_id, pos, md5(array_to_string(t[pos + 1 : pos + 8], ' ')) AS g
+      |  FROM apos),
+      |hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN cg USING (g)),
+      |isl AS (SELECT doc_id, pos,
+      |  pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM hits)
+      |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+      |  MAX(pos) - MIN(pos) + 8 AS span_tokens
+      |FROM isl GROUP BY doc_id, grp""".stripMargin
+
   /** Exact-substring dedup APPLY: every duplicated 8-token window
     * stripped except at its corpus-canonical first site
     * ([[Dedup.stripDuplicateSpans]]) — verbatim copies collapse to
@@ -576,6 +625,7 @@ object PipelineQueries {
     "dd_simhash_pairs" -> ddSimhash,
     "dd_cosine_pairs" -> ddCosine,
     "dd_span" -> ddSpan,
+    "dd_span_cross" -> ddSpanCross,
     "dd_span_strip" -> ddSpanStrip,
     "dd_semantic" -> ddSemantic,
     "dd_semantic_keep" -> ddSemanticKeep,
@@ -604,6 +654,7 @@ object PipelineQueries {
     "dd_simhash_pairs" -> ddSimhashSql,
     "dd_cosine_pairs" -> ddCosineSql,
     "dd_span" -> ddSpanSql,
+    "dd_span_cross" -> ddSpanCrossSql,
     "dd_span_strip" -> ddSpanStripSql,
     "dd_semantic" -> ddSemanticSql,
     "dd_semantic_keep" -> ddSemanticKeepSql,

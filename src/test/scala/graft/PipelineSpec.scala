@@ -294,6 +294,41 @@ class PipelineSpec extends GraftSpecBase {
       (3L, 4L, 7L, 4L)))
   }
 
+  test("spansAgainstGrams is batching-invariant against a fixed gram index") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y z w v u t s")).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (10L, "p p a b c d q q"),     // one corpus span at pos 2..5
+      (11L, "x y z w k k k k"),     // one at pos 0..3
+      (12L, "m m m m n n n n"))     // nothing shared
+      .toDF("doc_id", "text")
+    // in-memory gram index: the corpus's distinct window fingerprints
+    val corpusGrams = {
+      import org.apache.spark.sql.functions.md5
+      corpus.select(col("doc_id"),
+        posexplode(graft.functions.ShingleExpressions
+          .wordShinglesAll(col("text"), 4)).as(Seq("pos", "gram")))
+        .select(md5(col("gram").cast("binary")).as("g")).distinct()
+    }
+    val oneShot = graft.operators.Dedup
+      .spansAgainstGrams(arrivals, corpusGrams, "doc_id", "text", 4)
+      .collect().map(_.toSeq).toSet
+    assert(oneShot == Set(
+      Seq(10L, 2L, 5L, 4L), Seq(11L, 0L, 3L, 4L)))
+    // per-batch union == one-shot (per-doc results depend only on the doc
+    // and the static index)
+    val perBatch = Seq(
+      arrivals.filter(col("doc_id") === 10),
+      arrivals.filter(col("doc_id") === 11),
+      arrivals.filter(col("doc_id") === 12))
+      .flatMap(b => graft.operators.Dedup
+        .spansAgainstGrams(b, corpusGrams, "doc_id", "text", 4)
+        .collect().map(_.toSeq)).toSet
+    assert(perBatch == oneShot)
+  }
+
   test("stripDuplicateSpans keeps the canonical first site and strips the rest") {
     import spark.implicits._
     val docs = Seq(
