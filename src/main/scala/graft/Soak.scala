@@ -31,7 +31,7 @@ object Soak {
     spark.sparkContext.setLogLevel("WARN")
 
     // optional comma-separated family filter (minhash, simhash, clusters,
-    // ccdist, cross, crossidx, span) for isolated soak runs
+    // ccdist, cross, crossidx, span, spanx) for isolated soak runs
     val onlyFam = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
@@ -105,6 +105,41 @@ object Soak {
         val stripSec = (System.nanoTime() - t0) / 1e9
         println(f"SOAK span     m=$m%-3d docs=$nDocs%-8d spans=$nSpans%-7d " +
           f"stripped_docs=$nStripped%-7d span_s=$spanSec%.1f strip_s=$stripSec%.1f")
+      }
+
+      // ingest-time span dedup against the PERSISTED gram index: replica
+      // 0 is the standing corpus (indexed once), the rest arrive. Every
+      // 50th corpus doc re-arrives verbatim per replica (the same plant
+      // as the cross family), so true span hits grow linearly in m;
+      // background arrivals share no grams with the corpus. Build and
+      // match report separately — the standing pipeline pays the build
+      // once per corpus generation.
+      if (m > 1 && fam("spanx")) {
+        val planted = (1 until m).map { i =>
+          base.filter(col("doc_id") % 50 === 0)
+            .select((col("doc_id") + lit(100L * n + i * n)).as("doc_id"),
+              regexp_replace(col("text"), "(\\S+)", "r0_$1").as("text"))
+        }.reduce(_ unionByName _)
+        val arrivals = docs.filter(col("doc_id") >= n).unionByName(planted)
+        val corpus = docs.filter(col("doc_id") < n)
+        val root = java.nio.file.Files.createTempDirectory("graft-soak-gramx")
+        val cat = new graft.storage.SetCatalog(spark, root.toString)
+        t0 = System.nanoTime()
+        graft.operators.Dedup.persistGramIndex(
+          cat, "soak", "c", corpus, "doc_id", "text")
+        val buildSec = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val nSpan = graft.operators.Dedup.spansAgainstStoredIndex(
+          arrivals, cat, "soak", "c", "doc_id", "text").count()
+        val matchSec = (System.nanoTime() - t0) / 1e9
+        println(f"SOAK spanx    m=$m%-3d docs=$nDocs%-8d spans=$nSpan%-7d " +
+          f"build_s=$buildSec%.1f match_s=$matchSec%.1f")
+        def rm(p: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.list(p).forEach(rm)
+          java.nio.file.Files.deleteIfExists(p)
+        }
+        rm(root)
       }
 
       // clustering over the minhash pair graph — driver union-find regime
