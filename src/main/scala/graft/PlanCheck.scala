@@ -26,12 +26,42 @@ object PlanCheck {
           val df = fn(spark, sfDir)
           val s = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
           println(s)
+          // A BroadcastNestedLoopJoin whose broadcast side provably emits
+          // one row (a no-grouping aggregate) is the scalar-broadcast
+          // pattern — a deliberate design, not an all-pairs smell. Flag
+          // only BNLJs whose build side could be wide.
+          // AQE wraps the plan in AdaptiveSparkPlanExec, whose children
+          // are hidden from collect — walk through it explicitly
+          def walk(p: org.apache.spark.sql.execution.SparkPlan)
+              : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+            case a: org.apache.spark.sql.execution.adaptive
+                  .AdaptiveSparkPlanExec => walk(a.inputPlan)
+            case other => other +: other.children.flatMap(walk)
+          }
+          val all = walk(df.queryExecution.executedPlan)
+          val bnlj = all.collect {
+            case j: org.apache.spark.sql.execution.joins
+                  .BroadcastNestedLoopJoinExec =>
+              val build = j.buildSide match {
+                case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+                case _ => j.left
+              }
+              val aggs = walk(build).collect {
+                case a: org.apache.spark.sql.execution.aggregate
+                      .BaseAggregateExec => a
+              }
+              // wide build = no aggregate at all, or a grouped aggregate
+              aggs.isEmpty || aggs.exists(_.groupingExpressions.nonEmpty)
+          }
           val smells = Seq(
             "CartesianProduct" -> s.contains("CartesianProduct"),
             "PushedFilters: []" -> s.contains("PushedFilters: []"),
-            "BroadcastNestedLoopJoin" -> s.contains("BroadcastNestedLoopJoin"))
+            "BroadcastNestedLoopJoin (non-scalar build)" ->
+              bnlj.exists(identity))
             .collect { case (k, true) => k }
           if (smells.nonEmpty) println(s"[smell] $n: ${smells.mkString(", ")}")
+          else if (bnlj.nonEmpty)
+            println(s"[ok] $n: BNLJ present but build side is a 1-row scalar")
         } catch { case e: Throwable => println(s"[plancheck] $n failed: $e") }
       }
     }
