@@ -31,12 +31,21 @@ object PlanCheck {
           // pattern — a deliberate design, not an all-pairs smell. Flag
           // only BNLJs whose build side could be wide.
           // AQE wraps the plan in AdaptiveSparkPlanExec, whose children
-          // are hidden from collect — walk through it explicitly
+          // are hidden from collect — walk through it explicitly, and
+          // descend into subquery plans too (a BNLJ inside a scalar
+          // subquery is otherwise invisible to the tree walk)
           def walk(p: org.apache.spark.sql.execution.SparkPlan)
               : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
             case a: org.apache.spark.sql.execution.adaptive
                   .AdaptiveSparkPlanExec => walk(a.inputPlan)
-            case other => other +: other.children.flatMap(walk)
+            case other =>
+              val subs = other.expressions.flatMap(_.collect {
+                case s: org.apache.spark.sql.execution.ScalarSubquery =>
+                  s.plan: org.apache.spark.sql.execution.SparkPlan
+                case s: org.apache.spark.sql.execution.InSubqueryExec =>
+                  s.plan: org.apache.spark.sql.execution.SparkPlan
+              })
+              other +: (other.children ++ subs).flatMap(walk)
           }
           val all = walk(df.queryExecution.executedPlan)
           val bnlj = all.collect {
@@ -46,12 +55,12 @@ object PlanCheck {
                 case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
                 case _ => j.left
               }
-              val aggs = walk(build).collect {
-                case a: org.apache.spark.sql.execution.aggregate
-                      .BaseAggregateExec => a
-              }
-              // wide build = no aggregate at all, or a grouped aggregate
-              aggs.isEmpty || aggs.exists(_.groupingExpressions.nonEmpty)
+              // a build side whose topmost linked logical node proves
+              // maxRows == 1 (ungrouped aggregate, LIMIT 1, ...) is the
+              // scalar-broadcast shape; anything else counts as wide
+              val scalar = walk(build).flatMap(_.logicalLink).headOption
+                .flatMap(_.maxRows).contains(1L)
+              !scalar
           }
           val smells = Seq(
             "CartesianProduct" -> s.contains("CartesianProduct"),

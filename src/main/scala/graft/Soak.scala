@@ -134,12 +134,11 @@ object Soak {
         val matchSec = (System.nanoTime() - t0) / 1e9
         println(f"SOAK spanx    m=$m%-3d docs=$nDocs%-8d spans=$nSpan%-7d " +
           f"build_s=$buildSec%.1f match_s=$matchSec%.1f")
-        def rm(p: java.nio.file.Path): Unit = {
-          if (java.nio.file.Files.isDirectory(p))
-            java.nio.file.Files.list(p).forEach(rm)
-          java.nio.file.Files.deleteIfExists(p)
-        }
-        rm(root)
+        // removeSet BEFORE the tree delete: the bucketed gram set also
+        // lives in the session catalog and would dangle over deleted
+        // files otherwise
+        cat.removeSet("soak", "c_grams")
+        graft.storage.SetCatalog.deleteTree(root)
       }
 
       // clustering over the minhash pair graph — driver union-find regime
@@ -210,12 +209,9 @@ object Soak {
           val matchSec = (System.nanoTime() - t0) / 1e9
           println(f"SOAK crossidx m=$m%-3d docs=$nDocs%-8d pairs=$nIdx%-9d " +
             f"build_s=$buildSec%.1f match_s=$matchSec%.1f")
-          def rm(p: java.nio.file.Path): Unit = {
-            if (java.nio.file.Files.isDirectory(p))
-              java.nio.file.Files.list(p).forEach(rm)
-            java.nio.file.Files.deleteIfExists(p)
-          }
-          rm(root)
+          cat.removeSet("soak", "c_sets")
+          cat.removeSet("soak", "c_bands")
+          graft.storage.SetCatalog.deleteTree(root)
         }
       }
 

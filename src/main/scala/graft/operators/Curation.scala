@@ -204,7 +204,7 @@ object Curation {
     val m = math.max(1L, math.ceil(fraction * n).toLong)
     val topmMax = scored.sparkSession.conf
       .get("spark.graft.quantile.topmMax", (1 << 20).toString).toLong
-    val thr = exactRankThreshold(scored, scoreCol, m, topmMax)
+    val thr = exactRankThreshold(scored, scoreCol, m, topmMax, n)
     scored.crossJoin(broadcast(thr))
       .filter(col(scoreCol) >= col("__thr"))
       .drop("__thr")
@@ -222,13 +222,14 @@ object Curation {
     * merging more than the final bracket.
     */
   private def exactRankThreshold(scored: DataFrame, scoreCol: String,
-      m: Long, topmMax: Long): DataFrame = {
+      m: Long, topmMax: Long, n: Long): DataFrame = {
     if (m <= math.min(topmMax, Int.MaxValue.toLong))
       return scored.select(col(scoreCol).as("__s"))
         .orderBy(col("__s").desc)
         .limit(m.toInt)
         .agg(min(col("__s")).as("__thr"))
-    val n = scored.count()
+    // n arrives from the caller (quantileKeep already counted; recursive
+    // calls know the bracket size from the rank counts) — no recount
     val q = 1.0 - m.toDouble / n // target rank as an ascending quantile
     val acc = 10000 // approx_percentile rank error ≤ n/acc per bound
     var eps = 2.0 / acc
@@ -245,7 +246,9 @@ object Curation {
         // largest of the bracket rows — recurse on that small set
         val inBracket =
           scored.filter(col(scoreCol) > lit(bLo) && col(scoreCol) <= lit(bHi))
-        return exactRankThreshold(inBracket, scoreCol, m - above, topmMax)
+        // |inBracket| = count(> bLo) - count(> bHi), both already in hand
+        return exactRankThreshold(inBracket, scoreCol, m - above, topmMax,
+          aboveLo - above)
       }
       if (lo == 0.0 && hi == 1.0) {
         // full range and still no bracket: count(> min) < m, so the

@@ -54,38 +54,46 @@ case class BucketedSetReads(spark: SparkSession) extends Rule[LogicalPlan] {
 
   // The v1 bucket-aware relation is expensive to build — a file listing
   // per analysis pass, and this rule fires for every query touching a
-  // bucketed set — so cache it per layout. Each use takes a fresh
-  // instance (new attribute ids) so self-joins deduplicate normally.
-  // The DSv2 relation's DECLARED schema is passed to the v1 read, so
-  // schema inference can never diverge (types/nullability) from the
-  // relation being replaced. The set directory's mtime is part of the
-  // key: an overwrite of the set (same path, same layout) bumps it, so
-  // a rewrite can never serve the previous generation's file listing —
-  // one stat call per analysis instead of a full listing.
+  // bucketed set — so cache it per layout, ONE entry per (path, cols,
+  // n): a superseded generation is replaced, not retained, so a
+  // standing pipeline that rebuilds its set does not accumulate a file
+  // index per generation. Each use takes a fresh instance (new
+  // attribute ids) so self-joins deduplicate normally. The DSv2
+  // relation's DECLARED schema is passed to the v1 read, so schema
+  // inference can never diverge (types/nullability) from the relation
+  // being replaced. Freshness check: the directory's mtime at NANOSECOND
+  // resolution (file create/delete/rename inside it bumps it) — one
+  // stat call per analysis instead of a full listing; on a filesystem
+  // with coarse mtime granularity two overwrites inside one tick could
+  // still alias, the residual risk of any stamp scheme short of
+  // re-listing.
   private val relationCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Seq[String], Int, Long), LogicalRelation]()
+    (String, Seq[String], Int), (Long, LogicalRelation)]()
 
   private def dirStamp(path: String): Long =
     try java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(path)).toMillis
+      java.nio.file.Paths.get(path)).to(java.util.concurrent.TimeUnit.NANOSECONDS)
     catch { case _: java.io.IOException => -1L }
 
   private def rewrite(
       r: DataSourceV2Relation, path: String, bucketCols: Seq[String],
       numBuckets: Int): Option[LogicalPlan] = {
-    val key = (path, bucketCols, numBuckets, dirStamp(path))
-    val template = Option(relationCache.get(key)).orElse {
-      val built = spark.read.schema(r.schema).parquet(path)
-        .queryExecution.analyzed.collectFirst {
-          case lr: LogicalRelation
-              if lr.relation.isInstanceOf[HadoopFsRelation] =>
-            val fs = lr.relation.asInstanceOf[HadoopFsRelation]
-            lr.copy(relation = fs.copy(bucketSpec =
-              Some(BucketSpec(numBuckets, bucketCols, bucketCols)))(spark))
-        }
-      built.foreach(relationCache.put(key, _))
-      built
-    }
+    val key = (path, bucketCols, numBuckets)
+    val stamp = dirStamp(path)
+    val template = Option(relationCache.get(key))
+      .collect { case (s, rel) if s == stamp => rel }
+      .orElse {
+        val built = spark.read.schema(r.schema).parquet(path)
+          .queryExecution.analyzed.collectFirst {
+            case lr: LogicalRelation
+                if lr.relation.isInstanceOf[HadoopFsRelation] =>
+              val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+              lr.copy(relation = fs.copy(bucketSpec =
+                Some(BucketSpec(numBuckets, bucketCols, bucketCols)))(spark))
+          }
+        built.foreach(rel => relationCache.put(key, (stamp, rel)))
+        built
+      }
     template.flatMap { cached =>
       val newRel = cached.newInstance()
       val resolver = spark.sessionState.conf.resolver

@@ -146,12 +146,7 @@ object PipelineQueries {
       .localCheckpoint(true)
     cat.removeSet("ddx", "corpus_sets")
     cat.removeSet("ddx", "corpus_bands")
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).forEach(rm)
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    rm(root)
+    graft.storage.SetCatalog.deleteTree(root)
     pairs
   }
 
@@ -234,12 +229,7 @@ object PipelineQueries {
       "doc_id", "text", k = 8)
       .localCheckpoint(true)
     cat.removeSet("ddx", "corpus_grams")
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).forEach(rm)
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    rm(root)
+    graft.storage.SetCatalog.deleteTree(root)
     spans
   }
 
@@ -526,12 +516,7 @@ object PipelineQueries {
       // be deleted NOW instead of accumulating one copy per invocation
       // under /tmp (bench runs this query repeatedly per session)
       .localCheckpoint(true)
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).forEach(rm)
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    rm(root)
+    graft.storage.SetCatalog.deleteTree(root)
     hits
   }
 
@@ -554,12 +539,7 @@ object PipelineQueries {
     val hits = SimilaritySearch.searchIvfIndex(spark, cat, "idx", "emb",
       emb.filter(col("vec_id") < 10), k = 5)
       .localCheckpoint(true)
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).forEach(rm)
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    rm(root)
+    graft.storage.SetCatalog.deleteTree(root)
     hits
   }
 

@@ -301,12 +301,7 @@ object StreamingQueries {
     val hits = graft.operators.SimilaritySearch.searchIvfIndex(
       spark, cat, "idx", "emb", emb.filter(col("vec_id") < 10), k = 5)
       .localCheckpoint(true)
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).forEach(rm)
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    rm(root)
+    graft.storage.SetCatalog.deleteTree(root)
     hits
   }
 

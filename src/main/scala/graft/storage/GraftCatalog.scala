@@ -157,11 +157,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean = {
     val path = dir(ident)
     if (!Files.isDirectory(path)) return false
-    def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).forEach(rm)
-      Files.deleteIfExists(p)
-    }
-    rm(path)
+    SetCatalog.deleteTree(path)
     Files.deleteIfExists(metaPath(ident))
     Files.deleteIfExists(schemaPath(ident))
     true

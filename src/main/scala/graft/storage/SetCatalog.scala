@@ -21,6 +21,19 @@ final case class SetMeta(
     policy: String = "hash", nodeShares: Seq[Int] = Nil)
 
 object SetCatalog {
+  /** Recursive tree delete, closing its directory stream (the ad-hoc
+    * `Files.list(p).forEach(rm)` copies this replaces leaked one open
+    * DirectoryStream handle per directory removed).
+    */
+  def deleteTree(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(q => java.nio.file.Files.deleteIfExists(q))
+      finally walk.close()
+    }
+  }
+
   /** FairPolicy allocation: round-robin write slots per node proportional
     * to capacity weight, every node getting at least one (reference:
     * src/dispatcher/headers/FairPolicy.h — load batches placed by free
@@ -128,10 +141,7 @@ final class SetCatalog(spark: SparkSession, root: String) {
     val src = Paths.get(dir(db, set))
     val tmp = Paths.get(dir(db, set) + ".compacting")
     val old = Paths.get(dir(db, set) + ".old")
-    def rmTree(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).forEach(rmTree)
-      Files.deleteIfExists(p)
-    }
+    def rmTree(p: java.nio.file.Path): Unit = SetCatalog.deleteTree(p)
     // Crash recovery BEFORE cleanup: a prior compact that died between
     // the two renames leaves src missing while .old (the original) and
     // possibly .compacting (the finished rewrite) hold the only copies
@@ -275,16 +285,27 @@ final class SetCatalog(spark: SparkSession, root: String) {
     // session-catalog entry (createBucketedSet → saveAsTable), and
     // session-catalog names are global while catalog roots are
     // per-directory — dropping unconditionally could take down an
-    // unrelated table that happens to share the db_set name.
+    // unrelated table that happens to share the db_set name. When the
+    // sidecar is GONE (a prior remove crashed between the file delete
+    // and the drop, or the meta was lost), fall back to a location
+    // check: an entry whose storage location is THIS set's directory is
+    // ours and must not dangle over the deleted files — this also keeps
+    // a removeSet retry self-healing.
     val wasBucketed = meta(db, set).exists(_.policy == "bucket")
-    def rm(path: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(path))
-        Files.list(path).forEach(rm)
-      Files.deleteIfExists(path)
+    val ownsEntry = wasBucketed || {
+      try {
+        val cat = spark.sessionState.catalog
+        val id = org.apache.spark.sql.catalyst.TableIdentifier(s"${db}_$set")
+        cat.tableExists(id) && {
+          val loc = Paths.get(cat.getTableMetadata(id).location)
+            .toAbsolutePath.normalize
+          loc == Paths.get(dir(db, set)).toAbsolutePath.normalize
+        }
+      } catch { case _: Exception => false }
     }
-    rm(Paths.get(dir(db, set)))
+    SetCatalog.deleteTree(Paths.get(dir(db, set)))
     Files.deleteIfExists(Paths.get(metaPath(db, set)))
-    if (wasBucketed)
+    if (ownsEntry)
       spark.sql(s"DROP TABLE IF EXISTS `${db}_$set`")
   }
 
