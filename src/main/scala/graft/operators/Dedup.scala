@@ -9,10 +9,21 @@ import graft.functions.TextFunctions._
   * ignored — reference: src/sharedLibraries/headers/DistinctProjection.h);
   * these extend the capability surface for training-data pipelines.
   *
+  * Four granularities, each with find AND act forms:
+  *  - whole-doc exact ([[exact]]) and near-dup ([[minhashPairs]] /
+  *    [[ngramJaccardPairs]] / [[simhashPairs]] → [[dupClusters]] → keep
+  *    list), plus the ingest-time forms ([[crossPairs]],
+  *    [[persistLshIndex]], [[streamNearDupPairs]]);
+  *  - passage-level exact ([[duplicateSpans]] → [[stripDuplicateSpans]],
+  *    ingest-time [[persistGramIndex]] / [[spansAgainstStoredIndex]]);
+  *  - embedding near-dup ([[cosinePairs]] brute baseline,
+  *    [[cosineLshPairs]] hyperplane LSH);
+  *  - semantic / paraphrase-level ([[semanticPairs]], kmeans-bucketed).
+  *
   * Scale design: every op is a shuffle-on-key plan. Exact dedup shuffles on
   * the content hash; MinHash/SimHash shuffle on band keys (candidate pairs
-  * only — never O(n²)); the brute-force pair verifiers run only on the
-  * LSH-pruned candidate set.
+  * only — never O(n²)); span dedup shuffles 32-hex window fingerprints;
+  * the brute-force pair verifiers run only on the pruned candidate set.
   */
 object Dedup {
 
