@@ -55,11 +55,14 @@ object PlanCheck {
                 case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
                 case _ => j.left
               }
-              // a build side whose topmost linked logical node proves
+              // a build side where ANY linked logical node proves
               // maxRows == 1 (ungrouped aggregate, LIMIT 1, ...) is the
-              // scalar-broadcast shape; anything else counts as wide
-              val scalar = walk(build).flatMap(_.logicalLink).headOption
-                .flatMap(_.maxRows).contains(1L)
+              // scalar-broadcast shape; anything else counts as wide.
+              // Checking every linked node (not just the topmost) matters
+              // because a wrapper whose maxRows is None can sit above the
+              // node that proves the 1-row bound.
+              val scalar = walk(build).flatMap(_.logicalLink)
+                .exists(_.maxRows.contains(1L))
               !scalar
           }
           val smells = Seq(

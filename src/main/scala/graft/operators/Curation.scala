@@ -195,17 +195,42 @@ object Curation {
     * O(m)) are sorted to read the threshold value — so the gate stays
     * value-exact at any corpus size. Both regimes end in the same
     * broadcast-scalar filter scan.
+    *
+    * Cost contract: the gate is multi-pass (count + threshold job(s) +
+    * the final filter), so unless the caller already cached the input
+    * it is materialized ONCE here (eager localCheckpoint) and every
+    * pass — including the final filter — reads the materialized copy:
+    * the caller's upstream plan executes exactly once regardless of
+    * regime (CurationSpec pins this with an accumulator-counted
+    * source). A standing pipeline that prefers lineage-safe storage
+    * (localCheckpoint trades lineage for speed, the same trade
+    * pipe_curate documents) can cache the input itself, or set
+    * `spark.graft.quantile.selfMaterialize=false` when the input is a
+    * bare scan cheaper to re-read than to store.
+    *
+    * Null scores can never pass the `>= threshold` filter, so they are
+    * excluded from n as well: the gate keeps the top `fraction` of the
+    * SCOREABLE rows (this also means `approx_percentile` in the sketch
+    * regime can never observe an all-null column and return null).
     */
   def quantileKeep(scored: DataFrame, scoreCol: String,
       fraction: Double): DataFrame = {
     require(fraction > 0 && fraction <= 1,
       s"fraction must be in (0,1], got $fraction")
-    val n = scored.count()
+    val nonNull = scored.filter(col(scoreCol).isNotNull)
+    val selfMat = scored.sparkSession.conf
+      .get("spark.graft.quantile.selfMaterialize", "true").toBoolean
+    val base =
+      if (selfMat && scored.storageLevel ==
+          org.apache.spark.storage.StorageLevel.NONE)
+        nonNull.localCheckpoint(true)
+      else nonNull
+    val n = base.count()
     val m = math.max(1L, math.ceil(fraction * n).toLong)
     val topmMax = scored.sparkSession.conf
       .get("spark.graft.quantile.topmMax", (1 << 20).toString).toLong
-    val thr = exactRankThreshold(scored, scoreCol, m, topmMax, n)
-    scored.crossJoin(broadcast(thr))
+    val thr = exactRankThreshold(base, scoreCol, m, topmMax, n)
+    base.crossJoin(broadcast(thr))
       .filter(col(scoreCol) >= col("__thr"))
       .drop("__thr")
   }
@@ -220,6 +245,10 @@ object Curation {
     * the sketch's accuracy factor, so a 10¹²-row corpus reaches the
     * top-m base case in a round or two of counts, never sorting or
     * merging more than the final bracket.
+    *
+    * Callers guarantee `scoreCol` is non-null on every row (quantileKeep
+    * filters nulls before counting), so the approx_percentile result
+    * below is never null.
     */
   private def exactRankThreshold(scored: DataFrame, scoreCol: String,
       m: Long, topmMax: Long, n: Long): DataFrame = {

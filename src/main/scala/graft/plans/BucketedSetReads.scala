@@ -70,10 +70,16 @@ case class BucketedSetReads(spark: SparkSession) extends Rule[LogicalPlan] {
   private val relationCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Seq[String], Int), (Long, LogicalRelation)]()
 
+  // Assumes the local flat layout createBucketedSet writes (all bucket
+  // files direct children of `path`, no scheme prefix): a nested or
+  // partitioned layout would need a Hadoop FileSystem stat per leaf dir.
+  // NonFatal (not just IOException) because Paths.get throws
+  // InvalidPathException — a RuntimeException — on scheme-qualified
+  // paths (hdfs://, s3a://); -1 means "unknown", forcing a rebuild.
   private def dirStamp(path: String): Long =
     try java.nio.file.Files.getLastModifiedTime(
       java.nio.file.Paths.get(path)).to(java.util.concurrent.TimeUnit.NANOSECONDS)
-    catch { case _: java.io.IOException => -1L }
+    catch { case scala.util.control.NonFatal(_) => -1L }
 
   private def rewrite(
       r: DataSourceV2Relation, path: String, bucketCols: Seq[String],

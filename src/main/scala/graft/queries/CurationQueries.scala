@@ -270,11 +270,13 @@ object CurationQueries {
     * op_token_budget); this query hash-checks that they COMPOSE.
     */
   def pipeCurate(spark: SparkSession, d: String): DataFrame = {
-    // the strip output feeds the score pass, the threshold pick, AND the
-    // survivor join — without materialization the whole span-strip plan
-    // recomputes once per consumer (measured 6.8 s vs 3.4 s at sf0.1).
-    // localCheckpoint is the query form; a standing pipeline writes this
-    // stage to a catalog set instead (same trade as Dedup.materialize).
+    // the strip output feeds BOTH the score pass and the survivor join —
+    // without materialization the whole span-strip plan recomputes once
+    // per consumer (measured 6.8 s vs 3.4 s at sf0.1). The quality
+    // gate's own multi-pass cost no longer needs this: quantileKeep
+    // self-materializes its scored input since round 8. localCheckpoint
+    // is the query form; a standing pipeline writes this stage to a
+    // catalog set instead (same trade as Dedup.materialize).
     val stripped = Dedup
       .stripDuplicateSpans(Tables.documents(spark, d), "doc_id", "text",
         k = 8)

@@ -123,6 +123,43 @@ class CurationSpec extends GraftSpecBase {
     } finally spark.conf.unset("spark.graft.quantile.topmMax")
   }
 
+  test("quantileKeep executes the caller's upstream plan exactly once") {
+    import spark.implicits._
+    val passes = spark.sparkContext.longAccumulator("upstreamRows")
+    // an upstream plan whose executions are observable: every run of the
+    // map adds one per row, so k full executions read k*500
+    val scored = (1L to 500L).toDF("id").as[Long]
+      .map { i => passes.add(1); (i, (i % 97).toDouble) }
+      .toDF("id", "s")
+    val kept = Curation.quantileKeep(scored, "s", 0.2)
+    assert(kept.count() > 0)
+    assert(passes.value == 500L,
+      s"upstream executed ${passes.value / 500.0} times, want exactly 1")
+    // the sketch regime adds threshold passes — still exactly one
+    passes.reset()
+    spark.conf.set("spark.graft.quantile.topmMax", "1")
+    try {
+      assert(Curation.quantileKeep(scored, "s", 0.2).count() > 0)
+      assert(passes.value == 500L,
+        s"sketch regime executed upstream ${passes.value / 500.0} times")
+    } finally spark.conf.unset("spark.graft.quantile.topmMax")
+  }
+
+  test("quantileKeep excludes null scores from the count and the output") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, Some(0.9)), (2L, Some(0.8)), (3L, Some(0.5)), (4L, Some(0.1)),
+      (5L, None), (6L, None), (7L, None), (8L, None)
+    ).toDF("id", "s")
+    // fraction is of the 4 SCOREABLE rows: m = 2 → threshold 0.8
+    val kept = Curation.quantileKeep(scored, "s", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+    // an all-null column yields an empty result, not an NPE
+    val allNull = Seq((1L, Option.empty[Double]), (2L, None)).toDF("id", "s")
+    assert(Curation.quantileKeep(allNull, "s", 0.5).count() == 0)
+  }
+
   test("tokenBudgetSubset takes a maximal whole-doc prefix per writer stream") {
     import spark.implicits._
     // doc i carries exactly i tokens
