@@ -30,8 +30,9 @@ object Soak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // optional comma-separated family filter (minhash, simhash, clusters,
-    // ccdist, cross, crossidx, span, spanx) for isolated soak runs
+    // optional comma-separated family filter (minhash, simhash, simskew,
+    // clusters, ccdist, cross, crossidx, span, spanx) for isolated soak
+    // runs
     val onlyFam = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
@@ -83,6 +84,25 @@ object Soak {
           .simhashPairs(docs, "doc_id", "text").count()
         val simSec = (System.nanoTime() - t0) / 1e9
         println(f"SOAK simhash m=$m%-3d docs=$nDocs%-8d pairs=$nSim%-9d s=$simSec%.1f")
+      }
+
+      // simhash skew row: plant ONE dominant template over 10% of the
+      // corpus — uncapped, its shared quarter buckets alone would emit
+      // (nDocs/10)² template pairs, the quadratic hot-bucket failure the
+      // cap exists for. With the default cap the template buckets exceed
+      // maxBucket and drop from both join sides, so pairs and wall must
+      // stay ~linear in m (the planted docs are EXACT duplicates, whose
+      // home is Dedup.exact — the documented recall trade).
+      if (fam("simskew")) {
+        val planted = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + lit(200L * n)).as("doc_id"),
+            lit("graft common boilerplate template header words").as("text"))
+        val skewed = docs.unionByName(planted)
+        t0 = System.nanoTime()
+        val nSkew = graft.operators.Dedup
+          .simhashPairs(skewed, "doc_id", "text").count()
+        val skewSec = (System.nanoTime() - t0) / 1e9
+        println(f"SOAK simskew  m=$m%-3d docs=$nDocs%-8d pairs=$nSkew%-9d s=$skewSec%.1f")
       }
 
       // duplicate-span family: replicas share no grams (the salt), so

@@ -22,7 +22,7 @@ import graft.functions.TextFunctions._
   *
   * Scale design: every op is a shuffle-on-key plan. Exact dedup shuffles on
   * the content hash; MinHash/SimHash shuffle on band keys (candidate pairs
-  * only — never O(n²)); span dedup shuffles 32-hex window fingerprints;
+  * only — never O(n²)); span dedup shuffles 16-byte binary window fingerprints;
   * the brute-force pair verifiers run only on the pruned candidate set.
   */
 object Dedup {
@@ -536,27 +536,50 @@ object Dedup {
       out
     }
 
+  /** Hot-bucket cap (mirrors [[lshCandidateFrames]]'s `maxBucket`): a
+    * quarter value shared by a corpus-common template region can put a
+    * large fraction of all documents in one bucket, making the self-join
+    * quadratic in that bucket. Quarter buckets above `maxBucket` are
+    * dropped from BOTH join sides. Recall trade, precisely: a pair at
+    * hamming ≤ 2 shares ≥ 2 quarters (pigeonhole), so a single hot
+    * quarter can never hide it; only a hamming-3 pair whose three
+    * differing bits land in three DISTINCT quarters — leaving exactly one
+    * shared quarter — AND whose one shared quarter is a hot template
+    * value can be missed. Hot quarters are by construction the
+    * non-discriminative ones, so this is the same trade as minhash LSH's
+    * super-bucket drop; the sf0.01 oracle equality (cap never engaged at
+    * fixture scale) plus the skew-planted soak row validate both sides.
+    */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    // single-file corpus → one scan partition; spread the UDF work
+      maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
+    // single-file corpus → one scan partition; spread the UDF work.
+    // Persisted: the (id, sh) scalars feed the hot-bucket scan and both
+    // self-join sides — without the cache the per-doc UDF runs 3×.
     val sh = Parallelism.ensureWidth(docs)
       .select(col(idCol).as("id"),
         simhash64(wordSet(col(textCol))).as("sh"))
+      .persist()
     val banded = sh.select(col("id"), col("sh"),
       explode(array((0 until 4).map(q => struct(lit(q).as("q"),
         shiftrightunsigned(col("sh"), q * 16)
           .bitwiseAND(lit(0xffffL)).as("qv"))): _*)).as("bk"))
       .select(col("id"), col("sh"), col("bk.q").as("q"), col("bk.qv").as("qv"))
-    val a = banded.select(col("q"), col("qv"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("q"), col("qv"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("q", "qv"))
+    val hot = banded.groupBy(col("q"), col("qv"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(col("q"), col("qv"))
+    val pruned = banded.join(broadcast(hot), Seq("q", "qv"), "left_anti")
+    val a = pruned.select(col("q"), col("qv"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = pruned.select(col("q"), col("qv"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val out = a.join(b, Seq("q", "qv"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+    materialize(out, sh)
   }
 
   /** Random-hyperplane (SimHash-for-vectors) LSH cosine near-dup pairs —
@@ -658,7 +681,7 @@ object Dedup {
     * Scale shape: windows are one generate-and-explode projection —
     * O(total tokens) rows, no join to build them; the duplicate test
     * groups on the window's md5 fingerprint (map-side partial count, and
-    * the fixed 32-hex key bounds shuffle payload no matter how wide the
+    * the fixed 16-byte binary key bounds shuffle payload no matter how wide the
     * window text is); span merging is a per-document gaps-and-islands
     * window (partitionBy doc → millions of independent partitions at
     * corpus scale, never a global sort). Output: (idCol, span_start,
@@ -696,7 +719,7 @@ object Dedup {
     * on the fingerprint, and each arriving batch semi-joins its own
     * windows against it — the index side arrives pre-partitioned on the
     * join key (zero exchange), the arrival side shuffles only its
-    * 32-hex fingerprints. Per-doc results depend only on that doc and
+    * 16-byte fingerprints. Per-doc results depend only on that doc and
     * the static index, so per-batch outputs union to the one-shot
     * result.
     */
@@ -756,8 +779,11 @@ object Dedup {
     * pass per row (position order, duplicates preserved — the same
     * kernel the LSH path uses, replacing the interpreted
     * transform/slice/array_join HOF chain that re-evaluates its captured
-    * subtree per element), md5-fingerprinted so the duplicate test
-    * shuffles a fixed 32-hex key regardless of window text width.
+    * subtree per element), md5-fingerprinted AS 16-BYTE BINARY
+    * (unhex(md5)) so the duplicate test shuffles a fixed-width key at
+    * half the payload of the hex rendering, regardless of window text
+    * width. The fingerprint never leaves the span family (outputs carry
+    * spans, not grams), so the encoding is free to change.
     */
   private def windowFingerprints(
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
@@ -768,7 +794,7 @@ object Dedup {
         posexplode(graft.functions.ShingleExpressions
           .wordShinglesAll(col("text"), k)).as(Seq("pos", "gram")))
       .select(col("id"), col("pos").cast("long").as("pos"),
-        md5(col("gram").cast("binary")).as("g"))
+        unhex(md5(col("gram").cast("binary"))).as("g"))
 
   def stripDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {

@@ -95,6 +95,23 @@ class PipelineSpec extends GraftSpecBase {
     assert(pairs.toSeq == Seq((1L, 2L, 0)))
   }
 
+  test("simhashPairs hot-bucket cap drops template floods, keeps cold-bucket pairs") {
+    import spark.implicits._
+    // 30 identical template docs: every quarter bucket they occupy has
+    // size 30, so the self-join emits 435 template pairs uncapped
+    val template = (100L until 130L)
+      .map(i => (i, "common boilerplate template header words"))
+    val docs = (template ++ Seq(
+      (1L, "spark table scan merge"),
+      (2L, "merge scan table spark"))).toDF("doc_id", "text")
+    assert(Dedup.simhashPairs(docs, "doc_id", "text").count() == 30L * 29 / 2 + 1)
+    // cap engaged: the template's four quarter buckets are all hot and
+    // dropped from both sides; the (1,2) pair sits in cold buckets
+    val capped = Dedup.simhashPairs(docs, "doc_id", "text", maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(capped.toSeq == Seq((1L, 2L, 0)))
+  }
+
   test("exact dedup groups identical texts") {
     import spark.implicits._
     val docs = Seq((1L, "aa"), (2L, "aa"), (3L, "bb")).toDF("doc_id", "text")
@@ -305,12 +322,13 @@ class PipelineSpec extends GraftSpecBase {
       (12L, "m m m m n n n n"))     // nothing shared
       .toDF("doc_id", "text")
     // in-memory gram index: the corpus's distinct window fingerprints
+    // (16-byte binary, matching windowFingerprints' encoding)
     val corpusGrams = {
-      import org.apache.spark.sql.functions.md5
+      import org.apache.spark.sql.functions.{md5, unhex}
       corpus.select(col("doc_id"),
         posexplode(graft.functions.ShingleExpressions
           .wordShinglesAll(col("text"), 4)).as(Seq("pos", "gram")))
-        .select(md5(col("gram").cast("binary")).as("g")).distinct()
+        .select(unhex(md5(col("gram").cast("binary"))).as("g")).distinct()
     }
     val oneShot = graft.operators.Dedup
       .spansAgainstGrams(arrivals, corpusGrams, "doc_id", "text", 4)
