@@ -15,7 +15,8 @@ import graft.functions.TextFunctions._
   *    list), plus the ingest-time forms ([[crossPairs]],
   *    [[persistLshIndex]], [[streamNearDupPairs]]);
   *  - passage-level exact ([[duplicateSpans]] → [[stripDuplicateSpans]],
-  *    ingest-time [[persistGramIndex]] / [[spansAgainstStoredIndex]]);
+  *    ingest-time [[persistGramIndex]] / [[spansAgainstStoredIndex]] /
+  *    [[streamSpansAgainstStoredIndex]]);
   *  - embedding near-dup ([[cosinePairs]] brute baseline,
   *    [[cosineLshPairs]] hyperplane LSH);
   *  - semantic / paraphrase-level ([[semanticPairs]], kmeans-bucketed).
@@ -382,6 +383,53 @@ object Dedup {
     cSets.unpersist(blocking = false)
     cBanded.unpersist(blocking = false)
     out
+  }
+
+  /** Streaming form of [[spansAgainstStoredIndex]] — per-micro-batch
+    * probe of the CATALOG-PERSISTED gram index, completing streaming
+    * parity for the span family (the whole-doc analogue is
+    * [[streamNearDupPairs]]). Batching-invariant by construction: each
+    * arriving doc's spans depend only on that doc plus the static index
+    * (the span epilogue's gaps-and-islands window partitions by doc), so
+    * any batching unions to the one-shot result. Same two accumulation
+    * modes as [[streamNearDupPairs]]: with `sink`, per-batch spans APPEND
+    * to a stored set (the production form); without, the log accumulates
+    * as driver-held checkpoints and returns when the stream drains (the
+    * oracle-query form).
+    */
+  def streamSpansAgainstStoredIndex(
+      stream: DataFrame, catalog: graft.storage.SetCatalog,
+      db: String, name: String, idCol: String, textCol: String,
+      k: Int = 8,
+      sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame = {
+    val spark = stream.sparkSession
+    val grams = catalog.scanBucketedSet(db, s"${name}_grams")
+    def emptyArrivals = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stream.schema)
+    def emptySpans = spansAgainstGrams(emptyArrivals, grams, idCol, textCol, k)
+    sink.foreach { case (cat, sdb, set) =>
+      if (cat.meta(sdb, set).isEmpty)
+        cat.createSet(sdb, set, emptySpans, policy = "none")
+    }
+    var acc: Option[DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spans = spansAgainstGrams(batch.toDF(), grams, idCol, textCol, k)
+        sink match {
+          case Some((cat, sdb, set)) => cat.appendToSet(sdb, set, spans)
+          case None =>
+            acc = Some(acc.map(_.unionByName(spans)).getOrElse(spans)
+              .localCheckpoint(eager = true))
+        }
+        ()
+      }
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    sink match {
+      case Some((cat, sdb, set)) => cat.scanSet(sdb, set)
+      case None => acc.getOrElse(emptySpans)
+    }
   }
 
   /** Connected components over a near-dup pair set — the step a dedup

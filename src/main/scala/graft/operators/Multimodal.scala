@@ -108,6 +108,79 @@ object Multimodal {
         .orElse(ByteStatsDecoder.decode(payload, dim))
   }
 
+  /** Real-decode positional feature for image DEDUP (vs the histogram's
+    * retrieval shape): `javax.imageio` decode, then an UNNORMALIZED
+    * positional fold of integer pixel luminance — f[(y·w+x) mod dim] +=
+    * lum. Every accumulation is an exact small integer (≪ 2²⁴, so float
+    * addition is lossless), which is what lets a SQL oracle reproduce
+    * the vectors bit-for-bit from the pixel bytes and hash-check the
+    * whole decode→feature→near-dup composition (mm_neardup). Cosine is
+    * scale-invariant, so skipping the normalization changes no
+    * downstream similarity. Returns None when ImageIO cannot parse the
+    * payload — chain with [[ByteStatsDecoder]] if a terminal fallback is
+    * wanted.
+    */
+  object PixelSumDecoder extends MediaDecoder {
+    val name = "imageio-pixel-sum"
+    def decode(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        val f = new Array[Float](dim)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 +
+              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            f((y * w + x) % dim) += lum
+            x += 1
+          }
+          y += 1
+        }
+        Some(f)
+      }
+    }
+  }
+
+  /** Render each document's UTF-8 bytes as a REAL `len`×1 RGB PNG —
+    * pixel x carries byte value x in all three channels, so after the
+    * lossless PNG round-trip the decoded luminance of pixel x is exactly
+    * that byte ((299+587+114)/1000 = 1 for r=g=b). Deterministic
+    * synthetic media: the decode path is the real ImageIO codec, while
+    * every decoded pixel statistic stays a closed-form function of the
+    * text a SQL oracle can compute. Empty docs are excluded (a 0-width
+    * image cannot encode). Map-only stage, same scale shape as
+    * [[extractFeatures]].
+    */
+  def toPngPayload(docs: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[MediaRow]
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val img = new java.awt.image.BufferedImage(
+            bytes.length, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var x = 0
+          while (x < bytes.length) {
+            val v = bytes(x) & 0xff
+            img.setRGB(x, 0, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val png = bos.toByteArray
+          MediaRow(id, png, MediaMeta("image/png", bytes.length, 1, png.length.toLong))
+        }
+      }.toDF()
+  }
+
   /** Batch feature extraction over partitions. Partition-parallel, no
     * shuffle; at 100 TB this is a map-only stage whose parallelism is the
     * input split count.

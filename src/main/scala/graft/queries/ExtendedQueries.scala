@@ -288,7 +288,8 @@ object ExtendedQueries {
     * distance with lowest-cluster tiebreak; update = per-dimension mean
     * with empty clusters keeping their old centroid.
     */
-  def lloydCtes(k: Int, iters: Int, sourceWhere: String = ""): String = {
+  def lloydCtes(k: Int, iters: Int, sourceWhere: String = "",
+      dim: Int = 64, prelude: String = ""): String = {
     // The trainer iterates over a bounded deterministic-hash sample —
     // the 10000 rows with the smallest (md5(vec_id), vec_id), the same
     // kernel as op_stratified_sample — so the training CTEs read the
@@ -300,15 +301,20 @@ object ExtendedQueries {
     // `sourceWhere` restricts the TRAINING corpus (e.g. the already-built
     // half of an incrementally-appended index); assignment CTEs authored
     // by callers still scan whatever corpus they choose.
+    // `prelude` prepends caller CTEs ahead of the trainer chain — e.g. a
+    // derived-feature CTE named `embeddings`, which then SHADOWS the base
+    // table of the same name for the whole chain (mm_neardup's image
+    // features train through the identical unrolled-Lloyd text).
+    val pre = if (prelude.isEmpty) "" else prelude + ",\n"
     val base =
-      s"""WITH se AS (
+      s"""WITH ${pre}se AS (
          |  SELECT * FROM (
          |    SELECT e.*, ROW_NUMBER() OVER (
          |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srk
          |    FROM embeddings e $sourceWhere) z WHERE srk <= 10000),
          |c0 AS (
          |  SELECT srk - 1 AS k, g.i - 1 AS i, CAST(embedding[g.i] AS DOUBLE) AS v
-         |  FROM se, generate_series(1, 64) g(i) WHERE srk <= $k)""".stripMargin
+         |  FROM se, generate_series(1, $dim) g(i) WHERE srk <= $k)""".stripMargin
     val steps = (1 to iters).map { t =>
       s"""d$t AS (
          |  SELECT e.vec_id AS r, c.k,
@@ -322,7 +328,7 @@ object ExtendedQueries {
          |m$t AS (
          |  SELECT a.k, g.i - 1 AS i, AVG(CAST(e.embedding[g.i] AS DOUBLE)) AS v
          |  FROM a$t a JOIN se e ON a.r = e.vec_id,
-         |       generate_series(1, 64) g(i)
+         |       generate_series(1, $dim) g(i)
          |  GROUP BY 1, 2),
          |c$t AS (
          |  SELECT p.k, p.i, COALESCE(m.v, p.v) AS v

@@ -612,6 +612,79 @@ object PipelineQueries {
       | CAST(32 AS INT) AS w, CAST(32 AS INT) AS h
       |FROM documents""".stripMargin
 
+  /** Image near-dup — the multimodal composition of the dedup stack:
+    * documents render as REAL PNGs ([[Multimodal.toPngPayload]], len×1
+    * RGB), decode through the real `javax.imageio` codec
+    * ([[Multimodal.PixelSumDecoder]] — integer positional luminance
+    * fold, lossless in float), and the 16-dim image features feed
+    * SemDeDup-style within-cluster cosine ([[Dedup.semanticPairs]]:
+    * kmeans codebook → same-cluster candidates only, no cartesian
+    * anywhere — the PlanSpec registry sweep asserts it). Because the
+    * PNG round-trip is lossless, every decoded pixel statistic is a
+    * closed-form function of the text bytes, so the DuckDB oracle
+    * reproduces the feature vectors bit-for-bit and the whole
+    * encode→decode→featurize→cluster→verify chain is hash-checked.
+    * Threshold 0.999: byte-fold features of same-language text are
+    * mean-dominated (median pair cos ≈0.993 at sf0.01), and the
+    * distribution knees sharply — 110 of 124 750 pairs clear 0.999.
+    */
+  def mmNearDup(spark: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.toPngPayload(Tables.documents(spark, d))
+    val feats = Multimodal
+      .extractFeatures(spark, media, dim = 16,
+        decoder = Multimodal.PixelSumDecoder)
+      .toDF()
+      .select(col("doc_id").as("vec_id"), col("feature").as("embedding"))
+    Dedup.semanticPairs(feats, "vec_id", "embedding",
+      nClusters = 4, iters = 3, threshold = 0.999)
+  }
+
+  /** The derived-feature CTE: per doc, f[j] = Σ byte values at positions
+    * ≡ j (mod 16) — exactly what the decoded len×1 PNG folds to. Named
+    * `embeddings` so it shadows the base table inside the shared
+    * unrolled-Lloyd trainer chain.
+    */
+  private val mmEmbPrelude: String =
+    """mt AS (
+      |  SELECT doc_id, regexp_extract_all(text, '(?s).') AS cs
+      |  FROM documents WHERE strlen(text) > 0),
+      |mp AS (SELECT doc_id, cs, unnest(range(0, len(cs))) AS i FROM mt),
+      |ma AS (SELECT doc_id, i % 16 AS j, SUM(unicode(cs[i + 1])) AS s
+      |       FROM mp GROUP BY 1, 2),
+      |mb AS (SELECT t.doc_id, g.j
+      |       FROM (SELECT doc_id FROM mt) t
+      |       CROSS JOIN (SELECT unnest(range(0, 16)) AS j) g),
+      |embeddings AS (
+      |  SELECT mb.doc_id AS vec_id,
+      |    list(CAST(COALESCE(ma.s, 0) AS FLOAT) ORDER BY mb.j) AS embedding
+      |  FROM mb LEFT JOIN ma ON ma.doc_id = mb.doc_id AND ma.j = mb.j
+      |  GROUP BY mb.doc_id)""".stripMargin
+
+  val mmNearDupSql: String =
+    ExtendedQueries.lloydCtes(4, 3, dim = 16, prelude = mmEmbPrelude) + ",\n" +
+      """fd AS (
+        |  SELECT e.vec_id AS r, c.k,
+        |    SUM((CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v) *
+        |        (CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v)) AS dist
+        |  FROM embeddings e, c3 c GROUP BY 1, 2),
+        |fa AS (
+        |  SELECT r, k FROM (
+        |    SELECT r, k, ROW_NUMBER() OVER (PARTITION BY r ORDER BY dist, k) AS rk
+        |    FROM fd) z WHERE rk = 1),
+        |v AS (
+        |  SELECT e.vec_id, e.embedding, a.k
+        |  FROM embeddings e JOIN fa a ON e.vec_id = a.r),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.k AS cluster,
+        |    round((SELECT SUM(CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))
+        |     FROM generate_series(1, 16) g(i)) /
+        |    (sqrt((SELECT SUM(CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))
+        |           FROM generate_series(1, 16) g(i))) *
+        |     sqrt((SELECT SUM(CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))
+        |           FROM generate_series(1, 16) g(i)))), 6) AS cos
+        |  FROM v a JOIN v b ON a.k = b.k AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cluster, cos FROM p WHERE cos >= 0.999""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact,
     "dd_minhash_pairs" -> ddMinhash,
@@ -639,7 +712,8 @@ object PipelineQueries {
     "txt_tfidf" -> ((sp, d) => TextAnalysis.tfidf(Tables.documents(sp, d), "doc_id", "text")),
     "txt_repetition" -> ((sp, d) => TextAnalysis.repetitionStats(Tables.documents(sp, d), "doc_id", "text")),
     "mm_features" -> mmFeatures,
-    "mm_resize" -> mmResize)
+    "mm_resize" -> mmResize,
+    "mm_neardup" -> mmNearDup)
 
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -668,5 +742,6 @@ object PipelineQueries {
     "txt_tfidf" -> TextAnalysis.tfidfSql,
     "txt_repetition" -> TextAnalysis.repetitionStatsSql,
     "mm_features" -> mmFeaturesSql,
-    "mm_resize" -> mmResizeSql)
+    "mm_resize" -> mmResizeSql,
+    "mm_neardup" -> mmNearDupSql)
 }

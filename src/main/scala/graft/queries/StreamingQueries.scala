@@ -232,6 +232,29 @@ object StreamingQueries {
 
   val stNearDupSql: String = PipelineQueries.ddCrossSql
 
+  /** streaming ingest SPAN dedup: arriving docs (≥250) probed per
+    * micro-batch against the static persisted gram index (<250) ≡ the
+    * one-shot dd_span_cross batch result — streaming parity for the
+    * passage-level family.
+    */
+  def stSpan(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val docs = graft.model.Tables.documents(spark, d)
+    val root = java.nio.file.Files.createTempDirectory("graft-stspan")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    graft.operators.Dedup.persistGramIndex(cat, "stx", "corpus",
+      docs.filter(col("doc_id") < 250), "doc_id", "text", k = 8)
+    val spans = graft.operators.Dedup.streamSpansAgainstStoredIndex(
+      readDocStream(spark, d).filter(col("doc_id") >= 250),
+      cat, "stx", "corpus", "doc_id", "text", k = 8)
+      .localCheckpoint(true)
+    cat.removeSet("stx", "corpus_grams")
+    graft.storage.SetCatalog.deleteTree(root)
+    spans
+  }
+
+  val stSpanSql: String = PipelineQueries.ddSpanCrossSql
+
   /** Streaming curation: the stateless PII scan/redact stage applied per
     * micro-batch on the document ingest stream (append mode, no state
     * store at all) — the form a standing ingest pipeline runs curation
@@ -316,6 +339,7 @@ object StreamingQueries {
     "st_join" -> stJoin,
     "st_upsert" -> stUpsert,
     "st_neardup" -> stNearDup,
+    "st_span" -> stSpan,
     "st_curate" -> stCurate,
     "st_ivf_append" -> stIvfAppend)
 
@@ -328,6 +352,7 @@ object StreamingQueries {
     "st_join" -> stJoinSql,
     "st_upsert" -> stUpsertSql,
     "st_neardup" -> stNearDupSql,
+    "st_span" -> stSpanSql,
     "st_curate" -> stCurateSql,
     "st_ivf_append" -> stIvfAppendSql)
 }

@@ -232,6 +232,27 @@ class PipelineSpec extends GraftSpecBase {
     assert(g.head.feature.sum > 0.0f, "stub fallback produced features")
   }
 
+  test("PNG round-trip: PixelSumDecoder recovers exact positional byte sums") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello png world"), (2L, "abc")).toDF("doc_id", "text")
+    val media = Multimodal.toPngPayload(docs)
+    val f = Multimodal
+      .extractFeatures(spark, media, dim = 4,
+        decoder = Multimodal.PixelSumDecoder)
+      .collect().map(r => r.doc_id -> r.feature).toMap
+    def expect(s: String, dim: Int): Array[Float] = {
+      val e = new Array[Float](dim)
+      s.getBytes("UTF-8").zipWithIndex.foreach { case (b, i) =>
+        e(i % dim) += (b & 0xff)
+      }
+      e
+    }
+    // lossless PNG + identity luminance for r=g=b ⇒ the decoded fold is
+    // EXACTLY the byte fold — the property mm_neardup's oracle rests on
+    assert(f(1L).sameElements(expect("hello png world", 4)))
+    assert(f(2L).sameElements(expect("abc", 4)))
+  }
+
   test("repetition stats: dup-word and top-bigram fractions, hand-checked") {
     import spark.implicits._
     // "a a a b": 4 words, 2 distinct -> dup 0.5; bigrams [a a, a a, a b]

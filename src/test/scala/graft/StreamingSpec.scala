@@ -186,6 +186,43 @@ class StreamingSpec extends GraftSpecBase {
     assert(cat.meta("logs", "pairs").exists(_.rows == oneShot.size))
   }
 
+  test("sink-backed streaming span log == in-memory mode == one-shot batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") < 25)
+    // verbatim re-arrivals of 5 corpus docs guarantee nonempty span hits
+    val arriving = docs.filter(col("doc_id") >= 25).unionByName(
+      corpus.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val root = java.nio.file.Files.createTempDirectory("graft-spanlog").toString
+    val cat = new graft.storage.SetCatalog(spark, root)
+    graft.operators.Dedup.persistGramIndex(
+      cat, "stx", "c", corpus, "doc_id", "text", k = 8)
+    val oneShot = graft.operators.Dedup
+      .spansAgainstStoredIndex(arriving, cat, "stx", "c", "doc_id", "text", k = 8)
+      .collect().map(_.toSeq).toSet
+    assert(oneShot.nonEmpty)
+
+    val rows = arriving.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    def runStream(
+        sink: Option[(graft.storage.SetCatalog, String, String)]): Set[Seq[Any]] = {
+      val input = MemoryStream[(Long, String)]
+      input.addData(rows.take(rows.length / 2))
+      input.addData(rows.drop(rows.length / 2))
+      graft.operators.Dedup.streamSpansAgainstStoredIndex(
+        input.toDS().toDF("doc_id", "text"), cat, "stx", "c",
+        "doc_id", "text", k = 8, sink = sink)
+        .collect().map(_.toSeq).toSet
+    }
+    val sinkMode = runStream(Some((cat, "logs", "spans")))
+    val memMode = runStream(None)
+    assert(sinkMode == oneShot, "sink-backed span log diverged from batch")
+    assert(memMode == oneShot, "in-memory span log diverged from batch")
+    cat.removeSet("stx", "c_grams")
+  }
+
   test("stream-stream interval join == batch interval join") {
     val got = graft.queries.StreamingQueries.stJoin(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
