@@ -31,8 +31,8 @@ object Soak {
     spark.sparkContext.setLogLevel("WARN")
 
     // optional comma-separated family filter (minhash, simhash, simskew,
-    // clusters, ccdist, cross, crossidx, span, spanx) for isolated soak
-    // runs
+    // ivfrecall, clusters, ccdist, cross, crossidx, span, spanx) for
+    // isolated soak runs
     val onlyFam = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
@@ -159,6 +159,78 @@ object Soak {
         // files otherwise
         cat.removeSet("soak", "c_grams")
         graft.storage.SetCatalog.deleteTree(root)
+      }
+
+      // append-only IVF recall: the codebook trains on replica 0 ONLY and
+      // every further replica APPENDS under that standing codebook (no
+      // retrain), with its components circularly rotated per replica —
+      // deterministic distribution drift, the known failure mode of
+      // append-only IVF. Recall is measured against the exact brute-force
+      // top-5 over the full appended corpus, for queries drawn from BOTH
+      // the indexed replica and the last appended one (drift hurts the
+      // arrivals' probes, not the base's), alongside the
+      // retrained-codebook recall on the same corpus (the rebuild-policy
+      // alternative appendToIvfIndex's scaladoc names). The run ASSERTS
+      // the append-regime floor so a silent recall collapse fails the
+      // soak instead of reading as a fast wall.
+      if (fam("ivfrecall")) {
+        val embBase = graft.model.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        val nE = 10000000L
+        def replica(i: Int): DataFrame = {
+          val s = i % 64
+          val rot =
+            if (s == 0) col("embedding")
+            else concat(slice(col("embedding"), s + 1, 64 - s),
+              slice(col("embedding"), 1, s))
+          embBase.select((col("vec_id") + lit(i * nE)).as("vec_id"),
+            rot.as("embedding"))
+        }
+        val full = (0 until m).map(replica).reduce(_ unionByName _).persist()
+        val nVecs = full.count()
+        val queries =
+          if (m == 1) embBase.filter(col("vec_id") < 10)
+          else replica(0).filter(col("vec_id") < 5).unionByName(
+            replica(m - 1).filter(col("vec_id") - lit((m - 1) * nE) < 5))
+        val root = java.nio.file.Files.createTempDirectory("graft-soak-ivfr")
+        val cat = new graft.storage.SetCatalog(spark, root.toString)
+        t0 = System.nanoTime()
+        graft.operators.SimilaritySearch.buildIvfIndex(
+          spark, cat, "soak", "ivf", replica(0))
+        (1 until m).foreach { i =>
+          graft.operators.SimilaritySearch.appendToIvfIndex(
+            spark, cat, "soak", "ivf", replica(i))
+        }
+        val idxSec = (System.nanoTime() - t0) / 1e9
+        def pairs(df: DataFrame): Set[(Long, Long)] = df
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val truth = pairs(graft.operators.SimilaritySearch
+          .bruteForceTopK(full, queries, 5))
+        t0 = System.nanoTime()
+        val got = pairs(graft.operators.SimilaritySearch
+          .searchIvfIndex(spark, cat, "soak", "ivf", queries, 5))
+        val searchSec = (System.nanoTime() - t0) / 1e9
+        val recallApp = (truth & got).size.toDouble / truth.size
+        val retrained = pairs(graft.operators.SimilaritySearch
+          .ivfTopK(spark, full, queries, 5))
+        val recallRetrain = (truth & retrained).size.toDouble / truth.size
+        println(f"SOAK ivfrecall m=$m%-3d vecs=$nVecs%-8d " +
+          f"append_recall=$recallApp%.3f retrain_recall=$recallRetrain%.3f " +
+          f"idx_s=$idxSec%.1f search_s=$searchSec%.1f")
+        // The drift-damage bound: append-only recall must track the
+        // rebuild-policy recall within 0.1 (the level itself — ~0.5 on
+        // this random fixture at nprobe=4/16 — is the intrinsic IVF
+        // recall both regimes share, floored separately).
+        require(recallApp >= recallRetrain - 0.1,
+          f"append-only IVF recall $recallApp%.3f fell more than 0.1 below " +
+            f"the retrained codebook's $recallRetrain%.3f at m=$m")
+        require(recallApp >= 0.4,
+          f"append-only IVF recall $recallApp%.3f fell below the 0.4 floor at m=$m")
+        cat.removeSet("soak", "ivf_centroids")
+        cat.removeSet("soak", "ivf_vectors")
+        graft.storage.SetCatalog.deleteTree(root)
+        full.unpersist()
       }
 
       // clustering over the minhash pair graph — driver union-find regime
