@@ -247,16 +247,29 @@ object Dedup {
     * Session-survivable, unlike the in-memory index's executor-pinned
     * caches.
     */
+  /** Bucket-count choice: an explicit `numBuckets` wins; otherwise an
+    * `advisor` applies the Lachesis sizing rule
+    * ([[graft.advisor.PlacementAdvisor.recommendBuckets]] — power-of-two
+    * count keeping each bucket near `targetRowsPerBucket` rows, sized
+    * from the band set, the index's larger side) so standing indexes
+    * inherit the placement layer's decision automatically; with neither,
+    * the session's shuffle-partition count (the pre-round-8 behavior).
+    */
   def persistLshIndex(
       catalog: graft.storage.SetCatalog, db: String, name: String,
       corpus: DataFrame, idCol: String, textCol: String,
       k: Int = 128, bands: Int = 32, shingleN: Int = 2,
-      maxBucket: Int = 200, numBuckets: Int = 0): Unit = {
+      maxBucket: Int = 200, numBuckets: Int = 0,
+      advisor: Option[graft.advisor.PlacementAdvisor] = None,
+      targetRowsPerBucket: Long = 1L << 22): Unit = {
     val spark = corpus.sparkSession
-    val n = if (numBuckets > 0) numBuckets
-      else spark.sessionState.conf.numShufflePartitions
     val (cSets, cBanded) =
       corpusLshIndex(corpus, idCol, textCol, k, bands, shingleN, maxBucket)
+    val n = if (numBuckets > 0) numBuckets
+      else advisor
+        .map(_.recommendBuckets(s"$db.${name}_bands", cBanded.count(),
+          targetRowsPerBucket))
+        .getOrElse(spark.sessionState.conf.numShufflePartitions)
     catalog.createBucketedSet(db, s"${name}_sets", cSets, "id", n)
     catalog.createBucketedSet(db, s"${name}_bands", cBanded,
       Seq("band", "bkey"), n)
@@ -771,15 +784,30 @@ object Dedup {
     * the static index, so per-batch outputs union to the one-shot
     * result.
     */
+  /** Same bucket-count choice as [[persistLshIndex]]: explicit wins,
+    * then the advisor's sizing rule over the distinct-gram count, then
+    * the session shuffle-partition default. The gram frame persists
+    * around the advisor's count so the fingerprint pipeline runs once.
+    */
   def persistGramIndex(
       catalog: graft.storage.SetCatalog, db: String, name: String,
       corpus: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, numBuckets: Int = 0): Unit = {
-    val n = if (numBuckets > 0) numBuckets
-      else corpus.sparkSession.sessionState.conf.numShufflePartitions
+      k: Int = 8, numBuckets: Int = 0,
+      advisor: Option[graft.advisor.PlacementAdvisor] = None,
+      targetRowsPerBucket: Long = 1L << 22): Unit = {
     val grams = windowFingerprints(corpus, idCol, textCol, k)
       .select(col("g")).distinct()
+    val n = if (numBuckets > 0) numBuckets
+      else advisor match {
+        case Some(a) =>
+          grams.persist()
+          a.recommendBuckets(s"$db.${name}_grams", grams.count(),
+            targetRowsPerBucket)
+        case None =>
+          corpus.sparkSession.sessionState.conf.numShufflePartitions
+      }
     catalog.createBucketedSet(db, s"${name}_grams", grams, "g", n)
+    if (advisor.isDefined && numBuckets == 0) grams.unpersist(blocking = false)
   }
 
   /** Spans of `newDocs` whose windows already occur in the stored gram

@@ -110,6 +110,40 @@ class AdvisorSpec extends GraftSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("advisor sizing rule lands on persistLshIndex/persistGramIndex sets") {
+    val adv = new PlacementAdvisor
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 100)
+    val root = Files.createTempDirectory("graft-advidx").toString
+    val cat = new SetCatalog(spark, root)
+    // target 512 rows/bucket so the rule yields a real (>1) count at
+    // fixture scale; both bucketed sets must carry the SAME advised count
+    graft.operators.Dedup.persistLshIndex(cat, "adv", "idx", docs,
+      "doc_id", "text", advisor = Some(adv), targetRowsPerBucket = 512)
+    val bands = cat.meta("adv", "idx_bands").get
+    val sets = cat.meta("adv", "idx_sets").get
+    val expected = adv.recommendBuckets("adv.idx_bands", bands.rows, 512)
+    assert(expected > 1, s"fixture should need >1 bucket, got $expected")
+    assert(bands.numPartitions == expected,
+      s"band set carries ${bands.numPartitions} buckets, advisor says $expected")
+    assert(sets.numPartitions == expected, "sets/bands bucket counts diverged")
+    // and the power-of-two invariant the group-convergence argument needs
+    assert((expected & (expected - 1)) == 0)
+
+    graft.operators.Dedup.persistGramIndex(cat, "adv", "idx", docs,
+      "doc_id", "text", k = 8, advisor = Some(adv), targetRowsPerBucket = 512)
+    val grams = cat.meta("adv", "idx_grams").get
+    val expGrams = adv.recommendBuckets("adv.idx_grams", grams.rows, 512)
+    assert(grams.numPartitions == expGrams && expGrams > 1)
+
+    // the advised layout still serves the index's join: probing works
+    val hits = graft.operators.Dedup.spansAgainstStoredIndex(
+      docs.limit(5), cat, "adv", "idx", "doc_id", "text", k = 8)
+    assert(hits.count() > 0, "self-probe of the gram index found no spans")
+    Seq("idx_sets", "idx_bands", "idx_grams")
+      .foreach(cat.removeSet("adv", _))
+    SetCatalog.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("reward-driven recommendation favors the key of the expensive workload") {
     val adv = new PlacementAdvisor
     val li = Tables.lineitem(spark, sfDir)
