@@ -810,6 +810,62 @@ object Dedup {
     if (advisor.isDefined && numBuckets == 0) grams.unpersist(blocking = false)
   }
 
+  /** Persist an exact-content fingerprint index: one row per DISTINCT
+    * 16-byte md5 of the corpus text, bucketed on the fingerprint so
+    * every later arrival batch probes it with zero index-side exchange.
+    * The EXACT-match analogue of [[persistLshIndex]] — the cheapest
+    * standing dedup structure a 100 TB ingest keeps warm (128-bit
+    * fingerprints: collision odds are negligible at any corpus size,
+    * unlike a 64-bit hash's birthday bound). Bucket-count choice matches
+    * the other index builders: explicit, else advisor, else session
+    * default.
+    */
+  def persistExactIndex(
+      catalog: graft.storage.SetCatalog, db: String, name: String,
+      corpus: DataFrame, textCol: String, numBuckets: Int = 0,
+      advisor: Option[graft.advisor.PlacementAdvisor] = None,
+      targetRowsPerBucket: Long = 1L << 22): Unit = {
+    val hashes = corpus.filter(col(textCol).isNotNull)
+      .select(unhex(md5(col(textCol))).as("h")).distinct()
+    val n = if (numBuckets > 0) numBuckets
+      else advisor match {
+        case Some(a) =>
+          hashes.persist()
+          a.recommendBuckets(s"$db.${name}_hashes", hashes.count(),
+            targetRowsPerBucket)
+        case None =>
+          corpus.sparkSession.sessionState.conf.numShufflePartitions
+      }
+    catalog.createBucketedSet(db, s"${name}_hashes", hashes, "h", n)
+    if (advisor.isDefined && numBuckets == 0) hashes.unpersist(blocking = false)
+  }
+
+  /** Every arriving doc annotated with whether its EXACT content already
+    * exists in the stored index: (idCol, is_dup). The keep-side filter
+    * is `!is_dup`; returning the full annotation keeps the drop decision
+    * (and its audit trail) with the caller. Per-doc results depend only
+    * on that doc and the static index, so per-batch outputs union to the
+    * one-shot result.
+    */
+  def exactAgainstStoredIndex(
+      newDocs: DataFrame, catalog: graft.storage.SetCatalog,
+      db: String, name: String, idCol: String, textCol: String): DataFrame =
+    exactAgainstHashes(newDocs,
+      catalog.scanBucketedSet(db, s"${name}_hashes"), idCol, textCol)
+
+  /** In-memory form of [[exactAgainstStoredIndex]]: `corpusHashes` is any
+    * frame exposing the 16-byte fingerprint column `h`. A null arrival
+    * text fingerprints to null and never matches (is_dup = false), the
+    * same contract as SQL equality.
+    */
+  def exactAgainstHashes(
+      newDocs: DataFrame, corpusHashes: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    newDocs.select(col(idCol), unhex(md5(col(textCol))).as("h"))
+      .join(corpusHashes.select(col("h"), lit(true).as("hit")),
+        Seq("h"), "left")
+      .select(col(idCol), coalesce(col("hit"), lit(false)).as("is_dup"))
+
   /** Spans of `newDocs` whose windows already occur in the stored gram
     * index: (idCol, span_start, span_end, span_tokens) per arriving doc.
     */

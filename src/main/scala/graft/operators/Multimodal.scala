@@ -233,6 +233,23 @@ object Multimodal {
       }
   }
 
+  /** Windowed audio energy over a PCM-like payload: bytes as unsigned
+    * 8-bit samples, windows of `window` samples every `hop`, per-window
+    * EXACT integer energy Σ (b−128)² ([[graft.functions.MediaKernel]] —
+    * one codegen'd pass per row, no per-byte explode). Map-only stage:
+    * nothing shuffles; rows out = windows, not bytes.
+    */
+  def audioEnergy(media: DataFrame, window: Int = 256,
+      hop: Int = 128): DataFrame =
+    media
+      .select(col("doc_id"), length(col("payload")).as("len"),
+        posexplode(graft.functions.MediaExpressions
+          .byteWindowEnergyNative(col("payload"), window, hop)))
+      .select(col("doc_id"), col("pos").as("window_no"),
+        least(lit(window), col("len") - col("pos") * hop)
+          .cast("int").as("n_samples"),
+        col("col").as("energy"))
+
   /** Frame sampling for video-like payloads: emit every nth chunk as a
     * "frame" row (flatMap — the MultiSelection shape from the reference,
     * applied to media).

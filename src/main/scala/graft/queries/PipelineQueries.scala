@@ -150,6 +150,46 @@ object PipelineQueries {
     pairs
   }
 
+  /** Ingest-time EXACT dedup against a catalog-persisted content-hash
+    * index ([[Dedup.persistExactIndex]] / [[Dedup.exactAgainstStoredIndex]]):
+    * corpus = docs < 250 indexed once as distinct 16-byte md5
+    * fingerprints bucketed on the hash; arrivals probe it and come back
+    * annotated is_dup. The fixture has no natural exact duplicates, so
+    * the arrival batch replays 100 corpus docs under fresh ids (the
+    * re-crawl case this operator exists for) — those 100 and only those
+    * must flag true. The oracle matches on text equality; the operator
+    * on the 128-bit fingerprint — equivalent absent a collision the
+    * birthday bound puts beyond any real corpus.
+    */
+  def ddExactIndexed(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val arrivals = docs.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), col("text"))
+      .union(docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val root = java.nio.file.Files.createTempDirectory("graft-exactx")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    Dedup.persistExactIndex(cat, "ddx", "corpus",
+      docs.filter(col("doc_id") < 250), "text")
+    val out = Dedup.exactAgainstStoredIndex(
+      arrivals, cat, "ddx", "corpus", "doc_id", "text")
+      .localCheckpoint(true)
+    cat.removeSet("ddx", "corpus_hashes")
+    graft.storage.SetCatalog.deleteTree(root)
+    out
+  }
+
+  val ddExactIndexedSql: String =
+    """WITH arriv AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+      |  WHERE doc_id < 100)
+      |SELECT a.doc_id,
+      |  EXISTS(SELECT 1 FROM documents c
+      |         WHERE c.doc_id < 250 AND c.text = a.text) AS is_dup
+      |FROM arriv a""".stripMargin
+
   def ddSimhash(spark: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, d), "doc_id", "text")
 
@@ -685,6 +725,69 @@ object PipelineQueries {
         |  FROM v a JOIN v b ON a.k = b.k AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cluster, cos FROM p WHERE cos >= 0.999""".stripMargin
 
+  /** Frame sampling over the video-like payload ([[Multimodal.sampleFrames]]:
+    * every 4th 64-byte chunk as a frame row). Content is checked
+    * byte-for-byte through hex — the one byte-faithful channel Spark and
+    * DuckDB share (DuckDB has no BLOB substring/md5; hex is ASCII, so its
+    * char arithmetic IS byte arithmetic at 2 chars per byte).
+    */
+  def mmFrames(spark: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.withPayload(Tables.documents(spark, d))
+    Multimodal.sampleFrames(spark, media)
+      .select(col("doc_id"), col("frame_no"),
+        hex(col("frame")).as("frame_hex"))
+  }
+
+  val mmFramesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS len
+      |  FROM documents WHERE text IS NOT NULL),
+      |f AS (
+      |  SELECT doc_id, hx,
+      |    unnest(generate_series(0, greatest(len // 64 - 1, 0), 4)) AS frame_no
+      |  FROM m)
+      |SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+      |  substring(hx, frame_no * 128 + 1, 128) AS frame_hex
+      |FROM f""".stripMargin
+
+  /** Windowed audio energy ([[Multimodal.audioEnergy]]): payload bytes as
+    * unsigned 8-bit PCM, window 256 / hop 128, exact integer Σ (b−128)²
+    * per window — integer energies make the oracle order-independent
+    * where a float RMS would drift with summation order. The DuckDB side
+    * recovers byte values from hex pairs (strpos into the hex alphabet).
+    */
+  def mmAudioEnergy(spark: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.withPayload(Tables.documents(spark, d))
+    Multimodal.audioEnergy(media)
+  }
+
+  val mmAudioEnergySql: String =
+    """WITH m AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS len
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+      |w AS (
+      |  SELECT doc_id, hx, len,
+      |    unnest(generate_series(0, (len - 1) // 128)) AS wno
+      |  FROM m),
+      |b AS (
+      |  SELECT doc_id, wno, len, hx,
+      |    unnest(generate_series(wno * 128,
+      |      least(wno * 128 + 256, len) - 1)) AS pos
+      |  FROM w),
+      |v AS (
+      |  SELECT doc_id, wno, len,
+      |    (strpos('0123456789ABCDEF', substring(hx, pos * 2 + 1, 1)) - 1) * 16
+      |      + strpos('0123456789ABCDEF', substring(hx, pos * 2 + 2, 1)) - 1
+      |      AS byte
+      |  FROM b)
+      |SELECT doc_id, CAST(wno AS INT) AS window_no,
+      |  CAST(least(256, len - wno * 128) AS INT) AS n_samples,
+      |  CAST(SUM((byte - 128) * (byte - 128)) AS BIGINT) AS energy
+      |FROM v GROUP BY doc_id, wno, len""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact,
     "dd_minhash_pairs" -> ddMinhash,
@@ -693,6 +796,7 @@ object PipelineQueries {
     "dd_ngram_pairs" -> ddNgram,
     "dd_cross_pairs" -> ddCross,
     "dd_cross_indexed" -> ddCrossIndexed,
+    "dd_exact_indexed" -> ddExactIndexed,
     "dd_simhash_pairs" -> ddSimhash,
     "dd_cosine_pairs" -> ddCosine,
     "dd_span" -> ddSpan,
@@ -713,7 +817,9 @@ object PipelineQueries {
     "txt_repetition" -> ((sp, d) => TextAnalysis.repetitionStats(Tables.documents(sp, d), "doc_id", "text")),
     "mm_features" -> mmFeatures,
     "mm_resize" -> mmResize,
-    "mm_neardup" -> mmNearDup)
+    "mm_neardup" -> mmNearDup,
+    "mm_frames" -> mmFrames,
+    "mm_audio_energy" -> mmAudioEnergy)
 
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -723,6 +829,7 @@ object PipelineQueries {
     "dd_ngram_pairs" -> ddNgramSql,
     "dd_cross_pairs" -> ddCrossSql,
     "dd_cross_indexed" -> ddCrossSql,
+    "dd_exact_indexed" -> ddExactIndexedSql,
     "dd_simhash_pairs" -> ddSimhashSql,
     "dd_cosine_pairs" -> ddCosineSql,
     "dd_span" -> ddSpanSql,
@@ -743,5 +850,7 @@ object PipelineQueries {
     "txt_repetition" -> TextAnalysis.repetitionStatsSql,
     "mm_features" -> mmFeaturesSql,
     "mm_resize" -> mmResizeSql,
-    "mm_neardup" -> mmNearDupSql)
+    "mm_neardup" -> mmNearDupSql,
+    "mm_frames" -> mmFramesSql,
+    "mm_audio_energy" -> mmAudioEnergySql)
 }

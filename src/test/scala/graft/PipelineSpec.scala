@@ -204,6 +204,25 @@ class PipelineSpec extends GraftSpecBase {
     assert(frames.columns.toSeq == Seq("doc_id", "frame_no", "frame"))
   }
 
+  test("audio energy: windows, partial tails, and exact integer sums") {
+    import spark.implicits._
+    // 300 bytes → windows at 0/128/256 with 256/172/44 samples
+    val payload = Array.tabulate[Byte](300)(i => (i % 251).toByte)
+    val df = Seq((1L, payload)).toDF("doc_id", "payload")
+    val out = Multimodal.audioEnergy(df)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getLong(3))).sortBy(_._1)
+    def ref(start: Int, n: Int): Long =
+      (start until (start + n)).map { i =>
+        val d = ((i % 251) & 0xff) - 128; (d * d).toLong
+      }.sum
+    assert(out.toSeq == Seq(
+      (0, 256, ref(0, 256)), (1, 172, ref(128, 172)), (2, 44, ref(256, 44))))
+    // empty + null payloads emit no windows (posexplode drops both)
+    val edge = Seq((2L, Array.empty[Byte]), (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    assert(Multimodal.audioEnergy(edge).count() == 0)
+  }
+
   test("ImageIO decoder extracts real histogram features from generated PNGs") {
     import spark.implicits._
     // render two images with known luminance: all-black and all-white
@@ -330,6 +349,36 @@ class PipelineSpec extends GraftSpecBase {
       (2L, 0L, 5L, 6L),
       (3L, 0L, 3L, 4L),
       (3L, 4L, 7L, 4L)))
+  }
+
+  test("exact index flags replayed content and is batching-invariant") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, null))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (10L, "alpha beta"),   // replay of doc 1 → dup
+      (11L, "gamma delta"),  // replay of doc 2 → dup
+      (12L, "epsilon zeta"), // novel
+      (13L, null))           // null text never matches (SQL equality)
+      .toDF("doc_id", "text")
+    val hashes = {
+      import org.apache.spark.sql.functions.{md5, unhex}
+      corpus.filter(col("text").isNotNull)
+        .select(unhex(md5(col("text"))).as("h")).distinct()
+    }
+    val oneShot = graft.operators.Dedup
+      .exactAgainstHashes(arrivals, hashes, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(oneShot == Map(10L -> true, 11L -> true, 12L -> false,
+      13L -> false))
+    val perBatch = Seq(
+      arrivals.filter(col("doc_id") <= 11),
+      arrivals.filter(col("doc_id") > 11))
+      .flatMap(b => graft.operators.Dedup
+        .exactAgainstHashes(b, hashes, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)))
+      .toMap
+    assert(perBatch == oneShot)
   }
 
   test("spansAgainstGrams is batching-invariant against a fixed gram index") {
