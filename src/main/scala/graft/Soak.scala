@@ -31,8 +31,8 @@ object Soak {
     spark.sparkContext.setLogLevel("WARN")
 
     // optional comma-separated family filter (minhash, simhash, simskew,
-    // ivfrecall, clusters, ccdist, cross, crossidx, span, spanx) for
-    // isolated soak runs
+    // ivfrecall, clusters, ccdist, cross, crossidx, span, spanx, exactx)
+    // for isolated soak runs
     val onlyFam = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
@@ -158,6 +158,37 @@ object Soak {
         // lives in the session catalog and would dangle over deleted
         // files otherwise
         cat.removeSet("soak", "c_grams")
+        graft.storage.SetCatalog.deleteTree(root)
+      }
+
+      // ingest-time EXACT dedup against the persisted content-hash index:
+      // the same corpus/arrival split and verbatim re-arrival plant as
+      // spanx, so true exact hits grow linearly in m while the standing
+      // index (and its build cost) stays fixed. The match is one
+      // broadcast-or-bucketed hash probe per batch — the cheapest
+      // standing dedup structure, so its wall should sit well under the
+      // gram/LSH families at every scale.
+      if (m > 1 && fam("exactx")) {
+        val planted = (1 until m).map { i =>
+          base.filter(col("doc_id") % 50 === 0)
+            .select((col("doc_id") + lit(100L * n + i * n)).as("doc_id"),
+              regexp_replace(col("text"), "(\\S+)", "r0_$1").as("text"))
+        }.reduce(_ unionByName _)
+        val arrivals = docs.filter(col("doc_id") >= n).unionByName(planted)
+        val corpus = docs.filter(col("doc_id") < n)
+        val root = java.nio.file.Files.createTempDirectory("graft-soak-exactx")
+        val cat = new graft.storage.SetCatalog(spark, root.toString)
+        t0 = System.nanoTime()
+        graft.operators.Dedup.persistExactIndex(cat, "soak", "c", corpus, "text")
+        val buildSec = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val nDup = graft.operators.Dedup.exactAgainstStoredIndex(
+          arrivals, cat, "soak", "c", "doc_id", "text")
+          .filter(col("is_dup")).count()
+        val matchSec = (System.nanoTime() - t0) / 1e9
+        println(f"SOAK exactx   m=$m%-3d docs=$nDocs%-8d dups=$nDup%-7d " +
+          f"build_s=$buildSec%.1f match_s=$matchSec%.1f")
+        cat.removeSet("soak", "c_hashes")
         graft.storage.SetCatalog.deleteTree(root)
       }
 

@@ -866,6 +866,49 @@ object Dedup {
         Seq("h"), "left")
       .select(col(idCol), coalesce(col("hit"), lit(false)).as("is_dup"))
 
+  /** Streaming form of [[exactAgainstStoredIndex]]: each micro-batch of
+    * the ingest stream probes the static persisted hash index and its
+    * flags are appended (to `sink` when given, else a driver-side
+    * accumulation for the test harness — same convenience/production
+    * split as [[streamNearDupPairs]]). Batching-invariant by
+    * construction: is_dup depends only on the doc itself and the fixed
+    * index, so per-batch outputs union to the one-shot batch result no
+    * matter how arrivals are split.
+    */
+  def streamExactAgainstStoredIndex(
+      stream: DataFrame, catalog: graft.storage.SetCatalog,
+      db: String, name: String, idCol: String, textCol: String,
+      sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame = {
+    val spark = stream.sparkSession
+    val hashes = catalog.scanBucketedSet(db, s"${name}_hashes")
+    def emptyArrivals = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stream.schema)
+    def emptyFlags = exactAgainstHashes(emptyArrivals, hashes, idCol, textCol)
+    sink.foreach { case (cat, sdb, set) =>
+      if (cat.meta(sdb, set).isEmpty)
+        cat.createSet(sdb, set, emptyFlags, policy = "none")
+    }
+    var acc: Option[DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val flags = exactAgainstHashes(batch.toDF(), hashes, idCol, textCol)
+        sink match {
+          case Some((cat, sdb, set)) => cat.appendToSet(sdb, set, flags)
+          case None =>
+            acc = Some(acc.map(_.unionByName(flags)).getOrElse(flags)
+              .localCheckpoint(eager = true))
+        }
+        ()
+      }
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    sink match {
+      case Some((cat, sdb, set)) => cat.scanSet(sdb, set)
+      case None => acc.getOrElse(emptyFlags)
+    }
+  }
+
   /** Spans of `newDocs` whose windows already occur in the stored gram
     * index: (idCol, span_start, span_end, span_tokens) per arriving doc.
     */

@@ -255,6 +255,34 @@ object StreamingQueries {
 
   val stSpanSql: String = PipelineQueries.ddSpanCrossSql
 
+  /** streaming ingest EXACT dedup: the arrival stream (fresh docs ≥ 250
+    * plus a replay of docs < 100 under offset ids — the re-crawl case)
+    * probes the static persisted content-hash index (< 250) per
+    * micro-batch ≡ the one-shot dd_exact_indexed batch result —
+    * streaming parity for the cheapest standing-index family.
+    */
+  def stExact(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val docs = graft.model.Tables.documents(spark, d)
+    val root = java.nio.file.Files.createTempDirectory("graft-stexact")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    graft.operators.Dedup.persistExactIndex(cat, "stx", "corpus",
+      docs.filter(col("doc_id") < 250), "text")
+    val s = readDocStream(spark, d)
+    val arrivals = s.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), col("text"))
+      .unionByName(s.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val flags = graft.operators.Dedup.streamExactAgainstStoredIndex(
+      arrivals, cat, "stx", "corpus", "doc_id", "text")
+      .localCheckpoint(true)
+    cat.removeSet("stx", "corpus_hashes")
+    graft.storage.SetCatalog.deleteTree(root)
+    flags
+  }
+
+  val stExactSql: String = PipelineQueries.ddExactIndexedSql
+
   /** Streaming curation: the stateless PII scan/redact stage applied per
     * micro-batch on the document ingest stream (append mode, no state
     * store at all) — the form a standing ingest pipeline runs curation
@@ -340,6 +368,7 @@ object StreamingQueries {
     "st_upsert" -> stUpsert,
     "st_neardup" -> stNearDup,
     "st_span" -> stSpan,
+    "st_exact" -> stExact,
     "st_curate" -> stCurate,
     "st_ivf_append" -> stIvfAppend)
 
@@ -353,6 +382,7 @@ object StreamingQueries {
     "st_upsert" -> stUpsertSql,
     "st_neardup" -> stNearDupSql,
     "st_span" -> stSpanSql,
+    "st_exact" -> stExactSql,
     "st_curate" -> stCurateSql,
     "st_ivf_append" -> stIvfAppendSql)
 }

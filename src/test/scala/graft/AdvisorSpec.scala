@@ -135,11 +135,17 @@ class AdvisorSpec extends GraftSpecBase {
     val expGrams = adv.recommendBuckets("adv.idx_grams", grams.rows, 512)
     assert(grams.numPartitions == expGrams && expGrams > 1)
 
+    graft.operators.Dedup.persistExactIndex(cat, "adv", "idx", docs,
+      "text", advisor = Some(adv), targetRowsPerBucket = 16)
+    val hashesMeta = cat.meta("adv", "idx_hashes").get
+    val expHashes = adv.recommendBuckets("adv.idx_hashes", hashesMeta.rows, 16)
+    assert(hashesMeta.numPartitions == expHashes && expHashes > 1)
+
     // the advised layout still serves the index's join: probing works
     val hits = graft.operators.Dedup.spansAgainstStoredIndex(
       docs.limit(5), cat, "adv", "idx", "doc_id", "text", k = 8)
     assert(hits.count() > 0, "self-probe of the gram index found no spans")
-    Seq("idx_sets", "idx_bands", "idx_grams")
+    Seq("idx_sets", "idx_bands", "idx_grams", "idx_hashes")
       .foreach(cat.removeSet("adv", _))
     SetCatalog.deleteTree(java.nio.file.Paths.get(root))
   }
