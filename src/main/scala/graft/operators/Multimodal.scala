@@ -262,4 +262,42 @@ object Multimodal {
           lit(stride))).as("frame_no"))
       .select(col("doc_id"), col("frame_no"),
         col("payload").substr(col("frame_no") * chunk + 1, lit(chunk)).as("frame"))
+
+  /** Cross-document repeated-frame detection over [[sampleFrames]] output:
+    * one row per distinct frame content appearing MORE than once, with
+    * the canonical keep site (smallest (doc_id, frame_no)) and the copy
+    * count — the video-frame analogue of [[Dedup.exact]]. Groups on the
+    * frame bytes themselves (not a truncated hash: no birthday bound at
+    * any corpus size) with map-side partial aggregation; the canonical
+    * site is a min(struct) aggregate, never a per-frame window sort.
+    */
+  def frameDedup(frames: DataFrame): DataFrame =
+    frames.groupBy(col("frame"))
+      .agg(min(struct(col("doc_id"), col("frame_no"))).as("keep"),
+        count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(hex(col("frame")).as("frame_hex"),
+        col("keep.doc_id").as("keep_doc_id"),
+        col("keep.frame_no").as("keep_frame_no"), col("n_copies"))
+
+  /** Low-energy segmentation over [[audioEnergy]] windows: windows whose
+    * energy is at or under `maxEnergy` merged into maximal runs of
+    * consecutive window numbers per doc (gaps-and-islands, the same
+    * merge shape as [[Dedup.duplicateSpans]]' span merge) —
+    * (doc_id, seg_start, seg_end, n_windows). The window function is
+    * partitioned by doc, so per-doc state is bounded by the doc's own
+    * window count; nothing global.
+    */
+  def silenceSegments(media: DataFrame, window: Int = 256, hop: Int = 128,
+      maxEnergy: Long = 500000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("window_no")
+    audioEnergy(media, window, hop)
+      .filter(col("energy") <= maxEnergy)
+      .withColumn("grp", col("window_no") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min("window_no").as("seg_start"), max("window_no").as("seg_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("grp")
+  }
 }

@@ -788,6 +788,97 @@ object PipelineQueries {
       |  CAST(SUM((byte - 128) * (byte - 128)) AS BIGINT) AS energy
       |FROM v GROUP BY doc_id, wno, len""".stripMargin
 
+  /** Cross-document repeated-frame detection ([[Multimodal.frameDedup]]):
+    * the documents fixture plus a replay of docs < 100 under offset ids
+    * (the same re-crawl plant as dd_exact_indexed — replayed docs carry
+    * identical payloads, so each of their sampled frames repeats), every
+    * 4th 64-byte chunk sampled as a frame, then exact content groupBy
+    * keeping the smallest (doc_id, frame_no) site per repeated frame.
+    */
+  def mmFrameDedup(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val replayed = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val frames = Multimodal.sampleFrames(spark, Multimodal.withPayload(replayed))
+    Multimodal.frameDedup(frames)
+  }
+
+  val mmFrameDedupSql: String =
+    """WITH u AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+      |  WHERE doc_id < 100),
+      |m AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS len
+      |  FROM u WHERE text IS NOT NULL),
+      |fr AS (
+      |  SELECT doc_id,
+      |    CAST(unnest(generate_series(0, greatest(len // 64 - 1, 0), 4)) AS INT)
+      |      AS frame_no, hx
+      |  FROM m),
+      |fx AS (
+      |  SELECT doc_id, frame_no,
+      |    substring(hx, frame_no * 128 + 1, 128) AS frame_hex
+      |  FROM fr),
+      |c AS (
+      |  SELECT frame_hex, COUNT(*) AS n_copies FROM fx
+      |  GROUP BY frame_hex HAVING COUNT(*) > 1),
+      |k AS (
+      |  SELECT frame_hex, doc_id AS keep_doc_id, frame_no AS keep_frame_no,
+      |    ROW_NUMBER() OVER (PARTITION BY frame_hex
+      |                       ORDER BY doc_id, frame_no) AS rn
+      |  FROM fx)
+      |SELECT c.frame_hex, k.keep_doc_id, k.keep_frame_no, c.n_copies
+      |FROM c JOIN k USING (frame_hex) WHERE k.rn = 1""".stripMargin
+
+  /** Low-energy audio segmentation ([[Multimodal.silenceSegments]]):
+    * energy windows at or under the threshold merged into maximal
+    * consecutive runs per doc. The threshold sits inside the fixture's
+    * energy distribution so both populated and empty docs exercise the
+    * islands merge.
+    */
+  def mmSilence(spark: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.withPayload(Tables.documents(spark, d))
+    Multimodal.silenceSegments(media)
+  }
+
+  val mmSilenceSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS len
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+      |w AS (
+      |  SELECT doc_id, hx, len,
+      |    unnest(generate_series(0, (len - 1) // 128)) AS wno
+      |  FROM m),
+      |b AS (
+      |  SELECT doc_id, wno, len, hx,
+      |    unnest(generate_series(wno * 128,
+      |      least(wno * 128 + 256, len) - 1)) AS pos
+      |  FROM w),
+      |v AS (
+      |  SELECT doc_id, wno,
+      |    (strpos('0123456789ABCDEF', substring(hx, pos * 2 + 1, 1)) - 1) * 16
+      |      + strpos('0123456789ABCDEF', substring(hx, pos * 2 + 2, 1)) - 1
+      |      AS byte
+      |  FROM b),
+      |e AS (
+      |  SELECT doc_id, CAST(wno AS INT) AS window_no,
+      |    SUM((byte - 128) * (byte - 128)) AS energy
+      |  FROM v GROUP BY doc_id, wno),
+      |s AS (
+      |  SELECT doc_id, window_no,
+      |    window_no - ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                                   ORDER BY window_no) AS grp
+      |  FROM e WHERE energy <= 500000)
+      |SELECT doc_id, MIN(window_no) AS seg_start, MAX(window_no) AS seg_end,
+      |  COUNT(*) AS n_windows
+      |FROM s GROUP BY doc_id, grp""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact,
     "dd_minhash_pairs" -> ddMinhash,
@@ -819,7 +910,9 @@ object PipelineQueries {
     "mm_resize" -> mmResize,
     "mm_neardup" -> mmNearDup,
     "mm_frames" -> mmFrames,
-    "mm_audio_energy" -> mmAudioEnergy)
+    "mm_audio_energy" -> mmAudioEnergy,
+    "mm_frame_dedup" -> mmFrameDedup,
+    "mm_silence" -> mmSilence)
 
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -852,5 +945,7 @@ object PipelineQueries {
     "mm_resize" -> mmResizeSql,
     "mm_neardup" -> mmNearDupSql,
     "mm_frames" -> mmFramesSql,
-    "mm_audio_energy" -> mmAudioEnergySql)
+    "mm_audio_energy" -> mmAudioEnergySql,
+    "mm_frame_dedup" -> mmFrameDedupSql,
+    "mm_silence" -> mmSilenceSql)
 }

@@ -223,6 +223,38 @@ class PipelineSpec extends GraftSpecBase {
     assert(Multimodal.audioEnergy(edge).count() == 0)
   }
 
+  test("frame dedup keeps the smallest site and counts every copy") {
+    import spark.implicits._
+    val frames = Seq(
+      (2L, 4, Array[Byte](1, 2, 3)),  // copy of the (1L, 0) frame
+      (1L, 0, Array[Byte](1, 2, 3)),
+      (1L, 8, Array[Byte](1, 2, 3)),  // third copy, same doc
+      (3L, 0, Array[Byte](9, 9, 9)))  // unique frame → filtered out
+      .toDF("doc_id", "frame_no", "frame")
+    val out = Multimodal.frameDedup(frames).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "010203" && r.getLong(1) == 1L &&
+      r.getInt(2) == 0 && r.getLong(3) == 3L)
+  }
+
+  test("silence segments merge consecutive low-energy windows per doc") {
+    import spark.implicits._
+    // windows of 4 samples, hop 4: 16 bytes → windows 0..3; bytes 128
+    // (d=0, energy 0) are "silent", bytes 255 are loud (d=127)
+    val quiet = 128.toByte; val loud = 255.toByte
+    val payload = Array[Byte](
+      quiet, quiet, quiet, quiet,  // w0 silent
+      quiet, quiet, quiet, quiet,  // w1 silent  → run [0,1]
+      loud, loud, loud, loud,      // w2 loud
+      quiet, quiet, quiet, quiet)  // w3 silent  → run [3,3]
+    val df = Seq((1L, payload)).toDF("doc_id", "payload")
+    val segs = Multimodal.silenceSegments(df, window = 4, hop = 4,
+      maxEnergy = 0L)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getLong(3))).sorted
+    assert(segs.toSeq == Seq((0, 1, 2L), (3, 3, 1L)))
+  }
+
   test("ImageIO decoder extracts real histogram features from generated PNGs") {
     import spark.implicits._
     // render two images with known luminance: all-black and all-white
