@@ -188,6 +188,13 @@ object Soak {
         val matchSec = (System.nanoTime() - t0) / 1e9
         println(f"SOAK exactx   m=$m%-3d docs=$nDocs%-8d dups=$nDup%-7d " +
           f"build_s=$buildSec%.1f match_s=$matchSec%.1f")
+        // linear-truth gate: flagged dups must be EXACTLY the planted
+        // re-arrivals (one per 50th corpus doc per arriving replica) —
+        // a miss is an index hole, an excess is a fingerprint collision
+        val expectedDups =
+          base.filter(col("doc_id") % 50 === 0).count() * (m - 1)
+        require(nDup == expectedDups,
+          s"exactx planted $expectedDups dups but flagged $nDup at m=$m")
         cat.removeSet("soak", "c_hashes")
         graft.storage.SetCatalog.deleteTree(root)
       }

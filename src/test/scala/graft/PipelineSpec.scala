@@ -413,6 +413,43 @@ class PipelineSpec extends GraftSpecBase {
     assert(perBatch == oneShot)
   }
 
+  test("stored exact index == in-memory hashes; probe has no index-side exchange") {
+    import org.apache.spark.sql.functions.{md5, unhex}
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") < 25)
+    val arrivals = docs.filter(col("doc_id") >= 25)
+      .select(col("doc_id"), col("text"))
+      .unionByName(corpus.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val root = java.nio.file.Files.createTempDirectory("graft-exact-spec").toString
+    val cat = new graft.storage.SetCatalog(spark, root)
+    Dedup.persistExactIndex(cat, "ddx", "c", corpus, "text", numBuckets = 4)
+    val stored = Dedup.exactAgainstStoredIndex(
+      arrivals, cat, "ddx", "c", "doc_id", "text")
+    val inMem = Dedup.exactAgainstHashes(arrivals,
+      corpus.filter(col("text").isNotNull)
+        .select(unhex(md5(col("text"))).as("h")).distinct(),
+      "doc_id", "text")
+    assert(stored.collect().map(_.toSeq).toSet ==
+      inMem.collect().map(_.toSeq).toSet)
+    assert(stored.filter(col("is_dup")).count() > 0)
+
+    // the placement payoff: the hash set is bucketed on h, so the probe
+    // join shuffles ONLY the arrivals — exactly one exchange, and not
+    // over the index scan
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Dedup.exactAgainstStoredIndex(
+          arrivals, cat, "ddx", "c", "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      val nExchanges = plan.linesIterator
+        .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
+      assert(nExchanges == 1,
+        s"expected one exchange (arrivals side only), got $nExchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("spansAgainstGrams is batching-invariant against a fixed gram index") {
     import spark.implicits._
     val corpus = Seq(
