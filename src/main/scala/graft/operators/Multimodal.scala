@@ -280,6 +280,40 @@ object Multimodal {
         col("keep.doc_id").as("keep_doc_id"),
         col("keep.frame_no").as("keep_frame_no"), col("n_copies"))
 
+  /** 63-bit energy-envelope fingerprint: bit i set iff window i+1's
+    * energy strictly exceeds window i's, over the first 64 windows
+    * (delta-sign audio fingerprinting — the envelope SHAPE, robust to
+    * uniform gain, cheap to compare). One codegen'd kernel pass for the
+    * energies plus one higher-order aggregate for the packing — no
+    * per-window explode, no shuffle. Docs with fewer than `minWindows`
+    * windows are dropped: a too-short envelope has no discriminative
+    * shape and would alias into a handful of hot fingerprints.
+    */
+  def envelopeFingerprint(media: DataFrame, window: Int = 64, hop: Int = 32,
+      minWindows: Int = 8): DataFrame =
+    media
+      .select(col("doc_id"),
+        graft.functions.MediaExpressions
+          .byteWindowEnergyNative(col("payload"), window, hop).as("en"))
+      .filter(size(col("en")) >= minWindows)
+      .select(col("doc_id"), expr(
+        "aggregate(sequence(0, least(62, size(en) - 2)), 0L, " +
+          "(acc, i) -> acc + IF(en[i+1] > en[i], shiftleft(1L, i), 0L))")
+        .as("fp"))
+
+  /** Duplicate-envelope groups — the audio analogue of [[Dedup.exact]]:
+    * one row per fingerprint shared by MORE than one doc, with the
+    * smallest doc as the canonical keep site and the copy count. A
+    * groupBy on the 63-bit key (never a self-join), so a hot
+    * fingerprint costs one large group, not a quadratic pair set.
+    */
+  def envelopeDedup(media: DataFrame, window: Int = 64, hop: Int = 32,
+      minWindows: Int = 8): DataFrame =
+    envelopeFingerprint(media, window, hop, minWindows)
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
   /** Low-energy segmentation over [[audioEnergy]] windows: windows whose
     * energy is at or under `maxEnergy` merged into maximal runs of
     * consecutive window numbers per doc (gaps-and-islands, the same

@@ -879,6 +879,66 @@ object PipelineQueries {
       |  COUNT(*) AS n_windows
       |FROM s GROUP BY doc_id, grp""".stripMargin
 
+  /** Audio envelope dedup ([[Multimodal.envelopeDedup]]): the documents
+    * fixture plus the docs < 100 replay plant, payload bytes as PCM at
+    * window 64 / hop 32, delta-sign fingerprint over the first 64
+    * windows, then groupBy on the fingerprint keeping the smallest doc.
+    * Replayed docs carry identical payloads → identical envelopes, so
+    * each eligible (≥ 8 windows) replayed doc lands in a duplicate
+    * group; organic envelope collisions across distinct docs are real
+    * duplicates BY THIS KEY and appear in both engines identically.
+    */
+  def mmAudioDup(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val replayed = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    Multimodal.envelopeDedup(Multimodal.withPayload(replayed))
+  }
+
+  val mmAudioDupSql: String =
+    """WITH u AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+      |  WHERE doc_id < 100),
+      |m AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS len
+      |  FROM u
+      |  WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+      |w AS (
+      |  SELECT doc_id, hx, len,
+      |    unnest(generate_series(0, (len - 1) // 32)) AS wno
+      |  FROM m),
+      |b AS (
+      |  SELECT doc_id, wno, hx,
+      |    unnest(generate_series(wno * 32,
+      |      least(wno * 32 + 64, len) - 1)) AS pos
+      |  FROM w),
+      |v AS (
+      |  SELECT doc_id, wno,
+      |    (strpos('0123456789ABCDEF', substring(hx, pos * 2 + 1, 1)) - 1) * 16
+      |      + strpos('0123456789ABCDEF', substring(hx, pos * 2 + 2, 1)) - 1
+      |      AS byte
+      |  FROM b),
+      |e AS (
+      |  SELECT doc_id, wno, SUM((byte - 128) * (byte - 128)) AS energy
+      |  FROM v GROUP BY doc_id, wno),
+      |n AS (SELECT doc_id, COUNT(*) AS nw FROM e GROUP BY doc_id),
+      |d AS (
+      |  SELECT a.doc_id,
+      |    CASE WHEN b.energy > a.energy
+      |         THEN (1::BIGINT << CAST(a.wno AS INT)) ELSE 0::BIGINT END AS bit
+      |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.wno = a.wno + 1
+      |  WHERE a.wno <= 62),
+      |f AS (
+      |  SELECT d.doc_id, CAST(SUM(bit) AS BIGINT) AS fp
+      |  FROM d JOIN n ON d.doc_id = n.doc_id
+      |  WHERE n.nw >= 8 GROUP BY d.doc_id)
+      |SELECT fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+      |FROM f GROUP BY fp HAVING COUNT(*) > 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact,
     "dd_minhash_pairs" -> ddMinhash,
@@ -912,7 +972,8 @@ object PipelineQueries {
     "mm_frames" -> mmFrames,
     "mm_audio_energy" -> mmAudioEnergy,
     "mm_frame_dedup" -> mmFrameDedup,
-    "mm_silence" -> mmSilence)
+    "mm_silence" -> mmSilence,
+    "mm_audio_dup" -> mmAudioDup)
 
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -947,5 +1008,6 @@ object PipelineQueries {
     "mm_frames" -> mmFramesSql,
     "mm_audio_energy" -> mmAudioEnergySql,
     "mm_frame_dedup" -> mmFrameDedupSql,
-    "mm_silence" -> mmSilenceSql)
+    "mm_silence" -> mmSilenceSql,
+    "mm_audio_dup" -> mmAudioDupSql)
 }

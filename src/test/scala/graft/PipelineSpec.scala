@@ -238,6 +238,30 @@ class PipelineSpec extends GraftSpecBase {
       r.getInt(2) == 0 && r.getLong(3) == 3L)
   }
 
+  test("envelope fingerprint packs delta signs; dedup groups equal envelopes") {
+    import spark.implicits._
+    // window=hop=2 → energies per byte pair; quiet=128 (d=0), loud=255
+    val q = 128.toByte; val l = 255.toByte
+    val up = Array[Byte](q, q, l, l, q, q, l, l)   // energies 0,hi,0,hi → bits 0,2 → fp 5
+    val fp = Multimodal.envelopeFingerprint(
+      Seq((1L, up)).toDF("doc_id", "payload"),
+      window = 2, hop = 2, minWindows = 4).collect()
+    assert(fp.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 5L)))
+    // equal adjacent energies are NOT a rise (strict >): flat stays 0
+    val flat = Array[Byte](l, l, l, l, l, l, l, l)
+    assert(Multimodal.envelopeFingerprint(
+      Seq((2L, flat)).toDF("doc_id", "payload"),
+      window = 2, hop = 2, minWindows = 4).collect().head.getLong(1) == 0L)
+    // dedup: identical envelopes group under the smallest doc; the short
+    // doc is dropped by the minWindows gate, the distinct one is unique
+    val dedup = Multimodal.envelopeDedup(
+      Seq((5L, up), (3L, up), (4L, flat), (6L, Array[Byte](q, q)))
+        .toDF("doc_id", "payload"),
+      window = 2, hop = 2, minWindows = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dedup.toSeq == Seq((5L, 3L, 2L)))
+  }
+
   test("silence segments merge consecutive low-energy windows per doc") {
     import spark.implicits._
     // windows of 4 samples, hop 4: 16 bytes → windows 0..3; bytes 128
