@@ -13,7 +13,9 @@ import graft.functions.TextFunctions._
   *  - whole-doc exact ([[exact]]) and near-dup ([[minhashPairs]] /
   *    [[ngramJaccardPairs]] / [[simhashPairs]] → [[dupClusters]] → keep
   *    list), plus the ingest-time forms ([[crossPairs]],
-  *    [[persistLshIndex]], [[streamNearDupPairs]]);
+  *    [[persistLshIndex]], [[streamNearDupPairs]], and the exact-match
+  *    standing index [[persistExactIndex]] / [[exactAgainstStoredIndex]]
+  *    / [[streamExactAgainstStoredIndex]]);
   *  - passage-level exact ([[duplicateSpans]] → [[stripDuplicateSpans]],
   *    ingest-time [[persistGramIndex]] / [[spansAgainstStoredIndex]] /
   *    [[streamSpansAgainstStoredIndex]]);
