@@ -55,14 +55,17 @@ object PlanCheck {
                 case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
                 case _ => j.left
               }
-              // a build side where ANY linked logical node proves
-              // maxRows == 1 (ungrouped aggregate, LIMIT 1, ...) is the
-              // scalar-broadcast shape; anything else counts as wide.
-              // Checking every linked node (not just the topmost) matters
-              // because a wrapper whose maxRows is None can sit above the
-              // node that proves the 1-row bound.
+              // a build side is the scalar-broadcast shape when the
+              // TOPMOST linked logical node with a DEFINED maxRows proves
+              // exactly 1 row (ungrouped aggregate, LIMIT 1, ...). Walking
+              // past undefined wrappers matters (a wrapper whose maxRows
+              // is None can sit above the proving node), but taking ANY
+              // 1-row descendant would misclassify a wide build that
+              // merely JOINS a 1-row subquery — the first defined bound
+              // in pre-order is the tightest honest claim about the
+              // build's own output.
               val scalar = walk(build).flatMap(_.logicalLink)
-                .exists(_.maxRows.contains(1L))
+                .flatMap(_.maxRows).headOption.contains(1L)
               !scalar
           }
           val smells = Seq(

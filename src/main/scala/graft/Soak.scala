@@ -190,7 +190,15 @@ object Soak {
           f"build_s=$buildSec%.1f match_s=$matchSec%.1f")
         // linear-truth gate: flagged dups must be EXACTLY the planted
         // re-arrivals (one per 50th corpus doc per arriving replica) —
-        // a miss is an index hole, an excess is a fingerprint collision
+        // a miss is an index hole, an excess is a fingerprint collision.
+        // The == only holds if the per-replica word salt actually changed
+        // every text (a token-free text is salted to itself and would
+        // cross-match organically), so pin that fixture assumption first.
+        val tokenFree = base
+          .filter(col("text").isNull || !col("text").rlike("\\S")).count()
+        require(tokenFree == 0,
+          s"fixture has $tokenFree token-free texts; the exactx == gate " +
+            "assumes the salt changes every doc")
         val expectedDups =
           base.filter(col("doc_id") % 50 === 0).count() * (m - 1)
         require(nDup == expectedDups,

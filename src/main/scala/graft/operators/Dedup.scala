@@ -365,23 +365,42 @@ object Dedup {
       sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame = {
     val (cSets, cBanded) =
       corpusLshIndex(corpus, idCol, textCol, k, bands, shingleN, maxBucket)
-    def emptyPairs = crossPairsAgainstIndex(corpus.limit(0), cSets, cBanded,
-      idCol, textCol, threshold, k, bands, shingleN)
-    // sink mode: make sure the log set exists (idempotent — an existing
-    // log is APPENDED to, the restart semantics a standing pipeline needs)
+    val out = streamProbe(stream,
+      batch => crossPairsAgainstIndex(batch, cSets, cBanded,
+        idCol, textCol, threshold, k, bands, shingleN),
+      sink)
+    cSets.unpersist(blocking = false)
+    cBanded.unpersist(blocking = false)
+    out
+  }
+
+  /** Shared per-micro-batch probe harness for the streaming ingest-dedup
+    * forms: run `perBatch` on every micro-batch, appending results to the
+    * catalog `sink` when given (the production form — the log set is
+    * created if missing and APPENDED to if present, the restart
+    * semantics a standing pipeline needs), else accumulating
+    * driver-side localCheckpoints (the oracle-harness convenience). The
+    * sink/restart/empty-stream semantics live HERE once, so the three
+    * streaming families cannot drift apart.
+    */
+  private def streamProbe(
+      stream: DataFrame, perBatch: DataFrame => DataFrame,
+      sink: Option[(graft.storage.SetCatalog, String, String)]): DataFrame = {
+    val spark = stream.sparkSession
+    def emptyOut = perBatch(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stream.schema))
     sink.foreach { case (cat, db, set) =>
       if (cat.meta(db, set).isEmpty)
-        cat.createSet(db, set, emptyPairs, policy = "none")
+        cat.createSet(db, set, emptyOut, policy = "none")
     }
     var acc: Option[DataFrame] = None
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val pairs = crossPairsAgainstIndex(batch.toDF(), cSets, cBanded,
-          idCol, textCol, threshold, k, bands, shingleN)
+        val out = perBatch(batch.toDF())
         sink match {
-          case Some((cat, db, set)) => cat.appendToSet(db, set, pairs)
+          case Some((cat, db, set)) => cat.appendToSet(db, set, out)
           case None =>
-            acc = Some(acc.map(_.unionByName(pairs)).getOrElse(pairs)
+            acc = Some(acc.map(_.unionByName(out)).getOrElse(out)
               .localCheckpoint(eager = true))
         }
         ()
@@ -389,15 +408,12 @@ object Dedup {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .start()
     try q.processAllAvailable() finally q.stop()
-    val out = sink match {
+    sink match {
       case Some((cat, db, set)) => cat.scanSet(db, set)
       case None => acc.getOrElse(
         // empty stream: an empty-input run of the same plan, for the schema
-        emptyPairs)
+        emptyOut)
     }
-    cSets.unpersist(blocking = false)
-    cBanded.unpersist(blocking = false)
-    out
   }
 
   /** Streaming form of [[spansAgainstStoredIndex]] — per-micro-batch
@@ -417,34 +433,9 @@ object Dedup {
       db: String, name: String, idCol: String, textCol: String,
       k: Int = 8,
       sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame = {
-    val spark = stream.sparkSession
-    val grams = catalog.scanBucketedSet(db, s"${name}_grams")
-    def emptyArrivals = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stream.schema)
-    def emptySpans = spansAgainstGrams(emptyArrivals, grams, idCol, textCol, k)
-    sink.foreach { case (cat, sdb, set) =>
-      if (cat.meta(sdb, set).isEmpty)
-        cat.createSet(sdb, set, emptySpans, policy = "none")
-    }
-    var acc: Option[DataFrame] = None
-    val q = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spans = spansAgainstGrams(batch.toDF(), grams, idCol, textCol, k)
-        sink match {
-          case Some((cat, sdb, set)) => cat.appendToSet(sdb, set, spans)
-          case None =>
-            acc = Some(acc.map(_.unionByName(spans)).getOrElse(spans)
-              .localCheckpoint(eager = true))
-        }
-        ()
-      }
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    sink match {
-      case Some((cat, sdb, set)) => cat.scanSet(sdb, set)
-      case None => acc.getOrElse(emptySpans)
-    }
+    val grams = scanGramIndex(catalog, db, name)
+    streamProbe(stream,
+      batch => spansAgainstGrams(batch, grams, idCol, textCol, k), sink)
   }
 
   /** Connected components over a near-dup pair set — the step a dedup
@@ -618,11 +609,16 @@ object Dedup {
       maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
     // single-file corpus → one scan partition; spread the UDF work.
     // Persisted: the (id, sh) scalars feed the hot-bucket scan and both
-    // self-join sides — without the cache the per-doc UDF runs 3×.
-    val sh = Parallelism.ensureWidth(docs)
+    // self-join sides — without the cache the per-doc UDF runs 3×. Under
+    // materialize=none the cache would be unreachable by the caller (the
+    // mode's unpersist contract), so skip it and pay the recompute.
+    val sh0 = Parallelism.ensureWidth(docs)
       .select(col(idCol).as("id"),
         simhash64(wordSet(col(textCol))).as("sh"))
-      .persist()
+    val sh =
+      if (docs.sparkSession.conf
+          .get("spark.graft.dedup.materialize", "localCheckpoint") == "none") sh0
+      else sh0.persist()
     val banded = sh.select(col("id"), col("sh"),
       explode(array((0 until 4).map(q => struct(lit(q).as("q"),
         shiftrightunsigned(col("sh"), q * 16)
@@ -852,19 +848,38 @@ object Dedup {
   def exactAgainstStoredIndex(
       newDocs: DataFrame, catalog: graft.storage.SetCatalog,
       db: String, name: String, idCol: String, textCol: String): DataFrame =
-    exactAgainstHashes(newDocs,
-      catalog.scanBucketedSet(db, s"${name}_hashes"), idCol, textCol)
+    exactAgainstHashes(newDocs, scanExactIndex(catalog, db, name),
+      idCol, textCol)
+
+  /** Scan a [[persistExactIndex]] set, failing FAST on a non-binary
+    * fingerprint column (same rationale as the gram-index guard: a
+    * schema-drifted index would silently match nothing).
+    */
+  private def scanExactIndex(
+      catalog: graft.storage.SetCatalog, db: String, name: String): DataFrame = {
+    val hashes = catalog.scanBucketedSet(db, s"${name}_hashes")
+    require(hashes.schema("h").dataType ==
+        org.apache.spark.sql.types.BinaryType,
+      s"exact index $db.${name}_hashes stores ${hashes.schema("h").dataType} " +
+        "fingerprints; rebuild it with persistExactIndex")
+    hashes
+  }
 
   /** In-memory form of [[exactAgainstStoredIndex]]: `corpusHashes` is any
-    * frame exposing the 16-byte fingerprint column `h`. A null arrival
-    * text fingerprints to null and never matches (is_dup = false), the
-    * same contract as SQL equality.
+    * frame exposing the 16-byte fingerprint column `h` — it need not be
+    * distinct (the probe deduplicates it, so a fingerprint appearing
+    * three times in the corpus still flags an arrival exactly once; for
+    * a [[persistExactIndex]] set, already distinct and bucketed on `h`,
+    * that aggregate groups on the bucket key and plans exchange-free).
+    * A null arrival text fingerprints to null and never matches
+    * (is_dup = false), the same contract as SQL equality.
     */
   def exactAgainstHashes(
       newDocs: DataFrame, corpusHashes: DataFrame,
       idCol: String, textCol: String): DataFrame =
     newDocs.select(col(idCol), unhex(md5(col(textCol))).as("h"))
-      .join(corpusHashes.select(col("h"), lit(true).as("hit")),
+      .join(corpusHashes.select(col("h")).distinct()
+          .select(col("h"), lit(true).as("hit")),
         Seq("h"), "left")
       .select(col(idCol), coalesce(col("hit"), lit(false)).as("is_dup"))
 
@@ -881,34 +896,9 @@ object Dedup {
       stream: DataFrame, catalog: graft.storage.SetCatalog,
       db: String, name: String, idCol: String, textCol: String,
       sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame = {
-    val spark = stream.sparkSession
-    val hashes = catalog.scanBucketedSet(db, s"${name}_hashes")
-    def emptyArrivals = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stream.schema)
-    def emptyFlags = exactAgainstHashes(emptyArrivals, hashes, idCol, textCol)
-    sink.foreach { case (cat, sdb, set) =>
-      if (cat.meta(sdb, set).isEmpty)
-        cat.createSet(sdb, set, emptyFlags, policy = "none")
-    }
-    var acc: Option[DataFrame] = None
-    val q = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val flags = exactAgainstHashes(batch.toDF(), hashes, idCol, textCol)
-        sink match {
-          case Some((cat, sdb, set)) => cat.appendToSet(sdb, set, flags)
-          case None =>
-            acc = Some(acc.map(_.unionByName(flags)).getOrElse(flags)
-              .localCheckpoint(eager = true))
-        }
-        ()
-      }
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    sink match {
-      case Some((cat, sdb, set)) => cat.scanSet(sdb, set)
-      case None => acc.getOrElse(emptyFlags)
-    }
+    val hashes = scanExactIndex(catalog, db, name)
+    streamProbe(stream,
+      batch => exactAgainstHashes(batch, hashes, idCol, textCol), sink)
   }
 
   /** Spans of `newDocs` whose windows already occur in the stored gram
@@ -918,8 +908,24 @@ object Dedup {
       newDocs: DataFrame, catalog: graft.storage.SetCatalog,
       db: String, name: String, idCol: String, textCol: String,
       k: Int = 8): DataFrame =
-    spansAgainstGrams(newDocs,
-      catalog.scanBucketedSet(db, s"${name}_grams"), idCol, textCol, k)
+    spansAgainstGrams(newDocs, scanGramIndex(catalog, db, name),
+      idCol, textCol, k)
+
+  /** Scan a [[persistGramIndex]] set, failing FAST if the stored
+    * fingerprint column isn't 16-byte binary (an index persisted by a
+    * pre-binary-key build stores 32-char hex strings; joining binary
+    * probes against it would silently match nothing — a total recall
+    * collapse — so a loud rebuild demand is the only safe behavior).
+    */
+  private def scanGramIndex(
+      catalog: graft.storage.SetCatalog, db: String, name: String): DataFrame = {
+    val grams = catalog.scanBucketedSet(db, s"${name}_grams")
+    require(grams.schema("g").dataType ==
+        org.apache.spark.sql.types.BinaryType,
+      s"gram index $db.${name}_grams stores ${grams.schema("g").dataType} " +
+        "fingerprints (pre-binary-key layout); rebuild it with persistGramIndex")
+    grams
+  }
 
   /** In-memory form of [[spansAgainstStoredIndex]]: `corpusGrams` is any
     * frame exposing the fingerprint column `g`.

@@ -679,17 +679,24 @@ object PipelineQueries {
       nClusters = 4, iters = 3, threshold = 0.999)
   }
 
-  /** The derived-feature CTE: per doc, f[j] = Σ byte values at positions
-    * ≡ j (mod 16) — exactly what the decoded len×1 PNG folds to. Named
-    * `embeddings` so it shadows the base table inside the shared
+  /** The derived-feature CTE: per doc, f[j] = Σ UTF-8 BYTE values at
+    * byte positions ≡ j (mod 16) — exactly what the decoded len×1 PNG
+    * folds to (the payload is text.getBytes(UTF-8), one pixel per BYTE,
+    * so the oracle goes through the hex channel like the other mm_*
+    * oracles; a codepoint fold would diverge on any non-ASCII char).
+    * Named `embeddings` so it shadows the base table inside the shared
     * unrolled-Lloyd trainer chain.
     */
   private val mmEmbPrelude: String =
     """mt AS (
-      |  SELECT doc_id, regexp_extract_all(text, '(?s).') AS cs
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS len
       |  FROM documents WHERE strlen(text) > 0),
-      |mp AS (SELECT doc_id, cs, unnest(range(0, len(cs))) AS i FROM mt),
-      |ma AS (SELECT doc_id, i % 16 AS j, SUM(unicode(cs[i + 1])) AS s
+      |mp AS (SELECT doc_id, hx, unnest(generate_series(0, len - 1)) AS i
+      |       FROM mt),
+      |ma AS (SELECT doc_id, i % 16 AS j,
+      |         SUM((strpos('0123456789ABCDEF', substring(hx, i * 2 + 1, 1)) - 1) * 16
+      |           + strpos('0123456789ABCDEF', substring(hx, i * 2 + 2, 1)) - 1) AS s
       |       FROM mp GROUP BY 1, 2),
       |mb AS (SELECT t.doc_id, g.j
       |       FROM (SELECT doc_id FROM mt) t
