@@ -280,6 +280,36 @@ object Multimodal {
         col("keep.doc_id").as("keep_doc_id"),
         col("keep.frame_no").as("keep_frame_no"), col("n_copies"))
 
+  /** ACT form of [[silenceSegments]]: rebuild each payload keeping only
+    * its above-threshold windows (non-overlapping — window == hop, so
+    * every byte belongs to exactly one window and the rebuild is
+    * unambiguous), plus the removed-window count. One codegen'd kernel
+    * pass for the energies and one higher-order aggregate for the
+    * rebuild — per-row state bounded by the row's own payload, nothing
+    * shuffles. A null payload stays null (0 removed), matching the
+    * null-in/null-out contract of the other per-row media passes.
+    */
+  def stripSilence(media: DataFrame, window: Int = 256,
+      maxEnergy: Long = 500000L): DataFrame =
+    media
+      .select(col("doc_id"), col("payload"),
+        graft.functions.MediaExpressions
+          .byteWindowEnergyNative(col("payload"), window, window).as("en"))
+      .select(col("doc_id"),
+        expr(
+          s"""CASE WHEN en IS NULL THEN CAST(NULL AS BINARY)
+             |     WHEN size(en) = 0 THEN X''
+             |     ELSE aggregate(
+             |       filter(sequence(0, size(en) - 1), w -> en[w] > ${maxEnergy}L),
+             |       X'', (acc, w) ->
+             |         concat(acc, substring(payload, w * $window + 1, $window)))
+             |END""".stripMargin).as("payload_stripped"),
+        expr(
+          s"""CASE WHEN en IS NULL OR size(en) = 0 THEN 0
+             |     ELSE size(filter(sequence(0, size(en) - 1),
+             |                      w -> en[w] <= ${maxEnergy}L))
+             |END""".stripMargin).cast("int").as("n_removed"))
+
   /** 63-bit energy-envelope fingerprint: bit i set iff window i+1's
     * energy strictly exceeds window i's, over the first 64 windows
     * (delta-sign audio fingerprinting — the envelope SHAPE, robust to

@@ -886,6 +886,56 @@ object PipelineQueries {
       |  COUNT(*) AS n_windows
       |FROM s GROUP BY doc_id, grp""".stripMargin
 
+  /** Silence strip ([[Multimodal.stripSilence]], the act form of
+    * mm_silence): payloads rebuilt from their above-threshold
+    * non-overlapping 256-byte windows; content checked byte-for-byte
+    * through the hex channel.
+    */
+  def mmSilenceStrip(spark: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.withPayload(Tables.documents(spark, d))
+    Multimodal.stripSilence(media.filter(col("payload").isNotNull))
+      .select(col("doc_id"), hex(col("payload_stripped")).as("payload_hex"),
+        col("n_removed"))
+  }
+
+  val mmSilenceStripSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS len
+      |  FROM documents WHERE text IS NOT NULL),
+      |w AS (
+      |  SELECT doc_id, hx, len,
+      |    unnest(generate_series(0, (len - 1) // 256)) AS wno
+      |  FROM m WHERE len > 0),
+      |b AS (
+      |  SELECT doc_id, wno, hx,
+      |    unnest(generate_series(wno * 256,
+      |      least(wno * 256 + 256, len) - 1)) AS pos
+      |  FROM w),
+      |v AS (
+      |  SELECT doc_id, wno, hx,
+      |    (strpos('0123456789ABCDEF', substring(hx, pos * 2 + 1, 1)) - 1) * 16
+      |      + strpos('0123456789ABCDEF', substring(hx, pos * 2 + 2, 1)) - 1
+      |      AS byte
+      |  FROM b),
+      |e AS (
+      |  SELECT doc_id, wno, hx,
+      |    SUM((byte - 128) * (byte - 128)) AS energy
+      |  FROM v GROUP BY doc_id, wno, hx),
+      |kept AS (
+      |  SELECT doc_id,
+      |    string_agg(substring(hx, wno * 512 + 1, 512), '' ORDER BY wno)
+      |      AS payload_hex
+      |  FROM e WHERE energy > 500000 GROUP BY doc_id),
+      |removed AS (
+      |  SELECT doc_id, COUNT(*) AS n_removed FROM e
+      |  WHERE energy <= 500000 GROUP BY doc_id)
+      |SELECT m.doc_id, COALESCE(k.payload_hex, '') AS payload_hex,
+      |  CAST(COALESCE(r.n_removed, 0) AS INT) AS n_removed
+      |FROM m
+      |LEFT JOIN kept k ON k.doc_id = m.doc_id
+      |LEFT JOIN removed r ON r.doc_id = m.doc_id""".stripMargin
+
   /** Audio envelope dedup ([[Multimodal.envelopeDedup]]): the documents
     * fixture plus the docs < 100 replay plant, payload bytes as PCM at
     * window 64 / hop 32, delta-sign fingerprint over the first 64
@@ -980,6 +1030,7 @@ object PipelineQueries {
     "mm_audio_energy" -> mmAudioEnergy,
     "mm_frame_dedup" -> mmFrameDedup,
     "mm_silence" -> mmSilence,
+    "mm_silence_strip" -> mmSilenceStrip,
     "mm_audio_dup" -> mmAudioDup)
 
   val oracles: Map[String, String] = Map(
@@ -1016,5 +1067,6 @@ object PipelineQueries {
     "mm_audio_energy" -> mmAudioEnergySql,
     "mm_frame_dedup" -> mmFrameDedupSql,
     "mm_silence" -> mmSilenceSql,
+    "mm_silence_strip" -> mmSilenceStripSql,
     "mm_audio_dup" -> mmAudioDupSql)
 }

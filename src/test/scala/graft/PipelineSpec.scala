@@ -238,6 +238,23 @@ class PipelineSpec extends GraftSpecBase {
       r.getInt(2) == 0 && r.getLong(3) == 3L)
   }
 
+  test("silence strip keeps loud windows in order, handles edges") {
+    import spark.implicits._
+    val q = 128.toByte; val l = 255.toByte
+    // window=4: w0 quiet, w1 loud, w2 quiet, w3 partial loud (2 bytes)
+    val payload = Array[Byte](q, q, q, q, l, l, l, l, q, q, q, q, l, l)
+    val rows = Multimodal.stripSilence(
+      Seq((1L, payload), (2L, Array.empty[Byte]),
+        (3L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "payload"),
+      window = 4, maxEnergy = 0L)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Array[Byte]].toSeq),
+        r.getInt(2))).sortBy(_._1)
+    assert(rows(0) == ((1L, Some(Seq[Byte](l, l, l, l, l, l)), 2)))
+    assert(rows(1) == ((2L, Some(Seq.empty[Byte]), 0)))
+    assert(rows(2) == ((3L, None, 0)))
+  }
+
   test("envelope fingerprint packs delta signs; dedup groups equal envelopes") {
     import spark.implicits._
     // window=hop=2 → energies per byte pair; quiet=128 (d=0), loud=255
