@@ -58,14 +58,20 @@ object PlanCheck {
               // a build side is the scalar-broadcast shape when the
               // TOPMOST linked logical node with a DEFINED maxRows proves
               // exactly 1 row (ungrouped aggregate, LIMIT 1, ...). Walking
-              // past undefined wrappers matters (a wrapper whose maxRows
-              // is None can sit above the proving node), but taking ANY
-              // 1-row descendant would misclassify a wide build that
-              // merely JOINS a 1-row subquery — the first defined bound
-              // in pre-order is the tightest honest claim about the
-              // build's own output.
-              val scalar = walk(build).flatMap(_.logicalLink)
-                .flatMap(_.maxRows).headOption.contains(1L)
+              // past undefined WRAPPERS matters (a wrapper whose maxRows
+              // is None can sit above the proving node), but the descent
+              // must STOP at any node that can widen output — a Join's
+              // maxRows is None whenever either side is unbounded, so
+              // walking past it would land on e.g. its LIMIT-1 child and
+              // misclassify a wide BNLJ build as scalar. First verdict
+              // in pre-order wins: defined maxRows decides; an
+              // undefined-bound widening node (Join/Generate/Union/
+              // Expand) is non-scalar by fiat.
+              import org.apache.spark.sql.catalyst.plans.logical._
+              val scalar = walk(build).flatMap(_.logicalLink).collectFirst {
+                case lp if lp.maxRows.isDefined => lp.maxRows.contains(1L)
+                case _: Join | _: Generate | _: Union | _: Expand => false
+              }.getOrElse(false)
               !scalar
           }
           val smells = Seq(

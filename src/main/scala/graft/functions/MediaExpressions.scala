@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
 
 /** Static kernel shared by interpreted eval and generated code. */
 object MediaKernel {
@@ -36,6 +36,43 @@ object MediaKernel {
     }
     new GenericArrayData(out)
   }
+
+  /** One-pass silence strip over NON-OVERLAPPING `window`-byte windows
+    * (window == hop, so every byte belongs to exactly one window and the
+    * rebuild is unambiguous): kept windows — those with energy
+    * Σ (b−128)² STRICTLY above `maxEnergy` — are copied into the output
+    * in order. Linear in the payload: one energy scan plus one
+    * arraycopy per kept window into a single pre-sized buffer, never a
+    * growing-accumulator concat (the higher-order `aggregate`/`concat`
+    * form copies the accumulator per step — O(windows²) bytes for one
+    * row, a stalled task at real audio sizes).
+    */
+  def byteWindowStrip(payload: Array[Byte], window: Int,
+      maxEnergy: Long): Array[Byte] = {
+    val len = payload.length
+    if (len == 0) return Array.emptyByteArray
+    val nWin = (len - 1) / window + 1
+    val out = new Array[Byte](len)
+    var outLen = 0
+    var w = 0
+    while (w < nWin) {
+      val start = w * window
+      val end = math.min(start + window, len)
+      var s = 0L
+      var i = start
+      while (i < end) {
+        val d = (payload(i) & 0xff) - 128
+        s += (d * d).toLong
+        i += 1
+      }
+      if (s > maxEnergy) {
+        System.arraycopy(payload, start, out, outLen, end - start)
+        outLen += end - start
+      }
+      w += 1
+    }
+    if (outLen == len) out else java.util.Arrays.copyOf(out, outLen)
+  }
 }
 
 /** Per-window audio energy as ONE codegen'd pass per row.
@@ -65,10 +102,40 @@ case class ByteWindowEnergy(child: Expression, window: Int, hop: Int)
     copy(child = newChild)
 }
 
+/** Silence strip as ONE codegen'd pass per row — the ACT sibling of
+  * [[ByteWindowEnergy]]: emits the payload rebuilt from only its
+  * above-threshold non-overlapping windows. Null in, null out
+  * (UnaryExpression's null-safe contract), matching the null contract of
+  * the other per-row media passes.
+  */
+case class ByteWindowStrip(child: Expression, window: Int, maxEnergy: Long)
+    extends UnaryExpression {
+  require(window >= 1, s"window must be >= 1, got $window")
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "byte_window_strip"
+
+  override def nullSafeEval(input: Any): Any =
+    MediaKernel.byteWindowStrip(input.asInstanceOf[Array[Byte]], window, maxEnergy)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MediaKernel.byteWindowStrip($c, $window, ${maxEnergy}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object MediaExpressions {
   def byteWindowEnergyNative(payload: Column, window: Int, hop: Int): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       ByteWindowEnergy(
         org.apache.spark.sql.graft.ColumnBridge.expression(payload),
         window, hop))
+
+  def byteWindowStripNative(payload: Column, window: Int, maxEnergy: Long): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      ByteWindowStrip(
+        org.apache.spark.sql.graft.ColumnBridge.expression(payload),
+        window, maxEnergy))
 }

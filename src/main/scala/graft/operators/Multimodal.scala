@@ -71,8 +71,11 @@ object Multimodal {
     val name = "javax-imageio"
     def decode(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
       val img =
+        // NonFatal, not just IOException: a codec RuntimeException on a
+        // corrupt payload must mean "this backend can't decode it"
+        // (→ None, chain continues), never a dead extract stage
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) None
       else {
         val f = new Array[Float](dim)
@@ -125,10 +128,15 @@ object Multimodal {
     def decode(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) None
       else {
-        val f = new Array[Float](dim)
+        // accumulate in Long so per-slot sums stay exact at ANY image
+        // size (float accumulation silently loses exactness past 2^24 —
+        // a 10 MP image at dim=16 reaches ~1.6e8 per slot); the single
+        // final Long→Float conversion is the same rounding the SQL
+        // oracle applies to its exact integer sum
+        val acc = new Array[Long](dim)
         val (w, h) = (img.getWidth, img.getHeight)
         var y = 0
         while (y < h) {
@@ -137,11 +145,14 @@ object Multimodal {
             val rgb = img.getRGB(x, y)
             val lum = (((rgb >> 16) & 0xff) * 299 +
               ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-            f((y * w + x) % dim) += lum
+            acc((y * w + x) % dim) += lum
             x += 1
           }
           y += 1
         }
+        val f = new Array[Float](dim)
+        var i = 0
+        while (i < dim) { f(i) = acc(i).toFloat; i += 1 }
         Some(f)
       }
     }
@@ -256,7 +267,11 @@ object Multimodal {
     */
   def sampleFrames(spark: SparkSession, media: DataFrame, chunk: Int = 64,
       stride: Int = 4): DataFrame =
-    media.select(col("doc_id"), col("payload"),
+    // a null payload has no frames — without the filter it would emit a
+    // (doc_id, 0, NULL) row (greatest() skips nulls, so the sequence
+    // still yields [0]) and NULL frames would cluster downstream
+    media.filter(col("payload").isNotNull)
+      .select(col("doc_id"), col("payload"),
         explode(sequence(lit(0),
           greatest((length(col("payload")) / chunk - 1).cast("int"), lit(0)),
           lit(stride))).as("frame_no"))
@@ -266,48 +281,56 @@ object Multimodal {
   /** Cross-document repeated-frame detection over [[sampleFrames]] output:
     * one row per distinct frame content appearing MORE than once, with
     * the canonical keep site (smallest (doc_id, frame_no)) and the copy
-    * count — the video-frame analogue of [[Dedup.exact]]. Groups on the
-    * frame bytes themselves (not a truncated hash: no birthday bound at
-    * any corpus size) with map-side partial aggregation; the canonical
-    * site is a min(struct) aggregate, never a per-frame window sort.
+    * count — the video-frame analogue of [[Dedup.exact]]. The EXCHANGE
+    * KEY is the 16-byte md5 of the frame (the same fixed-width-key
+    * argument as [[Dedup.persistExactIndex]] — 128 bits has no birthday
+    * bound at any corpus size), not the frame bytes themselves: at real
+    * video frame sizes (tens of KB) a content-keyed shuffle would carry
+    * full frames in every exchange row, where the hash key is 16 bytes
+    * regardless of frame width. The content itself rides only inside the
+    * pre-shuffle min(struct) partial aggregate — one copy per distinct
+    * frame per mapper (map-side combine), needed anyway for the output's
+    * frame_hex. Canonical site is that same min(struct), never a
+    * per-frame window sort; md5 equality implies content equality within
+    * a group, so (doc_id, frame_no) ordering is unchanged.
     */
   def frameDedup(frames: DataFrame): DataFrame =
-    frames.groupBy(col("frame"))
-      .agg(min(struct(col("doc_id"), col("frame_no"))).as("keep"),
+    frames.groupBy(unhex(md5(col("frame"))).as("fkey"))
+      .agg(min(struct(col("doc_id"), col("frame_no"), col("frame"))).as("keep"),
         count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
-      .select(hex(col("frame")).as("frame_hex"),
+      .select(hex(col("keep.frame")).as("frame_hex"),
         col("keep.doc_id").as("keep_doc_id"),
         col("keep.frame_no").as("keep_frame_no"), col("n_copies"))
 
   /** ACT form of [[silenceSegments]]: rebuild each payload keeping only
     * its above-threshold windows (non-overlapping — window == hop, so
     * every byte belongs to exactly one window and the rebuild is
-    * unambiguous), plus the removed-window count. One codegen'd kernel
-    * pass for the energies and one higher-order aggregate for the
-    * rebuild — per-row state bounded by the row's own payload, nothing
-    * shuffles. A null payload stays null (0 removed), matching the
-    * null-in/null-out contract of the other per-row media passes.
+    * unambiguous), plus the removed-window count. TWO codegen'd kernel
+    * passes per row, both linear: [[graft.functions.ByteWindowStrip]]
+    * emits the stripped payload directly (one energy scan + one
+    * arraycopy per kept window into a pre-sized buffer — replacing the
+    * earlier higher-order `aggregate`/`concat` fold, which copied the
+    * growing accumulator per kept window: O(W²·window) bytes for a
+    * W-window row, a stalled task at real audio sizes), and
+    * [[graft.functions.ByteWindowEnergy]] feeds the removed-window
+    * count. Nothing shuffles. A null payload stays null (0 removed),
+    * matching the null-in/null-out contract of the other per-row media
+    * passes.
     */
   def stripSilence(media: DataFrame, window: Int = 256,
       maxEnergy: Long = 500000L): DataFrame =
     media
-      .select(col("doc_id"), col("payload"),
+      .select(col("doc_id"),
+        graft.functions.MediaExpressions
+          .byteWindowStripNative(col("payload"), window, maxEnergy)
+          .as("payload_stripped"),
         graft.functions.MediaExpressions
           .byteWindowEnergyNative(col("payload"), window, window).as("en"))
-      .select(col("doc_id"),
-        expr(
-          s"""CASE WHEN en IS NULL THEN CAST(NULL AS BINARY)
-             |     WHEN size(en) = 0 THEN X''
-             |     ELSE aggregate(
-             |       filter(sequence(0, size(en) - 1), w -> en[w] > ${maxEnergy}L),
-             |       X'', (acc, w) ->
-             |         concat(acc, substring(payload, w * $window + 1, $window)))
-             |END""".stripMargin).as("payload_stripped"),
+      .select(col("doc_id"), col("payload_stripped"),
         expr(
           s"""CASE WHEN en IS NULL OR size(en) = 0 THEN 0
-             |     ELSE size(filter(sequence(0, size(en) - 1),
-             |                      w -> en[w] <= ${maxEnergy}L))
+             |     ELSE size(filter(en, e -> e <= ${maxEnergy}L))
              |END""".stripMargin).cast("int").as("n_removed"))
 
   /** 63-bit energy-envelope fingerprint: bit i set iff window i+1's
@@ -320,7 +343,12 @@ object Multimodal {
     * shape and would alias into a handful of hot fingerprints.
     */
   def envelopeFingerprint(media: DataFrame, window: Int = 64, hop: Int = 32,
-      minWindows: Int = 8): DataFrame =
+      minWindows: Int = 8): DataFrame = {
+    // a 1-window doc would reach sequence(0, -1), which Spark evaluates
+    // as the DESCENDING sequence [0,-1] → shiftleft(1L,-1) garbage; a
+    // delta-sign fingerprint needs at least one delta anyway
+    require(minWindows >= 2,
+      s"envelopeFingerprint needs minWindows >= 2 (one energy delta), got $minWindows")
     media
       .select(col("doc_id"),
         graft.functions.MediaExpressions
@@ -330,6 +358,7 @@ object Multimodal {
         "aggregate(sequence(0, least(62, size(en) - 2)), 0L, " +
           "(acc, i) -> acc + IF(en[i+1] > en[i], shiftleft(1L, i), 0L))")
         .as("fp"))
+  }
 
   /** Duplicate-envelope groups — the audio analogue of [[Dedup.exact]]:
     * one row per fingerprint shared by MORE than one doc, with the

@@ -238,6 +238,71 @@ class PipelineSpec extends GraftSpecBase {
       r.getInt(2) == 0 && r.getLong(3) == 3L)
   }
 
+  test("frame dedup exchange key is the 16-byte hash, not frame content") {
+    import spark.implicits._
+    val frames = Seq((1L, 0, Array[Byte](1, 2)), (2L, 0, Array[Byte](1, 2)))
+      .toDF("doc_id", "frame_no", "frame")
+    val out = Multimodal.frameDedup(frames)
+    // the one aggregate groups on unhex(md5(frame)) — a single 16-byte
+    // binary expression, never the raw frame attribute (analyzed plan:
+    // the optimizer pre-evaluates the hash into a LocalTableScan on
+    // in-memory test inputs, hiding the expression)
+    val aggs = out.queryExecution.analyzed.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.nonEmpty)
+    val g = aggs.head.groupingExpressions
+    assert(g.size == 1 &&
+      g.head.dataType == org.apache.spark.sql.types.BinaryType)
+    assert(g.head.collectFirst {
+      case m: org.apache.spark.sql.catalyst.expressions.Md5 => m
+    }.isDefined, s"grouping key must be the md5 fingerprint, got: $g")
+    assert(g.head.references.isEmpty ||
+      !g.head.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference],
+      "grouping key must be derived (hash), not the frame attribute itself")
+    // and the physical exchange partitions on that derived key, not frame
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(frame#"),
+      s"frame content must never be the exchange key:\n$plan")
+    assert(plan.contains("hashpartitioning(_groupingexpression") ||
+      plan.contains("hashpartitioning(fkey"),
+      s"expected the exchange keyed on the md5 grouping expression:\n$plan")
+  }
+
+  test("silence strip kernel is linear: a 4 MiB payload strips in one pass") {
+    // alternating quiet/loud 256-byte windows; the pre-kernel fold form
+    // copied the growing accumulator per kept window — O(W²·window)
+    // bytes ≈ 2^37 here (minutes); the kernel is one scan + arraycopies
+    val n = 4 << 20
+    val payload = Array.tabulate[Byte](n)(
+      i => if ((i / 256) % 2 == 0) 128.toByte else 255.toByte)
+    val t0 = System.nanoTime()
+    val out = graft.functions.MediaKernel.byteWindowStrip(payload, 256, 0L)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out.length == n / 2)
+    assert(out.forall(_ == 255.toByte))
+    assert(secs < 10.0,
+      f"one-pass strip took $secs%.1f s on 4 MiB — rebuild is not linear")
+  }
+
+  test("envelope fingerprint rejects minWindows < 2") {
+    import spark.implicits._
+    val df = Seq((1L, Array[Byte](1, 2))).toDF("doc_id", "payload")
+    intercept[IllegalArgumentException] {
+      Multimodal.envelopeFingerprint(df, window = 2, hop = 2, minWindows = 1)
+    }
+  }
+
+  test("sampleFrames drops null payloads (no phantom frame 0)") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "abcd".getBytes("UTF-8")),
+      (2L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "payload")
+    val out = Multimodal.sampleFrames(spark, media, chunk = 2, stride = 1)
+    assert(out.filter(col("doc_id") === 2L).count() == 0)
+    assert(out.filter(col("doc_id") === 1L).count() == 2)
+  }
+
   test("silence strip keeps loud windows in order, handles edges") {
     import spark.implicits._
     val q = 128.toByte; val l = 255.toByte
@@ -343,6 +408,23 @@ class PipelineSpec extends GraftSpecBase {
     // EXACTLY the byte fold — the property mm_neardup's oracle rests on
     assert(f(1L).sameElements(expect("hello png world", 4)))
     assert(f(2L).sameElements(expect("abc", 4)))
+  }
+
+  test("PixelSumDecoder stays exact past the float-24-bit line and survives garbage") {
+    // 1100×1100 all-white: per-slot exact sum = (1100²/16)·255 =
+    // 19 284 375 > 2²⁴, where float ACCUMULATION would drift (spacing 2
+    // up there) — the Long accumulator keeps the exact integer and
+    // rounds once at the end, matching the oracle's CAST(sum AS FLOAT)
+    val img = new java.awt.image.BufferedImage(
+      1100, 1100, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 1100; x <- 0 until 1100) img.setRGB(x, y, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val f = Multimodal.PixelSumDecoder.decode(bos.toByteArray, 16).get
+    assert(f.forall(_ == 19284375L.toFloat))
+    // unparseable payloads are a None, never a thrown task failure
+    assert(Multimodal.PixelSumDecoder.decode(
+      "not an image at all".getBytes("UTF-8"), 16).isEmpty)
   }
 
   test("repetition stats: dup-word and top-bigram fractions, hand-checked") {
