@@ -510,8 +510,8 @@ object PipelineQueries {
     * probed buckets, top-5. Which corpus TRAINED the codebook is the
     * caller's choice via lloydCtes' sourceWhere.
     */
-  private val ivfSearchTailSql: String =
-    """bdist AS (
+  private def ivfSearchTail(dim: Int): String =
+    s"""bdist AS (
         |  SELECT e.vec_id AS r, c.k,
         |    SUM((CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v) *
         |        (CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v)) AS dist
@@ -531,11 +531,11 @@ object PipelineQueries {
         |scored AS (
         |  SELECT c.query_id, c.neighbor_id,
         |    round((SELECT SUM(CAST(q.embedding[i] AS DOUBLE)*CAST(n.embedding[i] AS DOUBLE))
-        |     FROM generate_series(1, 64) g(i)) /
+        |     FROM generate_series(1, $dim) g(i)) /
         |    (sqrt((SELECT SUM(CAST(q.embedding[i] AS DOUBLE)*CAST(q.embedding[i] AS DOUBLE))
-        |           FROM generate_series(1, 64) g(i))) *
+        |           FROM generate_series(1, $dim) g(i))) *
         |     sqrt((SELECT SUM(CAST(n.embedding[i] AS DOUBLE)*CAST(n.embedding[i] AS DOUBLE))
-        |           FROM generate_series(1, 64) g(i)))), 6) AS cos
+        |           FROM generate_series(1, $dim) g(i)))), 6) AS cos
         |  FROM cand c
         |  JOIN embeddings q ON q.vec_id = c.query_id
         |  JOIN embeddings n ON n.vec_id = c.neighbor_id)
@@ -544,6 +544,8 @@ object PipelineQueries {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
         |         ORDER BY cos DESC, neighbor_id) AS INT) AS rank
         |  FROM scored) t WHERE rank <= 5""".stripMargin
+
+  private val ivfSearchTailSql: String = ivfSearchTail(64)
 
   val simIvfSql: String =
     ExtendedQueries.lloydCtes(16, 3) + ",\n" + ivfSearchTailSql
@@ -996,6 +998,44 @@ object PipelineQueries {
       |SELECT fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
       |FROM f GROUP BY fp HAVING COUNT(*) > 1""".stripMargin
 
+  /** Persisted image-ANN — the multimodal composition of the IVF index
+    * lifecycle ([[simIvfIndexed]] with image features instead of the
+    * embeddings table): documents render as real PNGs, decode through
+    * [[Multimodal.PixelSumDecoder]] (bit-exact positional luminance
+    * fold, so the oracle reproduces the vectors from the text bytes),
+    * then build → persist → partition-pruned search against a standing
+    * bucket-partitioned index. A multimodal corpus needs standing image
+    * ANN exactly as it needs standing text LSH; IvfIndexSpec's
+    * dynamic-pruning assertion covers the scan shape.
+    */
+  def mmIvf(spark: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.toPngPayload(Tables.documents(spark, d))
+    // decode once: the feature frame feeds codebook training, index
+    // assignment, AND the query side
+    val feats = Multimodal
+      .extractFeatures(spark, media, dim = 16,
+        decoder = Multimodal.PixelSumDecoder)
+      .toDF()
+      .select(col("doc_id").as("vec_id"), col("feature").as("embedding"))
+      .localCheckpoint(true)
+    val root = java.nio.file.Files.createTempDirectory("graft-mmivf")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    SimilaritySearch.buildIvfIndex(spark, cat, "idx", "img", feats)
+    val hits = SimilaritySearch.searchIvfIndex(spark, cat, "idx", "img",
+      feats.filter(col("vec_id") < 10), k = 5)
+      .localCheckpoint(true)
+    graft.storage.SetCatalog.deleteTree(root)
+    hits
+  }
+
+  /** The image-feature CTE shadows `embeddings`, then the 16-centroid
+    * trainer and the shared IVF probe/score tail run over it — the same
+    * composition as [[simIvfSql]] at dim 16.
+    */
+  val mmIvfSql: String =
+    ExtendedQueries.lloydCtes(16, 3, dim = 16, prelude = mmEmbPrelude) +
+      ",\n" + ivfSearchTail(16)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact,
     "dd_minhash_pairs" -> ddMinhash,
@@ -1031,7 +1071,8 @@ object PipelineQueries {
     "mm_frame_dedup" -> mmFrameDedup,
     "mm_silence" -> mmSilence,
     "mm_silence_strip" -> mmSilenceStrip,
-    "mm_audio_dup" -> mmAudioDup)
+    "mm_audio_dup" -> mmAudioDup,
+    "mm_ivf" -> mmIvf)
 
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -1068,5 +1109,6 @@ object PipelineQueries {
     "mm_frame_dedup" -> mmFrameDedupSql,
     "mm_silence" -> mmSilenceSql,
     "mm_silence_strip" -> mmSilenceStripSql,
-    "mm_audio_dup" -> mmAudioDupSql)
+    "mm_audio_dup" -> mmAudioDupSql,
+    "mm_ivf" -> mmIvfSql)
 }
