@@ -168,14 +168,23 @@ object Multimodal {
     * image cannot encode). Map-only stage, same scale shape as
     * [[extractFeatures]].
     */
-  def toPngPayload(docs: DataFrame): DataFrame = {
+  def toPngPayload(docs: DataFrame): DataFrame =
+    bytesToPngPayload(docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
+
+  /** [[toPngPayload]] over an arbitrary binary column: pixel x carries
+    * payload byte x. This is what lets a media pipeline re-encode a
+    * DERIVED payload (e.g. the silence-stripped bytes) and feed the same
+    * real-codec decode chain — null/empty payloads are excluded (a
+    * 0-width image cannot encode).
+    */
+  def bytesToPngPayload(media: DataFrame): DataFrame = {
     implicit val enc = Encoders.product[MediaRow]
-    docs.filter(length(col("text")) > 0)
-      .select(col("doc_id"), col("text"))
-      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+    media.filter(col("payload").isNotNull && length(col("payload")) > 0)
+      .select(col("doc_id"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { rows =>
-        rows.map { case (id, text) =>
-          val bytes = text.getBytes("UTF-8")
+        rows.map { case (id, bytes) =>
           val img = new java.awt.image.BufferedImage(
             bytes.length, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
           var x = 0

@@ -1036,6 +1036,183 @@ object PipelineQueries {
     ExtendedQueries.lloydCtes(16, 3, dim = 16, prelude = mmEmbPrelude) +
       ",\n" + ivfSearchTail(16)
 
+  /** The media capstone composition — the media operators chained the
+    * way a real multimodal-curation job runs them (mirroring
+    * [[CurationQueries.pipeCurate]] for text): strip silent windows from
+    * every payload, drop fully-stripped docs, then over the STRIPPED
+    * bytes run (a) cross-doc frame dedup and (b) image near-dup — the
+    * stripped payload re-encoded as a real PNG, decoded through
+    * [[Multimodal.PixelSumDecoder]], SemDeDup over the features — and
+    * emit the per-doc keep list. Every stage is individually
+    * oracle-checked (mm_silence_strip, mm_frame_dedup, mm_neardup); this
+    * query hash-checks that they COMPOSE, end to end through the byte-
+    * faithful hex channel. The documents<100 replay plant guarantees
+    * both branches fire.
+    */
+  def pipeMedia(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val replayed = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    // one strip pass feeds three consumers (frames, PNG decode, and the
+    // output join) — materialize it once, the pipe_curate trade
+    val stripped = Multimodal.stripSilence(Multimodal.withPayload(replayed))
+      .filter(col("payload_stripped").isNotNull &&
+        length(col("payload_stripped")) > 0)
+      .localCheckpoint(true)
+    val media = stripped
+      .select(col("doc_id"), col("payload_stripped").as("payload"))
+    // frame branch: non-canonical occurrences of duplicated frames,
+    // joined back on the 16-byte content hash (never the frame bytes)
+    val frames = Multimodal.sampleFrames(spark, media)
+    val dups = Multimodal.frameDedup(frames)
+    val nDup = frames
+      .select(col("doc_id"), col("frame_no"), unhex(md5(col("frame"))).as("fkey"))
+      .join(dups.select(unhex(md5(unhex(col("frame_hex")))).as("fkey"),
+        col("keep_doc_id"), col("keep_frame_no")), Seq("fkey"))
+      .filter(!(col("doc_id") === col("keep_doc_id") &&
+        col("frame_no") === col("keep_frame_no")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_frames"))
+    // image branch: stripped bytes -> real PNG -> bit-exact features ->
+    // within-cluster cosine; the LARGER id of each >=0.999 pair drops
+    val feats = Multimodal.extractFeatures(spark,
+        Multimodal.bytesToPngPayload(media), dim = 16,
+        decoder = Multimodal.PixelSumDecoder).toDF()
+      .select(col("doc_id").as("vec_id"), col("feature").as("embedding"))
+    val pairs = Dedup.semanticPairs(feats, "vec_id", "embedding",
+      nClusters = 4, iters = 3, threshold = 0.999)
+    val imgDup = pairs.select(col("id_b").as("doc_id")).distinct()
+      .withColumn("is_image_dup", lit(true))
+    stripped.select(col("doc_id"), col("n_removed"))
+      .join(nDup, Seq("doc_id"), "left")
+      .join(imgDup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_removed"),
+        coalesce(col("n_dup_frames"), lit(0L)).as("n_dup_frames"),
+        coalesce(col("is_image_dup"), lit(false)).as("is_image_dup"))
+      .withColumn("keep",
+        col("n_dup_frames") === lit(0L) && !col("is_image_dup"))
+  }
+
+  /** Strip + frames + image-feature CTEs ahead of the shared Lloyd
+    * trainer (the feature CTE shadows `embeddings`), then the SemDeDup
+    * tail and the keep-list join. Same hex-channel byte arithmetic as
+    * the stage oracles it composes.
+    */
+  private val pipeMediaPrelude: String =
+    """u AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+      |  WHERE doc_id < 100),
+      |m AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS len
+      |  FROM u WHERE text IS NOT NULL),
+      |w AS (
+      |  SELECT doc_id, hx, len,
+      |    unnest(generate_series(0, (len - 1) // 256)) AS wno
+      |  FROM m WHERE len > 0),
+      |b AS (
+      |  SELECT doc_id, wno, hx,
+      |    unnest(generate_series(wno * 256,
+      |      least(wno * 256 + 256, len) - 1)) AS pos
+      |  FROM w),
+      |v AS (
+      |  SELECT doc_id, wno, hx,
+      |    (strpos('0123456789ABCDEF', substring(hx, pos * 2 + 1, 1)) - 1) * 16
+      |      + strpos('0123456789ABCDEF', substring(hx, pos * 2 + 2, 1)) - 1
+      |      AS byte
+      |  FROM b),
+      |e AS (
+      |  SELECT doc_id, wno, hx,
+      |    SUM((byte - 128) * (byte - 128)) AS energy
+      |  FROM v GROUP BY doc_id, wno, hx),
+      |kept AS (
+      |  SELECT doc_id,
+      |    string_agg(substring(hx, wno * 512 + 1, 512), '' ORDER BY wno)
+      |      AS shx
+      |  FROM e WHERE energy > 500000 GROUP BY doc_id),
+      |removed AS (
+      |  SELECT doc_id, COUNT(*) AS n_removed FROM e
+      |  WHERE energy <= 500000 GROUP BY doc_id),
+      |s AS (
+      |  SELECT m.doc_id, k.shx, strlen(k.shx) // 2 AS slen,
+      |    CAST(COALESCE(r.n_removed, 0) AS INT) AS n_removed
+      |  FROM m
+      |  JOIN kept k ON k.doc_id = m.doc_id
+      |  LEFT JOIN removed r ON r.doc_id = m.doc_id),
+      |fr AS (
+      |  SELECT doc_id,
+      |    CAST(unnest(generate_series(0, greatest(slen // 64 - 1, 0), 4)) AS INT)
+      |      AS frame_no, shx
+      |  FROM s),
+      |fx AS (
+      |  SELECT doc_id, frame_no,
+      |    substring(shx, frame_no * 128 + 1, 128) AS frame_hex
+      |  FROM fr),
+      |dupc AS (
+      |  SELECT frame_hex FROM fx GROUP BY frame_hex HAVING COUNT(*) > 1),
+      |dupk AS (
+      |  SELECT frame_hex, doc_id AS keep_doc_id, frame_no AS keep_frame_no,
+      |    ROW_NUMBER() OVER (PARTITION BY frame_hex
+      |                       ORDER BY doc_id, frame_no) AS rn
+      |  FROM fx),
+      |fdup AS (
+      |  SELECT f.doc_id, COUNT(*) AS n_dup_frames
+      |  FROM fx f
+      |  JOIN dupc USING (frame_hex)
+      |  JOIN dupk k ON k.frame_hex = f.frame_hex AND k.rn = 1
+      |  WHERE NOT (f.doc_id = k.keep_doc_id AND f.frame_no = k.keep_frame_no)
+      |  GROUP BY f.doc_id),
+      |mp AS (SELECT doc_id, shx, unnest(generate_series(0, slen - 1)) AS i
+      |       FROM s),
+      |ma AS (SELECT doc_id, i % 16 AS j,
+      |         SUM((strpos('0123456789ABCDEF', substring(shx, i * 2 + 1, 1)) - 1) * 16
+      |           + strpos('0123456789ABCDEF', substring(shx, i * 2 + 2, 1)) - 1) AS sm
+      |       FROM mp GROUP BY 1, 2),
+      |mb AS (SELECT t.doc_id, g.j
+      |       FROM (SELECT doc_id FROM s) t
+      |       CROSS JOIN (SELECT unnest(range(0, 16)) AS j) g),
+      |embeddings AS (
+      |  SELECT mb.doc_id AS vec_id,
+      |    list(CAST(COALESCE(ma.sm, 0) AS FLOAT) ORDER BY mb.j) AS embedding
+      |  FROM mb LEFT JOIN ma ON ma.doc_id = mb.doc_id AND ma.j = mb.j
+      |  GROUP BY mb.doc_id)""".stripMargin
+
+  lazy val pipeMediaSql: String =
+    ExtendedQueries.lloydCtes(4, 3, dim = 16, prelude = pipeMediaPrelude) +
+      ",\n" +
+      """fd AS (
+        |  SELECT e.vec_id AS r, c.k,
+        |    SUM((CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v) *
+        |        (CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v)) AS dist
+        |  FROM embeddings e, c3 c GROUP BY 1, 2),
+        |fa AS (
+        |  SELECT r, k FROM (
+        |    SELECT r, k, ROW_NUMBER() OVER (PARTITION BY r ORDER BY dist, k) AS rk
+        |    FROM fd) z WHERE rk = 1),
+        |vv AS (
+        |  SELECT e.vec_id, e.embedding, a.k
+        |  FROM embeddings e JOIN fa a ON e.vec_id = a.r),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round((SELECT SUM(CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))
+        |     FROM generate_series(1, 16) g(i)) /
+        |    (sqrt((SELECT SUM(CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))
+        |           FROM generate_series(1, 16) g(i))) *
+        |     sqrt((SELECT SUM(CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))
+        |           FROM generate_series(1, 16) g(i)))), 6) AS cos
+        |  FROM vv a JOIN vv b ON a.k = b.k AND a.vec_id < b.vec_id),
+        |imgdup AS (
+        |  SELECT DISTINCT id_b AS doc_id FROM p WHERE cos >= 0.999)
+        |SELECT s.doc_id, s.n_removed,
+        |  COALESCE(f.n_dup_frames, 0) AS n_dup_frames,
+        |  (i.doc_id IS NOT NULL) AS is_image_dup,
+        |  (COALESCE(f.n_dup_frames, 0) = 0 AND i.doc_id IS NULL) AS keep
+        |FROM s
+        |LEFT JOIN fdup f ON f.doc_id = s.doc_id
+        |LEFT JOIN imgdup i ON i.doc_id = s.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact,
     "dd_minhash_pairs" -> ddMinhash,
@@ -1072,7 +1249,8 @@ object PipelineQueries {
     "mm_silence" -> mmSilence,
     "mm_silence_strip" -> mmSilenceStrip,
     "mm_audio_dup" -> mmAudioDup,
-    "mm_ivf" -> mmIvf)
+    "mm_ivf" -> mmIvf,
+    "pipe_media" -> pipeMedia)
 
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -1110,5 +1288,6 @@ object PipelineQueries {
     "mm_silence" -> mmSilenceSql,
     "mm_silence_strip" -> mmSilenceStripSql,
     "mm_audio_dup" -> mmAudioDupSql,
-    "mm_ivf" -> mmIvfSql)
+    "mm_ivf" -> mmIvfSql,
+    "pipe_media" -> pipeMediaSql)
 }
