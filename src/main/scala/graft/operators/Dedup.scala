@@ -383,7 +383,7 @@ object Dedup {
     * sink/restart/empty-stream semantics live HERE once, so the three
     * streaming families cannot drift apart.
     */
-  private def streamProbe(
+  private[operators] def streamProbe(
       stream: DataFrame, perBatch: DataFrame => DataFrame,
       sink: Option[(graft.storage.SetCatalog, String, String)]): DataFrame = {
     val spark = stream.sparkSession
@@ -855,7 +855,7 @@ object Dedup {
     * fingerprint column (same rationale as the gram-index guard: a
     * schema-drifted index would silently match nothing).
     */
-  private def scanExactIndex(
+  private[operators] def scanExactIndex(
       catalog: graft.storage.SetCatalog, db: String, name: String): DataFrame = {
     val hashes = catalog.scanBucketedSet(db, s"${name}_hashes")
     require(hashes.schema("h").dataType ==
@@ -877,11 +877,23 @@ object Dedup {
   def exactAgainstHashes(
       newDocs: DataFrame, corpusHashes: DataFrame,
       idCol: String, textCol: String): DataFrame =
-    newDocs.select(col(idCol), unhex(md5(col(textCol))).as("h"))
+    exactAgainstHashesKeyed(newDocs, corpusHashes, Seq(idCol), textCol)
+
+  /** [[exactAgainstHashes]] for rows identified by a COMPOSITE key — the
+    * probe a sub-document unit needs (a sampled video frame is
+    * (doc_id, frame_no), not a doc_id). `contentCol` may be string or
+    * binary; both fingerprint through the same 16-byte md5 as the index
+    * build, so the index machinery stays content-agnostic.
+    */
+  def exactAgainstHashesKeyed(
+      newRows: DataFrame, corpusHashes: DataFrame,
+      keyCols: Seq[String], contentCol: String): DataFrame =
+    newRows.select(keyCols.map(col) :+ unhex(md5(col(contentCol))).as("h"): _*)
       .join(corpusHashes.select(col("h")).distinct()
           .select(col("h"), lit(true).as("hit")),
         Seq("h"), "left")
-      .select(col(idCol), coalesce(col("hit"), lit(false)).as("is_dup"))
+      .select(keyCols.map(col) :+
+        coalesce(col("hit"), lit(false)).as("is_dup"): _*)
 
   /** Streaming form of [[exactAgainstStoredIndex]]: each micro-batch of
     * the ingest stream probes the static persisted hash index and its

@@ -312,6 +312,45 @@ object Multimodal {
         col("keep.doc_id").as("keep_doc_id"),
         col("keep.frame_no").as("keep_frame_no"), col("n_copies"))
 
+  /** Persist a standing frame-content index for a media corpus: the
+    * frames of `media` sampled by [[sampleFrames]], fingerprinted and
+    * bucketed through [[Dedup.persistExactIndex]] (content-agnostic —
+    * a frame fingerprints to the same 16-byte md5 whether the content
+    * column is text or binary). The structure a multimodal ingest keeps
+    * warm so arriving video never re-scans the corpus: the index side
+    * is distinct hashes bucketed on the hash, zero exchange per probe.
+    */
+  def persistFrameIndex(
+      catalog: graft.storage.SetCatalog, db: String, name: String,
+      media: DataFrame, chunk: Int = 64, stride: Int = 4,
+      numBuckets: Int = 0,
+      advisor: Option[graft.advisor.PlacementAdvisor] = None): Unit =
+    Dedup.persistExactIndex(catalog, db, name,
+      sampleFrames(media.sparkSession, media, chunk, stride), "frame",
+      numBuckets, advisor)
+
+  /** Streaming frame dedup against a [[persistFrameIndex]] set: each
+    * micro-batch of arriving media rows (`doc_id`, `payload`) is frame-
+    * sampled and every frame flagged with whether its exact content
+    * already exists in the stored corpus index —
+    * (doc_id, frame_no, is_dup). Batching-invariant by construction
+    * (each frame's flag depends only on its own bytes plus the static
+    * index), so per-batch outputs union to the one-shot batch result —
+    * the same contract as [[Dedup.streamExactAgainstStoredIndex]], which
+    * this shares its probe and sink harness with.
+    */
+  def streamFramesAgainstStoredIndex(
+      stream: DataFrame, catalog: graft.storage.SetCatalog,
+      db: String, name: String, chunk: Int = 64, stride: Int = 4,
+      sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame = {
+    val hashes = Dedup.scanExactIndex(catalog, db, name)
+    Dedup.streamProbe(stream,
+      batch => Dedup.exactAgainstHashesKeyed(
+        sampleFrames(batch.sparkSession, batch, chunk, stride),
+        hashes, Seq("doc_id", "frame_no"), "frame"),
+      sink)
+  }
+
   /** ACT form of [[silenceSegments]]: rebuild each payload keeping only
     * its above-threshold windows (non-overlapping — window == hop, so
     * every byte belongs to exactly one window and the rebuild is

@@ -283,6 +283,70 @@ object StreamingQueries {
 
   val stExactSql: String = PipelineQueries.ddExactIndexedSql
 
+  /** streaming MEDIA ingest dedup — the frame analogue of [[stExact]],
+    * completing streaming parity for the media family: a frame-content
+    * index is persisted over the corpus payloads (docs < 250,
+    * [[graft.operators.Multimodal.persistFrameIndex]]), then the arrival
+    * stream (fresh docs ≥ 250 plus the docs < 100 re-crawl replay under
+    * offset ids — replayed payloads carry identical frames, so their
+    * flags are guaranteed true) is frame-sampled per micro-batch and
+    * every frame probed against the standing index ≡ the one-shot batch
+    * probe of the same index.
+    */
+  def stFrameDedup(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val docs = graft.model.Tables.documents(spark, d)
+    val root = java.nio.file.Files.createTempDirectory("graft-stframe")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    graft.operators.Multimodal.persistFrameIndex(cat, "stx", "frames",
+      graft.operators.Multimodal.withPayload(
+        docs.filter(col("doc_id") < 250)))
+    val s = readDocStream(spark, d)
+    val arrivals = s.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), col("text"))
+      .unionByName(s.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val flags = graft.operators.Multimodal.streamFramesAgainstStoredIndex(
+      graft.operators.Multimodal.withPayload(arrivals),
+      cat, "stx", "frames")
+      .localCheckpoint(true)
+    cat.removeSet("stx", "frames_hashes")
+    graft.storage.SetCatalog.deleteTree(root)
+    flags
+  }
+
+  /** Oracle: corpus frames (every 4th 64-byte chunk of docs < 250, the
+    * mm_frames hex arithmetic) as the membership set; arrival frames
+    * flagged by exact frame-content equality.
+    */
+  val stFrameDedupSql: String =
+    """WITH c AS (
+      |  SELECT hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+      |  FROM documents WHERE doc_id < 250 AND text IS NOT NULL),
+      |cf AS (
+      |  SELECT DISTINCT substring(hx, fno * 128 + 1, 128) AS frame_hex
+      |  FROM (SELECT hx,
+      |          unnest(generate_series(0, greatest(len // 64 - 1, 0), 4)) AS fno
+      |        FROM c)),
+      |arr AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+      |  WHERE doc_id < 100),
+      |a AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS len
+      |  FROM arr WHERE text IS NOT NULL),
+      |af AS (
+      |  SELECT doc_id, CAST(fno AS INT) AS frame_no,
+      |    substring(hx, fno * 128 + 1, 128) AS frame_hex
+      |  FROM (SELECT doc_id, hx,
+      |          unnest(generate_series(0, greatest(len // 64 - 1, 0), 4)) AS fno
+      |        FROM a))
+      |SELECT af.doc_id, af.frame_no,
+      |  (cf.frame_hex IS NOT NULL) AS is_dup
+      |FROM af LEFT JOIN cf ON cf.frame_hex = af.frame_hex""".stripMargin
+
   /** Streaming curation: the stateless PII scan/redact stage applied per
     * micro-batch on the document ingest stream (append mode, no state
     * store at all) — the form a standing ingest pipeline runs curation
@@ -369,6 +433,7 @@ object StreamingQueries {
     "st_neardup" -> stNearDup,
     "st_span" -> stSpan,
     "st_exact" -> stExact,
+    "st_frame_dedup" -> stFrameDedup,
     "st_curate" -> stCurate,
     "st_ivf_append" -> stIvfAppend)
 
@@ -383,6 +448,7 @@ object StreamingQueries {
     "st_neardup" -> stNearDupSql,
     "st_span" -> stSpanSql,
     "st_exact" -> stExactSql,
+    "st_frame_dedup" -> stFrameDedupSql,
     "st_curate" -> stCurateSql,
     "st_ivf_append" -> stIvfAppendSql)
 }

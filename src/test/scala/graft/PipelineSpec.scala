@@ -573,6 +573,49 @@ class PipelineSpec extends GraftSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("frame index flags replayed frames per (doc_id, frame_no) and is batching-invariant") {
+    import spark.implicits._
+    // 128-byte payloads = frames 0 (bytes 0-63) and... stride 4 skips to
+    // frame 4, past the end — so exactly ONE sampled frame per doc; doc
+    // 10 replays doc 1's bytes, doc 12 is novel
+    val mk = (c: Char) => c.toString * 128
+    val corpus = graft.operators.Multimodal.withPayload(
+      Seq((1L, mk('a')), (2L, mk('b'))).toDF("doc_id", "text"))
+    val arrivals = graft.operators.Multimodal.withPayload(Seq(
+      (10L, mk('a')), (11L, mk('b')), (12L, mk('z'))).toDF("doc_id", "text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-frame-spec").toString
+    val cat = new graft.storage.SetCatalog(spark, root)
+    graft.operators.Multimodal.persistFrameIndex(
+      cat, "ddx", "f", corpus, numBuckets = 2)
+    val hashes = cat.scanBucketedSet("ddx", "f_hashes")
+    def probe(batch: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.exactAgainstHashesKeyed(
+        graft.operators.Multimodal.sampleFrames(spark, batch),
+        hashes, Seq("doc_id", "frame_no"), "frame")
+    val oneShot = probe(arrivals).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getBoolean(2)).toMap
+    assert(oneShot == Map((10L, 0) -> true, (11L, 0) -> true,
+      (12L, 0) -> false))
+    val perBatch = Seq(
+      arrivals.filter(col("doc_id") <= 10),
+      arrivals.filter(col("doc_id") > 10))
+      .flatMap(probe(_).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getBoolean(2)))
+      .toMap
+    assert(perBatch == oneShot)
+    // same placement payoff as the doc-level index: hashes bucketed on
+    // h, so only the arrival frames shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = probe(arrivals).queryExecution.executedPlan.toString
+      val nExchanges = plan.linesIterator
+        .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
+      assert(nExchanges == 1,
+        s"expected one exchange (arrival frames only), got $nExchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("spansAgainstGrams is batching-invariant against a fixed gram index") {
     import spark.implicits._
     val corpus = Seq(
