@@ -31,8 +31,8 @@ object Soak {
     spark.sparkContext.setLogLevel("WARN")
 
     // optional comma-separated family filter (minhash, simhash, simskew,
-    // ivfrecall, clusters, ccdist, cross, crossidx, span, spanx, exactx)
-    // for isolated soak runs
+    // ivfrecall, clusters, ccdist, cross, crossidx, span, spanx, exactx,
+    // frames, envelope) for isolated soak runs
     val onlyFam = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
@@ -277,6 +277,57 @@ object Soak {
         cat.removeSet("soak", "ivf_vectors")
         graft.storage.SetCatalog.deleteTree(root)
         full.unpersist()
+      }
+
+      // media frame-dedup family: frames are 64-byte aligned chunks of
+      // the payload and the per-replica word salt rides inside every
+      // chunk, so duplicate frame CONTENT never crosses replicas — dup
+      // groups and member occurrences must both grow ~linearly in m.
+      // The plan is a single groupBy on the 16-byte content hash (no
+      // pair join anywhere to go quadratic), so wall tracks ~linearly
+      // too; a superlinear row here would mean the hash-keyed exchange
+      // degenerated.
+      if (fam("frames")) {
+        val media = graft.operators.Multimodal.withPayload(docs)
+        t0 = System.nanoTime()
+        val fr = graft.operators.Multimodal.frameDedup(
+            graft.operators.Multimodal.sampleFrames(spark, media))
+          .agg(count(lit(1)).as("g"), sum(col("n_copies")).as("mem"))
+          .collect()(0)
+        val frSec = (System.nanoTime() - t0) / 1e9
+        println(f"SOAK frames   m=$m%-3d docs=$nDocs%-8d " +
+          f"groups=${fr.getLong(0)}%-7d members=${fr.getLong(1)}%-8d s=$frSec%.1f")
+      }
+
+      // envelope-dedup family, with a planted HOT envelope: 10% of docs
+      // per replica share ONE constant payload, so the hot fingerprint's
+      // group grows with the corpus (nDocs/10 members at every m). The
+      // claim under test is the group-not-join shape — a hot envelope
+      // costs one large group in a fingerprint groupBy, so wall must
+      // stay ~linear in m; a self-join shape would go quadratic in the
+      // hot group's size. Organic groups ride along from the salted
+      // replicas (energy windows contain the salt bytes).
+      if (fam("envelope")) {
+        val planted = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + lit(300L * n)).as("doc_id"),
+            lit("graft hot envelope payload words " * 12).as("text"))
+        val media = graft.operators.Multimodal.withPayload(
+          docs.unionByName(planted))
+        t0 = System.nanoTime()
+        val en = graft.operators.Multimodal.envelopeDedup(media)
+          .agg(count(lit(1)).as("g"), sum(col("n_copies")).as("mem"),
+            max(col("n_copies")).as("hot"))
+          .collect()(0)
+        val enSec = (System.nanoTime() - t0) / 1e9
+        println(f"SOAK envelope m=$m%-3d docs=$nDocs%-8d " +
+          f"groups=${en.getLong(0)}%-7d members=${en.getLong(1)}%-8d " +
+          f"hot_group=${en.getLong(2)}%-8d s=$enSec%.1f")
+        // linear-truth gate: the planted docs all carry the same
+        // envelope, so the hottest group must hold at least all of them
+        val nPlanted = base.filter(col("doc_id") % 10 === 0).count() * m
+        require(en.getLong(2) >= nPlanted,
+          s"hot envelope group ${en.getLong(2)} smaller than the " +
+            s"$nPlanted planted docs at m=$m")
       }
 
       // clustering over the minhash pair graph — driver union-find regime
