@@ -79,15 +79,24 @@ object Tables {
   def orders(spark: SparkSession, d: String): DataFrame = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
 
-  /** The events fixture stores TIMESTAMP(NANOS), which Spark 4 rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and convert with integer
+  /** The events fixture's `ts` physical type has varied across driver
+    * generations: TIMESTAMP(NANOS) (which Spark 4 rejects with
+    * [PARQUET_TYPE_ILLEGAL] unless read nanos-as-long), and TIMESTAMP(MICROS)
+    * with isAdjustedToUTC=false (read as TIMESTAMP_NTZ). Normalize both to
+    * session-local TimestampType — the session timezone is pinned to UTC, so
+    * wall values are identical either way. The nanos path uses integer
     * division (a double division would lose precision at ~1e18 ns).
     */
   def events(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val df = table(spark, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")

@@ -223,15 +223,20 @@ object EventStreams {
         val p = Paths.get(path)
         (p.getParent.toString, p.getFileName.toString)
       } else (path, "*")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    spark.readStream.schema(schema)
+    // FileStreamSource needs an explicit schema; take it from a batch read of
+    // the same file so the ts physical type (nanos-as-long vs micros — the
+    // fixture has varied across driver generations) is whatever the batch
+    // path sees, then normalize exactly like Tables.events.
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 }
