@@ -58,6 +58,29 @@ object Bench {
     * query registry — top-level artifact keys like "value" can never
     * collide with a registered query name.
     */
+  /** Scrape `"name":sec` pairs out of a raw (possibly front-truncated)
+    * bench stdout line. The artifact line is `"queries":{...},
+    * "failed":[...],"calibration":{...},"isolated":{...}` — the
+    * isolated re-profile section REUSES query names, so an unscoped
+    * scrape + toMap (last occurrence wins) would silently substitute
+    * isolated re-run values for the per-query mins. Scope to before the
+    * first post-queries section marker, and keep the FIRST occurrence
+    * per name as a second guard (package-visible for BenchScrapeSpec).
+    */
+  private[graft] def scrapeTail(
+      tail: String, known: Set[String]): Map[String, Double] = {
+    val scoped = Seq("\"failed\"", "\"calibration\"", "\"isolated\"")
+      .map(tail.indexOf(_)).filter(_ >= 0)
+      .sorted.headOption.map(tail.substring(0, _)).getOrElse(tail)
+    val pairs = """"([^"\\]+)"\s*:\s*([0-9.eE+-]+)""".r
+      .findAllMatchIn(scoped)
+      .map(x => x.group(1) -> x.group(2).toDouble)
+      .filter { case (k, _) => known.contains(k) }
+    pairs.foldLeft(Map.empty[String, Double]) { case (acc, (k, v)) =>
+      if (acc.contains(k)) acc else acc + (k -> v)
+    }
+  }
+
   private def prevArtifact(known: Set[String]): Option[(String, Map[String, Double])] = {
     import org.json4s._
     val re = """BENCH_r(\d+)\.json""".r
@@ -92,10 +115,7 @@ object Bench {
               case JString(s) => s
               case _ => ""
             }
-            """"([^"\\]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(tail)
-              .map(x => x.group(1) -> x.group(2).toDouble)
-              .filter { case (k, _) => known.contains(k) }
-              .toMap
+            scrapeTail(tail, known)
           }
         if (m.isEmpty) None else Some((f.getName, m))
       } catch { case scala.util.control.NonFatal(_) => None }
@@ -160,12 +180,26 @@ object Bench {
     }
     def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     val total = results.flatMap(r => minOk(r._2)).sum
-    // Self-adjudication: compare the sum over queries SHARED with the
-    // previous committed artifact (new queries must not trip it), and
-    // when that sum exceeds 1.5x, re-profile the top-5 most expensive
-    // queries back-to-back — the standard isolated-profile adjudication,
-    // run automatically and stamped into the artifact.
+    // Self-adjudication: re-profile suspect queries back-to-back — the
+    // standard isolated-profile adjudication, run automatically and
+    // stamped into the artifact. Three independent triggers (round 9's
+    // artifact showed the shared-sum trigger alone has a blind spot: a
+    // prev artifact that was ITSELF inflated masks a slow early window):
+    //  (a) shared-query sum > 1.5x the previous committed artifact;
+    //  (b) within-run regime shift: calibration start/end probes differ
+    //      by > 1.5x in either direction — the run's own evidence that
+    //      part of the window was slow, independent of any prev artifact
+    //      (r9: calib 2.356 -> 1.315 with the alphabetically-first dd_*
+    //      block absorbing the slow window, ratio trigger silent);
+    //  (c) any individual query > 2x its prev-artifact number AND > 1 s
+    //      — per-query outliers adjudicate themselves even when the sum
+    //      and the calibration both look calm.
+    // Isolated set: top-5 most expensive plus every (c)-flagged query.
     val prev = prevArtifact(SparkEntry.queries.keySet)
+    val calibRatio =
+      if (math.min(calibStart, calibEnd) > 0)
+        math.max(calibStart, calibEnd) / math.min(calibStart, calibEnd)
+      else 1.0
     val (refJson, isolated) = prev match {
       case Some((fname, prevQ)) =>
         val shared = results.flatMap { case (n, v) =>
@@ -174,23 +208,45 @@ object Bench {
         val curSum = shared.map(_._2).sum
         val prevSum = shared.map(_._3).sum
         val ratio = if (prevSum > 0) curSum / prevSum else 0.0
+        val flagged = shared.collect {
+          case (n, cur, old) if cur > 2 * old && cur > 1.0 => n
+        }
+        val trigger = ratio > 1.5 || calibRatio > 1.5 || flagged.nonEmpty
         val iso: Seq[(String, Double)] =
-          if (ratio > 1.5 && only.isEmpty) {
+          if (trigger && only.isEmpty) {
             val top = results
               .flatMap { case (n, v) => minOk(v).map(n -> _) }
-              .sortBy(-_._2).take(5)
-            System.err.println(s"[bench] shared-query sum ${r3(curSum)}s is " +
-              s"${r3(ratio)}x $fname's ${r3(prevSum)}s — re-profiling top-5 isolated")
-            top.flatMap { case (n, _) =>
+              .sortBy(-_._2).take(5).map(_._1)
+            val names = (top ++ flagged).distinct
+            System.err.println(s"[bench] adjudication trigger: sum-ratio " +
+              s"${r3(ratio)} vs $fname, calib-ratio ${r3(calibRatio)}, " +
+              s"flagged [${flagged.mkString(",")}] — re-profiling " +
+              s"${names.size} isolated")
+            names.flatMap { n =>
               SparkEntry.queries.get(n).flatMap(fn =>
                 minOk(run(n, fn, 2)).map(n -> _))
             }
           } else Seq.empty
         val ref = s""""prev_ref":{"artifact":"$fname",""" +
           s""""shared_sum_prev":${r3(prevSum)},"shared_sum_now":${r3(curSum)},""" +
-          s""""ratio":${r3(ratio)}}"""
+          s""""ratio":${r3(ratio)},"calib_ratio":${r3(calibRatio)},""" +
+          s""""flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
         (ref, iso)
-      case None => (s""""prev_ref":null""", Seq.empty[(String, Double)])
+      case None =>
+        // No prev artifact: the calibration trigger still works.
+        val iso: Seq[(String, Double)] =
+          if (calibRatio > 1.5 && only.isEmpty) {
+            val top = results
+              .flatMap { case (n, v) => minOk(v).map(n -> _) }
+              .sortBy(-_._2).take(5).map(_._1)
+            System.err.println(s"[bench] calib-ratio ${r3(calibRatio)} > 1.5 " +
+              s"with no prev artifact — re-profiling top-5 isolated")
+            top.flatMap { n =>
+              SparkEntry.queries.get(n).flatMap(fn =>
+                minOk(run(n, fn, 2)).map(n -> _))
+            }
+          } else Seq.empty
+        (s""""prev_ref":null""", iso)
     }
     val isoJson = isolated
       .map { case (n, s) => "\"" + n + "\":" + r3(s) }.mkString("{", ",", "}")
