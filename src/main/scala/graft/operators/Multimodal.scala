@@ -219,12 +219,22 @@ object Multimodal {
       }
   }
 
-  /** STUB resize: stands in for an image rescale. The fake keeps the
-    * contract real — output payload length is exactly
-    * ceil(nBytes·(w'·h')/(w·h)) and metadata is rewritten to the target
-    * dims — so schema/size invariants downstream code relies on are
-    * enforced and testable. A real deployment swaps the byte loop for a
-    * codec call; the mapPartitions batch shape is already production-form.
+  /** Codec-true image resize: decode via the real `javax.imageio` codec,
+    * nearest-neighbor PIXEL rescale — output pixel (x,y) samples source
+    * pixel (x·srcW/dstW, y·srcH/dstH), integer division — then re-encode
+    * as PNG (the same lossless machinery as [[bytesToPngPayload]]).
+    * Because both the sampling rule and the PNG round-trip are exact,
+    * every decoded pixel of the OUTPUT is a closed-form function of the
+    * input pixels, which is what lets a SQL oracle hash-check the full
+    * decode→rescale→re-encode chain (mm_resize). Map-only stage, no
+    * shuffle; parallelism is the input split count.
+    *
+    * Payloads no JVM codec can parse take the byte-sampling terminal
+    * fallback (the resize analogue of [[ByteStatsDecoder]] — a real
+    * deployment chains a JNI/ffmpeg codec in front): output length is
+    * exactly max(1, ceil(nBytes·(w'·h')/(w·h))) with nearest-neighbor
+    * byte sampling, so the size/metadata contract holds for every row
+    * either way.
     */
   def resize(spark: SparkSession, media: DataFrame,
       targetW: Int, targetH: Int): Dataset[MediaRow] = {
@@ -233,22 +243,46 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val scale = targetW.toLong * targetH /
-            (r.meta.width.toLong * r.meta.height).toDouble
-          val outLen = math.max(1, math.ceil(r.payload.length * scale).toInt)
-          val out = new Array[Byte](outLen)
-          // empty payload keeps the 1-byte floor as zeros (sampling from
-          // an empty array would index at -1)
-          if (r.payload.nonEmpty) {
-            var i = 0
-            while (i < outLen) {
-              // nearest-neighbor byte sampling — deterministic stand-in
-              out(i) = r.payload((i * r.payload.length / outLen).min(r.payload.length - 1))
-              i += 1
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img != null) {
+            val (sw, sh) = (img.getWidth, img.getHeight)
+            val out = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < targetH) {
+              val sy = math.min(y * sh / targetH, sh - 1)
+              var x = 0
+              while (x < targetW) {
+                out.setRGB(x, y,
+                  img.getRGB(math.min(x * sw / targetW, sw - 1), sy))
+                x += 1
+              }
+              y += 1
             }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            val png = bos.toByteArray
+            MediaRow(r.doc_id, png,
+              MediaMeta("image/png", targetW, targetH, png.length.toLong))
+          } else {
+            val scale = targetW.toLong * targetH /
+              (r.meta.width.toLong * r.meta.height).toDouble
+            val outLen = math.max(1, math.ceil(r.payload.length * scale).toInt)
+            val out = new Array[Byte](outLen)
+            // empty payload keeps the 1-byte floor as zeros (sampling from
+            // an empty array would index at -1)
+            if (r.payload.nonEmpty) {
+              var i = 0
+              while (i < outLen) {
+                out(i) = r.payload((i * r.payload.length / outLen).min(r.payload.length - 1))
+                i += 1
+              }
+            }
+            MediaRow(r.doc_id, out,
+              MediaMeta(r.meta.format, targetW, targetH, outLen.toLong))
           }
-          MediaRow(r.doc_id, out,
-            MediaMeta(r.meta.format, targetW, targetH, outLen.toLong))
         }
       }
   }

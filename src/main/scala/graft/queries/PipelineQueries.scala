@@ -638,21 +638,49 @@ object PipelineQueries {
     """SELECT doc_id, CAST(1 AS INT) AS n_frames, CAST(16 AS INT) AS dim
       |FROM documents""".stripMargin
 
-  /** resize stub: 64×64 → 32×32 quarters the payload; the size contract
-    * (ceil(len/4), floored at 1) is the oracle-checkable part */
+  /** Codec-true resize, hash-checked per pixel slot: documents render as
+    * real len×1 PNGs ([[Multimodal.toPngPayload]]), [[Multimodal.resize]]
+    * decodes each through `javax.imageio`, nearest-neighbor samples to
+    * 32×1 (output pixel x ← source pixel (x·len)/32, integer division),
+    * re-encodes as PNG, and [[Multimodal.PixelSumDecoder]] decodes the
+    * RESULT back to a 16-dim positional luminance fold (slot = x mod 16).
+    * Both PNG round-trips are lossless and the luminance of an r=g=b=v
+    * pixel is exactly v, so every output slot is a closed-form integer
+    * function of the text bytes the DuckDB oracle reproduces through the
+    * hex channel — the whole decode→rescale→re-encode→decode chain is
+    * content-checked, not just size-checked.
+    */
   def mmResize(spark: SparkSession, d: String): DataFrame = {
-    val media = Multimodal.withPayload(Tables.documents(spark, d))
-    Multimodal.resize(spark, media, 32, 32).toDF()
-      .select(col("doc_id"), length(col("payload")).as("n_bytes"),
-        col("meta.width").as("w"), col("meta.height").as("h"))
+    val media = Multimodal.toPngPayload(Tables.documents(spark, d))
+    val resized = Multimodal.resize(spark, media, 32, 1).toDF()
+    Multimodal.extractFeatures(spark, resized, dim = 16,
+        decoder = Multimodal.PixelSumDecoder)
+      .toDF()
+      .select(col("doc_id"), posexplode(col("feature")))
+      .select(col("doc_id"), col("pos").cast("int").as("slot"),
+        col("col").cast("long").as("lum_sum"))
   }
 
-  // strlen (bytes), not length (chars): the payload is UTF-8 bytes
+  /** Source byte for resized pixel x is (x·len)//32 — the same integer
+    * nearest-neighbor rule as the Scala side (the min(…, sw−1) clamp
+    * never binds for x<32); each of the 16 slots sums exactly 2 pixels.
+    */
   val mmResizeSql: String =
-    """SELECT doc_id,
-      | CAST(greatest(CAST(ceil(strlen(text) / 4.0) AS BIGINT), 1) AS INT) AS n_bytes,
-      | CAST(32 AS INT) AS w, CAST(32 AS INT) AS h
-      |FROM documents""".stripMargin
+    """WITH mt AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS len
+      |  FROM documents WHERE strlen(text) > 0),
+      |mp AS (SELECT doc_id, hx, len, unnest(generate_series(0, 31)) AS x
+      |       FROM mt),
+      |pv AS (SELECT doc_id, x % 16 AS slot,
+      |    (strpos('0123456789ABCDEF',
+      |       substring(hx, ((x * len) // 32) * 2 + 1, 1)) - 1) * 16
+      |    + strpos('0123456789ABCDEF',
+      |        substring(hx, ((x * len) // 32) * 2 + 2, 1)) - 1 AS lum
+      |  FROM mp)
+      |SELECT doc_id, CAST(slot AS INT) AS slot,
+      |  CAST(SUM(lum) AS BIGINT) AS lum_sum
+      |FROM pv GROUP BY 1, 2""".stripMargin
 
   /** Image near-dup — the multimodal composition of the dedup stack:
     * documents render as REAL PNGs ([[Multimodal.toPngPayload]], len×1

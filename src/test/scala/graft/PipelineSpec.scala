@@ -427,6 +427,32 @@ class PipelineSpec extends GraftSpecBase {
       "not an image at all".getBytes("UTF-8"), 16).isEmpty)
   }
 
+  test("resize is a codec-true pixel rescale with exact NN sampling") {
+    import spark.implicits._
+    // "abcdefgh" → 8×1 PNG; resize to 4×1 must pick source pixels
+    // (x·8)/4 = 0,2,4,6 → bytes a,c,e,g — checked by decoding the
+    // RESIZED payload back through the real codec
+    val docs = Seq((1L, "abcdefgh"), (2L, "xy")).toDF("doc_id", "text")
+    val media = Multimodal.toPngPayload(docs)
+    val out = Multimodal.resize(spark, media, 4, 1).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(out(1L).meta == Multimodal.MediaMeta(
+      "image/png", 4, 1, out(1L).payload.length.toLong))
+    def decodedBytes(png: Array[Byte]): Seq[Int] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      (0 until img.getWidth).map(x => img.getRGB(x, 0) & 0xff)
+    }
+    assert(decodedBytes(out(1L).payload) == "aceg".getBytes("UTF-8").toSeq.map(_ & 0xff))
+    // upscale path: 2 source pixels repeat — (x·2)/4 = 0,0,1,1
+    assert(decodedBytes(out(2L).payload) == "xxyy".getBytes("UTF-8").toSeq.map(_ & 0xff))
+    // non-decodable payload takes the documented byte-sampling terminal:
+    // area ratio vs meta dims rewrites length, metadata stays enforced
+    val junk = Seq((3L, "notanimage".getBytes("UTF-8"),
+      Multimodal.MediaMeta("bin/raw", 2, 1, 10L))).toDF("doc_id", "payload", "meta")
+    val fb = Multimodal.resize(spark, junk, 1, 1).collect().head
+    assert(fb.meta.width == 1 && fb.meta.height == 1 && fb.payload.length == 5)
+  }
+
   test("repetition stats: dup-word and top-bigram fractions, hand-checked") {
     import spark.implicits._
     // "a a a b": 4 words, 2 distinct -> dup 0.5; bigrams [a a, a a, a b]
