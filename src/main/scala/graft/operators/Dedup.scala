@@ -895,6 +895,71 @@ object Dedup {
       .select(keyCols.map(col) :+
         coalesce(col("hit"), lit(false)).as("is_dup"): _*)
 
+  /** Persist a standing index of FIXED-WIDTH LONG fingerprints — the
+    * [[persistExactIndex]] analogue for content whose fingerprint is an
+    * engine-computed long (the 63-bit audio envelope fp) rather than an
+    * md5 of the bytes. One row per DISTINCT fingerprint, bucketed on it,
+    * so later arrival batches probe with zero index-side exchange; an
+    * 8-byte key shuffles even lighter than the 16-byte md5. Same
+    * bucket-count policy as the other index builders: explicit, else
+    * advisor, else session default.
+    */
+  def persistFingerprintIndex(
+      catalog: graft.storage.SetCatalog, db: String, name: String,
+      fps: DataFrame, fpCol: String, numBuckets: Int = 0,
+      advisor: Option[graft.advisor.PlacementAdvisor] = None,
+      targetRowsPerBucket: Long = 1L << 22): Unit = {
+    require(fps.schema(fpCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"fingerprint column $fpCol is ${fps.schema(fpCol).dataType}; " +
+        "persistFingerprintIndex stores LONG fingerprints")
+    val distinct = fps.filter(col(fpCol).isNotNull)
+      .select(col(fpCol).as("fp")).distinct()
+    val n = if (numBuckets > 0) numBuckets
+      else advisor match {
+        case Some(a) =>
+          distinct.persist()
+          a.recommendBuckets(s"$db.${name}_fps", distinct.count(),
+            targetRowsPerBucket)
+        case None =>
+          fps.sparkSession.sessionState.conf.numShufflePartitions
+      }
+    catalog.createBucketedSet(db, s"${name}_fps", distinct, "fp", n)
+    if (advisor.isDefined && numBuckets == 0) distinct.unpersist(blocking = false)
+  }
+
+  /** Scan a [[persistFingerprintIndex]] set, failing FAST on a non-long
+    * fingerprint column (a schema-drifted index would silently match
+    * nothing — same guard as [[scanExactIndex]]).
+    */
+  private[operators] def scanFingerprintIndex(
+      catalog: graft.storage.SetCatalog, db: String, name: String): DataFrame = {
+    val fps = catalog.scanBucketedSet(db, s"${name}_fps")
+    require(fps.schema("fp").dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"fingerprint index $db.${name}_fps stores ${fps.schema("fp").dataType} " +
+        "fingerprints; rebuild it with persistFingerprintIndex")
+    fps
+  }
+
+  /** Rows annotated with whether their long fingerprint already exists in
+    * `corpusFps` — the [[exactAgainstHashesKeyed]] analogue for
+    * engine-computed fingerprints: (keyCols*, is_dup). The corpus side
+    * need not be distinct (the probe deduplicates it; for a
+    * [[persistFingerprintIndex]] set, already distinct and bucketed on
+    * `fp`, that aggregate groups on the bucket key and plans
+    * exchange-free). A null fingerprint never matches.
+    */
+  def fingerprintsAgainstFps(
+      newRows: DataFrame, corpusFps: DataFrame,
+      keyCols: Seq[String], fpCol: String): DataFrame =
+    newRows.select(keyCols.map(col) :+ col(fpCol).as("fp"): _*)
+      .join(corpusFps.select(col("fp")).distinct()
+          .select(col("fp"), lit(true).as("hit")),
+        Seq("fp"), "left")
+      .select(keyCols.map(col) :+
+        coalesce(col("hit"), lit(false)).as("is_dup"): _*)
+
   /** Streaming form of [[exactAgainstStoredIndex]]: each micro-batch of
     * the ingest stream probes the static persisted hash index and its
     * flags are appended (to `sink` when given, else a driver-side

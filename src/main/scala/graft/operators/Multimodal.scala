@@ -385,6 +385,48 @@ object Multimodal {
       sink)
   }
 
+  /** Persist a standing audio-envelope index for a media corpus: each
+    * payload's 63-bit delta-sign fingerprint ([[envelopeFingerprint]]),
+    * distinct and bucketed on the fingerprint via
+    * [[Dedup.persistFingerprintIndex]] — the audio analogue of
+    * [[persistFrameIndex]], completing the standing-index family for
+    * every media dedup form. The index side never re-shuffles per
+    * arrival batch, and the 8-byte key is even lighter in the exchange
+    * than the frame index's 16-byte md5.
+    */
+  def persistEnvelopeIndex(
+      catalog: graft.storage.SetCatalog, db: String, name: String,
+      media: DataFrame, window: Int = 64, hop: Int = 32,
+      minWindows: Int = 8, numBuckets: Int = 0,
+      advisor: Option[graft.advisor.PlacementAdvisor] = None): Unit =
+    Dedup.persistFingerprintIndex(catalog, db, name,
+      envelopeFingerprint(media, window, hop, minWindows), "fp",
+      numBuckets, advisor)
+
+  /** Streaming envelope dedup against a [[persistEnvelopeIndex]] set:
+    * each micro-batch of arriving media rows (`doc_id`, `payload`) is
+    * envelope-fingerprinted and flagged with whether that envelope
+    * already exists in the stored corpus index — (doc_id, is_dup). Docs
+    * too short for a discriminative envelope (< minWindows windows) emit
+    * no row, exactly like the batch operator. Batching-invariant by
+    * construction (each doc's flag depends only on its own bytes plus
+    * the static index), the same contract as
+    * [[streamFramesAgainstStoredIndex]], whose probe/sink harness this
+    * shares.
+    */
+  def streamEnvelopesAgainstStoredIndex(
+      stream: DataFrame, catalog: graft.storage.SetCatalog,
+      db: String, name: String, window: Int = 64, hop: Int = 32,
+      minWindows: Int = 8,
+      sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame = {
+    val fps = Dedup.scanFingerprintIndex(catalog, db, name)
+    Dedup.streamProbe(stream,
+      batch => Dedup.fingerprintsAgainstFps(
+        envelopeFingerprint(batch, window, hop, minWindows),
+        fps, Seq("doc_id"), "fp"),
+      sink)
+  }
+
   /** ACT form of [[silenceSegments]]: rebuild each payload keeping only
     * its above-threshold windows (non-overlapping — window == hop, so
     * every byte belongs to exactly one window and the rebuild is

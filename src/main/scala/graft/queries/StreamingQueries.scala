@@ -347,6 +347,94 @@ object StreamingQueries {
       |  (cf.frame_hex IS NOT NULL) AS is_dup
       |FROM af LEFT JOIN cf ON cf.frame_hex = af.frame_hex""".stripMargin
 
+  /** streaming AUDIO ingest dedup — the envelope analogue of
+    * [[stFrameDedup]], completing streaming parity for every media dedup
+    * family: a 63-bit envelope-fingerprint index is persisted over the
+    * corpus payloads (docs < 250,
+    * [[graft.operators.Multimodal.persistEnvelopeIndex]]), then the
+    * arrival stream (fresh docs ≥ 250 plus the docs < 100 re-crawl
+    * replay under offset ids — replayed payloads carry identical bytes,
+    * hence identical envelopes, so every eligible replay flags true) is
+    * fingerprinted per micro-batch and probed against the standing index
+    * ≡ the one-shot batch probe. Docs with < 8 energy windows emit no
+    * row, exactly like the batch operator.
+    */
+  def stAudioDup(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val docs = graft.model.Tables.documents(spark, d)
+    val root = java.nio.file.Files.createTempDirectory("graft-staudio")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    graft.operators.Multimodal.persistEnvelopeIndex(cat, "stx", "env",
+      graft.operators.Multimodal.withPayload(
+        docs.filter(col("doc_id") < 250)))
+    val s = readDocStream(spark, d)
+    val arrivals = s.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), col("text"))
+      .unionByName(s.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val flags = graft.operators.Multimodal.streamEnvelopesAgainstStoredIndex(
+      graft.operators.Multimodal.withPayload(arrivals),
+      cat, "stx", "env")
+      .localCheckpoint(true)
+    cat.removeSet("stx", "env_fps")
+    graft.storage.SetCatalog.deleteTree(root)
+    flags
+  }
+
+  /** Oracle: the mm_audio_dup envelope chain (window 64 / hop 32 energy,
+    * delta-sign bit per wno ≤ 62, docs with ≥ 8 windows) computed once
+    * over corpus ∪ arrivals with a side marker; corpus fingerprints
+    * (docs < 250) form the membership set, arrival docs flagged by
+    * fingerprint equality.
+    */
+  val stAudioDupSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text, 0 AS side FROM documents WHERE doc_id < 250
+      |  UNION ALL
+      |  SELECT doc_id, text, 1 AS side FROM documents WHERE doc_id >= 250
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text, 1 AS side FROM documents
+      |  WHERE doc_id < 100),
+      |m AS (
+      |  SELECT side, doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS len
+      |  FROM base
+      |  WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+      |w AS (
+      |  SELECT side, doc_id, hx, len,
+      |    unnest(generate_series(0, (len - 1) // 32)) AS wno
+      |  FROM m),
+      |b AS (
+      |  SELECT side, doc_id, wno, hx,
+      |    unnest(generate_series(wno * 32,
+      |      least(wno * 32 + 64, len) - 1)) AS pos
+      |  FROM w),
+      |v AS (
+      |  SELECT side, doc_id, wno,
+      |    (strpos('0123456789ABCDEF', substring(hx, pos * 2 + 1, 1)) - 1) * 16
+      |      + strpos('0123456789ABCDEF', substring(hx, pos * 2 + 2, 1)) - 1
+      |      AS byte
+      |  FROM b),
+      |e AS (
+      |  SELECT side, doc_id, wno, SUM((byte - 128) * (byte - 128)) AS energy
+      |  FROM v GROUP BY side, doc_id, wno),
+      |n AS (SELECT side, doc_id, COUNT(*) AS nw FROM e GROUP BY side, doc_id),
+      |d AS (
+      |  SELECT a.side, a.doc_id,
+      |    CASE WHEN b.energy > a.energy
+      |         THEN (1::BIGINT << CAST(a.wno AS INT)) ELSE 0::BIGINT END AS bit
+      |  FROM e a JOIN e b ON a.side = b.side AND a.doc_id = b.doc_id
+      |    AND b.wno = a.wno + 1
+      |  WHERE a.wno <= 62),
+      |f AS (
+      |  SELECT d.side, d.doc_id, CAST(SUM(bit) AS BIGINT) AS fp
+      |  FROM d JOIN n ON d.side = n.side AND d.doc_id = n.doc_id
+      |  WHERE n.nw >= 8 GROUP BY d.side, d.doc_id),
+      |cf AS (SELECT DISTINCT fp FROM f WHERE side = 0)
+      |SELECT f.doc_id, (cf.fp IS NOT NULL) AS is_dup
+      |FROM f LEFT JOIN cf ON cf.fp = f.fp
+      |WHERE f.side = 1""".stripMargin
+
   /** Streaming curation: the stateless PII scan/redact stage applied per
     * micro-batch on the document ingest stream (append mode, no state
     * store at all) — the form a standing ingest pipeline runs curation
@@ -434,6 +522,7 @@ object StreamingQueries {
     "st_span" -> stSpan,
     "st_exact" -> stExact,
     "st_frame_dedup" -> stFrameDedup,
+    "st_audio_dup" -> stAudioDup,
     "st_curate" -> stCurate,
     "st_ivf_append" -> stIvfAppend)
 
@@ -449,6 +538,7 @@ object StreamingQueries {
     "st_span" -> stSpanSql,
     "st_exact" -> stExactSql,
     "st_frame_dedup" -> stFrameDedupSql,
+    "st_audio_dup" -> stAudioDupSql,
     "st_curate" -> stCurateSql,
     "st_ivf_append" -> stIvfAppendSql)
 }

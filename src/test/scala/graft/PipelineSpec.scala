@@ -642,6 +642,55 @@ class PipelineSpec extends GraftSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("envelope index flags replayed envelopes per doc and is batching-invariant") {
+    import spark.implicits._
+    // window=hop=2 → 8 windows per 16-char doc; 'z' windows are quiet
+    // (2·(122−128)²=72), '!' windows loud (2·(33−128)²=18050), so the
+    // delta-sign fingerprints are: alternating QLQL… → 85, LQLQ… → 42,
+    // QQLLQQLL → 34 — three distinct envelopes
+    val mkDf = (rows: Seq[(Long, String)]) =>
+      graft.operators.Multimodal.withPayload(rows.toDF("doc_id", "text"))
+    val corpus = mkDf(Seq(
+      (1L, "zz!!zz!!zz!!zz!!"), (2L, "!!zz!!zz!!zz!!zz")))
+    val arrivals = mkDf(Seq(
+      (10L, "zz!!zz!!zz!!zz!!"),   // replays doc 1's envelope → true
+      (11L, "!!zz!!zz!!zz!!zz"),   // replays doc 2's envelope → true
+      (12L, "zzzz!!!!zzzz!!!!"),   // novel envelope → false
+      (13L, "zz")))                // 1 window < minWindows → no row
+    val root = java.nio.file.Files.createTempDirectory("graft-env-spec").toString
+    val cat = new graft.storage.SetCatalog(spark, root)
+    graft.operators.Multimodal.persistEnvelopeIndex(
+      cat, "ddx", "env", corpus, window = 2, hop = 2, minWindows = 2,
+      numBuckets = 2)
+    val fps = cat.scanBucketedSet("ddx", "env_fps")
+    def probe(batch: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.fingerprintsAgainstFps(
+        graft.operators.Multimodal.envelopeFingerprint(
+          batch, window = 2, hop = 2, minWindows = 2),
+        fps, Seq("doc_id"), "fp")
+    val oneShot = probe(arrivals).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(oneShot == Map(10L -> true, 11L -> true, 12L -> false))
+    val perBatch = Seq(
+      arrivals.filter(col("doc_id") <= 11),
+      arrivals.filter(col("doc_id") > 11))
+      .flatMap(probe(_).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)))
+      .toMap
+    assert(perBatch == oneShot)
+    // placement payoff: the index is bucketed on fp, so only the arrival
+    // fingerprints shuffle — one exchange in the whole probe plan
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = probe(arrivals).queryExecution.executedPlan.toString
+      val nExchanges = plan.linesIterator
+        .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
+      assert(nExchanges == 1,
+        s"expected one exchange (arrival fingerprints only), got $nExchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("spansAgainstGrams is batching-invariant against a fixed gram index") {
     import spark.implicits._
     val corpus = Seq(
