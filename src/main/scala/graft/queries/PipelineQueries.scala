@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.operators.{Dedup, Multimodal, SimilaritySearch, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, SimilaritySearch, TextAnalysis}
 
 /** Training-data pipeline queries over the documents/embeddings fixtures:
   * dedup (exact, minhash-LSH, n-gram, simhash, embedding-cosine),
@@ -1241,6 +1241,174 @@ object PipelineQueries {
         |LEFT JOIN fdup f ON f.doc_id = s.doc_id
         |LEFT JOIN imgdup i ON i.doc_id = s.doc_id""".stripMargin
 
+  /** The cross-modal capstone — [[CurationQueries.pipeCurate]]'s text
+    * decision stages and [[pipeMedia]]'s media decision stages composed
+    * into ONE corpus-curation plan emitting a single per-doc keep
+    * decision, the job shape a real multimodal training-data pipeline
+    * runs: keep = not-text-dup (survives passage-level span strip)
+    * ∧ text-quality (top half by quality score among survivors)
+    * ∧ not-media-dup (survives silence strip with no duplicated frames
+    * and no image near-dup). One corpus definition (documents plus the
+    * docs<100 replay plant, so every branch fires) feeds both modality
+    * chains; each expensive stage materializes once and the final join
+    * assembles the per-doc verdict. Every component is individually
+    * oracle-checked (dd_span_strip, txt_quantile_filter,
+    * mm_silence_strip, mm_frame_dedup, mm_neardup); this query
+    * hash-checks the full cross-modal composition. The corpus-level
+    * token-budget subset (op_token_budget) stays out by design: it is a
+    * downstream sampling step over keep=true docs, not a per-doc
+    * decision.
+    */
+  def pipeAll(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .filter(col("text").isNotNull)
+    // TEXT branch — pipe_curate's stages over THIS corpus: the replayed
+    // docs are verbatim copies, so span-strip collapses them to empty
+    val stripped = Dedup.stripDuplicateSpans(corpus, "doc_id", "text", k = 8)
+      .localCheckpoint(true)
+    val survivors = stripped.filter(col("clean_text") =!= "")
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val scored = TextAnalysis.qualityScore(survivors, "doc_id", "text")
+      .select(col("doc_id"), col("q_score"))
+    val qkeep = Curation.quantileKeep(scored, "q_score", fraction = 0.5)
+      .select(col("doc_id")).withColumn("quality_keep", lit(true))
+    // MEDIA branch — pipe_media's stages over the same corpus
+    val silStripped = Multimodal.stripSilence(Multimodal.withPayload(corpus))
+      .filter(col("payload_stripped").isNotNull &&
+        length(col("payload_stripped")) > 0)
+      .localCheckpoint(true)
+    val media = silStripped
+      .select(col("doc_id"), col("payload_stripped").as("payload"))
+    val frames = Multimodal.sampleFrames(spark, media)
+    val dups = Multimodal.frameDedup(frames)
+    val nDup = frames
+      .select(col("doc_id"), col("frame_no"), unhex(md5(col("frame"))).as("fkey"))
+      .join(dups.select(unhex(md5(unhex(col("frame_hex")))).as("fkey"),
+        col("keep_doc_id"), col("keep_frame_no")), Seq("fkey"))
+      .filter(!(col("doc_id") === col("keep_doc_id") &&
+        col("frame_no") === col("keep_frame_no")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_frames"))
+    val feats = Multimodal.extractFeatures(spark,
+        Multimodal.bytesToPngPayload(media), dim = 16,
+        decoder = Multimodal.PixelSumDecoder).toDF()
+      .select(col("doc_id").as("vec_id"), col("feature").as("embedding"))
+    val pairs = Dedup.semanticPairs(feats, "vec_id", "embedding",
+      nClusters = 4, iters = 3, threshold = 0.999)
+    val imgDup = pairs.select(col("id_b").as("doc_id")).distinct()
+      .withColumn("is_image_dup", lit(true))
+    val hasMedia = silStripped.select(col("doc_id"))
+      .withColumn("has_media", lit(true))
+    corpus.select(col("doc_id"))
+      .join(stripped.select(col("doc_id"),
+        (col("clean_text") =!= "").as("ntd")), Seq("doc_id"), "left")
+      .join(qkeep, Seq("doc_id"), "left")
+      .join(hasMedia, Seq("doc_id"), "left")
+      .join(nDup, Seq("doc_id"), "left")
+      .join(imgDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ntd"), lit(false)).as("not_text_dup"),
+        coalesce(col("quality_keep"), lit(false)).as("quality_keep"),
+        (coalesce(col("has_media"), lit(false)) &&
+          coalesce(col("n_dup_frames"), lit(0L)) === 0L &&
+          !coalesce(col("is_image_dup"), lit(false))).as("media_keep"))
+      .withColumn("keep",
+        col("not_text_dup") && col("quality_keep") && col("media_keep"))
+  }
+
+  /** The media prelude (u/…/embeddings over the replayed corpus) plus a
+    * t-prefixed copy of the dd_span_strip + quality-median chains scoped
+    * to the same `u` — both modality chains share one corpus CTE, like
+    * the Spark plan shares one corpus frame.
+    */
+  private lazy val pipeAllPrelude: String =
+    pipeMediaPrelude + ",\n" +
+      s"""ttoks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM u
+         |  WHERE text IS NOT NULL),
+         |tposn AS (
+         |  SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS pos FROM ttoks),
+         |twins AS (
+         |  SELECT doc_id, pos, md5(array_to_string(t[pos + 1 : pos + 8], ' ')) AS g
+         |  FROM tposn),
+         |tdup AS (SELECT g FROM twins GROUP BY g HAVING COUNT(*) >= 2),
+         |tsites AS (
+         |  SELECT w.doc_id, w.pos,
+         |    ROW_NUMBER() OVER (PARTITION BY w.g ORDER BY w.doc_id, w.pos) AS rn
+         |  FROM twins w JOIN tdup d USING (g)),
+         |trem AS (
+         |  SELECT DISTINCT doc_id, pos + i.i AS tp
+         |  FROM tsites, generate_series(0, 7) i(i) WHERE rn > 1),
+         |ttokpos AS (
+         |  SELECT doc_id, t[pos + 1] AS tok, pos AS tp
+         |  FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS pos FROM ttoks)),
+         |tkeep AS (
+         |  SELECT k.doc_id, k.tp, k.tok FROM ttokpos k
+         |  LEFT JOIN trem r ON k.doc_id = r.doc_id AND k.tp = r.tp
+         |  WHERE r.doc_id IS NULL),
+         |trebuilt AS (
+         |  SELECT doc_id, array_to_string(list(tok ORDER BY tp), ' ') AS clean_text
+         |  FROM tkeep GROUP BY doc_id),
+         |tstrip AS (
+         |  SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text
+         |  FROM ttoks t LEFT JOIN trebuilt r ON t.doc_id = r.doc_id),
+         |tsurv AS (SELECT doc_id, clean_text AS text FROM tstrip
+         |          WHERE clean_text <> ''),
+         |tq AS (SELECT doc_id, q_score FROM (
+         |  ${graft.operators.TextAnalysis.qualityScoreSqlFrom("tsurv")}) z),
+         |tranked AS (
+         |  SELECT doc_id, q_score,
+         |    ROW_NUMBER() OVER (ORDER BY q_score DESC, doc_id) AS rk FROM tq),
+         |tthr AS (
+         |  SELECT MIN(q_score) AS t FROM tranked
+         |  WHERE rk <= CAST(ceil(0.5 * (SELECT COUNT(*) FROM tq)) AS BIGINT)),
+         |tqkeep AS (
+         |  SELECT tq.doc_id FROM tq CROSS JOIN tthr
+         |  WHERE tq.q_score >= tthr.t)""".stripMargin
+
+  lazy val pipeAllSql: String =
+    ExtendedQueries.lloydCtes(4, 3, dim = 16, prelude = pipeAllPrelude) +
+      ",\n" +
+      """fd AS (
+        |  SELECT e.vec_id AS r, c.k,
+        |    SUM((CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v) *
+        |        (CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v)) AS dist
+        |  FROM embeddings e, c3 c GROUP BY 1, 2),
+        |fa AS (
+        |  SELECT r, k FROM (
+        |    SELECT r, k, ROW_NUMBER() OVER (PARTITION BY r ORDER BY dist, k) AS rk
+        |    FROM fd) z WHERE rk = 1),
+        |vv AS (
+        |  SELECT e.vec_id, e.embedding, a.k
+        |  FROM embeddings e JOIN fa a ON e.vec_id = a.r),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round((SELECT SUM(CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))
+        |     FROM generate_series(1, 16) g(i)) /
+        |    (sqrt((SELECT SUM(CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))
+        |           FROM generate_series(1, 16) g(i))) *
+        |     sqrt((SELECT SUM(CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))
+        |           FROM generate_series(1, 16) g(i)))), 6) AS cos
+        |  FROM vv a JOIN vv b ON a.k = b.k AND a.vec_id < b.vec_id),
+        |imgdup AS (
+        |  SELECT DISTINCT id_b AS doc_id FROM p WHERE cos >= 0.999)
+        |SELECT mm.doc_id,
+        |  (ts.clean_text <> '') AS not_text_dup,
+        |  (qk.doc_id IS NOT NULL) AS quality_keep,
+        |  (sv.doc_id IS NOT NULL AND COALESCE(f.n_dup_frames, 0) = 0
+        |    AND i.doc_id IS NULL) AS media_keep,
+        |  ((ts.clean_text <> '') AND qk.doc_id IS NOT NULL
+        |    AND sv.doc_id IS NOT NULL AND COALESCE(f.n_dup_frames, 0) = 0
+        |    AND i.doc_id IS NULL) AS keep
+        |FROM m mm
+        |JOIN tstrip ts ON ts.doc_id = mm.doc_id
+        |LEFT JOIN tqkeep qk ON qk.doc_id = mm.doc_id
+        |LEFT JOIN s sv ON sv.doc_id = mm.doc_id
+        |LEFT JOIN fdup f ON f.doc_id = mm.doc_id
+        |LEFT JOIN imgdup i ON i.doc_id = mm.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact,
     "dd_minhash_pairs" -> ddMinhash,
@@ -1278,7 +1446,8 @@ object PipelineQueries {
     "mm_silence_strip" -> mmSilenceStrip,
     "mm_audio_dup" -> mmAudioDup,
     "mm_ivf" -> mmIvf,
-    "pipe_media" -> pipeMedia)
+    "pipe_media" -> pipeMedia,
+    "pipe_all" -> pipeAll)
 
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -1317,5 +1486,6 @@ object PipelineQueries {
     "mm_silence_strip" -> mmSilenceStripSql,
     "mm_audio_dup" -> mmAudioDupSql,
     "mm_ivf" -> mmIvfSql,
-    "pipe_media" -> pipeMediaSql)
+    "pipe_media" -> pipeMediaSql,
+    "pipe_all" -> pipeAllSql)
 }
