@@ -296,6 +296,14 @@ object BlockMatrix {
     import spark.implicits._
     val nBlockCols = ((nCols + colsPerBlock - 1) / colsPerBlock).toInt
     val blocks = rows.flatMap { case (r, vec) =>
+      // fail FAST on a sparse/out-of-range row id: a row beyond nRows
+      // would otherwise flow into a block whose height computes negative
+      // (NegativeArraySizeException deep in mapGroups, surfaced by the
+      // round-10 synthesized-fixture scale run) — callers must densify
+      // ids before building the matrix
+      require(r >= 0 && r < nRows,
+        s"fromRowVectors: row index $r outside [0, $nRows) — " +
+          "row indices must be dense; re-key sparse ids first")
       val br = (r / rowsPerBlock).toInt
       val lr = (r % rowsPerBlock).toInt
       (0 until nBlockCols).map { bc =>

@@ -113,6 +113,7 @@ class PlanSpec extends GraftSpecBase {
       "dd_topk_jaccard" -> "documented all-pairs jaccard baseline",
       "txt_quantile_filter" -> "1-row threshold scalar broadcast",
       "pipe_curate" -> "1-row threshold scalar broadcast (quality gate)",
+      "pipe_all" -> "1-row threshold scalar broadcast (quality gate)",
       "op_pivot" -> "1-row header scalar broadcast",
       "la_l2_check" -> "1-row beta/residual scalar broadcast",
       "la_inverse_check" -> "1-row identity-error scalar broadcast",
