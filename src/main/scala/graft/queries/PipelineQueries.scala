@@ -169,18 +169,24 @@ object PipelineQueries {
     * per-batch cost a production ingest actually pays.
     */
   def ddCrossProbe(spark: SparkSession, d: String): DataFrame = {
+    // the db name must be unique per cache key: the throwaway queries
+    // (dd_cross_indexed) register-and-REMOVE session views under the
+    // shared "ddx" namespace, which would clobber a standing index that
+    // reused those view names (caught by the PlanSpec registry sweeps
+    // running both queries twice in one session)
+    val db = s"ddp${(System.identityHashCode(spark).toLong << 32 | (d.hashCode & 0xffffffffL)).toHexString}"
     val cat = crossIndexCache.computeIfAbsent(
       (System.identityHashCode(spark), d), _ => {
         val root = java.nio.file.Files.createTempDirectory("graft-lshp")
         val c = new graft.storage.SetCatalog(spark, root.toString)
-        Dedup.persistLshIndex(c, "ddx", "corpus",
+        Dedup.persistLshIndex(c, db, "corpus",
           Tables.documents(spark, d).filter(col("doc_id") < 250),
           "doc_id", "text")
         c
       })
     Dedup.crossPairsAgainstStoredIndex(
       Tables.documents(spark, d).filter(col("doc_id") >= 250),
-      cat, "ddx", "corpus", "doc_id", "text", threshold = 0.8)
+      cat, db, "corpus", "doc_id", "text", threshold = 0.8)
   }
 
   /** Ingest-time EXACT dedup against a catalog-persisted content-hash
