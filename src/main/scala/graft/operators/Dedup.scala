@@ -888,10 +888,23 @@ object Dedup {
   def exactAgainstHashesKeyed(
       newRows: DataFrame, corpusHashes: DataFrame,
       keyCols: Seq[String], contentCol: String): DataFrame =
-    newRows.select(keyCols.map(col) :+ unhex(md5(col(contentCol))).as("h"): _*)
-      .join(corpusHashes.select(col("h")).distinct()
-          .select(col("h"), lit(true).as("hit")),
-        Seq("h"), "left")
+    probeMembership(
+      newRows.select(keyCols.map(col) :+ unhex(md5(col(contentCol))).as("h"): _*),
+      corpusHashes, keyCols, "h")
+
+  /** Shared membership probe: rows (keyCols*, keyName) left-joined
+    * against the distinct corpus keys → (keyCols*, is_dup). One
+    * definition of the probe contract (null key never matches, corpus
+    * side deduplicated so a repeated corpus key flags once) for both
+    * the md5 and long-fingerprint index families.
+    */
+  private def probeMembership(
+      newKeyed: DataFrame, corpusKeys: DataFrame,
+      keyCols: Seq[String], keyName: String): DataFrame =
+    newKeyed
+      .join(corpusKeys.select(col(keyName)).distinct()
+          .select(col(keyName), lit(true).as("hit")),
+        Seq(keyName), "left")
       .select(keyCols.map(col) :+
         coalesce(col("hit"), lit(false)).as("is_dup"): _*)
 
@@ -953,12 +966,9 @@ object Dedup {
   def fingerprintsAgainstFps(
       newRows: DataFrame, corpusFps: DataFrame,
       keyCols: Seq[String], fpCol: String): DataFrame =
-    newRows.select(keyCols.map(col) :+ col(fpCol).as("fp"): _*)
-      .join(corpusFps.select(col("fp")).distinct()
-          .select(col("fp"), lit(true).as("hit")),
-        Seq("fp"), "left")
-      .select(keyCols.map(col) :+
-        coalesce(col("hit"), lit(false)).as("is_dup"): _*)
+    probeMembership(
+      newRows.select(keyCols.map(col) :+ col(fpCol).as("fp"): _*),
+      corpusFps, keyCols, "fp")
 
   /** Streaming form of [[exactAgainstStoredIndex]]: each micro-batch of
     * the ingest stream probes the static persisted hash index and its

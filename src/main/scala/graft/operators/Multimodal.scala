@@ -267,8 +267,12 @@ object Multimodal {
             MediaRow(r.doc_id, png,
               MediaMeta("image/png", targetW, targetH, png.length.toLong))
           } else {
-            val scale = targetW.toLong * targetH /
-              (r.meta.width.toLong * r.meta.height).toDouble
+            // caller-supplied dims can be garbage on a non-decodable row;
+            // a zero/negative area would make scale Infinity and the
+            // allocation Int.MaxValue — degrade to ratio 1 instead
+            val area = r.meta.width.toLong * r.meta.height
+            val scale =
+              if (area > 0) targetW.toLong * targetH / area.toDouble else 1.0
             val outLen = math.max(1, math.ceil(r.payload.length * scale).toInt)
             val out = new Array[Byte](outLen)
             // empty payload keeps the 1-byte floor as zeros (sampling from

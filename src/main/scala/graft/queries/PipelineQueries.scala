@@ -159,31 +159,52 @@ object PipelineQueries {
     */
   private val crossIndexCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (Int, String), graft.storage.SetCatalog]()
+      (String, String), graft.storage.SetCatalog]()
+
+  /** Collision-free session identity for the cache key: a generated
+    * UUID per live session OBJECT (SparkSession keeps reference
+    * equality, so the weak map keys by identity — identityHashCode
+    * alone can collide across sessions in one JVM, and the session's
+    * own UUID is private[sql]). Weak keys let a stopped session's
+    * entry vanish with the session.
+    */
+  private val sessionIds =
+    new java.util.WeakHashMap[SparkSession, String]()
+  private def sessionId(spark: SparkSession): String =
+    sessionIds.synchronized {
+      sessionIds.computeIfAbsent(
+        spark, _ => java.util.UUID.randomUUID().toString)
+    }
 
   /** The PROBE-ONLY split of [[ddCrossIndexed]]: identical match (same
     * kernels, same oracle), but the standing index builds once per
     * session and every subsequent call only pays the arrival-side probe
     * — registering the two halves separately keeps the artifact's most
     * expensive dedup number from conflating a one-time build with the
-    * per-batch cost a production ingest actually pays.
+    * per-batch cost a production ingest actually pays. Cache entries
+    * live for the session (that is the point of a standing index);
+    * the catalog's temp dir is reclaimed by the OS with the JVM's /tmp.
     */
   def ddCrossProbe(spark: SparkSession, d: String): DataFrame = {
     // the db name must be unique per cache key: the throwaway queries
     // (dd_cross_indexed) register-and-REMOVE session views under the
     // shared "ddx" namespace, which would clobber a standing index that
     // reused those view names (caught by the PlanSpec registry sweeps
-    // running both queries twice in one session)
-    val db = s"ddp${(System.identityHashCode(spark).toLong << 32 | (d.hashCode & 0xffffffffL)).toHexString}"
-    val cat = crossIndexCache.computeIfAbsent(
-      (System.identityHashCode(spark), d), _ => {
-        val root = java.nio.file.Files.createTempDirectory("graft-lshp")
-        val c = new graft.storage.SetCatalog(spark, root.toString)
-        Dedup.persistLshIndex(c, db, "corpus",
-          Tables.documents(spark, d).filter(col("doc_id") < 250),
-          "doc_id", "text")
-        c
-      })
+    // running both queries twice in one session). md5 over the full
+    // (sessionId, sfDir) key — unlike a 32-bit hashCode fold, two
+    // distinct sfDirs cannot silently rebind each other's views.
+    val key = (sessionId(spark), d)
+    val db = "ddp" + java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${key._1}|${key._2}".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val cat = crossIndexCache.computeIfAbsent(key, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-lshp")
+      val c = new graft.storage.SetCatalog(spark, root.toString)
+      Dedup.persistLshIndex(c, db, "corpus",
+        Tables.documents(spark, d).filter(col("doc_id") < 250),
+        "doc_id", "text")
+      c
+    })
     Dedup.crossPairsAgainstStoredIndex(
       Tables.documents(spark, d).filter(col("doc_id") >= 250),
       cat, db, "corpus", "doc_id", "text", threshold = 0.8)

@@ -32,8 +32,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-OFF = 1_000_000
-
 
 def rep(table, n, mutate):
     parts = [mutate(table, i) for i in range(n)]
@@ -43,6 +41,17 @@ def rep(table, n, mutate):
 def offset(tbl, col, delta):
     idx = tbl.column_names.index(col)
     return tbl.set_column(idx, col, pc.add(tbl.column(col), delta))
+
+
+def key_stride(*columns):
+    """Per-replica offset for a key family: max observed key + 1, so
+    replica ranges can NEVER overlap no matter how large the base
+    fixture's (possibly sparse) keys are — a fixed constant would
+    silently collide once keys reach it, corrupting the 1:1 join
+    structure the replication depends on. Columns sharing a key family
+    (o_orderkey/l_orderkey) must use one shared stride."""
+    m = max(pc.max(c).as_py() or 0 for c in columns)
+    return m + 1
 
 
 def main():
@@ -59,25 +68,34 @@ def main():
     for name in ("region", "nation"):
         write(name, pq.read_table(f"{src}/{name}.parquet"))
 
-    # TPC-H: consistent key offsets per replica keep joins 1:1
+    # TPC-H: consistent key offsets per replica keep joins 1:1; strides
+    # derive from the observed max of each key FAMILY (shared across the
+    # fact/dim sides that join on it)
     cust = pq.read_table(f"{src}/customer.parquet")
     supp = pq.read_table(f"{src}/supplier.parquet")
     part = pq.read_table(f"{src}/part.parquet")
     orders = pq.read_table(f"{src}/orders.parquet")
     li = pq.read_table(f"{src}/lineitem.parquet")
-    write("customer", rep(cust, n, lambda t, i: offset(t, "c_custkey", i * OFF)))
-    write("supplier", rep(supp, n, lambda t, i: offset(t, "s_suppkey", i * OFF)))
-    write("part", rep(part, n, lambda t, i: offset(t, "p_partkey", i * OFF)))
+    ck = key_stride(cust.column("c_custkey"), orders.column("o_custkey"))
+    sk = key_stride(supp.column("s_suppkey"), li.column("l_suppkey"))
+    pk = key_stride(part.column("p_partkey"), li.column("l_partkey"))
+    ok = key_stride(orders.column("o_orderkey"), li.column("l_orderkey"))
+    write("customer", rep(cust, n, lambda t, i: offset(t, "c_custkey", i * ck)))
+    write("supplier", rep(supp, n, lambda t, i: offset(t, "s_suppkey", i * sk)))
+    write("part", rep(part, n, lambda t, i: offset(t, "p_partkey", i * pk)))
     write("orders", rep(orders, n, lambda t, i: offset(
-        offset(t, "o_orderkey", i * OFF), "o_custkey", i * OFF)))
+        offset(t, "o_orderkey", i * ok), "o_custkey", i * ck)))
     write("lineitem", rep(li, n, lambda t, i: offset(offset(offset(
-        t, "l_orderkey", i * OFF), "l_partkey", i * OFF), "l_suppkey", i * OFF)))
+        t, "l_orderkey", i * ok), "l_partkey", i * pk), "l_suppkey", i * sk)))
 
     ev = pq.read_table(f"{src}/events.parquet")
+    ek = key_stride(ev.column("event_id"))
+    uk = key_stride(ev.column("user_id"))
     write("events", rep(ev, n, lambda t, i: offset(
-        offset(t, "event_id", i * 10 * OFF), "user_id", i * OFF)))
+        offset(t, "event_id", i * ek), "user_id", i * uk)))
 
     docs = pq.read_table(f"{src}/documents.parquet")
+    dk = key_stride(docs.column("doc_id"))
 
     def mutate_docs(t, i):
         if i == 0:
@@ -92,7 +110,7 @@ def main():
             t.column_names.index("n_chars"), "n_chars",
             pa.array([len(x) if x is not None else 0 for x in salted],
                      type=pa.int64()))
-        return offset(t, "doc_id", i * OFF)
+        return offset(t, "doc_id", i * dk)
 
     write("documents", rep(docs, n, mutate_docs))
 
@@ -105,7 +123,7 @@ def main():
         if i == 0:
             return t
         vecs = t.column("embedding").to_pylist()
-        rot = [None if v is None else v[i % len(v):] + v[:i % len(v)]
+        rot = [v if not v else v[i % len(v):] + v[:i % len(v)]
                for v in vecs]
         arr = pa.array(rot, type=pa.list_(pa.float32()))
         t = t.set_column(t.column_names.index("embedding"), "embedding", arr)

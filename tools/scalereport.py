@@ -24,8 +24,13 @@ def main() -> None:
     sq, lq = small["queries"], large["queries"]
     shared = sorted(set(sq) & set(lq))
     rows = {}
+    failed = []
     for name in shared:
         a, b = sq[name], lq[name]
+        # Bench records a failed query as null — report it, don't crash
+        if a is None or b is None:
+            failed.append(name)
+            continue
         rows[name] = {
             "small_sec": a,
             "large_sec": b,
@@ -46,6 +51,7 @@ def main() -> None:
         "data_ratio": data_ratio,
         "superlinear_bar": bar,
         "n_queries": len(rows),
+        "failed_either_scale": failed,
         "median_ratio": ratios[len(ratios) // 2] if ratios else None,
         "max_ratio": ratios[-1] if ratios else None,
         "superlinear": superlinear,
@@ -58,7 +64,8 @@ def main() -> None:
         json.dump(out, f, indent=1, sort_keys=False)
     print(f"{len(rows)} queries; median ratio {out['median_ratio']}, "
           f"max {out['max_ratio']}; superlinear (> {bar}x and >= 0.5 s "
-          f"at the large scale): {superlinear or 'none'}")
+          f"at the large scale): {superlinear or 'none'}"
+          + (f"; FAILED at either scale: {failed}" if failed else ""))
 
 
 if __name__ == "__main__":
