@@ -214,14 +214,23 @@ object Bench {
         val trigger = ratio > 1.5 || calibRatio > 1.5 || flagged.nonEmpty
         val iso: Seq[(String, Double)] =
           if (trigger && only.isEmpty) {
-            val top = results
-              .flatMap { case (n, v) => minOk(v).map(n -> _) }
-              .sortBy(-_._2).take(5).map(_._1)
-            val names = (top ++ flagged).distinct
+            val byCost = results
+              .flatMap { case (n, v) => minOk(v).map(n -> _) }.toMap
+            val top = byCost.toSeq.sortBy(-_._2).take(5).map(_._1)
+            // Bound the re-profile bill: a GLOBAL regime shift flags
+            // most of the registry (the loaded-host r10 run flagged 19),
+            // and re-running all of them doubles the bench. Keep the
+            // top-5 plus the most expensive flagged outliers, 12 total —
+            // enough to adjudicate; the flagged list in prev_ref still
+            // names every outlier.
+            val names = (top ++ flagged.sortBy(n => -byCost.getOrElse(n, 0.0)))
+              .distinct.take(12)
             System.err.println(s"[bench] adjudication trigger: sum-ratio " +
               s"${r3(ratio)} vs $fname, calib-ratio ${r3(calibRatio)}, " +
               s"flagged [${flagged.mkString(",")}] — re-profiling " +
-              s"${names.size} isolated")
+              s"${names.size} isolated" +
+              (if (names.size < (top ++ flagged).distinct.size)
+                 s" (capped from ${(top ++ flagged).distinct.size})" else ""))
             names.flatMap { n =>
               SparkEntry.queries.get(n).flatMap(fn =>
                 minOk(run(n, fn, 2)).map(n -> _))
