@@ -383,7 +383,7 @@ object Dedup {
     * sink/restart/empty-stream semantics live HERE once, so the three
     * streaming families cannot drift apart.
     */
-  private[operators] def streamProbe(
+  private[graft] def streamProbe(
       stream: DataFrame, perBatch: DataFrame => DataFrame,
       sink: Option[(graft.storage.SetCatalog, String, String)]): DataFrame = {
     val spark = stream.sparkSession

@@ -435,6 +435,179 @@ object StreamingQueries {
       |FROM f LEFT JOIN cf ON cf.fp = f.fp
       |WHERE f.side = 1""".stripMargin
 
+  /** The streaming form of the cross-modal capstone
+    * ([[PipelineQueries.pipeAll]]): every micro-batch of arriving docs
+    * gets a full per-doc keep decision against THREE standing indexes
+    * built once over the corpus (docs < 250) — exact text hash, frame
+    * content, audio envelope — plus the stateless quality score,
+    * keep = quality ∧ ¬text-dup ∧ ¬frame-dup ∧ ¬audio-dup. This is the
+    * standing-ingest job shape a production multimodal pipeline runs:
+    * the corpus side never re-shuffles (all three indexes are bucketed
+    * on their fixed-width fingerprints), per-batch work is
+    * arrival-sized, and every decision depends only on the doc plus
+    * static state, so per-batch outputs union to the one-shot batch
+    * result. The quality gate is a FIXED threshold (0.36) by design:
+    * a corpus-median gate (pipe_all's batch form) is a global quantile
+    * no unbounded stream can compute exactly; a standing pipeline
+    * freezes the threshold from the corpus and re-derives it on
+    * re-index, which is what this models. q_score doubles are
+    * bit-identical across engines (txt_quality hash-proves it), so the
+    * threshold comparison is deterministic.
+    */
+  def stPipeAll(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val docs = graft.model.Tables.documents(spark, d)
+    val corpus = docs.filter(col("doc_id") < 250)
+    val root = java.nio.file.Files.createTempDirectory("graft-stpipe")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    graft.operators.Dedup.persistExactIndex(cat, "stx", "txt", corpus, "text")
+    graft.operators.Multimodal.persistFrameIndex(cat, "stx", "frm",
+      graft.operators.Multimodal.withPayload(corpus))
+    graft.operators.Multimodal.persistEnvelopeIndex(cat, "stx", "env",
+      graft.operators.Multimodal.withPayload(corpus))
+    val txtHashes = cat.scanBucketedSet("stx", "txt_hashes")
+    val frmHashes = cat.scanBucketedSet("stx", "frm_hashes")
+    val envFps = cat.scanBucketedSet("stx", "env_fps")
+    val s = readDocStream(spark, d)
+    val arrivals = s.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), col("text"))
+      .unionByName(s.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val flags = graft.operators.Dedup.streamProbe(arrivals, batch => {
+      val media = graft.operators.Multimodal.withPayload(batch)
+      val tdup = graft.operators.Dedup
+        .exactAgainstHashes(batch, txtHashes, "doc_id", "text")
+        .withColumnRenamed("is_dup", "text_dup")
+      val fdup = graft.operators.Dedup.exactAgainstHashesKeyed(
+          graft.operators.Multimodal.sampleFrames(batch.sparkSession, media),
+          frmHashes, Seq("doc_id", "frame_no"), "frame")
+        .groupBy(col("doc_id"))
+        .agg(expr("any(is_dup)").as("frame_dup"))
+      val edup = graft.operators.Dedup.fingerprintsAgainstFps(
+          graft.operators.Multimodal.envelopeFingerprint(media),
+          envFps, Seq("doc_id"), "fp")
+        .withColumnRenamed("is_dup", "audio_dup")
+      val q = graft.operators.TextAnalysis
+        .qualityScore(batch, "doc_id", "text")
+        .select(col("doc_id"), col("q_score"))
+      batch.select(col("doc_id"))
+        .join(tdup, Seq("doc_id"), "left")
+        .join(fdup, Seq("doc_id"), "left")
+        .join(edup, Seq("doc_id"), "left")
+        .join(q, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("text_dup"), lit(false)).as("text_dup"),
+          coalesce(col("frame_dup"), lit(false)).as("frame_dup"),
+          coalesce(col("audio_dup"), lit(false)).as("audio_dup"),
+          (coalesce(col("q_score"), lit(0.0)) >= 0.36).as("quality_ok"))
+        .withColumn("keep", col("quality_ok") && !col("text_dup") &&
+          !col("frame_dup") && !col("audio_dup"))
+    }, None).localCheckpoint(true)
+    cat.removeSet("stx", "txt_hashes")
+    cat.removeSet("stx", "frm_hashes")
+    cat.removeSet("stx", "env_fps")
+    graft.storage.SetCatalog.deleteTree(root)
+    flags
+  }
+
+  /** Oracle: text dup by equality vs the corpus half, frame dup by any
+    * arrival frame in the corpus frame set (mm_frames hex arithmetic),
+    * audio dup by envelope-fingerprint membership (the st_audio_dup
+    * chain with e-prefixed CTEs), quality from the shared score SQL at
+    * the frozen 0.36 threshold.
+    */
+  lazy val stPipeAllSql: String =
+    s"""WITH arr AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+       |  UNION ALL
+       |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+       |  WHERE doc_id < 100),
+       |tdup AS (
+       |  SELECT a.doc_id,
+       |    EXISTS(SELECT 1 FROM documents c
+       |           WHERE c.doc_id < 250 AND c.text = a.text) AS text_dup
+       |  FROM arr a),
+       |fcr AS (
+       |  SELECT hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+       |  FROM documents WHERE doc_id < 250 AND text IS NOT NULL),
+       |fcf AS (
+       |  SELECT DISTINCT substring(hx, fno * 128 + 1, 128) AS frame_hex
+       |  FROM (SELECT hx,
+       |          unnest(generate_series(0, greatest(len // 64 - 1, 0), 4)) AS fno
+       |        FROM fcr)),
+       |far AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) AS len
+       |  FROM arr WHERE text IS NOT NULL),
+       |faf AS (
+       |  SELECT doc_id, substring(hx, fno * 128 + 1, 128) AS frame_hex
+       |  FROM (SELECT doc_id, hx,
+       |          unnest(generate_series(0, greatest(len // 64 - 1, 0), 4)) AS fno
+       |        FROM far)),
+       |fdup AS (
+       |  SELECT f.doc_id, bool_or(cf.frame_hex IS NOT NULL) AS frame_dup
+       |  FROM faf f LEFT JOIN fcf cf ON cf.frame_hex = f.frame_hex
+       |  GROUP BY f.doc_id),
+       |eb AS (
+       |  SELECT doc_id, text, 0 AS side FROM documents WHERE doc_id < 250
+       |  UNION ALL
+       |  SELECT doc_id, text, 1 AS side FROM arr),
+       |em AS (
+       |  SELECT side, doc_id, hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) AS len
+       |  FROM eb
+       |  WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+       |ew AS (
+       |  SELECT side, doc_id, hx, len,
+       |    unnest(generate_series(0, (len - 1) // 32)) AS wno
+       |  FROM em),
+       |ebb AS (
+       |  SELECT side, doc_id, wno, hx,
+       |    unnest(generate_series(wno * 32,
+       |      least(wno * 32 + 64, len) - 1)) AS pos
+       |  FROM ew),
+       |ev AS (
+       |  SELECT side, doc_id, wno,
+       |    (strpos('0123456789ABCDEF', substring(hx, pos * 2 + 1, 1)) - 1) * 16
+       |      + strpos('0123456789ABCDEF', substring(hx, pos * 2 + 2, 1)) - 1
+       |      AS byte
+       |  FROM ebb),
+       |ee AS (
+       |  SELECT side, doc_id, wno, SUM((byte - 128) * (byte - 128)) AS energy
+       |  FROM ev GROUP BY side, doc_id, wno),
+       |en AS (SELECT side, doc_id, COUNT(*) AS nw FROM ee GROUP BY side, doc_id),
+       |ed AS (
+       |  SELECT a.side, a.doc_id,
+       |    CASE WHEN b.energy > a.energy
+       |         THEN (1::BIGINT << CAST(a.wno AS INT)) ELSE 0::BIGINT END AS bit
+       |  FROM ee a JOIN ee b ON a.side = b.side AND a.doc_id = b.doc_id
+       |    AND b.wno = a.wno + 1
+       |  WHERE a.wno <= 62),
+       |ef AS (
+       |  SELECT ed.side, ed.doc_id, CAST(SUM(bit) AS BIGINT) AS fp
+       |  FROM ed JOIN en ON ed.side = en.side AND ed.doc_id = en.doc_id
+       |  WHERE en.nw >= 8 GROUP BY ed.side, ed.doc_id),
+       |ecf AS (SELECT DISTINCT fp FROM ef WHERE side = 0),
+       |edup AS (
+       |  SELECT ef.doc_id, (ecf.fp IS NOT NULL) AS audio_dup
+       |  FROM ef LEFT JOIN ecf ON ecf.fp = ef.fp
+       |  WHERE ef.side = 1),
+       |q AS (SELECT doc_id, q_score FROM (
+       |  ${graft.operators.TextAnalysis.qualityScoreSqlFrom("arr")}) z)
+       |SELECT a.doc_id,
+       |  t.text_dup,
+       |  COALESCE(f.frame_dup, FALSE) AS frame_dup,
+       |  COALESCE(e.audio_dup, FALSE) AS audio_dup,
+       |  (COALESCE(q.q_score, 0) >= 0.36) AS quality_ok,
+       |  ((COALESCE(q.q_score, 0) >= 0.36) AND NOT t.text_dup
+       |    AND NOT COALESCE(f.frame_dup, FALSE)
+       |    AND NOT COALESCE(e.audio_dup, FALSE)) AS keep
+       |FROM arr a
+       |JOIN tdup t ON t.doc_id = a.doc_id
+       |LEFT JOIN fdup f ON f.doc_id = a.doc_id
+       |LEFT JOIN edup e ON e.doc_id = a.doc_id
+       |LEFT JOIN q ON q.doc_id = a.doc_id""".stripMargin
+
   /** Streaming curation: the stateless PII scan/redact stage applied per
     * micro-batch on the document ingest stream (append mode, no state
     * store at all) — the form a standing ingest pipeline runs curation
@@ -523,6 +696,7 @@ object StreamingQueries {
     "st_exact" -> stExact,
     "st_frame_dedup" -> stFrameDedup,
     "st_audio_dup" -> stAudioDup,
+    "st_pipe_all" -> stPipeAll,
     "st_curate" -> stCurate,
     "st_ivf_append" -> stIvfAppend)
 
@@ -539,6 +713,7 @@ object StreamingQueries {
     "st_exact" -> stExactSql,
     "st_frame_dedup" -> stFrameDedupSql,
     "st_audio_dup" -> stAudioDupSql,
+    "st_pipe_all" -> stPipeAllSql,
     "st_curate" -> stCurateSql,
     "st_ivf_append" -> stIvfAppendSql)
 }
