@@ -855,7 +855,7 @@ object Dedup {
     * fingerprint column (same rationale as the gram-index guard: a
     * schema-drifted index would silently match nothing).
     */
-  private[operators] def scanExactIndex(
+  private[graft] def scanExactIndex(
       catalog: graft.storage.SetCatalog, db: String, name: String): DataFrame = {
     val hashes = catalog.scanBucketedSet(db, s"${name}_hashes")
     require(hashes.schema("h").dataType ==
@@ -945,7 +945,7 @@ object Dedup {
     * fingerprint column (a schema-drifted index would silently match
     * nothing — same guard as [[scanExactIndex]]).
     */
-  private[operators] def scanFingerprintIndex(
+  private[graft] def scanFingerprintIndex(
       catalog: graft.storage.SetCatalog, db: String, name: String): DataFrame = {
     val fps = catalog.scanBucketedSet(db, s"${name}_fps")
     require(fps.schema("fp").dataType ==

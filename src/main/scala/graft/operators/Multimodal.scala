@@ -250,13 +250,16 @@ object Multimodal {
             val (sw, sh) = (img.getWidth, img.getHeight)
             val out = new java.awt.image.BufferedImage(
               targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            // sampling math in Long: y*sh (or x*sw) overflows Int for
+            // large source × target dims, and the min(..) clamp would
+            // preserve the wrapped-negative index into getRGB
             var y = 0
             while (y < targetH) {
-              val sy = math.min(y * sh / targetH, sh - 1)
+              val sy = math.min((y.toLong * sh / targetH).toInt, sh - 1)
               var x = 0
               while (x < targetW) {
                 out.setRGB(x, y,
-                  img.getRGB(math.min(x * sw / targetW, sw - 1), sy))
+                  img.getRGB(math.min((x.toLong * sw / targetW).toInt, sw - 1), sy))
                 x += 1
               }
               y += 1
@@ -280,7 +283,8 @@ object Multimodal {
             if (r.payload.nonEmpty) {
               var i = 0
               while (i < outLen) {
-                out(i) = r.payload((i * r.payload.length / outLen).min(r.payload.length - 1))
+                out(i) = r.payload((i.toLong * r.payload.length / outLen).toInt
+                  .min(r.payload.length - 1))
                 i += 1
               }
             }

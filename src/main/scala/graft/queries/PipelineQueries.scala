@@ -159,7 +159,37 @@ object PipelineQueries {
     */
   private val crossIndexCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (String, String), graft.storage.SetCatalog]()
+      (String, String), String]()
+
+  /** One listener per SparkContext reaps the cache when the application
+    * ends: entries and their temp-dir catalogs are deleted, so a stopped
+    * context pins nothing for the rest of the JVM. The cache itself
+    * holds only STRINGS (sessionId, sfDir) → root path — never a
+    * SetCatalog or SparkSession — so even before the listener fires,
+    * a stopped session is reclaimable by the GC through the weak
+    * [[sessionIds]] map (the round-10 leak: a cached catalog strongly
+    * referenced its session, defeating the weak map).
+    */
+  private val reaperInstalled =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]())
+  private def installReaper(spark: SparkSession): Unit =
+    reaperInstalled.synchronized {
+      val sc = spark.sparkContext
+      if (reaperInstalled.add(sc))
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            val it = crossIndexCache.entrySet().iterator()
+            while (it.hasNext) {
+              val root = it.next().getValue
+              it.remove()
+              try graft.storage.SetCatalog.deleteTree(java.nio.file.Paths.get(root))
+              catch { case _: Exception => () }
+            }
+          }
+        })
+    }
 
   /** Collision-free session identity for the cache key: a generated
     * UUID per live session OBJECT (SparkSession keeps reference
@@ -182,8 +212,9 @@ object PipelineQueries {
     * — registering the two halves separately keeps the artifact's most
     * expensive dedup number from conflating a one-time build with the
     * per-batch cost a production ingest actually pays. Cache entries
-    * live for the session (that is the point of a standing index);
-    * the catalog's temp dir is reclaimed by the OS with the JVM's /tmp.
+    * live for the session (that is the point of a standing index) and
+    * are reaped — entry and temp dir both — when the application ends
+    * (see [[installReaper]]).
     */
   def ddCrossProbe(spark: SparkSession, d: String): DataFrame = {
     // the db name must be unique per cache key: the throwaway queries
@@ -197,14 +228,20 @@ object PipelineQueries {
     val db = "ddp" + java.security.MessageDigest.getInstance("MD5")
       .digest(s"${key._1}|${key._2}".getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
-    val cat = crossIndexCache.computeIfAbsent(key, _ => {
-      val root = java.nio.file.Files.createTempDirectory("graft-lshp")
-      val c = new graft.storage.SetCatalog(spark, root.toString)
-      Dedup.persistLshIndex(c, db, "corpus",
+    installReaper(spark)
+    val root = crossIndexCache.computeIfAbsent(key, _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft-lshp")
+      Dedup.persistLshIndex(new graft.storage.SetCatalog(spark, r.toString),
+        db, "corpus",
         Tables.documents(spark, d).filter(col("doc_id") < 250),
         "doc_id", "text")
-      c
+      r.toString
     })
+    // a SetCatalog is a stateless handle (session + root path); rebuilding
+    // it per call keeps the cache free of session references — the index
+    // state that matters lives on disk and in the session catalog's
+    // bucketed-table entries, both addressed by (root, db) alone
+    val cat = new graft.storage.SetCatalog(spark, root)
     Dedup.crossPairsAgainstStoredIndex(
       Tables.documents(spark, d).filter(col("doc_id") >= 250),
       cat, db, "corpus", "doc_id", "text", threshold = 0.8)

@@ -465,9 +465,12 @@ object StreamingQueries {
       graft.operators.Multimodal.withPayload(corpus))
     graft.operators.Multimodal.persistEnvelopeIndex(cat, "stx", "env",
       graft.operators.Multimodal.withPayload(corpus))
-    val txtHashes = cat.scanBucketedSet("stx", "txt_hashes")
-    val frmHashes = cat.scanBucketedSet("stx", "frm_hashes")
-    val envFps = cat.scanBucketedSet("stx", "env_fps")
+    // the guarded scans (not raw scanBucketedSet): a schema-drifted
+    // index fails fast here instead of silently matching nothing —
+    // the same contract as the sibling streaming probes
+    val txtHashes = graft.operators.Dedup.scanExactIndex(cat, "stx", "txt")
+    val frmHashes = graft.operators.Dedup.scanExactIndex(cat, "stx", "frm")
+    val envFps = graft.operators.Dedup.scanFingerprintIndex(cat, "stx", "env")
     val s = readDocStream(spark, d)
     val arrivals = s.filter(col("doc_id") >= 250)
       .select(col("doc_id"), col("text"))

@@ -17,9 +17,13 @@ misread as engine superlinearity:
   doc_id<250 keep a fixed-size corpus side while arrivals grow — the
   production ingest shape; noted in the README table.)
 - embeddings: replica i rotates each vector's components by i
-  positions — an orthogonal transform, so intra-replica pairwise
-  cosines (and kmeans/ANN geometry) are EXACTLY preserved while
-  cross-replica cosines decorrelate. vec_id offsets by i*1e6.
+  positions, then applies a per-replica deterministic SIGN-FLIP
+  pattern (a diagonal +-1 matrix). Both are orthogonal transforms, so
+  intra-replica pairwise cosines (and kmeans/ANN geometry) are
+  EXACTLY preserved, while cross-replica cosines decorrelate EVEN for
+  rotation-invariant vectors (constant or periodic components, for
+  which rotation alone is the identity and replicas would otherwise
+  stay correlated, re-inflating pair outputs quadratically).
 - events: ids/users offset per replica; timestamps unchanged, so
   window/session state grows in keys, not in per-key depth.
 - TPC-H tables: fact and dimension keys offset consistently per
@@ -123,7 +127,20 @@ def main():
         if i == 0:
             return t
         vecs = t.column("embedding").to_pylist()
-        rot = [v if not v else v[i % len(v):] + v[:i % len(v)]
+        # same sign pattern for EVERY vector in the replica (one
+        # diagonal +-1 matrix per replica): intra-replica cosines are
+        # untouched, cross-replica ones decorrelate even where the
+        # rotation is the identity (constant / periodic vectors)
+        def signs(dim):
+            return [1.0 if ((j * 1315423911 ^ i * 2654435761)
+                            >> 13) & 1 == 0 else -1.0
+                    for j in range(dim)]
+        sign_cache = {}
+
+        def flip(v):
+            s = sign_cache.setdefault(len(v), signs(len(v)))
+            return [c * sj for c, sj in zip(v, s)]
+        rot = [v if not v else flip(v[i % len(v):] + v[:i % len(v)])
                for v in vecs]
         arr = pa.array(rot, type=pa.list_(pa.float32()))
         t = t.set_column(t.column_names.index("embedding"), "embedding", arr)
