@@ -1102,6 +1102,24 @@ object Dedup {
         (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** The SemDeDup codebook-size rule: one cluster per `targetClusterSize`
+    * corpus vectors, floored at 4 (below that the "within-cluster"
+    * restriction stops meaning anything) and capped at the trainer's
+    * sample limit (seeds are sample rows, so k can never exceed the
+    * sample). With k ≈ n/target, the within-cluster candidate count
+    * Σ|cluster|² ≈ n·target — LINEAR in the corpus, which is the whole
+    * point of the knob: a pinned k leaves an n²/k term that re-emerges
+    * as the corpus outgrows it (measured: 8× wall for 10× data at the
+    * sf0.1→sf1 step with k=4). Same integer ceil as the SQL oracles'
+    * `(COUNT(*) + target-1) // target` so both engines train the same
+    * codebook.
+    */
+  def autoClusters(n: Long, targetClusterSize: Int = 125,
+      maxClusters: Int = 10000): Int =
+    math.min(
+      math.max(4L, (n + targetClusterSize - 1) / targetClusterSize),
+      maxClusters.toLong).toInt
+
   /** SemDeDup-style semantic near-dup pairs: cluster the corpus by a
     * kmeans codebook over its embeddings
     * ([[SimilaritySearch.trainCentroids]] — deterministic hash-ordered
@@ -1112,14 +1130,31 @@ object Dedup {
     * misses are the method's documented recall trade. This is the dedup
     * regime text LSH cannot reach — paraphrase-level duplicates with
     * little lexical overlap. Output: (id_a, id_b, cluster, cos).
+    *
+    * `nClusters <= 0` (the default) sizes the codebook from the corpus
+    * via [[autoClusters]] — k = ceil(n / targetClusterSize). The auto
+    * path eagerly localCheckpoints `emb` first: the operator needs
+    * three passes over it (count for k, the trainer's sample, the full
+    * assignment), and embeddings are often DERIVED — e.g. a PNG
+    * decode+featurize chain — where re-evaluation would triple the
+    * dominant cost. The materialized frame is vectors only (n×dim
+    * floats), orders smaller than the media it derives from. Pass an
+    * explicit k to pin the geometry and keep the input fully lazy
+    * (tests; corpora whose size the caller already knows).
     */
   def semanticPairs(emb: DataFrame, idCol: String, vecCol: String,
-      nClusters: Int = 4, iters: Int = 3,
-      threshold: Double = 0.4): DataFrame = {
+      nClusters: Int = 0, iters: Int = 3,
+      threshold: Double = 0.4, targetClusterSize: Int = 125): DataFrame = {
+    val (corpus, k) =
+      if (nClusters > 0) (emb, nClusters)
+      else {
+        val mat = emb.localCheckpoint(true)
+        (mat, autoClusters(mat.count(), targetClusterSize))
+      }
     val centroids = SimilaritySearch.trainCentroids(
-      emb, nClusters, iters, idCol, vecCol)
+      corpus, k, iters, idCol, vecCol)
     val assign = SimilaritySearch.nearestUdf(centroids)
-    val withC = emb
+    val withC = corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .transform(Parallelism.ensureWidth)
       .select(col("id"), col("v"), assign(col("v")).as("c"),

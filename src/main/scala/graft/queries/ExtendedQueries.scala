@@ -289,7 +289,27 @@ object ExtendedQueries {
     * with empty clusters keeping their old centroid.
     */
   def lloydCtes(k: Int, iters: Int, sourceWhere: String = "",
-      dim: Int = 64, prelude: String = ""): String = {
+      dim: Int = 64, prelude: String = ""): String =
+    lloydCtes(k.toString, iters, sourceWhere, dim, prelude)
+
+  /** The corpus-sized codebook expression mirroring
+    * [[graft.operators.Dedup.autoClusters]]: DuckDB `//` is integer
+    * division, so `(COUNT(*) + target-1) // target` is the SAME integer
+    * ceil the Scala side computes — no float rounding to diverge on.
+    * The count reads `embeddings`, which inside a prelude-shadowed
+    * chain resolves to the derived-feature CTE of that name, i.e.
+    * exactly the vector set the Scala operator counts.
+    */
+  def autoKExpr(targetClusterSize: Int = 125): String =
+    s"(SELECT LEAST(GREATEST(4, (COUNT(*) + ${targetClusterSize - 1}) " +
+      s"// $targetClusterSize), 10000) FROM embeddings)"
+
+  /** String-k form: `kExpr` may be any SQL integer expression — e.g.
+    * [[autoKExpr]]'s scalar subquery sizing the codebook from the
+    * corpus — evaluated inside the seed CTE's `srk <= kExpr` filter.
+    */
+  def lloydCtes(kExpr: String, iters: Int, sourceWhere: String,
+      dim: Int, prelude: String): String = {
     // The trainer iterates over a bounded deterministic-hash sample —
     // the 10000 rows with the smallest (md5(vec_id), vec_id), the same
     // kernel as op_stratified_sample — so the training CTEs read the
@@ -314,7 +334,7 @@ object ExtendedQueries {
          |    FROM embeddings e $sourceWhere) z WHERE srk <= 10000),
          |c0 AS (
          |  SELECT srk - 1 AS k, g.i - 1 AS i, CAST(embedding[g.i] AS DOUBLE) AS v
-         |  FROM se, generate_series(1, $dim) g(i) WHERE srk <= $k)""".stripMargin
+         |  FROM se, generate_series(1, $dim) g(i) WHERE srk <= $kExpr)""".stripMargin
     val steps = (1 to iters).map { t =>
       s"""d$t AS (
          |  SELECT e.vec_id AS r, c.k,

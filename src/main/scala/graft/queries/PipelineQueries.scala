@@ -458,11 +458,14 @@ object PipelineQueries {
       |FROM toks t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id""".stripMargin
 
   /** SemDeDup pairs over embeddings: kmeans-bucketed cosine verify
-    * ([[Dedup.semanticPairs]]), same codebook geometry as ml_kmeans.
+    * ([[Dedup.semanticPairs]]), same trainer geometry as ml_kmeans but
+    * with the codebook CORPUS-SIZED ([[Dedup.autoClusters]]) — k grows
+    * with the vector count so Σ|cluster|² stays linear; the oracle
+    * computes the identical k via [[ExtendedQueries.autoKExpr]].
     */
   def ddSemantic(spark: SparkSession, d: String): DataFrame =
     Dedup.semanticPairs(Tables.embeddings(spark, d), "vec_id", "embedding",
-      nClusters = 4, iters = 3, threshold = 0.4)
+      iters = 3, threshold = 0.4)
 
   /** Terminal action for the semantic family, mirroring [[ddKeepList]]:
     * semantic pairs → connected components → drop list (every member
@@ -471,7 +474,7 @@ object PipelineQueries {
   def ddSemanticKeep(spark: SparkSession, d: String): DataFrame =
     Dedup.dupClusters(
       Dedup.semanticPairs(Tables.embeddings(spark, d), "vec_id",
-          "embedding", nClusters = 4, iters = 3, threshold = 0.4)
+          "embedding", iters = 3, threshold = 0.4)
         .select(col("id_a"), col("id_b")))
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("drop_id"), col("cluster_id").as("keep_id"))
@@ -496,7 +499,8 @@ object PipelineQueries {
     * ddCosineSql verify restricted to same-cluster pairs.
     */
   val ddSemanticSql: String =
-    ExtendedQueries.lloydCtes(4, 3) + ",\n" +
+    ExtendedQueries.lloydCtes(
+      ExtendedQueries.autoKExpr(), 3, "", 64, "") + ",\n" +
       """fd AS (
         |  SELECT e.vec_id AS r, c.k,
         |    SUM((CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v) *
@@ -803,7 +807,7 @@ object PipelineQueries {
       .toDF()
       .select(col("doc_id").as("vec_id"), col("feature").as("embedding"))
     Dedup.semanticPairs(feats, "vec_id", "embedding",
-      nClusters = 4, iters = 3, threshold = 0.999)
+      iters = 3, threshold = 0.999)
   }
 
   /** The derived-feature CTE: per doc, f[j] = Σ UTF-8 BYTE values at
@@ -835,7 +839,8 @@ object PipelineQueries {
       |  GROUP BY mb.doc_id)""".stripMargin
 
   val mmNearDupSql: String =
-    ExtendedQueries.lloydCtes(4, 3, dim = 16, prelude = mmEmbPrelude) + ",\n" +
+    ExtendedQueries.lloydCtes(
+      ExtendedQueries.autoKExpr(), 3, "", 16, mmEmbPrelude) + ",\n" +
       """fd AS (
         |  SELECT e.vec_id AS r, c.k,
         |    SUM((CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v) *
@@ -1205,7 +1210,7 @@ object PipelineQueries {
         decoder = Multimodal.PixelSumDecoder).toDF()
       .select(col("doc_id").as("vec_id"), col("feature").as("embedding"))
     val pairs = Dedup.semanticPairs(feats, "vec_id", "embedding",
-      nClusters = 4, iters = 3, threshold = 0.999)
+      iters = 3, threshold = 0.999)
     val imgDup = pairs.select(col("id_b").as("doc_id")).distinct()
       .withColumn("is_image_dup", lit(true))
     stripped.select(col("doc_id"), col("n_removed"))
@@ -1305,7 +1310,8 @@ object PipelineQueries {
       |  GROUP BY mb.doc_id)""".stripMargin
 
   lazy val pipeMediaSql: String =
-    ExtendedQueries.lloydCtes(4, 3, dim = 16, prelude = pipeMediaPrelude) +
+    ExtendedQueries.lloydCtes(
+      ExtendedQueries.autoKExpr(), 3, "", 16, pipeMediaPrelude) +
       ",\n" +
       """fd AS (
         |  SELECT e.vec_id AS r, c.k,
@@ -1393,7 +1399,7 @@ object PipelineQueries {
         decoder = Multimodal.PixelSumDecoder).toDF()
       .select(col("doc_id").as("vec_id"), col("feature").as("embedding"))
     val pairs = Dedup.semanticPairs(feats, "vec_id", "embedding",
-      nClusters = 4, iters = 3, threshold = 0.999)
+      iters = 3, threshold = 0.999)
     val imgDup = pairs.select(col("id_b").as("doc_id")).distinct()
       .withColumn("is_image_dup", lit(true))
     val hasMedia = silStripped.select(col("doc_id"))
@@ -1466,7 +1472,8 @@ object PipelineQueries {
          |  WHERE tq.q_score >= tthr.t)""".stripMargin
 
   lazy val pipeAllSql: String =
-    ExtendedQueries.lloydCtes(4, 3, dim = 16, prelude = pipeAllPrelude) +
+    ExtendedQueries.lloydCtes(
+      ExtendedQueries.autoKExpr(), 3, "", 16, pipeAllPrelude) +
       ",\n" +
       """fd AS (
         |  SELECT e.vec_id AS r, c.k,

@@ -749,6 +749,41 @@ class PipelineSpec extends GraftSpecBase {
     assert(out(4L) == ("h i j k l z1 z2 z3", 0L))
   }
 
+  test("autoClusters sizes the SemDeDup codebook linearly with the corpus") {
+    import graft.operators.Dedup.autoClusters
+    // floor of 4 below 4 target-sizes of vectors
+    assert(autoClusters(0) == 4)
+    assert(autoClusters(500) == 4)
+    // integer ceil, same arithmetic as the oracle's (n + t-1) // t
+    assert(autoClusters(501) == 5)
+    assert(autoClusters(2000) == 16)
+    assert(autoClusters(20000) == 160)
+    // capped at the trainer's sample limit (seeds are sample rows)
+    assert(autoClusters(100L * 1000 * 1000) == 10000)
+    // candidate bound: k ≈ n/target keeps sum(|cluster|^2) ~ n*target,
+    // i.e. 10x data → ~10x candidates, not 100x
+    val n1 = 20000L; val n2 = 200000L
+    val cand1 = n1.toDouble * n1 / autoClusters(n1)
+    val cand2 = n2.toDouble * n2 / autoClusters(n2)
+    assert(cand2 / cand1 < 11.0)
+  }
+
+  test("semanticPairs auto-k equals explicit autoClusters(n) geometry") {
+    import spark.implicits._
+    // 600 vectors in a line: auto k = ceil(600/125) = 5; the auto path
+    // must produce exactly the pairs the explicit k=5 path does
+    val emb = (0 until 600).map { i =>
+      (i.toLong, Seq(i.toFloat, 1.0f, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val auto = graft.operators.Dedup.semanticPairs(
+      emb, "vec_id", "embedding", threshold = 0.99).collect()
+    val pinned = graft.operators.Dedup.semanticPairs(
+      emb, "vec_id", "embedding", nClusters = 5, threshold = 0.99).collect()
+    assert(auto.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      pinned.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(auto.nonEmpty)
+  }
+
   test("semanticPairs finds within-cluster near-dups and only those") {
     import spark.implicits._
     // two tight geometric clusters far apart: the near-identical pairs
