@@ -15,7 +15,11 @@ final case class MatrixBlock(
   * Eigen is unavailable here so these are hand-rolled, SURVEY.md §7.4 risk 6).
   */
 object Kernels {
-  def matmul(a: MatrixBlock, b: MatrixBlock): Array[Double] = {
+  /** Baseline ikj axpy matmul. Kept as the semantic reference for
+    * [[matmul]] (KernelsSpec pins elementwise equality) and for its
+    * exact-skip behavior on zero a-elements.
+    */
+  private[graft] def matmulNaive(a: MatrixBlock, b: MatrixBlock): Array[Double] = {
     require(a.cols == b.rows, s"inner dim ${a.cols} != ${b.rows}")
     val out = new Array[Double](a.rows * b.cols)
     var i = 0
@@ -33,6 +37,101 @@ object Kernels {
         k += 1
       }
       i += 1
+    }
+    out
+  }
+
+  /** Cache-tiled matmul: k is chunked so the active panel of b
+    * (KC rows ≈ 1 MB at n=1000) stays L2-resident across the whole
+    * i-sweep, and the axpy is unrolled 4× over k so each out-row
+    * load/store amortizes 8 flops. Without the chunking the ikj form
+    * streams ALL of b from RAM once per output row (~8 GB of traffic
+    * per 1000³ block matmul), which at 32 concurrent tasks saturates
+    * memory bandwidth long before the ALUs — the round-11 reference-
+    * scale LA run (LA_SCALE_r11.json) is the motivating workload.
+    *
+    * Accumulation ORDER is unchanged: for every (i,j) the products are
+    * added in ascending k (chunks ascend, k ascends within a chunk,
+    * and the 4-term unroll uses sequential `acc +=`), so results are
+    * bit-identical to [[matmulNaive]] for finite inputs — the property
+    * the unrolled SQL oracles rely on. (Sole caveat: a zero a-element
+    * inside a partially-nonzero quad contributes an explicit +0.0 here
+    * where the naive form skips it — indistinguishable except under
+    * NaN/Inf/signed-zero inputs, which the LA surface never produces.)
+    */
+  /** True when the JVM was launched with `--add-modules
+    * jdk.incubator.vector` (build.sbt does; a cluster deploy should too).
+    * Probed once; a missing module falls back to the scalar kernel.
+    */
+  private val simdOk: Boolean =
+    try { SimdKernel.vectorLanes >= 2 }
+    catch { case _: LinkageError => false }
+
+  def matmul(a: MatrixBlock, b: MatrixBlock): Array[Double] =
+    if (simdOk) SimdKernel.matmul(a, b) else matmulScalar(a, b)
+
+  private[graft] def matmulScalar(a: MatrixBlock, b: MatrixBlock): Array[Double] = {
+    require(a.cols == b.rows, s"inner dim ${a.cols} != ${b.rows}")
+    val m = a.rows
+    val kk = a.cols
+    val n = b.cols
+    val ad = a.data
+    val bd = b.data
+    val out = new Array[Double](m * n)
+    val KC = 128
+    val MI = 4
+    var k0 = 0
+    while (k0 < kk) {
+      val kEnd = math.min(k0 + KC, kk)
+      var i0 = 0
+      while (i0 < m) {
+        if (i0 + MI <= m) {
+          // 4 output rows (32 KB at n=1000) stay L1-resident across the
+          // k-chunk; b is loaded once per j and feeds 4 independent fma
+          // chains
+          val ao0 = i0 * kk; val ao1 = ao0 + kk
+          val ao2 = ao1 + kk; val ao3 = ao2 + kk
+          val oo0 = i0 * n; val oo1 = oo0 + n
+          val oo2 = oo1 + n; val oo3 = oo2 + n
+          var k = k0
+          while (k < kEnd) {
+            val a0 = ad(ao0 + k); val a1 = ad(ao1 + k)
+            val a2 = ad(ao2 + k); val a3 = ad(ao3 + k)
+            if (a0 != 0.0 || a1 != 0.0 || a2 != 0.0 || a3 != 0.0) {
+              val bo = k * n
+              var j = 0
+              while (j < n) {
+                val bv = bd(bo + j)
+                out(oo0 + j) += a0 * bv
+                out(oo1 + j) += a1 * bv
+                out(oo2 + j) += a2 * bv
+                out(oo3 + j) += a3 * bv
+                j += 1
+              }
+            }
+            k += 1
+          }
+        } else {
+          var i = i0
+          while (i < m) {
+            val ao = i * kk
+            val oo = i * n
+            var k = k0
+            while (k < kEnd) {
+              val av = ad(ao + k)
+              if (av != 0.0) {
+                val bo = k * n
+                var j = 0
+                while (j < n) { out(oo + j) += av * bd(bo + j); j += 1 }
+              }
+              k += 1
+            }
+            i += 1
+          }
+        }
+        i0 += MI
+      }
+      k0 += KC
     }
     out
   }
@@ -127,6 +226,126 @@ object Kernels {
   }
 }
 
+/** AVX-width matmul via the JDK17 incubator Vector API. Isolated in its
+  * own object so [[Kernels]] loads (and falls back to the scalar kernel)
+  * on JVMs launched without `--add-modules jdk.incubator.vector`.
+  *
+  * Element semantics are IDENTICAL to the scalar kernel: the update is an
+  * explicit vector mul followed by a vector add (two roundings, exactly
+  * Java's `out += a*b`), lanes are distinct j's of the same output row,
+  * and k ascends — so every output element sees the same IEEE operation
+  * sequence as [[Kernels.matmulNaive]].
+  */
+private object SimdKernel {
+  import jdk.incubator.vector.{DoubleVector, VectorSpecies}
+
+  private val SP: VectorSpecies[java.lang.Double] = DoubleVector.SPECIES_PREFERRED
+
+  def vectorLanes: Int = SP.length()
+
+  /** AVX-width matmul: k-chunked (128 b-rows ≈ 1 MB stay L2-resident
+    * across the i-sweep) with a 4-row i-block whose axpy loads each b
+    * vector once and feeds 4 independent update chains. The update is an
+    * explicit vector mul followed by a vector add (two roundings, exactly
+    * Java's `out += a*b`), lanes are distinct j's of the same output row,
+    * and k ascends — so every output element sees the same IEEE operation
+    * sequence as the scalar kernels, bit-identical on finite inputs (a
+    * zero a-element inside a partially-nonzero quad contributes an
+    * explicit +0.0 where the naive form skips it; indistinguishable
+    * outside NaN/Inf/signed-zero inputs, which the LA surface never
+    * produces). A register-tiled variant (accumulators held across the
+    * k-chunk) measured 6x SLOWER here — C2 does not keep >8 live vectors
+    * in registers — so the axpy form is the keeper.
+    */
+  def matmul(a: MatrixBlock, b: MatrixBlock): Array[Double] = {
+    require(a.cols == b.rows, s"inner dim ${a.cols} != ${b.rows}")
+    val m = a.rows
+    val kk = a.cols
+    val n = b.cols
+    val ad = a.data
+    val bd = b.data
+    val out = new Array[Double](m * n)
+    val KC = 128
+    val MI = 4
+    val vlen = SP.length()
+    val ub = SP.loopBound(n)
+    var k0 = 0
+    while (k0 < kk) {
+      val kEnd = math.min(k0 + KC, kk)
+      var i0 = 0
+      while (i0 < m) {
+        if (i0 + MI <= m) {
+          val ao0 = i0 * kk; val ao1 = ao0 + kk
+          val ao2 = ao1 + kk; val ao3 = ao2 + kk
+          val oo0 = i0 * n; val oo1 = oo0 + n
+          val oo2 = oo1 + n; val oo3 = oo2 + n
+          var k = k0
+          while (k < kEnd) {
+            val a0 = ad(ao0 + k); val a1 = ad(ao1 + k)
+            val a2 = ad(ao2 + k); val a3 = ad(ao3 + k)
+            if (a0 != 0.0 || a1 != 0.0 || a2 != 0.0 || a3 != 0.0) {
+              val bo = k * n
+              val va0 = DoubleVector.broadcast(SP, a0)
+              val va1 = DoubleVector.broadcast(SP, a1)
+              val va2 = DoubleVector.broadcast(SP, a2)
+              val va3 = DoubleVector.broadcast(SP, a3)
+              var j = 0
+              while (j < ub) {
+                val vb = DoubleVector.fromArray(SP, bd, bo + j)
+                DoubleVector.fromArray(SP, out, oo0 + j)
+                  .add(vb.mul(va0)).intoArray(out, oo0 + j)
+                DoubleVector.fromArray(SP, out, oo1 + j)
+                  .add(vb.mul(va1)).intoArray(out, oo1 + j)
+                DoubleVector.fromArray(SP, out, oo2 + j)
+                  .add(vb.mul(va2)).intoArray(out, oo2 + j)
+                DoubleVector.fromArray(SP, out, oo3 + j)
+                  .add(vb.mul(va3)).intoArray(out, oo3 + j)
+                j += vlen
+              }
+              while (j < n) {
+                val bv = bd(bo + j)
+                out(oo0 + j) += a0 * bv
+                out(oo1 + j) += a1 * bv
+                out(oo2 + j) += a2 * bv
+                out(oo3 + j) += a3 * bv
+                j += 1
+              }
+            }
+            k += 1
+          }
+        } else {
+          var i = i0
+          while (i < m) {
+            val ao = i * kk
+            val oo = i * n
+            var k = k0
+            while (k < kEnd) {
+              val av = ad(ao + k)
+              if (av != 0.0) {
+                val bo = k * n
+                val va = DoubleVector.broadcast(SP, av)
+                var j = 0
+                while (j < ub) {
+                  val vb = DoubleVector.fromArray(SP, bd, bo + j)
+                  DoubleVector.fromArray(SP, out, oo + j)
+                    .add(vb.mul(va)).intoArray(out, oo + j)
+                  j += vlen
+                }
+                while (j < n) { out(oo + j) += av * bd(bo + j); j += 1 }
+              }
+              k += 1
+            }
+            i += 1
+          }
+        }
+        i0 += MI
+      }
+      k0 += KC
+    }
+    out
+  }
+}
+
 /** Distributed blocked matrix over a Dataset[MatrixBlock] — the Spark
   * rendition of the reference's LA library (reference:
   * src/linearAlgebraDSL/ (kernels in src/sharedLibraries/headers/LASilly&lowast;.h).
@@ -198,8 +417,88 @@ final case class BlockMatrix(
     BlockMatrix(summed, nRows, other.nCols, rowsPerBlock, other.colsPerBlock)
   }
 
-  /** X'X without materializing the transpose twice */
-  def gram: BlockMatrix = transpose.multiply(this)
+  /** X'X. When the matrix is a single block-column wide (the tall-skinny
+    * design-matrix shape of the reference's Gram/L2 experiments — 200000×
+    * 1000 at 1000×1000 blocks), X'X = Σₖ Xₖ'Xₖ over row-blocks, which is
+    * a map-side partial aggregate: each partition reduces its local
+    * row-blocks into ONE cpb×cpb partial and only the ~32 partials
+    * shuffle. The generic join path instead shuffles the ENTIRE matrix
+    * twice (transpose side + join side) — at 100 TB that is the whole
+    * cost, and even at the reference scale it was 10× the matmul time.
+    * Partial-merge order differs from the join path's, which the la_*
+    * oracles already absorb by rounding (block-partial sums were never
+    * cell-ordered). Wider matrices fall back to the join plan, whose
+    * shape matches the reference's (LASillyMultiply1Join/2Aggregate).
+    */
+  def gram: BlockMatrix = {
+    val singleBlockCol = nCols <= colsPerBlock
+    if (!singleBlockCol) transpose.multiply(this)
+    else {
+      val partials = blocks.mapPartitions { it =>
+        var acc: Array[Double] = null
+        var w = 0
+        it.foreach { b =>
+          val p = Kernels.matmul(Kernels.transpose(b), b)
+          if (acc == null) { acc = p; w = b.cols }
+          else {
+            var i = 0
+            while (i < acc.length) { acc(i) += p(i); i += 1 }
+          }
+        }
+        if (acc == null) Iterator.empty
+        else Iterator.single(MatrixBlock(0, 0, w, w, acc))
+      }
+      val summed = partials
+        .groupByKey(_ => 0)
+        .reduceGroups((x, y) => x.copy(data = Kernels.zip(x.data, y.data, _ + _)))
+        .map(_._2)
+      BlockMatrix(summed, nCols, nCols, colsPerBlock, colsPerBlock)
+    }
+  }
+
+  /** X'Y without materializing X' — joins on the shared row-block index.
+    * When Y is broadcast-small (the X'y of the L2 normal equations: a
+    * 200000×1 label vector against 1.6 GB of X), Y rides along as a task
+    * broadcast keyed by blockRow and each partition reduces its local
+    * (Xₖ'Yₖ) partials, so X never shuffles at all — the same partial-
+    * aggregate shape as [[gram]]. Large Y falls back to
+    * transpose.multiply. NOTE: the broadcast path gathers Y eagerly
+    * (bounded by the 64 MB gate).
+    */
+  def tmultiply(other: BlockMatrix): BlockMatrix = {
+    require(nRows == other.nRows, "row dim mismatch for X'Y")
+    if (other.denseBytes > (64L << 20)) transpose.multiply(other)
+    else {
+      val spark = blocks.sparkSession
+      val yByRow = spark.sparkContext.broadcast(
+        other.blocks.collect().groupBy(_.blockRow))
+      val cpbL = colsPerBlock
+      val cpbR = other.colsPerBlock
+      val partials = blocks.mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap.empty[(Int, Int), MatrixBlock]
+        it.foreach { a =>
+          val at = Kernels.transpose(a)
+          yByRow.value.getOrElse(a.blockRow, Array.empty).foreach { y =>
+            val p = Kernels.matmul(at, y)
+            acc.get((a.blockCol, y.blockCol)) match {
+              case Some(m) =>
+                var i = 0
+                while (i < m.data.length) { m.data(i) += p(i); i += 1 }
+              case None =>
+                acc((a.blockCol, y.blockCol)) =
+                  MatrixBlock(a.blockCol, y.blockCol, a.cols, y.cols, p)
+            }
+          }
+        }
+        acc.valuesIterator
+      }
+      val summed = partials
+        .groupByKey(m => (m.blockRow, m.blockCol))
+        .reduceGroups((x, y) => x.copy(data = Kernels.zip(x.data, y.data, _ + _)))
+        .map(_._2)
+      BlockMatrix(summed, nCols, other.nCols, cpbL, cpbR)
+    }
+  }
 
   /** column vector of per-row sums (block-level partial + reduce over
     * block columns)

@@ -220,7 +220,11 @@ object Pdml {
       case BinOp("-", l, r) => eval(l).subtract(eval(r))
       case BinOp("*", l, r) => eval(l).elemMultiply(eval(r))
       case BinOp("%*%", l, r) => eval(l).multiply(eval(r))
-      case BinOp("'*", l, r) => eval(l).transpose.multiply(eval(r))
+      // A '* A is a gram — dispatches to the shuffle-free partial-
+      // aggregate plan for tall-skinny matrices; A '* B routes through
+      // tmultiply (broadcast-small right side, else the generic join)
+      case BinOp("'*", l, r) if l == r => eval(l).gram
+      case BinOp("'*", l, r) => eval(l).tmultiply(eval(r))
       case Postfix("^T", x) => eval(x).transpose
       case Postfix("^-1", x) => eval(x).inverse()
       case Call("rowSum", x, _, _) => eval(x).rowSum

@@ -112,7 +112,7 @@ object MlWorkloads {
     */
   def l2Fit(x: graft.la.BlockMatrix, y: graft.la.BlockMatrix): graft.la.BlockMatrix = {
     val a = x.gram
-    val b = x.transpose.multiply(y)
+    val b = x.tmultiply(y)
     val n = a.nRows.toInt
     val m = y.nCols.toInt
     val aL = a.toLocal()

@@ -406,10 +406,11 @@ object Multimodal {
       catalog: graft.storage.SetCatalog, db: String, name: String,
       media: DataFrame, window: Int = 64, hop: Int = 32,
       minWindows: Int = 8, numBuckets: Int = 0,
-      advisor: Option[graft.advisor.PlacementAdvisor] = None): Unit =
+      advisor: Option[graft.advisor.PlacementAdvisor] = None,
+      targetRowsPerBucket: Long = 1L << 22): Unit =
     Dedup.persistFingerprintIndex(catalog, db, name,
       envelopeFingerprint(media, window, hop, minWindows), "fp",
-      numBuckets, advisor)
+      numBuckets, advisor, targetRowsPerBucket)
 
   /** Streaming envelope dedup against a [[persistEnvelopeIndex]] set:
     * each micro-batch of arriving media rows (`doc_id`, `payload`) is

@@ -141,11 +141,32 @@ class AdvisorSpec extends GraftSpecBase {
     val expHashes = adv.recommendBuckets("adv.idx_hashes", hashesMeta.rows, 16)
     assert(hashesMeta.numPartitions == expHashes && expHashes > 1)
 
+    // the fingerprint family (8-byte long keys) takes the same advised
+    // sizing as the md5 family — an envelope index built through the
+    // advisor must carry recommendBuckets' count for its distinct-fp
+    // rowcount, and still serve its streaming-probe join
+    graft.operators.Multimodal.persistEnvelopeIndex(cat, "adv", "env",
+      graft.operators.Multimodal.withPayload(docs),
+      advisor = Some(adv), targetRowsPerBucket = 4)
+    val fpsMeta = cat.meta("adv", "env_fps").get
+    val expFps = adv.recommendBuckets("adv.env_fps", fpsMeta.rows, 4)
+    assert(expFps > 1, s"fixture should need >1 envelope bucket, got $expFps")
+    assert(fpsMeta.numPartitions == expFps,
+      s"envelope index carries ${fpsMeta.numPartitions} buckets, advisor says $expFps")
+    assert((expFps & (expFps - 1)) == 0)
+    val envProbe = graft.operators.Dedup.fingerprintsAgainstFps(
+      graft.operators.Multimodal.envelopeFingerprint(
+        graft.operators.Multimodal.withPayload(docs.limit(5))),
+      graft.operators.Dedup.scanFingerprintIndex(cat, "adv", "env"),
+      Seq("doc_id"), "fp")
+    assert(envProbe.filter(col("is_dup")).count() > 0,
+      "self-probe of the advised envelope index found no dups")
+
     // the advised layout still serves the index's join: probing works
     val hits = graft.operators.Dedup.spansAgainstStoredIndex(
       docs.limit(5), cat, "adv", "idx", "doc_id", "text", k = 8)
     assert(hits.count() > 0, "self-probe of the gram index found no spans")
-    Seq("idx_sets", "idx_bands", "idx_grams", "idx_hashes")
+    Seq("idx_sets", "idx_bands", "idx_grams", "idx_hashes", "env_fps")
       .foreach(cat.removeSet("adv", _))
     SetCatalog.deleteTree(java.nio.file.Paths.get(root))
   }
