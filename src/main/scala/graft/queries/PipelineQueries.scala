@@ -1513,6 +1513,62 @@ object PipelineQueries {
         |LEFT JOIN fdup f ON f.doc_id = mm.doc_id
         |LEFT JOIN imgdup i ON i.doc_id = mm.doc_id""".stripMargin
 
+  /** The curate→sample tail of the capstone: [[pipeAll]]'s keep=true
+    * docs flow into the corpus-level token-budget subset
+    * (op_token_budget's operator, [[Curation.tokenBudgetSubset]]) — the
+    * full production pipeline (per-doc multimodal keep decision, then
+    * the budgeted training-data sample over the survivors) as ONE plan.
+    * The budget counts tokens of the survivors' ORIGINAL text: the
+    * sampler ships stored docs, not the span-stripped rebuild.
+    */
+  def pipeAllBudget(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .filter(col("text").isNotNull)
+    val keep = pipeAll(spark, d).filter(col("keep")).select(col("doc_id"))
+    graft.operators.Curation.tokenBudgetSubset(
+      corpus.join(keep, Seq("doc_id")),
+      "doc_id", "text", totalTokens = 30000L, nShards = 8)
+  }
+
+  /** pipe_all's full oracle as a nested-WITH CTE, then op_token_budget's
+    * shard/position/cumsum CTEs scoped to the keep=true survivors.
+    */
+  lazy val pipeAllBudgetSql: String =
+    s"""WITH pa AS (
+       |${pipeAllSql}
+       |),
+       |u2 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+       |  WHERE doc_id < 100),
+       |kept AS (
+       |  SELECT u2.doc_id, u2.text FROM u2
+       |  JOIN pa ON pa.doc_id = u2.doc_id AND pa.keep
+       |  WHERE u2.text IS NOT NULL),
+       |bh AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 8 AS shard,
+       |    md5(CAST(doc_id AS VARCHAR)) AS mh,
+       |    len(string_split(text, ' ')) AS n_tokens
+       |  FROM kept),
+       |br AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY mh, doc_id) - 1 AS pos
+       |  FROM bh),
+       |bc AS (
+       |  SELECT doc_id, shard, pos, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM br)
+       |SELECT doc_id, shard, pos, n_tokens, cum_tokens
+       |FROM bc WHERE cum_tokens <= 3750""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact,
     "dd_minhash_pairs" -> ddMinhash,
@@ -1552,7 +1608,8 @@ object PipelineQueries {
     "mm_audio_dup" -> mmAudioDup,
     "mm_ivf" -> mmIvf,
     "pipe_media" -> pipeMedia,
-    "pipe_all" -> pipeAll)
+    "pipe_all" -> pipeAll,
+    "pipe_all_budget" -> pipeAllBudget)
 
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -1593,5 +1650,6 @@ object PipelineQueries {
     "mm_audio_dup" -> mmAudioDupSql,
     "mm_ivf" -> mmIvfSql,
     "pipe_media" -> pipeMediaSql,
-    "pipe_all" -> pipeAllSql)
+    "pipe_all" -> pipeAllSql,
+    "pipe_all_budget" -> pipeAllBudgetSql)
 }

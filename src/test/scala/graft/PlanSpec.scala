@@ -114,6 +114,7 @@ class PlanSpec extends GraftSpecBase {
       "txt_quantile_filter" -> "1-row threshold scalar broadcast",
       "pipe_curate" -> "1-row threshold scalar broadcast (quality gate)",
       "pipe_all" -> "1-row threshold scalar broadcast (quality gate)",
+      "pipe_all_budget" -> "inherits pipe_all's 1-row threshold scalar broadcast",
       "op_pivot" -> "1-row header scalar broadcast",
       "la_l2_check" -> "1-row beta/residual scalar broadcast",
       "la_inverse_check" -> "1-row identity-error scalar broadcast",
