@@ -659,6 +659,133 @@ object PipelineQueries {
     ExtendedQueries.lloydCtes(16, 3, "WHERE vec_id < 250") + ",\n" +
       ivfSearchTailSql
 
+  /** Product-quantization ANN: unit-normalize (ADC then orders by
+    * cosine: ‖q−n‖² = 2−2cos on the sphere), 16 subspaces × 16
+    * sub-centroids (2 Lloyd iterations each over the shared
+    * deterministic-hash sample), corpus encoded to 16 small ints per
+    * vector (64 bits of code vs 256 B of floats), ADC shortlist of 10·k
+    * per query, exact rounded-cosine re-rank to top-5
+    * ([[SimilaritySearch.pqTopK]]).
+    */
+  def simPq(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    SimilaritySearch.pqTopK(spark, emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  /** Oracle for [[simPq]]: the PQ pipeline written out per subspace —
+    * for each of the `m` dim-slices an independent unrolled-Lloyd chain
+    * (seed = first kSub sample rows' slices, argmin with lowest-centroid
+    * tiebreak, empty clusters keep their centroid — the trainer's exact
+    * kernel), then full-corpus encoding, the query-side distance table
+    * (the same per-(row, centroid) distance CTE restricted to the query
+    * ids), the ADC sum rounded to 1e-6 with an id tiebreak for the
+    * shortlist cut, and the exact rounded-cosine re-rank.
+    */
+  private def pqCtes(m: Int, kSub: Int, iters: Int, dim: Int): String = {
+    val dsub = dim / m
+    // Unit-normalized components throughout: PQ targets cosine ranking,
+    // so codebooks/codes/LUTs all live on the unit sphere (the operator's
+    // unitNormalize). The zero vector divides by 1, matching the Scala
+    // guard. `ne` carries (vec_id, normalized component i).
+    val se =
+      s"""nrm AS (
+         |  SELECT vec_id, CASE WHEN s = 0 THEN 1 ELSE sqrt(s) END AS nv
+         |  FROM (
+         |    SELECT vec_id,
+         |      (SELECT SUM(CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE))
+         |       FROM generate_series(1, $dim) g(i)) AS s
+         |    FROM embeddings) z),
+         |ne AS (
+         |  SELECT e.vec_id, g.i, CAST(e.embedding[g.i] AS DOUBLE) / n.nv AS v
+         |  FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id,
+         |       generate_series(1, $dim) g(i)),
+         |se AS (
+         |  SELECT * FROM (
+         |    SELECT e.vec_id, ROW_NUMBER() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srk
+         |    FROM embeddings e) z WHERE srk <= 10000)""".stripMargin
+    val subs = (0 until m).map { j =>
+      val lo = j * dsub + 1
+      val hi = (j + 1) * dsub
+      val seed =
+        s"""s${j}c0 AS (
+           |  SELECT s.srk - 1 AS k, e.i, e.v
+           |  FROM se s JOIN ne e ON e.vec_id = s.vec_id
+           |  WHERE s.srk <= $kSub AND e.i BETWEEN $lo AND $hi)""".stripMargin
+      val steps = (1 to iters).map { t =>
+        s"""s${j}d$t AS (
+           |  SELECT e.vec_id AS r, c.k, SUM((e.v - c.v) * (e.v - c.v)) AS dist
+           |  FROM se s JOIN ne e ON e.vec_id = s.vec_id
+           |  JOIN s${j}c${t - 1} c ON c.i = e.i GROUP BY 1, 2),
+           |s${j}a$t AS (
+           |  SELECT r, k FROM (
+           |    SELECT r, k, ROW_NUMBER() OVER (PARTITION BY r ORDER BY dist, k) AS rk
+           |    FROM s${j}d$t) z WHERE rk = 1),
+           |s${j}m$t AS (
+           |  SELECT a.k, e.i, AVG(e.v) AS v
+           |  FROM s${j}a$t a JOIN ne e ON a.r = e.vec_id
+           |  WHERE e.i BETWEEN $lo AND $hi
+           |  GROUP BY 1, 2),
+           |s${j}c$t AS (
+           |  SELECT p.k, p.i, COALESCE(mm.v, p.v) AS v
+           |  FROM s${j}c${t - 1} p LEFT JOIN s${j}m$t mm
+           |    ON p.k = mm.k AND p.i = mm.i)""".stripMargin
+      }
+      val enc =
+        s"""e${j}d AS (
+           |  SELECT e.vec_id AS r, c.k, SUM((e.v - c.v) * (e.v - c.v)) AS dist
+           |  FROM ne e JOIN s${j}c$iters c ON c.i = e.i GROUP BY 1, 2),
+           |enc$j AS (
+           |  SELECT r, k AS code FROM (
+           |    SELECT r, k, ROW_NUMBER() OVER (PARTITION BY r ORDER BY dist, k) AS rk
+           |    FROM e${j}d) z WHERE rk = 1)""".stripMargin
+      (Seq(seed) ++ steps ++ Seq(enc)).mkString(",\n")
+    }
+    "WITH " + (Seq(se) ++ subs).mkString(",\n")
+  }
+
+  val simPqSql: String = {
+    val m = 16
+    val iters = 2
+    val encJoins = (1 until m)
+      .map(j => s"  JOIN enc$j c$j ON c$j.r = c0.r").mkString("\n")
+    val lutJoins = (1 until m)
+      .map(j => s"  JOIN e${j}d l$j ON l$j.r = l0.r AND l$j.k = c$j.code")
+      .mkString("\n")
+    val adcSum = (0 until m).map(j => s"l$j.dist").mkString(" + ")
+    pqCtes(m, kSub = 16, iters = iters, dim = 64) + ",\n" +
+      s"""adc AS (
+         |  SELECT l0.r AS query_id, c0.r AS neighbor_id,
+         |    round($adcSum, 6) AS adc
+         |  FROM enc0 c0
+         |$encJoins
+         |  JOIN e0d l0 ON l0.r < 10 AND l0.k = c0.code
+         |$lutJoins
+         |  WHERE c0.r <> l0.r),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY adc, neighbor_id) AS rk
+         |    FROM adc) z WHERE rk <= 50),
+         |scored AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    round((SELECT SUM(CAST(q.embedding[i] AS DOUBLE)*CAST(n.embedding[i] AS DOUBLE))
+         |     FROM generate_series(1, 64) g(i)) /
+         |    (sqrt((SELECT SUM(CAST(q.embedding[i] AS DOUBLE)*CAST(q.embedding[i] AS DOUBLE))
+         |           FROM generate_series(1, 64) g(i))) *
+         |     sqrt((SELECT SUM(CAST(n.embedding[i] AS DOUBLE)*CAST(n.embedding[i] AS DOUBLE))
+         |           FROM generate_series(1, 64) g(i)))), 6) AS cos
+         |  FROM short s
+         |  JOIN embeddings q ON q.vec_id = s.query_id
+         |  JOIN embeddings n ON n.vec_id = s.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, cos FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         |  FROM scored) t WHERE rank <= 5""".stripMargin
+  }
+
   /** The persisted-index variant of [[simIvf]]: build the IVF index into a
     * throwaway set catalog (codebook set + bucket-partitioned vector set),
     * then search it. Same deterministic kernels end to end, so the oracle
@@ -1591,6 +1718,7 @@ object PipelineQueries {
     "sim_ivf_topk" -> simIvf,
     "sim_ivf_indexed" -> simIvfIndexed,
     "sim_ivf_append" -> simIvfAppend,
+    "sim_pq_topk" -> simPq,
     "txt_langid" -> txtLangId,
     "txt_quality" -> txtQuality,
     "txt_tokens" -> txtTokens,
@@ -1633,6 +1761,7 @@ object PipelineQueries {
     "sim_ivf_topk" -> simIvfSql,
     "sim_ivf_indexed" -> simIvfSql,
     "sim_ivf_append" -> simIvfAppendSql,
+    "sim_pq_topk" -> simPqSql,
     "txt_langid" -> TextAnalysis.languageIdSql,
     "txt_quality" -> TextAnalysis.qualityScoreSql,
     "txt_tokens" -> TextAnalysis.tokenStatsSql,

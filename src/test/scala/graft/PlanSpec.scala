@@ -110,6 +110,9 @@ class PlanSpec extends GraftSpecBase {
       "op_join_cartesian" -> "the native-lambda cartesian conformance query",
       "dd_cosine_pairs" -> "documented O(n^2) brute-force baseline",
       "sim_topk" -> "documented brute-force ANN baseline",
+      "sim_pq_topk" -> ("ADC scan over the compressed code table — " +
+        "per-pair work is m table lookups on m-byte codes, 64x less IO " +
+        "than the vector scan; composes with IVF bucketing for pruning"),
       "dd_topk_jaccard" -> "documented all-pairs jaccard baseline",
       "txt_quantile_filter" -> "1-row threshold scalar broadcast",
       "pipe_curate" -> "1-row threshold scalar broadcast (quality gate)",

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.operators.SimilaritySearch
+
+/** Product-quantization ANN ([[SimilaritySearch.pqTopK]]): code shape,
+  * rerun determinism, and shortlist recall against the exact brute-force
+  * baseline on the fixture.
+  */
+class PqSpec extends GraftSpecBase {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("codes are m ints in [0, kSub), deterministic across runs") {
+    val cb = SimilaritySearch.trainPqCodebooks(emb, m = 16, kSub = 16, iters = 2)
+    assert(cb.length == 16 && cb.forall(_.length == 16) &&
+      cb.forall(_.forall(_.length == 4)))
+    val encode = SimilaritySearch.pqEncodeUdf(cb)
+    val codes = emb.select(col("vec_id"), encode(col("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(c => c.length == 16 && c.forall(x => x >= 0 && x < 16)))
+    val cb2 = SimilaritySearch.trainPqCodebooks(emb, m = 16, kSub = 16, iters = 2)
+    val codes2 = emb.select(col("vec_id"),
+        SimilaritySearch.pqEncodeUdf(cb2)(col("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes == codes2, "PQ encoding must be rerun-stable")
+  }
+
+  test("every query gets exactly k ranked rows with ranks 1..k") {
+    val out = SimilaritySearch
+      .pqTopK(spark, emb, emb.filter(col("vec_id") < 10), k = 5)
+      .collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == 10 && byQ.values.forall(_.map(_.getInt(1)).sorted.toSeq == (1 to 5)))
+  }
+
+  test("ADC shortlist re-rank recalls most of the exact top-k") {
+    // 32-bit codes are a coarse sketch; the 4k shortlist + exact re-rank
+    // is what buys the recall back. Measured ~0.8 on the fixture —
+    // pinned at 0.5 so codebook jitter can't flake the suite while a
+    // real ranking regression (recall ~ random would be ~shortlist/n)
+    // still fails loudly.
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = SimilaritySearch.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = SimilaritySearch.pqTopK(spark, emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    val exact1 = SimilaritySearch.bruteForceTopK(emb, queries, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val r1 = (exact1 & pq).size.toDouble / exact1.size
+    info(s"top-5 recall $recall, rank-1-in-top-5 recall $r1")
+    assert(recall >= 0.5, s"PQ recall vs exact top-5 fell to $recall")
+    assert(r1 >= 0.7, s"PQ rank-1 recall fell to $r1")
+  }
+}
