@@ -81,9 +81,61 @@ object Bench {
     }
   }
 
-  private def prevArtifact(known: Set[String]): Option[(String, Map[String, Double])] = {
+  /** Artifact-family prefix for the prev-ref lookup. The default family
+    * is the driver's sf0.1 `BENCH_r{N}.json`; the per-round synthetic-sf1
+    * bench (README "Bench at the synthetic decade") sets
+    * SPARK_GRAFT_PREV_PREFIX=BENCH_SF1_r so each scale family only ever
+    * adjudicates against its own like-scale history — comparing an sf1
+    * run to an sf0.1 artifact would flag every query as a 5-30x
+    * regression and re-profile the cap every time.
+    */
+  private def prevPrefix: String =
+    sys.env.getOrElse("SPARK_GRAFT_PREV_PREFIX", "BENCH_r")
+
+  /** Per-query min seconds out of one artifact's text. Three shapes, in
+    * order: the driver's wrapper (bench line under "parsed"."queries"),
+    * the raw bench line itself (top-level "queries" — the shape the
+    * self-committed BENCH_SF1_r{N}.json family carries), and the
+    * tail-scrape fallback for wrappers whose "parsed" is null because the
+    * stdout line fell outside the driver's bounded log tail (round 8).
+    * Package-visible so BenchScrapeSpec pins all three shapes.
+    */
+  private[graft] def parseArtifactText(
+      text: String, known: Set[String]): Map[String, Double] = {
     import org.json4s._
-    val re = """BENCH_r(\d+)\.json""".r
+    try {
+      val root = org.json4s.jackson.JsonMethods.parse(text)
+      def num(v: JValue): Option[Double] = v match {
+        case JDouble(d) => Some(d)
+        case JInt(i) => Some(i.toDouble)
+        case JDecimal(d) => Some(d.toDouble)
+        case JLong(l) => Some(l.toDouble)
+        case _ => None
+      }
+      def obj(v: JValue): Map[String, Double] = v match {
+        case JObject(fields) =>
+          fields.flatMap { case (k, v) => num(v).map(k -> _) }.toMap
+        case _ => Map.empty[String, Double]
+      }
+      val fromParsed = {
+        val wrapped = obj(root \ "parsed" \ "queries")
+        if (wrapped.nonEmpty) wrapped else obj(root \ "queries")
+      }
+      if (fromParsed.nonEmpty) fromParsed
+      else {
+        val tail = root \ "tail" match {
+          case JString(s) => s
+          case _ => ""
+        }
+        scrapeTail(tail, known)
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => Map.empty[String, Double]
+    }
+  }
+
+  private def prevArtifact(known: Set[String]): Option[(String, Map[String, Double])] = {
+    val re = (java.util.regex.Pattern.quote(prevPrefix) + """(\d+)\.json""").r
     val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
       .flatMap { f =>
         f.getName match {
@@ -92,33 +144,13 @@ object Bench {
         }
       }
     files.sortBy(-_._1).headOption.flatMap { case (_, f) =>
-      try {
-        val text = new String(
+      val text = try {
+        new String(
           java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8)
-        val root = org.json4s.jackson.JsonMethods.parse(text)
-        def num(v: JValue): Option[Double] = v match {
-          case JDouble(d) => Some(d)
-          case JInt(i) => Some(i.toDouble)
-          case JDecimal(d) => Some(d.toDouble)
-          case JLong(l) => Some(l.toDouble)
-          case _ => None
-        }
-        val fromParsed = root \ "parsed" \ "queries" match {
-          case JObject(fields) =>
-            fields.flatMap { case (k, v) => num(v).map(k -> _) }.toMap
-          case _ => Map.empty[String, Double]
-        }
-        val m = if (fromParsed.nonEmpty) fromParsed
-          else {
-            val tail = root \ "tail" match {
-              case JString(s) => s
-              case _ => ""
-            }
-            scrapeTail(tail, known)
-          }
-        if (m.isEmpty) None else Some((f.getName, m))
-      } catch { case scala.util.control.NonFatal(_) => None }
+      } catch { case scala.util.control.NonFatal(_) => "" }
+      val m = parseArtifactText(text, known)
+      if (m.isEmpty) None else Some((f.getName, m))
     }
   }
 
@@ -139,6 +171,11 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // A subset run normally skips the isolated re-profile (it IS the
+    // isolated profile when run by hand); the scripted BENCH_SF1 family
+    // always subsets, so it opts back in — a triggered sf1 run then
+    // stamps its own adjudication instead of needing a manual re-run.
+    val isolateSubset = sys.env.get("SPARK_GRAFT_ISOLATE").exists(_ == "1")
     // Untimed JIT/codegen/reader warmup on SYNTHETIC data (JMH practice;
     // measured elsewhere at ~10 s of first-query cost otherwise — scheduler,
     // whole-stage-codegen compiler, parquet + shuffle paths all cold). No
@@ -213,7 +250,7 @@ object Bench {
         }
         val trigger = ratio > 1.5 || calibRatio > 1.5 || flagged.nonEmpty
         val iso: Seq[(String, Double)] =
-          if (trigger && only.isEmpty) {
+          if (trigger && (only.isEmpty || isolateSubset)) {
             val byCost = results
               .flatMap { case (n, v) => minOk(v).map(n -> _) }.toMap
             val top = byCost.toSeq.sortBy(-_._2).take(5).map(_._1)
@@ -244,7 +281,7 @@ object Bench {
       case None =>
         // No prev artifact: the calibration trigger still works.
         val iso: Seq[(String, Double)] =
-          if (calibRatio > 1.5 && only.isEmpty) {
+          if (calibRatio > 1.5 && (only.isEmpty || isolateSubset)) {
             val top = results
               .flatMap { case (n, v) => minOk(v).map(n -> _) }
               .sortBy(-_._2).take(5).map(_._1)

@@ -42,4 +42,38 @@ class BenchScrapeSpec extends AnyFunSuite {
     assert(Bench.scrapeTail("", known).isEmpty)
     assert(Bench.scrapeTail(""""q2":3.125""", known) === Map("q2" -> 3.125))
   }
+
+  // --- parseArtifactText: the three artifact shapes ---
+
+  test("driver wrapper shape: queries under parsed") {
+    val text =
+      """{"round":10,"parsed":{"metric":"total","value":48.7,""" +
+        """"queries":{"q1":1.500,"q2":0.250}},"tail":""}"""
+    assert(Bench.parseArtifactText(text, known) ===
+      Map("q1" -> 1.5, "q2" -> 0.25))
+  }
+
+  test("raw bench line shape: top-level queries (BENCH_SF1 family)") {
+    val text =
+      """{"metric":"total","value":12.0,"unit":"sec",""" +
+        """"queries":{"q1":4.000,"dd_x":8.000},"failed":[],""" +
+        """"calibration":{"start":1.0,"end":1.1},"isolated":{"q1":3.000},""" +
+        """"prev_ref":null,"sf":"tmp/sf1"}"""
+    // top-level "queries" must win; the isolated re-run values must not
+    // leak in even though they reuse query names.
+    assert(Bench.parseArtifactText(text, known) ===
+      Map("q1" -> 4.0, "dd_x" -> 8.0))
+  }
+
+  test("null parsed falls back to the tail scrape") {
+    val text =
+      """{"round":8,"parsed":null,"tail":"...\"queries\":{\"q2\":2.000},""" +
+        """\"failed\":[],\"isolated\":{\"q2\":1.000}"}"""
+    assert(Bench.parseArtifactText(text, known) === Map("q2" -> 2.0))
+  }
+
+  test("unparseable artifact text yields empty, not a throw") {
+    assert(Bench.parseArtifactText("not json at all", known).isEmpty)
+    assert(Bench.parseArtifactText("", known).isEmpty)
+  }
 }

@@ -1,0 +1,50 @@
+#!/bin/bash
+# Per-round bench at the SYNTHETIC sf1 decade (VERDICT r10 next #5).
+#
+# At sf0.1 roughly half the registry sits on the sub-second JVM/parquet
+# floor where plan regressions are invisible; this runs the most
+# expensive slice of the registry one decade up (tools/mksfx.py x10 of
+# sf0.1, ~60M lineitem-equivalent rows) so regressions surface while
+# still fitting a single background run. The artifact family is
+# BENCH_SF1_r{N}.json and adjudicates ONLY against its own like-scale
+# history (SPARK_GRAFT_PREV_PREFIX) — never against the sf0.1 family.
+#
+# Usage: tools/sf1bench.sh <round-number>   (writes BENCH_SF1_r<N>.json)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+ROUND="${1:?usage: sf1bench.sh <round-number>}"
+
+SF1=tmp/sf1
+if [ ! -e "$SF1/lineitem.parquet" ]; then
+  echo "[sf1bench] synthesizing $SF1 from /root/testdata/sf0.1" >&2
+  python3 tools/mksfx.py /root/testdata/sf0.1 "$SF1" 10
+fi
+
+# The top-25 most expensive registry queries at the sf1 decade, by
+# SCALE_r10.json step-2 large_sec (the first like-scale measurement),
+# plus the round-11 capstone tail pipe_all_budget (a superset of
+# pipe_all's plan, necessarily in the expensive slice). Pinned rather
+# than computed so every round times the SAME set and deltas are
+# meaningful; revise the list deliberately (with a note in README) if
+# the cost profile shifts.
+ONLY=pipe_all,pipe_all_budget,mm_neardup,pipe_media,mm_resize,mm_ivf
+ONLY=$ONLY,ml_lda_topics,ml_pagerank,op_approx_quantiles,txt_subwords
+ONLY=$ONLY,op_skew_join,st_curate,txt_pii,op_quantiles,pipe_curate
+ONLY=$ONLY,dd_cosine_pairs,dd_clusters,txt_quantile_filter,dd_ngram_pairs
+ONLY=$ONLY,dd_cross_indexed,dd_span_strip,dd_keep_list,st_sessions
+ONLY=$ONLY,dd_topk_jaccard,txt_doc_filter,st_sliding
+
+OUT="BENCH_SF1_r${ROUND}.json"
+LOG="target/sf1bench_r${ROUND}.log"
+mkdir -p target
+SPARK_GRAFT_SF_DIR="$SF1" \
+SPARK_GRAFT_ONLY="$ONLY" \
+SPARK_GRAFT_PREV_PREFIX=BENCH_SF1_r \
+SPARK_GRAFT_ISOLATE=1 \
+  sbt -batch "runMain graft.Bench" > "$LOG" 2>&1 || {
+    echo "[sf1bench] sbt failed; tail of $LOG:" >&2; tail -20 "$LOG" >&2; exit 1; }
+# The bench prints ONE JSON line starting {"metric":"total" — that line
+# IS the artifact (Bench.prevArtifact reads top-level "queries").
+grep -h '^{"metric":"total"' "$LOG" | tail -1 > "$OUT"
+[ -s "$OUT" ] || { echo "[sf1bench] no bench line found in $LOG" >&2; exit 1; }
+echo "[sf1bench] wrote $OUT" >&2
