@@ -5,6 +5,20 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
+/** One arriving document in [[Curation.streamTokenBudget]]'s sequenced
+  * ingest log: `seq` is the arrival sequence number (the ingest offset).
+  */
+case class BudgetDoc(seq: Long, shard: Long, n_tokens: Long)
+
+/** Admission decision emitted per admitted doc. */
+case class BudgetAdmit(doc_id: Long, shard: Long, n_tokens: Long, cum_tokens: Long)
+
+/** Per-shard running state: tokens SEEN so far (admitted or not — the
+  * budget window closes at the first crossing, like the batch form's
+  * prefix-sum filter).
+  */
+case class BudgetState(seenTokens: Long)
+
 /** Corpus-curation operators a training-data pipeline runs between dedup
   * and tokenization: benchmark decontamination, PII detection/redaction,
   * token-window chunking (RAG prep), and sequence packing (pretraining
@@ -15,7 +29,7 @@ import graft.functions.TextFunctions._
   * (src/reddit/headers/, SURVEY.md §2) with the curation stages the
   * builder brief names first-class.
   */
-object Curation {
+object Curation extends Serializable {
 
   /** Benchmark decontamination: flag training docs sharing ≥1 word n-gram
     * with any benchmark/eval document (the GPT-3-style n-gram overlap
@@ -341,5 +355,77 @@ object Curation {
       .filter(col("cum_tokens") <= perShard)
       .select(col(idCol), col("shard"), col("pos"), col("n_tokens"),
         col("cum_tokens"))
+  }
+
+  /** The per-shard admission fold shared by the streaming operator and
+    * its spec: process `docs` (MUST be sequence-ordered) on top of the
+    * carried state, admitting each doc whose shard-cumulative token count
+    * stays within `perShard`. The cumulative counts EVERY arrived doc
+    * (admitted or not), so the budget window closes permanently at the
+    * first crossing — the same semantics as [[tokenBudgetSubset]]'s
+    * prefix-sum filter, which makes the fold prefix-splittable: folding
+    * any batching of an ordered arrival sequence produces the same
+    * admissions (pinned by CurationSpec).
+    */
+  private[graft] def admitFold(
+      state: BudgetState, docs: Seq[BudgetDoc],
+      perShard: Long): (BudgetState, Seq[BudgetAdmit]) = {
+    var seen = state.seenTokens
+    val out = Seq.newBuilder[BudgetAdmit]
+    docs.foreach { d =>
+      seen += d.n_tokens
+      if (seen <= perShard)
+        out += BudgetAdmit(d.seq, d.shard, d.n_tokens, seen)
+    }
+    (BudgetState(seen), out.result())
+  }
+
+  /** Streaming token-budget admission — the budget gate applied at
+    * INGEST instead of over the stored corpus: documents arrive as a
+    * sequenced log (`idCol` is the ingest offset), each routes to its
+    * md5 writer shard ([[shardAssign]]'s hash), and a standing per-shard
+    * token counter admits docs until the shard's share (⌊total/shards⌋)
+    * is exhausted. Emits only admitted docs, in Append mode.
+    *
+    * Where [[tokenBudgetSubset]] takes the budget over the SHUFFLED
+    * stored mix (md5 position order), this takes it over the ingest
+    * sequence — the semantics of "stop accepting once the budget is
+    * full" that a live collection pipeline needs. Equivalence to the
+    * batch oracle (per-shard prefix sum in sequence order) holds when
+    * arrivals are delivered in sequence order per shard — the Kafka
+    * offset / ingest-log contract; each micro-batch is additionally
+    * sorted per shard so intra-batch parallel file reads cannot reorder
+    * a batch internally.
+    *
+    * Scale shape: state is ONE counter per shard (nShards longs total,
+    * nothing grows with the stream); each micro-batch does one narrow
+    * projection + one per-shard sorted fold. No timeouts — the budget
+    * has no expiry.
+    */
+  def streamTokenBudget(
+      stream: DataFrame, idCol: String, textCol: String,
+      totalTokens: Long, nShards: Int): org.apache.spark.sql.Dataset[BudgetAdmit] = {
+    require(totalTokens >= 1, s"need a positive budget, got $totalTokens")
+    val perShard = totalTokens / nShards
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val h = col(idCol).cast("string").cast("binary")
+    val hv = conv(substring(md5(h), 1, 15), 16, 10).cast("long")
+    val docs = stream.select(
+      col(idCol).cast("long").as("seq"),
+      (hv % nShards).cast("long").as("shard"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens")).as[BudgetDoc]
+    def update(shard: Long, rows: Iterator[BudgetDoc],
+        state: GroupState[BudgetState]): Iterator[BudgetAdmit] = {
+      val sorted = rows.toSeq.sortBy(_.seq)
+      val (next, admitted) = admitFold(
+        state.getOption.getOrElse(BudgetState(0L)), sorted, perShard)
+      state.update(next)
+      admitted.iterator
+    }
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 }

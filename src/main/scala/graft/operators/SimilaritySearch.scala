@@ -418,6 +418,188 @@ object SimilaritySearch {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** IVF-PQ: the production ANN shape at corpus scale — coarse cells
+    * prune the candidate set (each query touches `nprobe` of
+    * `nCentroids` buckets), and WITHIN the probed buckets ranking runs
+    * on the compressed codes (ADC), with the full vectors touched only
+    * for the exact re-rank of the shortlist. Both stages reuse the
+    * standalone kernels unchanged: the coarse quantizer is [[ivfTopK]]'s
+    * (raw-vector cells), the code stage is [[pqTopK]]'s (unit-sphere
+    * codebooks), so the oracle is their two CTE chains composed.
+    *
+    * Plan shape: one hash join (bucket) between the code table and the
+    * broadcast probes — no cross join anywhere — then the windowed
+    * ADC cut and the id-equi re-rank joins. At 100 TB: the bucket join
+    * reads nprobe/nCentroids of the CODE table (compressed AND pruned);
+    * nothing scans the raw vectors but the final shortlist join.
+    */
+  def ivfPqTopK(
+      spark: SparkSession, emb: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 4,
+      m: Int = 16, kSub: Int = 16, iters: Int = 2, shortlist: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = trainCentroids(emb, nCentroids, iters = 3, idCol, vecCol)
+    val codebooks = trainPqCodebooks(emb, m, kSub, iters, idCol, vecCol)
+    val assign = nearestUdf(centroids)
+    val probe = probeUdf(centroids, nprobe)
+    val encode = pqEncodeUdf(codebooks)
+    val lut = pqLutUdf(codebooks)
+    val adc = udf((codes: Seq[Int], l: Seq[Seq[Double]]) => {
+      var d = 0.0
+      var j = 0
+      while (j < codes.length) { d += l(j)(codes(j)); j += 1 }
+      d
+    })
+    val codes = emb.select(col(idCol).as("neighbor_id"),
+      assign(col(vecCol)).as("bucket"), encode(col(vecCol)).as("codes"))
+      .transform(Parallelism.ensureWidth)
+    val probes = queries.select(col(idCol).as("query_id"),
+      explode(probe(col(vecCol))).as("bucket"), lut(col(vecCol)).as("lut"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    // a vector lives in exactly one cell, so the bucket join emits each
+    // (query, neighbor) pair at most once — no dedup stage needed
+    val short = codes.join(broadcast(probes), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", round(adc(col("codes"), col("lut")), 6))
+      .withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") <= shortlist * k)
+      .select(col("query_id"), col("neighbor_id"))
+    val n = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+      l2Norm(col(vecCol)).as("n_nrm"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_nrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    short.join(n, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos",
+        round(dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Persist a PQ index into the set catalog: the sub-codebooks as a tiny
+    * `<name>_codebooks` set, the 64-bit codes as `<name>_codes` (the
+    * compressed scan table — at 100 TB of vectors this is the ~1.5 TB
+    * table ADC actually reads), and the full vectors as `<name>_vectors`
+    * hash-placed on id (touched only for the shortlist re-rank, an
+    * id-equi join). Build once, search many times — the codebooks are
+    * retrained only on distribution drift, like the IVF coarse
+    * quantizer.
+    */
+  def buildPqIndex(
+      spark: SparkSession, catalog: graft.storage.SetCatalog,
+      db: String, name: String, emb: DataFrame,
+      m: Int = 16, kSub: Int = 16, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val codebooks = trainPqCodebooks(emb, m, kSub, iters, idCol, vecCol)
+    import spark.implicits._
+    catalog.createSet(db, s"${name}_codebooks",
+      codebooks.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (v, c) => (j, c.toLong, v.toSeq) }
+      }.toSeq.toDF("sub", "centroid", "components"),
+      policy = "none")
+    val encode = pqEncodeUdf(codebooks)
+    catalog.createSet(db, s"${name}_codes",
+      emb.select(col(idCol).as("neighbor_id"), encode(col(vecCol)).as("codes")),
+      partitionColumn = Some("neighbor_id"))
+    catalog.createSet(db, s"${name}_vectors",
+      emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+        l2Norm(col(vecCol)).as("n_nrm")),
+      partitionColumn = Some("neighbor_id"))
+  }
+
+  private def loadPqCodebooks(
+      catalog: graft.storage.SetCatalog, db: String,
+      name: String): Array[Array[Array[Double]]] =
+    catalog.scanSet(db, s"${name}_codebooks")
+      .orderBy(col("sub"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2)).toArray
+
+  /** Incrementally extend a persisted PQ index: encode the NEW vectors
+    * under the standing codebooks and append codes + vectors — no
+    * retrain, no rewrite, one scan of the batch. A code depends only on
+    * (vector, codebooks), so build(A) + append(B) is byte-identical to a
+    * one-pass encode under A's codebooks — the continuous-ingest path.
+    */
+  def appendToPqIndex(
+      spark: SparkSession, catalog: graft.storage.SetCatalog,
+      db: String, name: String, newEmb: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val encode = pqEncodeUdf(loadPqCodebooks(catalog, db, name))
+    catalog.appendToSet(db, s"${name}_codes",
+      newEmb.select(col(idCol).as("neighbor_id"), encode(col(vecCol)).as("codes")))
+    catalog.appendToSet(db, s"${name}_vectors",
+      newEmb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+        l2Norm(col(vecCol)).as("n_nrm")))
+  }
+
+  /** Streaming form of [[appendToPqIndex]]: every micro-batch of
+    * arriving embeddings is encoded under the standing codebooks and
+    * appended. Batching-invariant by construction, like the IVF
+    * streaming append.
+    */
+  def streamAppendToPqIndex(
+      stream: DataFrame, catalog: graft.storage.SetCatalog,
+      db: String, name: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = stream.sparkSession
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        appendToPqIndex(spark, catalog, db, name, batch.toDF(), idCol, vecCol)
+        ()
+      }
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** Search a persisted PQ index: load the codebooks (tiny), ADC-scan
+    * the standing code table against the broadcast query LUTs, re-rank
+    * the shortlist by exact rounded cosine against the vectors set.
+    * Identical results to [[pqTopK]] over the same corpus — training,
+    * encoding, ADC, and scoring share the same deterministic kernels.
+    */
+  def searchPqIndex(
+      spark: SparkSession, catalog: graft.storage.SetCatalog,
+      db: String, name: String, queries: DataFrame, k: Int,
+      shortlist: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val codebooks = loadPqCodebooks(catalog, db, name)
+    val lut = pqLutUdf(codebooks)
+    val adc = udf((codes: Seq[Int], l: Seq[Seq[Double]]) => {
+      var d = 0.0
+      var j = 0
+      while (j < codes.length) { d += l(j)(codes(j)); j += 1 }
+      d
+    })
+    val codes = catalog.scanSet(db, s"${name}_codes")
+    val q = queries.select(col(idCol).as("query_id"), lut(col(vecCol)).as("lut"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    val short = codes.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", round(adc(col("codes"), col("lut")), 6))
+      .withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") <= shortlist * k)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_nrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    short.join(catalog.scanSet(db, s"${name}_vectors"), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos",
+        round(dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Search a persisted IVF index: load the codebook (tiny), compute each
     * query's `nprobe` buckets, and join the broadcast probes against the
     * partitioned vector set — the bucket is the partition directory, so

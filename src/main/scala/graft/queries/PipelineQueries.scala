@@ -681,7 +681,8 @@ object PipelineQueries {
     * ids), the ADC sum rounded to 1e-6 with an id tiebreak for the
     * shortlist cut, and the exact rounded-cosine re-rank.
     */
-  private def pqCtes(m: Int, kSub: Int, iters: Int, dim: Int): String = {
+  private def pqCtes(m: Int, kSub: Int, iters: Int, dim: Int,
+      sourceWhere: String = ""): String = {
     val dsub = dim / m
     // Unit-normalized components throughout: PQ targets cosine ranking,
     // so codebooks/codes/LUTs all live on the unit sphere (the operator's
@@ -699,23 +700,23 @@ object PipelineQueries {
          |  SELECT e.vec_id, g.i, CAST(e.embedding[g.i] AS DOUBLE) / n.nv AS v
          |  FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id,
          |       generate_series(1, $dim) g(i)),
-         |se AS (
+         |pse AS (
          |  SELECT * FROM (
          |    SELECT e.vec_id, ROW_NUMBER() OVER (
          |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srk
-         |    FROM embeddings e) z WHERE srk <= 10000)""".stripMargin
+         |    FROM embeddings e $sourceWhere) z WHERE srk <= 10000)""".stripMargin
     val subs = (0 until m).map { j =>
       val lo = j * dsub + 1
       val hi = (j + 1) * dsub
       val seed =
         s"""s${j}c0 AS (
            |  SELECT s.srk - 1 AS k, e.i, e.v
-           |  FROM se s JOIN ne e ON e.vec_id = s.vec_id
+           |  FROM pse s JOIN ne e ON e.vec_id = s.vec_id
            |  WHERE s.srk <= $kSub AND e.i BETWEEN $lo AND $hi)""".stripMargin
       val steps = (1 to iters).map { t =>
         s"""s${j}d$t AS (
            |  SELECT e.vec_id AS r, c.k, SUM((e.v - c.v) * (e.v - c.v)) AS dist
-           |  FROM se s JOIN ne e ON e.vec_id = s.vec_id
+           |  FROM pse s JOIN ne e ON e.vec_id = s.vec_id
            |  JOIN s${j}c${t - 1} c ON c.i = e.i GROUP BY 1, 2),
            |s${j}a$t AS (
            |  SELECT r, k FROM (
@@ -744,7 +745,13 @@ object PipelineQueries {
     "WITH " + (Seq(se) ++ subs).mkString(",\n")
   }
 
-  val simPqSql: String = {
+  /** `sourceWhere` restricts the TRAINING corpus (the already-built
+    * half of an incrementally-appended index), exactly like
+    * [[ExtendedQueries.lloydCtes]]'s parameter; encoding and the ADC
+    * scan always cover the whole corpus — which is what
+    * build(A) + append(B) contains.
+    */
+  private def pqSearchSql(sourceWhere: String): String = {
     val m = 16
     val iters = 2
     val encJoins = (1 until m)
@@ -753,7 +760,7 @@ object PipelineQueries {
       .map(j => s"  JOIN e${j}d l$j ON l$j.r = l0.r AND l$j.k = c$j.code")
       .mkString("\n")
     val adcSum = (0 until m).map(j => s"l$j.dist").mkString(" + ")
-    pqCtes(m, kSub = 16, iters = iters, dim = 64) + ",\n" +
+    pqCtes(m, kSub = 16, iters = iters, dim = 64, sourceWhere) + ",\n" +
       s"""adc AS (
          |  SELECT l0.r AS query_id, c0.r AS neighbor_id,
          |    round($adcSum, 6) AS adc
@@ -784,6 +791,104 @@ object PipelineQueries {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |         ORDER BY cos DESC, neighbor_id) AS INT) AS rank
          |  FROM scored) t WHERE rank <= 5""".stripMargin
+  }
+
+  val simPqSql: String = pqSearchSql("")
+
+  /** IVF-PQ: coarse-prune then compressed-rank
+    * ([[SimilaritySearch.ivfPqTopK]]). */
+  def simIvfPq(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    SimilaritySearch.ivfPqTopK(spark, emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  /** Oracle for [[simIvfPq]]: both kernel chains verbatim — the IVF
+    * coarse quantizer's Lloyd CTEs (c0..c3, raw vectors) and the PQ
+    * per-subspace chains (unit-normalized) — then coarse assignment +
+    * 4-bucket probes prune the candidate pairs, ADC ranks them, and the
+    * exact rounded-cosine re-rank scores the shortlist.
+    */
+  val simIvfPqSql: String = {
+    val m = 16
+    val encJoins = (1 until m)
+      .map(j => s"  JOIN enc$j c$j ON c$j.r = c0.r").mkString("\n")
+    val lutJoins = (1 until m)
+      .map(j => s"  JOIN e${j}d l$j ON l$j.r = l0.r AND l$j.k = c$j.code")
+      .mkString("\n")
+    val adcSum = (0 until m).map(j => s"l$j.dist").mkString(" + ")
+    ExtendedQueries.lloydCtes(16, 3) + ",\n" +
+      pqCtes(m, kSub = 16, iters = 2, dim = 64).stripPrefix("WITH ") + ",\n" +
+      s"""bdist AS (
+         |  SELECT e.vec_id AS r, c.k,
+         |    SUM((CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v) *
+         |        (CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v)) AS dist
+         |  FROM embeddings e, c3 c GROUP BY 1, 2),
+         |bassign AS (
+         |  SELECT r, k AS bucket FROM (
+         |    SELECT r, k, ROW_NUMBER() OVER (PARTITION BY r ORDER BY dist, k) AS rk
+         |    FROM bdist) z WHERE rk = 1),
+         |probes AS (
+         |  SELECT r AS query_id, k AS bucket FROM (
+         |    SELECT r, k, ROW_NUMBER() OVER (PARTITION BY r ORDER BY dist, k) AS rk
+         |    FROM bdist WHERE r < 10) z WHERE rk <= 4),
+         |cand AS (
+         |  SELECT p.query_id, b.r AS neighbor_id
+         |  FROM probes p JOIN bassign b ON p.bucket = b.bucket
+         |  WHERE b.r <> p.query_id),
+         |adc AS (
+         |  SELECT ca.query_id, ca.neighbor_id,
+         |    round($adcSum, 6) AS adc
+         |  FROM cand ca
+         |  JOIN enc0 c0 ON c0.r = ca.neighbor_id
+         |$encJoins
+         |  JOIN e0d l0 ON l0.r = ca.query_id AND l0.k = c0.code
+         |$lutJoins),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY adc, neighbor_id) AS rk
+         |    FROM adc) z WHERE rk <= 50),
+         |scored AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    round((SELECT SUM(CAST(q.embedding[i] AS DOUBLE)*CAST(n.embedding[i] AS DOUBLE))
+         |     FROM generate_series(1, 64) g(i)) /
+         |    (sqrt((SELECT SUM(CAST(q.embedding[i] AS DOUBLE)*CAST(q.embedding[i] AS DOUBLE))
+         |           FROM generate_series(1, 64) g(i))) *
+         |     sqrt((SELECT SUM(CAST(n.embedding[i] AS DOUBLE)*CAST(n.embedding[i] AS DOUBLE))
+         |           FROM generate_series(1, 64) g(i)))), 6) AS cos
+         |  FROM short s
+         |  JOIN embeddings q ON q.vec_id = s.query_id
+         |  JOIN embeddings n ON n.vec_id = s.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, cos FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         |  FROM scored) t WHERE rank <= 5""".stripMargin
+  }
+
+  /** Codebooks trained on the BUILT half only (vec_id < 250); encoding
+    * and the ADC scan in the shared tail still cover the whole corpus —
+    * exactly what build(A) + stream-append(B) produces.
+    */
+  val pqAppendSql: String = pqSearchSql("WHERE vec_id < 250")
+
+  /** Persisted-PQ variant of [[simPq]]: build the compressed index into a
+    * throwaway set catalog (codebooks + codes + vectors sets), then
+    * search it — the build/persist/scan-codes/re-rank lifecycle. Same
+    * deterministic kernels end to end, so the oracle is [[simPqSql]]
+    * unchanged.
+    */
+  def simPqIndexed(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val root = java.nio.file.Files.createTempDirectory("graft-pq")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    SimilaritySearch.buildPqIndex(spark, cat, "idx", "emb", emb)
+    val hits = SimilaritySearch.searchPqIndex(spark, cat, "idx", "emb",
+      emb.filter(col("vec_id") < 10), k = 5)
+      .localCheckpoint(true)
+    graft.storage.SetCatalog.deleteTree(root)
+    hits
   }
 
   /** The persisted-index variant of [[simIvf]]: build the IVF index into a
@@ -1719,6 +1824,8 @@ object PipelineQueries {
     "sim_ivf_indexed" -> simIvfIndexed,
     "sim_ivf_append" -> simIvfAppend,
     "sim_pq_topk" -> simPq,
+    "sim_pq_indexed" -> simPqIndexed,
+    "sim_ivfpq_topk" -> simIvfPq,
     "txt_langid" -> txtLangId,
     "txt_quality" -> txtQuality,
     "txt_tokens" -> txtTokens,
@@ -1762,6 +1869,8 @@ object PipelineQueries {
     "sim_ivf_indexed" -> simIvfSql,
     "sim_ivf_append" -> simIvfAppendSql,
     "sim_pq_topk" -> simPqSql,
+    "sim_pq_indexed" -> simPqSql,
+    "sim_ivfpq_topk" -> simIvfPqSql,
     "txt_langid" -> TextAnalysis.languageIdSql,
     "txt_quality" -> TextAnalysis.qualityScoreSql,
     "txt_tokens" -> TextAnalysis.tokenStatsSql,

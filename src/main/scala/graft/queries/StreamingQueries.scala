@@ -686,6 +686,71 @@ object StreamingQueries {
 
   val stIvfAppendSql: String = PipelineQueries.simIvfAppendSql
 
+  /** Streaming PQ-index maintenance: build the compressed index on the
+    * first half of the corpus, stream-append the second half (every
+    * micro-batch encoded under the STANDING codebooks — no retrain, no
+    * rewrite), then search. Batching-invariant: a code depends only on
+    * (vector, codebooks), so any batching of the same arrivals yields
+    * the same index as one batch append; the oracle trains its
+    * per-subspace Lloyd chains on the built half only and encodes the
+    * whole corpus with those codebooks.
+    */
+  def stPqAppend(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val emb = graft.model.Tables.embeddings(spark, d)
+    val root = java.nio.file.Files.createTempDirectory("graft-pqs")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    graft.operators.SimilaritySearch.buildPqIndex(spark, cat, "idx", "emb",
+      emb.filter(col("vec_id") < 250))
+    graft.operators.SimilaritySearch.streamAppendToPqIndex(
+      readEmbStream(spark, d).filter(col("vec_id") >= 250),
+      cat, "idx", "emb")
+    val hits = graft.operators.SimilaritySearch.searchPqIndex(
+      spark, cat, "idx", "emb", emb.filter(col("vec_id") < 10), k = 5)
+      .localCheckpoint(true)
+    graft.storage.SetCatalog.deleteTree(root)
+    hits
+  }
+
+  val stPqAppendSql: String = PipelineQueries.pqAppendSql
+
+  /** Streaming token-budget admission: the budget gate at INGEST — docs
+    * arrive as a sequenced log (doc_id = ingest offset), route to their
+    * md5 writer shard, and a standing per-shard token counter admits
+    * until the shard's share of the 30k budget is exhausted
+    * ([[graft.operators.Curation.streamTokenBudget]]). The batch oracle
+    * is the per-shard prefix sum in sequence order; where op_token_budget
+    * budgets the stored SHUFFLED mix (md5 position order), this budgets
+    * the live arrival sequence.
+    */
+  def stBudget(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val out = graft.operators.Curation.streamTokenBudget(
+      readDocStream(spark, d), "doc_id", "text",
+      totalTokens = 30000L, nShards = 8)
+    val q = out.toDF().writeStream.format("memory").queryName("st_budget_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("st_budget_sink")
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  val stBudgetSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 8 AS shard,
+      |    len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM h)
+      |SELECT doc_id, shard, n_tokens, cum_tokens FROM c
+      |WHERE cum_tokens <= 3750""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_hourly" -> stHourly,
     "st_sliding" -> stSliding,
@@ -701,7 +766,9 @@ object StreamingQueries {
     "st_audio_dup" -> stAudioDup,
     "st_pipe_all" -> stPipeAll,
     "st_curate" -> stCurate,
-    "st_ivf_append" -> stIvfAppend)
+    "st_ivf_append" -> stIvfAppend,
+    "st_pq_append" -> stPqAppend,
+    "st_budget" -> stBudget)
 
   val oracles: Map[String, String] = Map(
     "st_hourly" -> stHourlySql,
@@ -718,5 +785,7 @@ object StreamingQueries {
     "st_audio_dup" -> stAudioDupSql,
     "st_pipe_all" -> stPipeAllSql,
     "st_curate" -> stCurateSql,
-    "st_ivf_append" -> stIvfAppendSql)
+    "st_ivf_append" -> stIvfAppendSql,
+    "st_pq_append" -> stPqAppendSql,
+    "st_budget" -> stBudgetSql)
 }

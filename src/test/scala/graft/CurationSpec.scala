@@ -218,4 +218,25 @@ class CurationSpec extends GraftSpecBase {
     assert(a.head.schema.fieldNames.toSeq ==
       Seq("doc_id", "payload", "shard", "pos"))
   }
+
+  test("streaming budget admission fold is prefix-splittable") {
+    // any batching of an ordered arrival sequence must admit the same
+    // docs — the property that makes streamTokenBudget's micro-batch
+    // boundary invisible (its state carries tokens SEEN, not admitted,
+    // so the window closes permanently at the first crossing)
+    import graft.operators.{BudgetDoc, BudgetState, Curation}
+    val docs = (1L to 20L).map(i => BudgetDoc(i, 0L, n_tokens = i % 7 + 1))
+    val perShard = 30L
+    val (_, oneShot) = Curation.admitFold(BudgetState(0L), docs, perShard)
+    for (split <- Seq(1, 5, 13, 19)) {
+      val (s1, a1) = Curation.admitFold(BudgetState(0L), docs.take(split), perShard)
+      val (_, a2) = Curation.admitFold(s1, docs.drop(split), perShard)
+      assert(a1 ++ a2 == oneShot, s"split at $split diverged")
+    }
+    // the window closes at the first crossing: a small doc after a
+    // crossing doc is NOT admitted (matches the batch prefix-sum filter)
+    val cross = Seq(BudgetDoc(1, 0, 28), BudgetDoc(2, 0, 5), BudgetDoc(3, 0, 1))
+    val (_, admitted) = Curation.admitFold(BudgetState(0L), cross, perShard)
+    assert(admitted.map(_.doc_id) == Seq(1L))
+  }
 }

@@ -113,6 +113,7 @@ class PlanSpec extends GraftSpecBase {
       "sim_pq_topk" -> ("ADC scan over the compressed code table — " +
         "per-pair work is m table lookups on m-byte codes, 64x less IO " +
         "than the vector scan; composes with IVF bucketing for pruning"),
+      "sim_pq_indexed" -> "same ADC code-table scan, persisted-index form",
       "dd_topk_jaccard" -> "documented all-pairs jaccard baseline",
       "txt_quantile_filter" -> "1-row threshold scalar broadcast",
       "pipe_curate" -> "1-row threshold scalar broadcast (quality gate)",

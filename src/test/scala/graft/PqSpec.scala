@@ -35,6 +35,41 @@ class PqSpec extends GraftSpecBase {
     assert(byQ.size == 10 && byQ.values.forall(_.map(_.getInt(1)).sorted.toSeq == (1 to 5)))
   }
 
+  test("searching the persisted PQ index equals the in-memory pqTopK") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pq-spec")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    SimilaritySearch.buildPqIndex(spark, cat, "idx", "emb", emb)
+    val queries = emb.filter(col("vec_id") < 10)
+    val fromIndex = SimilaritySearch
+      .searchPqIndex(spark, cat, "idx", "emb", queries, k = 5)
+      .collect().map(_.toSeq).toSet
+    val inMemory = SimilaritySearch.pqTopK(spark, emb, queries, k = 5)
+      .collect().map(_.toSeq).toSet
+    graft.storage.SetCatalog.deleteTree(root)
+    assert(fromIndex == inMemory && fromIndex.nonEmpty)
+  }
+
+  test("build(A) + append(B) encodes identically to one pass under A's codebooks") {
+    // a code depends only on (vector, codebooks), so the appended index's
+    // code table must be byte-identical to encoding the whole corpus
+    // in one pass under the codebooks trained on the built half
+    val root = java.nio.file.Files.createTempDirectory("graft-pq-a")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    val half = emb.filter(col("vec_id") < 100)
+    SimilaritySearch.buildPqIndex(spark, cat, "idx", "emb", half)
+    SimilaritySearch.appendToPqIndex(spark, cat, "idx", "emb",
+      emb.filter(col("vec_id") >= 100))
+    val cbA = SimilaritySearch.trainPqCodebooks(half, m = 16, kSub = 16, iters = 2)
+    val codesIdx = cat.scanSet("idx", "emb_codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val codesOne = emb.select(col("vec_id"),
+        SimilaritySearch.pqEncodeUdf(cbA)(col("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    graft.storage.SetCatalog.deleteTree(root)
+    assert(codesIdx == codesOne,
+      "appended codes must match a one-pass encode under the built codebooks")
+  }
+
   test("ADC shortlist re-rank recalls most of the exact top-k") {
     // 32-bit codes are a coarse sketch; the 4k shortlist + exact re-rank
     // is what buys the recall back. Measured ~0.8 on the fixture —
