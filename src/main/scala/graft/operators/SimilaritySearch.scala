@@ -386,12 +386,6 @@ object SimilaritySearch {
     val codebooks = trainPqCodebooks(emb, m, kSub, iters, idCol, vecCol)
     val encode = pqEncodeUdf(codebooks)
     val lut = pqLutUdf(codebooks)
-    val adc = udf((codes: Seq[Int], l: Seq[Seq[Double]]) => {
-      var d = 0.0
-      var j = 0
-      while (j < codes.length) { d += l(j)(codes(j)); j += 1 }
-      d
-    })
     val codes = emb.select(col(idCol).as("neighbor_id"), encode(col(vecCol)).as("codes"))
       .transform(Parallelism.ensureWidth)
     val q = queries.select(col(idCol).as("query_id"), lut(col(vecCol)).as("lut"))
@@ -399,7 +393,7 @@ object SimilaritySearch {
       .orderBy(col("adc").asc, col("neighbor_id"))
     val short = codes.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", round(adc(col("codes"), col("lut")), 6))
+      .withColumn("adc", round(graft.functions.VectorExpressions.adcNative(col("codes"), col("lut")), 6))
       .withColumn("rk", row_number().over(wAdc))
       .filter(col("rk") <= shortlist * k)
       .select(col("query_id"), col("neighbor_id"))
@@ -444,12 +438,6 @@ object SimilaritySearch {
     val probe = probeUdf(centroids, nprobe)
     val encode = pqEncodeUdf(codebooks)
     val lut = pqLutUdf(codebooks)
-    val adc = udf((codes: Seq[Int], l: Seq[Seq[Double]]) => {
-      var d = 0.0
-      var j = 0
-      while (j < codes.length) { d += l(j)(codes(j)); j += 1 }
-      d
-    })
     val codes = emb.select(col(idCol).as("neighbor_id"),
       assign(col(vecCol)).as("bucket"), encode(col(vecCol)).as("codes"))
       .transform(Parallelism.ensureWidth)
@@ -461,7 +449,7 @@ object SimilaritySearch {
     // (query, neighbor) pair at most once — no dedup stage needed
     val short = codes.join(broadcast(probes), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", round(adc(col("codes"), col("lut")), 6))
+      .withColumn("adc", round(graft.functions.VectorExpressions.adcNative(col("codes"), col("lut")), 6))
       .withColumn("rk", row_number().over(wAdc))
       .filter(col("rk") <= shortlist * k)
       .select(col("query_id"), col("neighbor_id"))
@@ -472,6 +460,130 @@ object SimilaritySearch {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     short.join(n, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos",
+        round(dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Persist an IVF-PQ index — the full production ANN layout at corpus
+    * scale: coarse centroids + PQ sub-codebooks (both tiny), the
+    * compressed codes PARTITIONED BY coarse bucket (one directory per
+    * cell — searches list only probed cells, and each cell's bytes are
+    * the CODES, not the vectors), and the full vectors hash-placed on id
+    * for the shortlist re-rank only. Probing an index of 100 TB of raw
+    * vectors reads nprobe/nCentroids of a ~1.5 TB code table plus
+    * shortlist·k·|queries| vector rows.
+    */
+  def buildIvfPqIndex(
+      spark: SparkSession, catalog: graft.storage.SetCatalog,
+      db: String, name: String, emb: DataFrame,
+      nCentroids: Int = 16, m: Int = 16, kSub: Int = 16, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val centroids = trainCentroids(emb, nCentroids, iters = 3, idCol, vecCol)
+    val codebooks = trainPqCodebooks(emb, m, kSub, iters, idCol, vecCol)
+    import spark.implicits._
+    catalog.createSet(db, s"${name}_centroids",
+      centroids.zipWithIndex
+        .map { case (v, b) => (b.toLong, v.toSeq) }.toSeq
+        .toDF("bucket", "centroid"),
+      policy = "none")
+    catalog.createSet(db, s"${name}_codebooks",
+      codebooks.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (v, c) => (j, c.toLong, v.toSeq) }
+      }.toSeq.toDF("sub", "centroid", "components"),
+      policy = "none")
+    val assign = nearestUdf(centroids)
+    val encode = pqEncodeUdf(codebooks)
+    catalog.createPartitionedSet(db, s"${name}_codes",
+      emb.select(col(idCol).as("neighbor_id"), encode(col(vecCol)).as("codes"),
+        assign(col(vecCol)).as("bucket")),
+      "bucket")
+    catalog.createSet(db, s"${name}_vectors",
+      emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+        l2Norm(col(vecCol)).as("n_nrm")),
+      partitionColumn = Some("neighbor_id"))
+  }
+
+  /** Incrementally extend a persisted IVF-PQ index: assign + encode the
+    * NEW vectors under the STANDING coarse centroids and codebooks,
+    * append into the bucket-partitioned code set and the vector set. No
+    * retrain, no rewrite; build(A)+append(B) ≡ one-pass under A's
+    * models, since both assignment and encoding depend only on
+    * (vector, model).
+    */
+  def appendToIvfPqIndex(
+      spark: SparkSession, catalog: graft.storage.SetCatalog,
+      db: String, name: String, newEmb: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val centroids = catalog.scanSet(db, s"${name}_centroids")
+      .orderBy(col("bucket")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val assign = nearestUdf(centroids)
+    val encode = pqEncodeUdf(loadPqCodebooks(catalog, db, name))
+    catalog.appendToPartitionedSet(db, s"${name}_codes",
+      newEmb.select(col(idCol).as("neighbor_id"), encode(col(vecCol)).as("codes"),
+        assign(col(vecCol)).as("bucket")),
+      "bucket")
+    catalog.appendToSet(db, s"${name}_vectors",
+      newEmb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+        l2Norm(col(vecCol)).as("n_nrm")))
+  }
+
+  /** Streaming form of [[appendToIvfPqIndex]] — batching-invariant like
+    * its IVF and PQ siblings. */
+  def streamAppendToIvfPqIndex(
+      stream: DataFrame, catalog: graft.storage.SetCatalog,
+      db: String, name: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = stream.sparkSession
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        appendToIvfPqIndex(spark, catalog, db, name, batch.toDF(), idCol, vecCol)
+        ()
+      }
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** Search a persisted IVF-PQ index: load both models (tiny), compute
+    * each query's probe buckets and LUTs, join the broadcast probes
+    * against the bucket-partitioned CODE set (partition pruning at the
+    * directory listing — only probed cells are read, and what is read is
+    * codes), ADC-shortlist, then re-rank exactly against the vector set.
+    * Identical results to [[ivfPqTopK]] over the same corpus.
+    */
+  def searchIvfPqIndex(
+      spark: SparkSession, catalog: graft.storage.SetCatalog,
+      db: String, name: String, queries: DataFrame, k: Int,
+      nprobe: Int = 4, shortlist: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = catalog.scanSet(db, s"${name}_centroids")
+      .orderBy(col("bucket")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val probe = probeUdf(centroids, nprobe)
+    val lut = pqLutUdf(loadPqCodebooks(catalog, db, name))
+    val codes = catalog.scanSet(db, s"${name}_codes")
+    val bucketType = codes.schema("bucket").dataType
+    val probes = queries.select(col(idCol).as("query_id"),
+      explode(probe(col(vecCol))).as("bucket"), lut(col(vecCol)).as("lut"))
+      .withColumn("bucket", col("bucket").cast(bucketType))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    val short = codes.join(broadcast(probes), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", round(graft.functions.VectorExpressions.adcNative(col("codes"), col("lut")), 6))
+      .withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") <= shortlist * k)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_nrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    short.join(catalog.scanSet(db, s"${name}_vectors"), Seq("neighbor_id"))
       .join(broadcast(qv), Seq("query_id"))
       .withColumn("cos",
         round(dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))
@@ -571,19 +683,13 @@ object SimilaritySearch {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val codebooks = loadPqCodebooks(catalog, db, name)
     val lut = pqLutUdf(codebooks)
-    val adc = udf((codes: Seq[Int], l: Seq[Seq[Double]]) => {
-      var d = 0.0
-      var j = 0
-      while (j < codes.length) { d += l(j)(codes(j)); j += 1 }
-      d
-    })
     val codes = catalog.scanSet(db, s"${name}_codes")
     val q = queries.select(col(idCol).as("query_id"), lut(col(vecCol)).as("lut"))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("neighbor_id"))
     val short = codes.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", round(adc(col("codes"), col("lut")), 6))
+      .withColumn("adc", round(graft.functions.VectorExpressions.adcNative(col("codes"), col("lut")), 6))
       .withColumn("rk", row_number().over(wAdc))
       .filter(col("rk") <= shortlist * k)
       .select(col("query_id"), col("neighbor_id"))

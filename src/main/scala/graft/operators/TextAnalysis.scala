@@ -147,6 +147,81 @@ object TextAnalysis {
       |  round(tf.tf * ln((SELECT n FROM nn) / dfreq.df), 6) AS tfidf
       |FROM tf JOIN dfreq USING (word)""".stripMargin
 
+  /** N-gram LM quality score (the CCNet recipe, public: Wenzek et al.,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", 2020 — which scores crawl text by a reference-corpus LM and
+    * filters on the score): every document scored by its mean bigram
+    * log-probability under an add-one-smoothed bigram model trained on a
+    * REFERENCE slice. P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V), V = the
+    * reference vocabulary size; OOV words fall through the same formula
+    * with zero counts. Lower scores = text unlike the reference (spam,
+    * boilerplate, wrong language) — the quality gate a curation pipeline
+    * thresholds on. Only documents with ≥1 bigram appear.
+    *
+    * Scale shape: the model IS two count tables from one scan of the
+    * reference (bigram + unigram counts, map-side combined); scoring is
+    * one exploded scan of the corpus with two equi joins against those
+    * tables (broadcast when the reference is small, shuffle hash
+    * otherwise — Spark's planner picks by size) plus the 1-row
+    * vocab-size scalar broadcast, then one per-doc aggregate. No state,
+    * no iteration; the bigram explode uses the codegen'd counting
+    * shingler.
+    */
+  def lmScore(
+      docs: DataFrame, refDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import graft.functions.ShingleExpressions.wordShinglesAll
+    val refBig = refDocs
+      .select(explode(wordShinglesAll(col(textCol), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val refUni = refDocs
+      .select(explode(tokens(col(textCol))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vocab = refUni.agg(count(lit(1)).cast("double").as("v"))
+    val docBig = docs.select(col(idCol).as("doc_id"),
+        explode(wordShinglesAll(col(textCol), 2)).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    docBig
+      .join(refBig, Seq("bg"), "left")
+      .join(refUni, Seq("w1"), "left")
+      // 1-row vocab-size scalar broadcast (the tfidf/histogram pattern)
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp",
+        log((coalesce(col("cb"), lit(0L)) + lit(1)).cast("double") /
+          (coalesce(col("cu"), lit(0L)) + col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 6).as("lm_score"))
+  }
+
+  /** Oracle for [[lmScore]] with the reference slice `doc_id < 250`. */
+  val lmScoreSql: String =
+    """WITH rb AS (
+      |  SELECT bg, COUNT(*) AS cb FROM (
+      |    SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+      |      AS bg
+      |    FROM documents WHERE doc_id < 250) z GROUP BY 1),
+      |ru AS (
+      |  SELECT w1, COUNT(*) AS cu FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w1
+      |    FROM documents WHERE doc_id < 250) z GROUP BY 1),
+      |vv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM ru),
+      |db AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+      |      AS bg
+      |  FROM documents),
+      |s AS (
+      |  SELECT db.doc_id,
+      |    ln(CAST(COALESCE(rb.cb, 0) + 1 AS DOUBLE) /
+      |       (COALESCE(ru.cu, 0) + (SELECT v FROM vv))) AS lp
+      |  FROM db
+      |  LEFT JOIN rb USING (bg)
+      |  LEFT JOIN ru ON ru.w1 = string_split(db.bg, ' ')[1])
+      |SELECT doc_id, COUNT(*) AS n_bigrams, round(AVG(lp), 6) AS lm_score
+      |FROM s GROUP BY 1""".stripMargin
+
   /** Repetition quality signals (the Gopher-rules family): per document,
     * the duplicate-word fraction (1 − distinct/total) and the fraction of
     * all word bigrams taken by the single most frequent bigram. High values

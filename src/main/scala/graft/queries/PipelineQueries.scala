@@ -808,7 +808,7 @@ object PipelineQueries {
     * 4-bucket probes prune the candidate pairs, ADC ranks them, and the
     * exact rounded-cosine re-rank scores the shortlist.
     */
-  val simIvfPqSql: String = {
+  private def ivfPqSearchSql(sourceWhere: String): String = {
     val m = 16
     val encJoins = (1 until m)
       .map(j => s"  JOIN enc$j c$j ON c$j.r = c0.r").mkString("\n")
@@ -816,8 +816,9 @@ object PipelineQueries {
       .map(j => s"  JOIN e${j}d l$j ON l$j.r = l0.r AND l$j.k = c$j.code")
       .mkString("\n")
     val adcSum = (0 until m).map(j => s"l$j.dist").mkString(" + ")
-    ExtendedQueries.lloydCtes(16, 3) + ",\n" +
-      pqCtes(m, kSub = 16, iters = 2, dim = 64).stripPrefix("WITH ") + ",\n" +
+    ExtendedQueries.lloydCtes(16, 3, sourceWhere) + ",\n" +
+      pqCtes(m, kSub = 16, iters = 2, dim = 64, sourceWhere)
+        .stripPrefix("WITH ") + ",\n" +
       s"""bdist AS (
          |  SELECT e.vec_id AS r, c.k,
          |    SUM((CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v) *
@@ -865,6 +866,33 @@ object PipelineQueries {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |         ORDER BY cos DESC, neighbor_id) AS INT) AS rank
          |  FROM scored) t WHERE rank <= 5""".stripMargin
+  }
+
+  val simIvfPqSql: String = ivfPqSearchSql("")
+
+  /** Both models trained on the BUILT half only; assignment, encoding,
+    * and the probed scan cover the whole corpus — what
+    * build(A) + stream-append(B) contains.
+    */
+  val ivfPqAppendSql: String = ivfPqSearchSql("WHERE vec_id < 250")
+
+  /** Persisted IVF-PQ: build the full production index layout into a
+    * throwaway catalog — coarse centroids + PQ codebooks (tiny sets),
+    * codes PARTITIONED BY coarse cell (searches list only probed
+    * directories, and what they read is codes), vectors hash-placed for
+    * the re-rank — then search it. Same kernels end to end, so the
+    * oracle is [[simIvfPqSql]] unchanged.
+    */
+  def simIvfPqIndexed(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpq")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    SimilaritySearch.buildIvfPqIndex(spark, cat, "idx", "emb", emb)
+    val hits = SimilaritySearch.searchIvfPqIndex(spark, cat, "idx", "emb",
+      emb.filter(col("vec_id") < 10), k = 5)
+      .localCheckpoint(true)
+    graft.storage.SetCatalog.deleteTree(root)
+    hits
   }
 
   /** Codebooks trained on the BUILT half only (vec_id < 250); encoding
@@ -1826,11 +1854,16 @@ object PipelineQueries {
     "sim_pq_topk" -> simPq,
     "sim_pq_indexed" -> simPqIndexed,
     "sim_ivfpq_topk" -> simIvfPq,
+    "sim_ivfpq_indexed" -> simIvfPqIndexed,
     "txt_langid" -> txtLangId,
     "txt_quality" -> txtQuality,
     "txt_tokens" -> txtTokens,
     "txt_fingerprint" -> txtFingerprint,
     "txt_tfidf" -> ((sp, d) => TextAnalysis.tfidf(Tables.documents(sp, d), "doc_id", "text")),
+    "txt_lm_score" -> ((sp, d) => {
+      val docs = Tables.documents(sp, d)
+      TextAnalysis.lmScore(docs, docs.filter(col("doc_id") < 250), "doc_id", "text")
+    }),
     "txt_repetition" -> ((sp, d) => TextAnalysis.repetitionStats(Tables.documents(sp, d), "doc_id", "text")),
     "mm_features" -> mmFeatures,
     "mm_resize" -> mmResize,
@@ -1871,11 +1904,13 @@ object PipelineQueries {
     "sim_pq_topk" -> simPqSql,
     "sim_pq_indexed" -> simPqSql,
     "sim_ivfpq_topk" -> simIvfPqSql,
+    "sim_ivfpq_indexed" -> simIvfPqSql,
     "txt_langid" -> TextAnalysis.languageIdSql,
     "txt_quality" -> TextAnalysis.qualityScoreSql,
     "txt_tokens" -> TextAnalysis.tokenStatsSql,
     "txt_fingerprint" -> txtFingerprintSql,
     "txt_tfidf" -> TextAnalysis.tfidfSql,
+    "txt_lm_score" -> TextAnalysis.lmScoreSql,
     "txt_repetition" -> TextAnalysis.repetitionStatsSql,
     "mm_features" -> mmFeaturesSql,
     "mm_resize" -> mmResizeSql,

@@ -714,6 +714,32 @@ object StreamingQueries {
 
   val stPqAppendSql: String = PipelineQueries.pqAppendSql
 
+  /** Streaming IVF-PQ maintenance: the full production index (coarse
+    * cells + compressed codes) built on the first half, arrivals
+    * assigned + encoded under the STANDING models per micro-batch and
+    * appended into the bucket-partitioned code set, then searched. The
+    * oracle trains both model chains on the built half and
+    * assigns/encodes the whole corpus.
+    */
+  def stIvfPqAppend(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val emb = graft.model.Tables.embeddings(spark, d)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpqs")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    graft.operators.SimilaritySearch.buildIvfPqIndex(spark, cat, "idx", "emb",
+      emb.filter(col("vec_id") < 250))
+    graft.operators.SimilaritySearch.streamAppendToIvfPqIndex(
+      readEmbStream(spark, d).filter(col("vec_id") >= 250),
+      cat, "idx", "emb")
+    val hits = graft.operators.SimilaritySearch.searchIvfPqIndex(
+      spark, cat, "idx", "emb", emb.filter(col("vec_id") < 10), k = 5)
+      .localCheckpoint(true)
+    graft.storage.SetCatalog.deleteTree(root)
+    hits
+  }
+
+  val stIvfPqAppendSql: String = PipelineQueries.ivfPqAppendSql
+
   /** Streaming token-budget admission: the budget gate at INGEST — docs
     * arrive as a sequenced log (doc_id = ingest offset), route to their
     * md5 writer shard, and a standing per-shard token counter admits
@@ -768,7 +794,8 @@ object StreamingQueries {
     "st_curate" -> stCurate,
     "st_ivf_append" -> stIvfAppend,
     "st_pq_append" -> stPqAppend,
-    "st_budget" -> stBudget)
+    "st_budget" -> stBudget,
+    "st_ivfpq_append" -> stIvfPqAppend)
 
   val oracles: Map[String, String] = Map(
     "st_hourly" -> stHourlySql,
@@ -787,5 +814,6 @@ object StreamingQueries {
     "st_curate" -> stCurateSql,
     "st_ivf_append" -> stIvfAppendSql,
     "st_pq_append" -> stPqAppendSql,
-    "st_budget" -> stBudgetSql)
+    "st_budget" -> stBudgetSql,
+    "st_ivfpq_append" -> stIvfPqAppendSql)
 }

@@ -820,4 +820,21 @@ class PipelineSpec extends GraftSpecBase {
     cBanded.unpersist(blocking = true)
     assert(!cSets.storageLevel.useMemory && !cBanded.storageLevel.useMemory)
   }
+
+  test("lm score ranks reference-like text above out-of-vocabulary text") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "the cat sat on the rug"),   // in-vocab, seen bigrams
+      (11L, "zz qq ww ee rr tt")          // fully OOV
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.lmScore(docs, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(10L) > out(11L),
+      s"reference-like doc must outscore gibberish: $out")
+    // every score is a mean of log-probabilities: strictly negative
+    assert(out.values.forall(_ < 0))
+  }
 }

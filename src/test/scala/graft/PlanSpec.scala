@@ -129,7 +129,8 @@ class PlanSpec extends GraftSpecBase {
       "op_stats_agg" -> "1-row global-stats scalar broadcast",
       "op_histogram" -> "1-row min/max bin-bounds scalar broadcast",
       "q22_idle_customers" -> "1-row avg-acctbal scalar subquery broadcast",
-      "txt_tfidf" -> "1-row corpus-doc-count scalar broadcast")
+      "txt_tfidf" -> "1-row corpus-doc-count scalar broadcast",
+      "txt_lm_score" -> "1-row vocab-size scalar broadcast")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) =>
         name.startsWith("st_") || allowed.contains(name) }

@@ -70,6 +70,23 @@ class PqSpec extends GraftSpecBase {
       "appended codes must match a one-pass encode under the built codebooks")
   }
 
+  test("persisted IVF-PQ index equals in-memory ivfPqTopK and prunes code partitions") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpq-spec")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    SimilaritySearch.buildIvfPqIndex(spark, cat, "idx", "emb", emb)
+    val queries = emb.filter(col("vec_id") < 10)
+    val search = SimilaritySearch.searchIvfPqIndex(spark, cat, "idx", "emb", queries, k = 5)
+    val fromIndex = search.collect().map(_.toSeq).toSet
+    val inMemory = SimilaritySearch.ivfPqTopK(spark, emb, queries, k = 5)
+      .collect().map(_.toSeq).toSet
+    // the probe join must prune the bucket-partitioned CODE set
+    val plan = search.queryExecution.executedPlan.toString
+    graft.storage.SetCatalog.deleteTree(root)
+    assert(fromIndex == inMemory && fromIndex.nonEmpty)
+    assert(plan.contains("dynamicpruning"),
+      s"probe join no longer prunes code partitions:\n$plan")
+  }
+
   test("ADC shortlist re-rank recalls most of the exact top-k") {
     // 32-bit codes are a coarse sketch; the 4k shortlist + exact re-rank
     // is what buys the recall back. Measured ~0.8 on the fixture —
