@@ -605,7 +605,10 @@ object SimilaritySearch {
       spark: SparkSession, catalog: graft.storage.SetCatalog,
       db: String, name: String, emb: DataFrame,
       m: Int = 16, kSub: Int = 16, iters: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      numBuckets: Int = 0,
+      advisor: Option[graft.advisor.PlacementAdvisor] = None,
+      targetRowsPerBucket: Long = 1L << 22): Unit = {
     val codebooks = trainPqCodebooks(emb, m, kSub, iters, idCol, vecCol)
     import spark.implicits._
     catalog.createSet(db, s"${name}_codebooks",
@@ -613,14 +616,22 @@ object SimilaritySearch {
         cb.zipWithIndex.map { case (v, c) => (j, c.toLong, v.toSeq) }
       }.toSeq.toDF("sub", "centroid", "components"),
       policy = "none")
+    // partition-count choice follows the other index builders: explicit,
+    // else the advisor's sizing rule over the corpus rowcount, else the
+    // session's shuffle-partition count
+    val n = if (numBuckets > 0) numBuckets
+      else advisor
+        .map(_.recommendBuckets(s"$db.${name}_codes", emb.count(),
+          targetRowsPerBucket))
+        .getOrElse(spark.sessionState.conf.numShufflePartitions.toInt)
     val encode = pqEncodeUdf(codebooks)
     catalog.createSet(db, s"${name}_codes",
       emb.select(col(idCol).as("neighbor_id"), encode(col(vecCol)).as("codes")),
-      partitionColumn = Some("neighbor_id"))
+      partitionColumn = Some("neighbor_id"), numPartitions = n)
     catalog.createSet(db, s"${name}_vectors",
       emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
         l2Norm(col(vecCol)).as("n_nrm")),
-      partitionColumn = Some("neighbor_id"))
+      partitionColumn = Some("neighbor_id"), numPartitions = n)
   }
 
   private def loadPqCodebooks(

@@ -162,11 +162,30 @@ class AdvisorSpec extends GraftSpecBase {
     assert(envProbe.filter(col("is_dup")).count() > 0,
       "self-probe of the advised envelope index found no dups")
 
+    // the PQ code table takes the same advised sizing: codes and
+    // vectors sets of an advisor-built compressed index must both carry
+    // recommendBuckets' count for the corpus rowcount
+    val emb = Tables.embeddings(spark, sfDir)
+    graft.operators.SimilaritySearch.buildPqIndex(spark, cat, "adv", "pq",
+      emb, advisor = Some(adv), targetRowsPerBucket = 16)
+    val codesMeta = cat.meta("adv", "pq_codes").get
+    val expCodes = adv.recommendBuckets("adv.pq_codes", codesMeta.rows, 16)
+    assert(expCodes > 1, s"fixture should need >1 code bucket, got $expCodes")
+    assert(codesMeta.numPartitions == expCodes,
+      s"code set carries ${codesMeta.numPartitions} buckets, advisor says $expCodes")
+    assert(cat.meta("adv", "pq_vectors").get.numPartitions == expCodes,
+      "codes/vectors partition counts diverged")
+    // the advised layout still serves the search
+    val pqHits = graft.operators.SimilaritySearch.searchPqIndex(
+      spark, cat, "adv", "pq", emb.filter(col("vec_id") < 3), k = 3)
+    assert(pqHits.count() > 0, "search over the advised PQ index was empty")
+
     // the advised layout still serves the index's join: probing works
     val hits = graft.operators.Dedup.spansAgainstStoredIndex(
       docs.limit(5), cat, "adv", "idx", "doc_id", "text", k = 8)
     assert(hits.count() > 0, "self-probe of the gram index found no spans")
-    Seq("idx_sets", "idx_bands", "idx_grams", "idx_hashes", "env_fps")
+    Seq("idx_sets", "idx_bands", "idx_grams", "idx_hashes", "env_fps",
+        "pq_codebooks", "pq_codes", "pq_vectors")
       .foreach(cat.removeSet("adv", _))
     SetCatalog.deleteTree(java.nio.file.Paths.get(root))
   }
