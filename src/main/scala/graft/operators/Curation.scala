@@ -406,6 +406,7 @@ object Curation extends Serializable {
       stream: DataFrame, idCol: String, textCol: String,
       totalTokens: Long, nShards: Int): org.apache.spark.sql.Dataset[BudgetAdmit] = {
     require(totalTokens >= 1, s"need a positive budget, got $totalTokens")
+    require(nShards >= 1, s"need a positive shard count, got $nShards")
     val perShard = totalTokens / nShards
     val spark = stream.sparkSession
     import spark.implicits._

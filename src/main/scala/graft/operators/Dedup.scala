@@ -1113,6 +1113,17 @@ object Dedup {
     * sf0.1→sf1 step with k=4). Same integer ceil as the SQL oracles'
     * `(COUNT(*) + target-1) // target` so both engines train the same
     * codebook.
+    *
+    * The `maxClusters` cap is also where the NEXT scale knob lives:
+    * full-corpus assignment costs O(n·k·d), so with k ∝ n it is the
+    * quadratic term once the cap is reached (n > cap·target ≈ 1.25M
+    * vectors at the defaults). Past that point the production move is
+    * two-level assignment — route each row through a coarse quantizer
+    * over the k centroids (≈√k cells) and argmin only within its cell,
+    * O(n·√k·d) — exactly the [[SimilaritySearch.ivfPqTopK]] shape
+    * applied to codebook assignment. Not implemented here because no
+    * reachable fixture or synthetic scale exercises the cap; recorded
+    * so the cap reads as a known boundary, not an oversight.
     */
   def autoClusters(n: Long, targetClusterSize: Int = 125,
       maxClusters: Int = 10000): Int =

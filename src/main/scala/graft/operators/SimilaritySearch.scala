@@ -55,15 +55,32 @@ object SimilaritySearch {
     * of k-row slices — never a global sort), so the cost at 100 TB is
     * one scan of (id, vector), and the heap holds 10k rows.
     */
-  def trainCentroids(
-      emb: DataFrame, nCentroids: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      sampleLimit: Int = 10000): Array[Array[Double]] = {
-    val sample = emb
+  /** The shared deterministic training sample: the `sampleLimit` rows
+    * with the smallest (md5(id), id), as raw double vectors — collected
+    * ONCE and reusable by both the coarse quantizer and the PQ
+    * sub-codebook trainers (an IVF-PQ build needs both; collecting the
+    * identical sample twice doubles the most expensive training step, a
+    * full corpus scan at scale).
+    */
+  private[operators] def sampleVectors(
+      emb: DataFrame, idCol: String, vecCol: String,
+      sampleLimit: Int): Array[Array[Double]] =
+    emb
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
       .limit(sampleLimit)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  def trainCentroids(
+      emb: DataFrame, nCentroids: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      sampleLimit: Int = 10000): Array[Array[Double]] =
+    trainCentroidsFromSample(
+      sampleVectors(emb, idCol, vecCol, sampleLimit), nCentroids, iters)
+
+  private[operators] def trainCentroidsFromSample(
+      sample: Array[Array[Double]], nCentroids: Int,
+      iters: Int): Array[Array[Double]] = {
     var centroids = sample.take(nCentroids).map(_.clone())
     for (_ <- 1 to iters) {
       val sums = Array.fill(nCentroids)(new Array[Double](centroids(0).length))
@@ -248,7 +265,8 @@ object SimilaritySearch {
     * centroid. Returns codebooks(sub)(centroid)(dimInSub).
     *
     * Why PQ at 100 TB: a 64-float embedding is 256 B; its PQ code is `m`
-    * small ints (packable to `m` bytes) — a 64× smaller table to scan.
+    * sub-centroid ids of log2(kSub) bits each — 8 B packed at the
+    * 16×16 defaults, a 32× smaller table to scan.
     * ADC search reads ONLY the code table; full vectors are touched for
     * the shortlist re-rank alone. The compressed scan is what makes
     * corpus-wide candidate generation IO-feasible where the raw vectors
@@ -265,9 +283,20 @@ object SimilaritySearch {
     */
   private def unitNormalize(v: Seq[Float]): Array[Double] = {
     val arr = new Array[Double](v.length)
+    var i = 0
+    while (i < arr.length) { arr(i) = v(i).toDouble; i += 1 }
+    unitNormalized(arr)
+  }
+
+  /** Same kernel over an already-converted double vector (the shared
+    * training sample); `v` is not mutated. Sequential Σv² in index
+    * order, identical to the Seq[Float] path bit for bit.
+    */
+  private def unitNormalized(v: Array[Double]): Array[Double] = {
+    val arr = new Array[Double](v.length)
     var s = 0.0
     var i = 0
-    while (i < arr.length) { val d = v(i).toDouble; arr(i) = d; s += d * d; i += 1 }
+    while (i < arr.length) { val d = v(i); arr(i) = d; s += d * d; i += 1 }
     val nrm = math.sqrt(s)
     if (nrm > 0) { i = 0; while (i < arr.length) { arr(i) /= nrm; i += 1 } }
     arr
@@ -276,12 +305,14 @@ object SimilaritySearch {
   def trainPqCodebooks(
       emb: DataFrame, m: Int, kSub: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      sampleLimit: Int = 10000): Array[Array[Array[Double]]] = {
-    val sample = emb
-      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
-      .limit(sampleLimit)
-      .select(col(vecCol)).collect()
-      .map(r => unitNormalize(r.getSeq[Float](0)))
+      sampleLimit: Int = 10000): Array[Array[Array[Double]]] =
+    trainPqCodebooksFromSample(
+      sampleVectors(emb, idCol, vecCol, sampleLimit), m, kSub, iters)
+
+  private[operators] def trainPqCodebooksFromSample(
+      rawSample: Array[Array[Double]], m: Int, kSub: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
+    val sample = rawSample.map(unitNormalized)
     require(sample.nonEmpty, "PQ training sample is empty")
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
@@ -365,6 +396,68 @@ object SimilaritySearch {
       }
     })
 
+  /** ADC shortlist cut shared by every PQ search form: candidate
+    * (query_id, neighbor_id, codes, lut) pairs → the `shortlist`·k best
+    * per query by rounded ADC with an id tiebreak. How the candidates
+    * were generated (full code-table cross vs bucket-pruned join) is the
+    * caller's choice; the cut contract — round to 1e-6 BEFORE ranking so
+    * the boundary is FP-associativity-proof, first-id tiebreak — lives
+    * here once, mirrored by every oracle's `short` CTE.
+    */
+  private def adcShortlist(pairs: DataFrame, shortlist: Int, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    pairs
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", round(
+        graft.functions.VectorExpressions.adcNative(col("codes"), col("lut")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= shortlist * k)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Exact rounded-cosine re-rank of a (query_id, neighbor_id) shortlist
+    * against a (neighbor_id, n_vec, n_nrm) vector frame — the shared
+    * closing stage of every PQ search form (id-equi joins only; the
+    * query side broadcasts). Mirrored by every oracle's `scored` tail.
+    */
+  private def rerankExact(
+      short: DataFrame, vectors: DataFrame, queries: DataFrame, k: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_nrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    short.join(vectors, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos",
+        round(dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** (neighbor_id, n_vec, n_nrm) projection for [[rerankExact]]. */
+  private def vectorsWithNorm(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+      l2Norm(col(vecCol)).as("n_nrm"))
+
+  /** Persist PQ sub-codebooks as the tiny `<name>_codebooks` set (one
+    * row per (sub, centroid), components as an array) — shared by the
+    * PQ and IVF-PQ builders.
+    */
+  private def persistCodebooks(
+      spark: SparkSession, catalog: graft.storage.SetCatalog,
+      db: String, name: String,
+      codebooks: Array[Array[Array[Double]]]): Unit = {
+    import spark.implicits._
+    catalog.createSet(db, s"${name}_codebooks",
+      codebooks.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (v, c) => (j, c.toLong, v.toSeq) }
+      }.toSeq.toDF("sub", "centroid", "components"),
+      policy = "none")
+  }
+
   /** Asymmetric-distance top-k with exact re-rank: encode the corpus once
     * (the compressed code table), broadcast the queries WITH their LUTs,
     * shortlist the `shortlist`·k best codes per query by ADC (sum of `m`
@@ -389,27 +482,8 @@ object SimilaritySearch {
     val codes = emb.select(col(idCol).as("neighbor_id"), encode(col(vecCol)).as("codes"))
       .transform(Parallelism.ensureWidth)
     val q = queries.select(col(idCol).as("query_id"), lut(col(vecCol)).as("lut"))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("neighbor_id"))
-    val short = codes.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", round(graft.functions.VectorExpressions.adcNative(col("codes"), col("lut")), 6))
-      .withColumn("rk", row_number().over(wAdc))
-      .filter(col("rk") <= shortlist * k)
-      .select(col("query_id"), col("neighbor_id"))
-    val n = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
-      l2Norm(col(vecCol)).as("n_nrm"))
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      l2Norm(col(vecCol)).as("q_nrm"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    short.join(n, Seq("neighbor_id"))
-      .join(broadcast(qv), Seq("query_id"))
-      .withColumn("cos",
-        round(dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    val short = adcShortlist(codes.crossJoin(broadcast(q)), shortlist, k)
+    rerankExact(short, vectorsWithNorm(emb, idCol, vecCol), queries, k, idCol, vecCol)
   }
 
   /** IVF-PQ: the production ANN shape at corpus scale — coarse cells
@@ -432,8 +506,10 @@ object SimilaritySearch {
       nCentroids: Int = 16, nprobe: Int = 4,
       m: Int = 16, kSub: Int = 16, iters: Int = 2, shortlist: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = trainCentroids(emb, nCentroids, iters = 3, idCol, vecCol)
-    val codebooks = trainPqCodebooks(emb, m, kSub, iters, idCol, vecCol)
+    // ONE sample scan feeds both trainers (see sampleVectors)
+    val sample = sampleVectors(emb, idCol, vecCol, 10000)
+    val centroids = trainCentroidsFromSample(sample, nCentroids, iters = 3)
+    val codebooks = trainPqCodebooksFromSample(sample, m, kSub, iters)
     val assign = nearestUdf(centroids)
     val probe = probeUdf(centroids, nprobe)
     val encode = pqEncodeUdf(codebooks)
@@ -443,29 +519,10 @@ object SimilaritySearch {
       .transform(Parallelism.ensureWidth)
     val probes = queries.select(col(idCol).as("query_id"),
       explode(probe(col(vecCol))).as("bucket"), lut(col(vecCol)).as("lut"))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("neighbor_id"))
     // a vector lives in exactly one cell, so the bucket join emits each
     // (query, neighbor) pair at most once — no dedup stage needed
-    val short = codes.join(broadcast(probes), Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", round(graft.functions.VectorExpressions.adcNative(col("codes"), col("lut")), 6))
-      .withColumn("rk", row_number().over(wAdc))
-      .filter(col("rk") <= shortlist * k)
-      .select(col("query_id"), col("neighbor_id"))
-    val n = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
-      l2Norm(col(vecCol)).as("n_nrm"))
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      l2Norm(col(vecCol)).as("q_nrm"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    short.join(n, Seq("neighbor_id"))
-      .join(broadcast(qv), Seq("query_id"))
-      .withColumn("cos",
-        round(dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    val short = adcShortlist(codes.join(broadcast(probes), Seq("bucket")), shortlist, k)
+    rerankExact(short, vectorsWithNorm(emb, idCol, vecCol), queries, k, idCol, vecCol)
   }
 
   /** Persist an IVF-PQ index — the full production ANN layout at corpus
@@ -482,19 +539,17 @@ object SimilaritySearch {
       db: String, name: String, emb: DataFrame,
       nCentroids: Int = 16, m: Int = 16, kSub: Int = 16, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val centroids = trainCentroids(emb, nCentroids, iters = 3, idCol, vecCol)
-    val codebooks = trainPqCodebooks(emb, m, kSub, iters, idCol, vecCol)
+    // ONE sample scan feeds both trainers (see sampleVectors)
+    val sample = sampleVectors(emb, idCol, vecCol, 10000)
+    val centroids = trainCentroidsFromSample(sample, nCentroids, iters = 3)
+    val codebooks = trainPqCodebooksFromSample(sample, m, kSub, iters)
     import spark.implicits._
     catalog.createSet(db, s"${name}_centroids",
       centroids.zipWithIndex
         .map { case (v, b) => (b.toLong, v.toSeq) }.toSeq
         .toDF("bucket", "centroid"),
       policy = "none")
-    catalog.createSet(db, s"${name}_codebooks",
-      codebooks.zipWithIndex.flatMap { case (cb, j) =>
-        cb.zipWithIndex.map { case (v, c) => (j, c.toLong, v.toSeq) }
-      }.toSeq.toDF("sub", "centroid", "components"),
-      policy = "none")
+    persistCodebooks(spark, catalog, db, name, codebooks)
     val assign = nearestUdf(centroids)
     val encode = pqEncodeUdf(codebooks)
     catalog.createPartitionedSet(db, s"${name}_codes",
@@ -571,25 +626,8 @@ object SimilaritySearch {
     val probes = queries.select(col(idCol).as("query_id"),
       explode(probe(col(vecCol))).as("bucket"), lut(col(vecCol)).as("lut"))
       .withColumn("bucket", col("bucket").cast(bucketType))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("neighbor_id"))
-    val short = codes.join(broadcast(probes), Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", round(graft.functions.VectorExpressions.adcNative(col("codes"), col("lut")), 6))
-      .withColumn("rk", row_number().over(wAdc))
-      .filter(col("rk") <= shortlist * k)
-      .select(col("query_id"), col("neighbor_id"))
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      l2Norm(col(vecCol)).as("q_nrm"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    short.join(catalog.scanSet(db, s"${name}_vectors"), Seq("neighbor_id"))
-      .join(broadcast(qv), Seq("query_id"))
-      .withColumn("cos",
-        round(dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    val short = adcShortlist(codes.join(broadcast(probes), Seq("bucket")), shortlist, k)
+    rerankExact(short, catalog.scanSet(db, s"${name}_vectors"), queries, k, idCol, vecCol)
   }
 
   /** Persist a PQ index into the set catalog: the sub-codebooks as a tiny
@@ -610,12 +648,7 @@ object SimilaritySearch {
       advisor: Option[graft.advisor.PlacementAdvisor] = None,
       targetRowsPerBucket: Long = 1L << 22): Unit = {
     val codebooks = trainPqCodebooks(emb, m, kSub, iters, idCol, vecCol)
-    import spark.implicits._
-    catalog.createSet(db, s"${name}_codebooks",
-      codebooks.zipWithIndex.flatMap { case (cb, j) =>
-        cb.zipWithIndex.map { case (v, c) => (j, c.toLong, v.toSeq) }
-      }.toSeq.toDF("sub", "centroid", "components"),
-      policy = "none")
+    persistCodebooks(spark, catalog, db, name, codebooks)
     // partition-count choice follows the other index builders: explicit,
     // else the advisor's sizing rule over the corpus rowcount, else the
     // session's shuffle-partition count
@@ -696,25 +729,8 @@ object SimilaritySearch {
     val lut = pqLutUdf(codebooks)
     val codes = catalog.scanSet(db, s"${name}_codes")
     val q = queries.select(col(idCol).as("query_id"), lut(col(vecCol)).as("lut"))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("neighbor_id"))
-    val short = codes.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", round(graft.functions.VectorExpressions.adcNative(col("codes"), col("lut")), 6))
-      .withColumn("rk", row_number().over(wAdc))
-      .filter(col("rk") <= shortlist * k)
-      .select(col("query_id"), col("neighbor_id"))
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      l2Norm(col(vecCol)).as("q_nrm"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    short.join(catalog.scanSet(db, s"${name}_vectors"), Seq("neighbor_id"))
-      .join(broadcast(qv), Seq("query_id"))
-      .withColumn("cos",
-        round(dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    val short = adcShortlist(codes.crossJoin(broadcast(q)), shortlist, k)
+    rerankExact(short, catalog.scanSet(db, s"${name}_vectors"), queries, k, idCol, vecCol)
   }
 
   /** Search a persisted IVF index: load the codebook (tiny), compute each

@@ -111,8 +111,8 @@ class PlanSpec extends GraftSpecBase {
       "dd_cosine_pairs" -> "documented O(n^2) brute-force baseline",
       "sim_topk" -> "documented brute-force ANN baseline",
       "sim_pq_topk" -> ("ADC scan over the compressed code table — " +
-        "per-pair work is m table lookups on m-byte codes, 64x less IO " +
-        "than the vector scan; composes with IVF bucketing for pruning"),
+        "per-pair work is m table lookups on 8-byte packed codes, 32x " +
+        "less IO than the vector scan; composes with IVF for pruning"),
       "sim_pq_indexed" -> "same ADC code-table scan, persisted-index form",
       "dd_topk_jaccard" -> "documented all-pairs jaccard baseline",
       "txt_quantile_filter" -> "1-row threshold scalar broadcast",

@@ -88,8 +88,8 @@ class PqSpec extends GraftSpecBase {
   }
 
   test("ADC shortlist re-rank recalls most of the exact top-k") {
-    // 32-bit codes are a coarse sketch; the 4k shortlist + exact re-rank
-    // is what buys the recall back. Measured ~0.8 on the fixture —
+    // 64-bit codes are a coarse sketch; the 10k-per-query shortlist +
+    // exact re-rank buys the recall back. Measured ~0.8 on the fixture —
     // pinned at 0.5 so codebook jitter can't flake the suite while a
     // real ranking regression (recall ~ random would be ~shortlist/n)
     // still fails loudly.

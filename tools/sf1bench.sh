@@ -33,6 +33,10 @@ ONLY=$ONLY,op_skew_join,st_curate,txt_pii,op_quantiles,pipe_curate
 ONLY=$ONLY,dd_cosine_pairs,dd_clusters,txt_quantile_filter,dd_ngram_pairs
 ONLY=$ONLY,dd_cross_indexed,dd_span_strip,dd_keep_list,st_sessions
 ONLY=$ONLY,dd_topk_jaccard,txt_doc_filter,st_sliding
+# round-11 list revision (the family's first round, so the set is being
+# finalized rather than changed): the two new standing-index ANN
+# queries that land in the expensive slice at sf0.1 (3.3-5.0 s)
+ONLY=$ONLY,sim_ivfpq_indexed,st_ivfpq_append
 
 OUT="BENCH_SF1_r${ROUND}.json"
 LOG="target/sf1bench_r${ROUND}.log"
@@ -45,6 +49,10 @@ SPARK_GRAFT_ISOLATE=1 \
     echo "[sf1bench] sbt failed; tail of $LOG:" >&2; tail -20 "$LOG" >&2; exit 1; }
 # The bench prints ONE JSON line starting {"metric":"total" — that line
 # IS the artifact (Bench.prevArtifact reads top-level "queries").
-grep -h '^{"metric":"total"' "$LOG" | tail -1 > "$OUT"
-[ -s "$OUT" ] || { echo "[sf1bench] no bench line found in $LOG" >&2; exit 1; }
+# `|| true`: under pipefail a lineless log would otherwise kill the
+# script at the grep, AFTER the redirection truncated $OUT — leaving an
+# empty highest-numbered artifact that silently disables the next
+# round's prev-ref adjudication. Let the guard below do the failing.
+grep -h '^{"metric":"total"' "$LOG" | tail -1 > "$OUT" || true
+[ -s "$OUT" ] || { rm -f "$OUT"; echo "[sf1bench] no bench line found in $LOG" >&2; exit 1; }
 echo "[sf1bench] wrote $OUT" >&2
