@@ -88,9 +88,19 @@ object StageProfile {
         iters = 3, threshold = 0.999))
     }
 
-    // the full composition, for the assembly overhead by difference
+    // the full compositions, for the assembly overhead by difference:
+    // pipe_media (media chains alone), pipe_all (adds the text chains +
+    // the per-doc keep join), pipe_all_budget (adds the token-budget
+    // sample over the keep=true survivors — the capstone's tail cost is
+    // total_pipe_all_budget − total_pipe_all)
     stages("total_pipe_media") = timed {
       force(graft.queries.PipelineQueries.all("pipe_media")(spark, d))
+    }
+    stages("total_pipe_all") = timed {
+      force(graft.queries.PipelineQueries.all("pipe_all")(spark, d))
+    }
+    stages("total_pipe_all_budget") = timed {
+      force(graft.queries.PipelineQueries.all("pipe_all_budget")(spark, d))
     }
 
     val json = stages.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
