@@ -193,7 +193,14 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 6).as("lm_score"))
   }
 
-  /** Oracle for [[lmScore]] with the reference slice `doc_id < 250`. */
+  /** Oracle for [[lmScore]] with the reference slice `doc_id < 250`;
+    * `scoreWhere` restricts the SCORED side (the streaming form scores
+    * arrivals only — the model side stays the full reference slice).
+    */
+  def lmScoreSqlWhere(scoreWhere: String): String = lmScoreSql
+    .replace("      AS bg\n  FROM documents)",
+      s"      AS bg\n  FROM documents $scoreWhere)")
+
   val lmScoreSql: String =
     """WITH rb AS (
       |  SELECT bg, COUNT(*) AS cb FROM (

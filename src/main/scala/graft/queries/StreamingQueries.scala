@@ -761,6 +761,28 @@ object StreamingQueries {
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Streaming LM scoring: the standing reference bigram model (two
+    * count tables + vocab size from the static corpus slice) scores each
+    * micro-batch of arrivals — a stateless stream-static composition
+    * like st_enrich, so any batching scores identically (each row's
+    * score depends only on (row, model)). Completes the streaming form
+    * of the txt_lm_score quality gate: model built once, arrivals
+    * scored as they land.
+    */
+  def stLmScore(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val ref = graft.model.Tables.documents(spark, d)
+      .filter(col("doc_id") < 250)
+    val arrivals = readDocStream(spark, d).filter(col("doc_id") >= 250)
+      .select(col("doc_id"), col("text"))
+    graft.operators.Dedup.streamProbe(arrivals, batch =>
+      graft.operators.TextAnalysis.lmScore(batch, ref, "doc_id", "text"),
+      None)
+  }
+
+  val stLmScoreSql: String =
+    graft.operators.TextAnalysis.lmScoreSqlWhere("WHERE doc_id >= 250")
+
   val stBudgetSql: String =
     """WITH h AS (
       |  SELECT doc_id,
@@ -795,7 +817,8 @@ object StreamingQueries {
     "st_ivf_append" -> stIvfAppend,
     "st_pq_append" -> stPqAppend,
     "st_budget" -> stBudget,
-    "st_ivfpq_append" -> stIvfPqAppend)
+    "st_ivfpq_append" -> stIvfPqAppend,
+    "st_lm_score" -> stLmScore)
 
   val oracles: Map[String, String] = Map(
     "st_hourly" -> stHourlySql,
@@ -815,5 +838,6 @@ object StreamingQueries {
     "st_ivf_append" -> stIvfAppendSql,
     "st_pq_append" -> stPqAppendSql,
     "st_budget" -> stBudgetSql,
-    "st_ivfpq_append" -> stIvfPqAppendSql)
+    "st_ivfpq_append" -> stIvfPqAppendSql,
+    "st_lm_score" -> stLmScoreSql)
 }
