@@ -17,7 +17,7 @@ case class BudgetAdmit(doc_id: Long, shard: Long, n_tokens: Long, cum_tokens: Lo
   * budget window closes at the first crossing, like the batch form's
   * prefix-sum filter).
   */
-case class BudgetState(seenTokens: Long)
+case class BudgetState(seenTokens: Long, lastSeq: Long = -1L)
 
 /** Corpus-curation operators a training-data pipeline runs between dedup
   * and tokenization: benchmark decontamination, PII detection/redaction,
@@ -371,13 +371,24 @@ object Curation extends Serializable {
       state: BudgetState, docs: Seq[BudgetDoc],
       perShard: Long): (BudgetState, Seq[BudgetAdmit]) = {
     var seen = state.seenTokens
+    var last = state.lastSeq
     val out = Seq.newBuilder[BudgetAdmit]
     docs.foreach { d =>
+      // the batch-oracle equivalence contract is per-shard sequence order
+      // ACROSS batches (the scaladoc's ingest-log contract); a source
+      // that replays or reorders offsets across triggers would otherwise
+      // silently admit a different set than the prefix-sum oracle — make
+      // the contract self-checking and fail loudly instead
+      if (d.seq <= last) throw new IllegalStateException(
+        s"streamTokenBudget: out-of-order arrival seq=${d.seq} on shard " +
+          s"${d.shard} after seq=$last — per-shard cross-batch sequence " +
+          "order is the oracle-equivalence contract")
+      last = d.seq
       seen += d.n_tokens
       if (seen <= perShard)
         out += BudgetAdmit(d.seq, d.shard, d.n_tokens, seen)
     }
-    (BudgetState(seen), out.result())
+    (BudgetState(seen, last), out.result())
   }
 
   /** Streaming token-budget admission — the budget gate applied at

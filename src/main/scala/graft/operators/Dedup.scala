@@ -1114,22 +1114,40 @@ object Dedup {
     * `(COUNT(*) + target-1) // target` so both engines train the same
     * codebook.
     *
-    * The `maxClusters` cap is also where the NEXT scale knob lives:
-    * full-corpus assignment costs O(n·k·d), so with k ∝ n it is the
-    * quadratic term once the cap is reached (n > cap·target ≈ 1.25M
-    * vectors at the defaults). Past that point the production move is
-    * two-level assignment — route each row through a coarse quantizer
-    * over the k centroids (≈√k cells) and argmin only within its cell,
-    * O(n·√k·d) — exactly the [[SimilaritySearch.ivfPqTopK]] shape
-    * applied to codebook assignment. Not implemented here because no
-    * reachable fixture or synthetic scale exercises the cap; recorded
-    * so the cap reads as a known boundary, not an oversight.
+    * Past k = 2048 ([[routeThreshold]]) assignment no longer runs the
+    * flat O(n·k·d) argmin: [[semanticPairs]] routes every row through a
+    * ~√k coarse quantizer trained over the k centroids themselves and
+    * argmins only within the routed cell
+    * ([[SimilaritySearch.twoLevelNearestUdf]] — the ivfPqTopK shape
+    * applied to codebook assignment), O(n·√k·d); the driver trainer
+    * takes the same routed step ([[SimilaritySearch.trainCentroidsRouted]])
+    * and the training sample scales to 2k rows so seeds exist for every
+    * centroid. That removes the quadratic term the old
+    * `maxClusters = 10000` cap used to hide (n > 1.25M vectors at the
+    * defaults; measured beyond it in SEMDEDUP_SCALE_r12.json).
+    *
+    * The remaining `maxClusters = 200000` default is a MEMORY bound,
+    * not a compute one: the codebook rides to executors task-broadcast
+    * (200k × 64 dims × 8 B ≈ 100 MB) and the trainer collects a 2k-row
+    * sample (≈200 MB at that point). Past it, the knob that scales is
+    * `targetClusterSize` — SemDeDup's own cluster-size parameter — which
+    * keeps the within-cluster pair term at n·target with a coarser
+    * codebook; the linear regime now extends to n ≈ 25M vectors at the
+    * defaults and arbitrarily far with target ∝ n/200000.
     */
   def autoClusters(n: Long, targetClusterSize: Int = 125,
-      maxClusters: Int = 10000): Int =
+      maxClusters: Int = 200000): Int =
     math.min(
       math.max(4L, (n + targetClusterSize - 1) / targetClusterSize),
       maxClusters.toLong).toInt
+
+  /** Codebook size above which [[semanticPairs]] switches from the flat
+    * per-row argmin to two-level routed assignment (and the trainer to
+    * routed Lloyd steps). Below it behavior is bit-identical to the
+    * pre-routing engine — the regime every DuckDB oracle runs in
+    * (k = 2048 needs a 256k-vector corpus at the default target).
+    */
+  val routeThreshold: Int = 2048
 
   /** SemDeDup-style semantic near-dup pairs: cluster the corpus by a
     * kmeans codebook over its embeddings
@@ -1152,19 +1170,41 @@ object Dedup {
     * floats), orders smaller than the media it derives from. Pass an
     * explicit k to pin the geometry and keep the input fully lazy
     * (tests; corpora whose size the caller already knows).
+    *
+    * Assignment regime: k ≤ [[routeThreshold]] runs the flat argmin
+    * (bit-identical to every oracle); larger codebooks route through a
+    * √k coarse quantizer ([[SimilaritySearch.twoLevelNearestUdf]]) so
+    * the corpus pass is O(n·√k·d) — see [[autoClusters]]. `routeCells`
+    * > 0 FORCES two-level assignment with that many coarse cells at any
+    * k (the dd_semantic_route oracle exercises the routed path at
+    * oracle-reachable scale); `routeIters` is the coarse trainer's
+    * Lloyd iteration count.
     */
   def semanticPairs(emb: DataFrame, idCol: String, vecCol: String,
       nClusters: Int = 0, iters: Int = 3,
-      threshold: Double = 0.4, targetClusterSize: Int = 125): DataFrame = {
+      threshold: Double = 0.4, targetClusterSize: Int = 125,
+      routeCells: Int = 0, routeIters: Int = 2): DataFrame = {
     val (corpus, k) =
       if (nClusters > 0) (emb, nClusters)
       else {
         val mat = emb.localCheckpoint(true)
         (mat, autoClusters(mat.count(), targetClusterSize))
       }
-    val centroids = SimilaritySearch.trainCentroids(
-      corpus, k, iters, idCol, vecCol)
-    val assign = SimilaritySearch.nearestUdf(centroids)
+    // seeds are sample rows, so the sample must cover k; 2k keeps a
+    // training margin. Below k = 5000 this is exactly the oracle's
+    // pinned 10000-row sample (max(10000, 2k) = 10000), and oracles can
+    // never reach past it (k > 5000 needs n > 625k corpus vectors).
+    val sample = SimilaritySearch.sampleVectors(
+      corpus, idCol, vecCol, math.max(10000, 2 * k))
+    val centroids = SimilaritySearch.trainCentroidsRouted(
+      sample, k, iters, routeThreshold)
+    val assign =
+      if (routeCells > 0)
+        SimilaritySearch.twoLevelNearestUdf(centroids, routeCells, routeIters)
+      else if (k > routeThreshold)
+        SimilaritySearch.twoLevelNearestUdf(
+          centroids, SimilaritySearch.sqrtCells(k), routeIters)
+      else SimilaritySearch.nearestUdf(centroids)
     val withC = corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .transform(Parallelism.ensureWidth)

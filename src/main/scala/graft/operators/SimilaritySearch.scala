@@ -134,6 +134,123 @@ object SimilaritySearch {
       dists.zipWithIndex.sortBy { case (d, b) => (d, b) }.take(nprobe).map(_._2.toLong).toSeq
     })
 
+  /** Coarse router over a FINE codebook: train a small coarse quantizer
+    * over the k fine centroids THEMSELVES (the [[ivfPqTopK]] cell shape
+    * applied to codebook assignment — the fix named by
+    * [[graft.operators.Dedup.autoClusters]]'s scaladoc since round 11),
+    * then group each fine centroid under its nearest coarse cell. Empty
+    * cells are dropped, so every routable cell has at least one fine
+    * centroid to argmin over. Everything here is driver-side over the
+    * codebook only — O(k·nCoarse·d), never touching the corpus.
+    * Returns (non-empty coarse centroids ascending by original seed
+    * index, member fine-centroid GLOBAL indices per cell, ascending).
+    */
+  private[operators] def coarseRouter(
+      centroids: Array[Array[Double]], nCoarse: Int,
+      iters: Int): (Array[Array[Double]], Array[Array[Int]]) = {
+    val coarse = trainCentroidsFromSample(centroids, nCoarse, iters)
+    val members =
+      Array.fill(coarse.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    var c = 0
+    while (c < centroids.length) {
+      members(nearest(coarse, centroids(c))) += c
+      c += 1
+    }
+    val nonEmpty = members.indices.filter(members(_).nonEmpty).toArray
+    (nonEmpty.map(coarse), nonEmpty.map(members(_).toArray))
+  }
+
+  /** ceil(√k) — the standard two-level cell count: k/√k fine centroids
+    * per cell in expectation, so a routed argmin costs O(2·√k·d) per row
+    * instead of the flat O(k·d).
+    */
+  private[operators] def sqrtCells(k: Int): Int =
+    math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+
+  /** Two-level nearest-centroid assignment: route each row to its
+    * nearest (non-empty) coarse cell, then argmin over ONLY that cell's
+    * fine centroids — O(√k·d) per row. Returns the GLOBAL fine-centroid
+    * index, so downstream grouping is identical in shape to
+    * [[nearestUdf]]. Approximate by design: the true nearest fine
+    * centroid can live in a neighboring coarse cell (the IVF recall
+    * trade); ties break to the smallest global index on both levels,
+    * exactly like the flat argmin, so the routed assignment is
+    * deterministic and oracle-reproducible.
+    */
+  def twoLevelNearestUdf(
+      centroids: Array[Array[Double]], nCoarse: Int,
+      routeIters: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val (coarse, members) = coarseRouter(centroids, nCoarse, routeIters)
+    udf((v: Seq[Float]) => {
+      val arr = new Array[Double](v.length)
+      var i = 0
+      while (i < arr.length) { arr(i) = v(i).toDouble; i += 1 }
+      val mem = members(nearest(coarse, arr))
+      // argmin over the cell's members in ascending GLOBAL index order —
+      // first-strict-min, so ties resolve like the flat kernel's
+      var best = mem(0)
+      var bestD = Double.MaxValue
+      var m = 0
+      while (m < mem.length) {
+        val c = centroids(mem(m))
+        var d = 0.0
+        var j = 0
+        while (j < arr.length) { val diff = c(j) - arr(j); d += diff * diff; j += 1 }
+        if (d < bestD) { bestD = d; best = mem(m) }
+        m += 1
+      }
+      best.toLong
+    })
+  }
+
+  /** Lloyd training with two-level routed assignment steps for LARGE k:
+    * at or below `routeThreshold` this IS [[trainCentroidsFromSample]]
+    * (bit-identical — the oracle-mirrored regime); above it, each
+    * iteration re-derives a √k coarse router from the CURRENT centroids
+    * and assigns sample rows through it, dropping the driver trainer
+    * from O(sample·k·d) to O(sample·√k·d) per iteration — without this
+    * the trainer, not the corpus pass, becomes the bottleneck once the
+    * codebook outgrows the old 10k cap (hierarchical k-means, public
+    * method — e.g. Nistér & Stewénius's vocabulary tree, CVPR 2006).
+    * No oracle can reach this regime (k > 2048 needs n > 256k vectors);
+    * its contract is pinned by ExtendedSpec instead: delegation below
+    * the threshold, determinism and flat-agreement above it.
+    */
+  private[operators] def trainCentroidsRouted(
+      sample: Array[Array[Double]], nCentroids: Int, iters: Int,
+      routeThreshold: Int = 2048): Array[Array[Double]] = {
+    if (nCentroids <= routeThreshold)
+      return trainCentroidsFromSample(sample, nCentroids, iters)
+    var centroids = sample.take(nCentroids).map(_.clone())
+    for (_ <- 1 to iters) {
+      val (coarse, members) = coarseRouter(centroids, sqrtCells(nCentroids), 2)
+      val sums = Array.fill(centroids.length)(new Array[Double](centroids(0).length))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        val mem = members(nearest(coarse, v))
+        var best = mem(0)
+        var bestD = Double.MaxValue
+        var m = 0
+        while (m < mem.length) {
+          val cen = centroids(mem(m))
+          var d = 0.0
+          var j = 0
+          while (j < v.length) { val diff = cen(j) - v(j); d += diff * diff; j += 1 }
+          if (d < bestD) { bestD = d; best = mem(m) }
+          m += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    centroids
+  }
+
   private def nearest(centroids: Array[Array[Double]], v: Array[Double]): Int = {
     var best = 0
     var bestD = Double.MaxValue
@@ -346,8 +463,14 @@ object SimilaritySearch {
   def pqEncodeUdf(codebooks: Array[Array[Array[Double]]]): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val m = codebooks.length
     udf((v: Seq[Float]) => {
-      val nv = unitNormalize(v)
       val dsub = codebooks(0)(0).length
+      // mirror trainPqCodebooksFromSample's divisibility require: a
+      // mismatched vector would otherwise surface as an opaque
+      // ArrayIndexOutOfBounds inside the executor (or silently ignore
+      // trailing dims when the vector is longer than the codebooks)
+      require(v.length == m * dsub,
+        s"PQ encode: vector dim ${v.length} != m*dsub = ${m * dsub}")
+      val nv = unitNormalize(v)
       val out = new Array[Int](m)
       var j = 0
       while (j < m) {
@@ -379,9 +502,11 @@ object SimilaritySearch {
     */
   def pqLutUdf(codebooks: Array[Array[Array[Double]]]): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((v: Seq[Float]) => {
-      val nv = unitNormalize(v)
       val m = codebooks.length
       val dsub = codebooks(0)(0).length
+      require(v.length == m * dsub,
+        s"PQ LUT: query dim ${v.length} != m*dsub = ${m * dsub}")
+      val nv = unitNormalize(v)
       Seq.tabulate(m) { j =>
         val cb = codebooks(j)
         val lo = j * dsub

@@ -197,9 +197,18 @@ object TextAnalysis {
     * `scoreWhere` restricts the SCORED side (the streaming form scores
     * arrivals only — the model side stays the full reference slice).
     */
-  def lmScoreSqlWhere(scoreWhere: String): String = lmScoreSql
-    .replace("      AS bg\n  FROM documents)",
-      s"      AS bg\n  FROM documents $scoreWhere)")
+  def lmScoreSqlWhere(scoreWhere: String): String = {
+    val out = lmScoreSql
+      .replace("      AS bg\n  FROM documents)",
+        s"      AS bg\n  FROM documents $scoreWhere)")
+    // the replace is whitespace-exact against lmScoreSql's text; a silent
+    // no-op here would hand back the UNRESTRICTED oracle and surface as a
+    // confusing st_lm_score hash mismatch instead of a loud failure
+    require(out != lmScoreSql,
+      "lmScoreSqlWhere: scored-side WHERE splice did not apply — " +
+        "lmScoreSql's formatting changed out from under the replace anchor")
+    out
+  }
 
   val lmScoreSql: String =
     """WITH rb AS (

@@ -302,7 +302,7 @@ object ExtendedQueries {
     */
   def autoKExpr(targetClusterSize: Int = 125): String =
     s"(SELECT LEAST(GREATEST(4, (COUNT(*) + ${targetClusterSize - 1}) " +
-      s"// $targetClusterSize), 10000) FROM embeddings)"
+      s"// $targetClusterSize), 200000) FROM embeddings)"
 
   /** String-k form: `kExpr` may be any SQL integer expression — e.g.
     * [[autoKExpr]]'s scalar subquery sizing the codebook from the

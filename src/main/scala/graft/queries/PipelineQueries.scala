@@ -494,6 +494,98 @@ object PipelineQueries {
        |SELECT id AS drop_id, rep AS keep_id FROM cl WHERE id <> rep"""
       .stripMargin
 
+  /** SemDeDup with the two-level ROUTED assignment forced on at
+    * oracle-reachable scale: k = 8 fine centroids, 3 coarse cells, 2
+    * coarse Lloyd iterations ([[Dedup.semanticPairs]] `routeCells = 3`).
+    * Past k = [[Dedup.routeThreshold]] (2048) this routing is what the
+    * default path runs — it is the mechanism that removed the old
+    * 10k-codebook cap's O(n·k·d) assignment term — but no DuckDB-sized
+    * corpus can trigger it automatically (k = 2048 needs 256k vectors),
+    * so this query pins the routed code path against a full SQL mirror:
+    * coarse quantizer trained over the fine centroids themselves, rows
+    * routed to their nearest non-empty cell, argmin within the cell
+    * only, then the same within-cluster cosine verify.
+    */
+  def ddSemanticRoute(spark: SparkSession, d: String): DataFrame =
+    Dedup.semanticPairs(Tables.embeddings(spark, d), "vec_id", "embedding",
+      nClusters = 8, iters = 3, threshold = 0.4,
+      routeCells = 3, routeIters = 2)
+
+  /** Oracle for [[ddSemanticRoute]]: [[ExtendedQueries.lloydCtes]] (the
+    * fine trainer, k=8, unchanged) + a second unrolled-Lloyd chain over
+    * the FINE CENTROIDS as rows (g0→g2 — seeds are fine centroids 0..2,
+    * mirroring the routed trainer's "sample = the codebook" recipe) +
+    * membership (fine → final coarse cell, `mem`) + per-row routing
+    * restricted to NON-EMPTY cells (`gne`/`rr`) + the in-cell argmin
+    * (`fd`/`fa`) + the shared cosine verify tail. Tiebreaks order by
+    * (dist, label) at every level, like both Scala kernels.
+    */
+  val ddSemanticRouteSql: String = {
+    val coarseSteps = (1 to 2).map { t =>
+      s"""gd$t AS (
+         |  SELECT f.k AS r, g.ck, SUM((f.v - g.v) * (f.v - g.v)) AS dist
+         |  FROM c3 f JOIN g${t - 1} g ON f.i = g.i GROUP BY 1, 2),
+         |ga$t AS (
+         |  SELECT r, ck FROM (
+         |    SELECT r, ck, ROW_NUMBER() OVER (PARTITION BY r ORDER BY dist, ck) AS rk
+         |    FROM gd$t) z WHERE rk = 1),
+         |gm$t AS (
+         |  SELECT a.ck, f.i, AVG(f.v) AS v
+         |  FROM ga$t a JOIN c3 f ON a.r = f.k GROUP BY 1, 2),
+         |g$t AS (
+         |  SELECT p.ck, p.i, COALESCE(m.v, p.v) AS v
+         |  FROM g${t - 1} p LEFT JOIN gm$t m ON p.ck = m.ck AND p.i = m.i)""".stripMargin
+    }.mkString(",\n")
+    ExtendedQueries.lloydCtes(8, 3) + ",\n" +
+      """g0 AS (SELECT k AS ck, i, v FROM c3 WHERE k < 3),""" + "\n" +
+      coarseSteps + ",\n" +
+      """md AS (
+        |  SELECT f.k AS r, g.ck, SUM((f.v - g.v) * (f.v - g.v)) AS dist
+        |  FROM c3 f JOIN g2 g ON f.i = g.i GROUP BY 1, 2),
+        |mem AS (
+        |  SELECT r AS k, ck FROM (
+        |    SELECT r, ck, ROW_NUMBER() OVER (PARTITION BY r ORDER BY dist, ck) AS rk
+        |    FROM md) z WHERE rk = 1),
+        |gne AS (
+        |  SELECT g2.ck, g2.i, g2.v FROM g2
+        |  JOIN (SELECT DISTINCT ck FROM mem) ne ON ne.ck = g2.ck),
+        |rd AS (
+        |  SELECT e.vec_id AS r, g.ck,
+        |    SUM((CAST(e.embedding[g.i + 1] AS DOUBLE) - g.v) *
+        |        (CAST(e.embedding[g.i + 1] AS DOUBLE) - g.v)) AS dist
+        |  FROM embeddings e, gne g GROUP BY 1, 2),
+        |rr AS (
+        |  SELECT r, ck FROM (
+        |    SELECT r, ck, ROW_NUMBER() OVER (PARTITION BY r ORDER BY dist, ck) AS rk
+        |    FROM rd) z WHERE rk = 1),
+        |fd AS (
+        |  SELECT e.vec_id AS r, c.k,
+        |    SUM((CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v) *
+        |        (CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v)) AS dist
+        |  FROM embeddings e
+        |  JOIN rr ON rr.r = e.vec_id
+        |  JOIN mem ON mem.ck = rr.ck
+        |  JOIN c3 c ON c.k = mem.k
+        |  GROUP BY 1, 2),
+        |fa AS (
+        |  SELECT r, k FROM (
+        |    SELECT r, k, ROW_NUMBER() OVER (PARTITION BY r ORDER BY dist, k) AS rk
+        |    FROM fd) z WHERE rk = 1),
+        |v AS (
+        |  SELECT e.vec_id, e.embedding, a.k
+        |  FROM embeddings e JOIN fa a ON e.vec_id = a.r),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.k AS cluster,
+        |    round((SELECT SUM(CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))
+        |     FROM generate_series(1, 64) g(i)) /
+        |    (sqrt((SELECT SUM(CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))
+        |           FROM generate_series(1, 64) g(i))) *
+        |     sqrt((SELECT SUM(CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))
+        |           FROM generate_series(1, 64) g(i)))), 6) AS cos
+        |  FROM v a JOIN v b ON a.k = b.k AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cluster, cos FROM p WHERE cos >= 0.4""".stripMargin
+  }
+
   /** Oracle: the shared unrolled-Lloyd CTE chain (the ml_kmeans oracle's
     * trainer, [[ExtendedQueries.lloydCtes]]) for the assignment, then the
     * ddCosineSql verify restricted to same-cluster pairs.

@@ -76,4 +76,43 @@ class BenchScrapeSpec extends AnyFunSuite {
     assert(Bench.parseArtifactText("not json at all", known).isEmpty)
     assert(Bench.parseArtifactText("", known).isEmpty)
   }
+
+  // --- tail survivability of the reordered artifact line ---
+
+  /** The driver keeps only a bounded tail of the bench log; Bench emits
+    * the summary block (failed/calibration/isolated/prev_ref/value)
+    * LAST so front truncation can only eat the cheap end of the
+    * cost-ascending query map. This pins, at the CURRENT registry size,
+    * that a worst-case summary block still fits the tail window with
+    * room for the most expensive queries in front of it — the r6/r11
+    * truncation bug stays dead even as the registry grows.
+    */
+  test("worst-case summary block fits the driver's tail window") {
+    val tailWindow = 2000
+    val byLen = SparkEntry.queries.keySet.toSeq.sortBy(-_.length)
+    val longest = byLen.take(20)
+    def entry(n: String) = "\"" + n + "\":9999.999"
+    // failed: assume up to 3 names (a failing query is already loud in
+    // CORRECTNESS; 3 bounds a pathological run without bounding honesty)
+    val failed = "\"failed\":" +
+      longest.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val calib = "\"calibration\":{\"start\":9999.999,\"end\":9999.999}"
+    // isolated: Bench caps the re-profile set at 12
+    val iso = "\"isolated\":" +
+      longest.take(12).map(entry).mkString("{", ",", "}")
+    // prev_ref: flagged rendering capped at 20 names + the counter
+    val ref = "\"prev_ref\":{\"artifact\":\"BENCH_SF1_r99.json\"," +
+      "\"shared_sum_prev\":99999.999,\"shared_sum_now\":99999.999," +
+      "\"ratio\":99.999,\"calib_ratio\":99.999,\"flagged\":" +
+      longest.map("\"" + _ + "\"").mkString("[", ",", "]") +
+      ",\"flagged_more\":999}"
+    val summary =
+      s"$failed,$calib,$iso,$ref,${"\"value\":99999.999}"}"
+    // the summary must leave at least 25 top-cost query entries' worth
+    // of room inside the window
+    val topRoom = byLen.take(25).map(entry(_) + ",").map(_.length).sum
+    assert(summary.length + topRoom <= tailWindow,
+      s"summary block ${summary.length} chars + $topRoom chars of top " +
+        s"queries exceeds the $tailWindow-char driver tail window")
+  }
 }
