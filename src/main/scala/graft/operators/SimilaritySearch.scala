@@ -78,7 +78,7 @@ object SimilaritySearch {
     trainCentroidsFromSample(
       sampleVectors(emb, idCol, vecCol, sampleLimit), nCentroids, iters)
 
-  private[operators] def trainCentroidsFromSample(
+  private[graft] def trainCentroidsFromSample(
       sample: Array[Array[Double]], nCentroids: Int,
       iters: Int): Array[Array[Double]] = {
     var centroids = sample.take(nCentroids).map(_.clone())
@@ -145,7 +145,7 @@ object SimilaritySearch {
     * Returns (non-empty coarse centroids ascending by original seed
     * index, member fine-centroid GLOBAL indices per cell, ascending).
     */
-  private[operators] def coarseRouter(
+  private[graft] def coarseRouter(
       centroids: Array[Array[Double]], nCoarse: Int,
       iters: Int): (Array[Array[Double]], Array[Array[Int]]) = {
     val coarse = trainCentroidsFromSample(centroids, nCoarse, iters)
@@ -164,7 +164,7 @@ object SimilaritySearch {
     * per cell in expectation, so a routed argmin costs O(2·√k·d) per row
     * instead of the flat O(k·d).
     */
-  private[operators] def sqrtCells(k: Int): Int =
+  private[graft] def sqrtCells(k: Int): Int =
     math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
 
   /** Two-level nearest-centroid assignment: route each row to its
@@ -216,7 +216,7 @@ object SimilaritySearch {
     * its contract is pinned by ExtendedSpec instead: delegation below
     * the threshold, determinism and flat-agreement above it.
     */
-  private[operators] def trainCentroidsRouted(
+  private[graft] def trainCentroidsRouted(
       sample: Array[Array[Double]], nCentroids: Int, iters: Int,
       routeThreshold: Int = 2048): Array[Array[Double]] = {
     if (nCentroids <= routeThreshold)

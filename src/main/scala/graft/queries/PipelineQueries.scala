@@ -1938,6 +1938,7 @@ object PipelineQueries {
     "dd_span_strip" -> ddSpanStrip,
     "dd_semantic" -> ddSemantic,
     "dd_semantic_keep" -> ddSemanticKeep,
+    "dd_semantic_route" -> ddSemanticRoute,
     "dd_cosine_lsh" -> ddCosineLsh,
     "sim_topk" -> simTopK,
     "sim_ivf_topk" -> simIvf,
@@ -1988,6 +1989,7 @@ object PipelineQueries {
     "dd_span_strip" -> ddSpanStripSql,
     "dd_semantic" -> ddSemanticSql,
     "dd_semantic_keep" -> ddSemanticKeepSql,
+    "dd_semantic_route" -> ddSemanticRouteSql,
     "dd_cosine_lsh" -> ddCosineLshSql,
     "sim_topk" -> simTopKSql,
     "sim_ivf_topk" -> simIvfSql,

@@ -758,8 +758,10 @@ class PipelineSpec extends GraftSpecBase {
     assert(autoClusters(501) == 5)
     assert(autoClusters(2000) == 16)
     assert(autoClusters(20000) == 160)
-    // capped at the trainer's sample limit (seeds are sample rows)
-    assert(autoClusters(100L * 1000 * 1000) == 10000)
+    // capped at the MEMORY bound (codebook broadcast + 2k trainer
+    // sample), not the old 10k compute cap — two-level routed assignment
+    // removed the O(n·k·d) term that cap used to hide
+    assert(autoClusters(100L * 1000 * 1000) == 200000)
     // candidate bound: k ≈ n/target keeps sum(|cluster|^2) ~ n*target,
     // i.e. 10x data → ~10x candidates, not 100x
     val n1 = 20000L; val n2 = 200000L
@@ -804,6 +806,61 @@ class PipelineSpec extends GraftSpecBase {
       Set((1L, 2L), (3L, 4L)))
     // pair members share their cluster by construction; cosines verified
     assert(rows.forall(_.getDouble(3) >= 0.9))
+  }
+
+  test("two-level assignment with ONE coarse cell equals the flat argmin exactly") {
+    import spark.implicits._
+    // a single cell holds every fine centroid, so the routed argmin IS
+    // the flat argmin — exact for ANY data, which pins the routed
+    // kernel's distance/tiebreak parity with nearestUdf
+    val emb = (0 until 600).map { i =>
+      (i.toLong, Seq(i.toFloat, 1.0f, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val flat = graft.operators.Dedup.semanticPairs(
+      emb, "vec_id", "embedding", nClusters = 5, threshold = 0.99).collect()
+    val routed = graft.operators.Dedup.semanticPairs(
+      emb, "vec_id", "embedding", nClusters = 5, threshold = 0.99,
+      routeCells = 1).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(key(routed) == key(flat))
+    assert(routed.nonEmpty)
+  }
+
+  test("forced multi-cell routing is deterministic and verifies its cosines") {
+    import spark.implicits._
+    val emb = (0 until 600).map { i =>
+      (i.toLong, Seq(i.toFloat, 1.0f, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    def run() = graft.operators.Dedup.semanticPairs(
+      emb, "vec_id", "embedding", nClusters = 8, threshold = 0.99,
+      routeCells = 3, routeIters = 2).collect()
+    val a = run(); val b = run()
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    assert(a.nonEmpty)
+    assert(a.forall(_.getDouble(3) >= 0.99))
+  }
+
+  test("routed Lloyd trainer: delegation below threshold, flat parity on separated blobs") {
+    import graft.operators.SimilaritySearch.{trainCentroidsFromSample, trainCentroidsRouted}
+    // below the threshold the routed trainer IS the flat trainer
+    val sample = Array.tabulate(40)(i => Array(i.toDouble, (i % 7).toDouble))
+    val flat = trainCentroidsFromSample(sample, 8, 3)
+    val routedDelegated = trainCentroidsRouted(sample, 8, 3, routeThreshold = 2048)
+    assert(flat.zip(routedDelegated).forall { case (a, b) => a.sameElements(b) })
+    // above it (forced with routeThreshold = 2): four tight blobs at far
+    // corners, seeds one per blob — every coarse routing is exact, so
+    // routed Lloyd must land bit-identically on the flat trainer
+    val corners = Array(Array(0.0, 0.0), Array(100.0, 0.0),
+      Array(0.0, 100.0), Array(100.0, 100.0))
+    val blobs = corners ++ (0 until 40).map { i =>
+      val c = corners(i % 4)
+      Array(c(0) + (i % 3) * 0.1, c(1) + (i % 5) * 0.1)
+    }
+    val flat4 = trainCentroidsFromSample(blobs, 4, 3)
+    val routed4 = trainCentroidsRouted(blobs, 4, 3, routeThreshold = 2)
+    assert(flat4.zip(routed4).forall { case (a, b) => a.sameElements(b) })
   }
 
   test("corpusLshIndex returns the PERSISTED band frame, so unpersist really frees it") {
