@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, SimilaritySearch}
+
+/** Beyond-the-old-cap SemDeDup assignment benchmark — the measurement the
+  * two-level router exists for. The fixtures top out at 50k vectors, so
+  * the regime where the corpus-sized codebook used to hit the
+  * `maxClusters = 10000` cap (n > 1.25M vectors at target 125) is
+  * exercised here on a synthesized deterministic corpus: n vectors of
+  * dim 16, every component a Murmur3 hash of (vec_id, dim) — no RNG, so
+  * runs are byte-reproducible.
+  *
+  * Per scale step this measures the stages that used to be super-linear:
+  *  - sample:  the trainer's hash-ordered 2k-row sample collect
+  *  - train:   routed driver Lloyd ([[SimilaritySearch.trainCentroidsRouted]],
+  *             3 iterations) over that sample
+  *  - assign:  the FULL-CORPUS two-level routed assignment
+  *             ([[SimilaritySearch.twoLevelNearestUdf]], √k cells) forced
+  *             through a groupBy count — O(n·√k·d) where the flat argmin
+  *             is O(n·k·d)
+  *  - flat:    at the smallest step only, the flat assignment over the
+  *             same centroids, for the measured speedup factor
+  * plus sum(|cluster|²)/n — the within-cluster candidate-pair bound per
+  * corpus row, which the k = n/125 sizing must hold ~constant (≲2·target)
+  * for the verify stage to stay linear.
+  *
+  * Usage: runMain graft.SemScale [nList]   (default 1250000,2500000,5000000)
+  * Prints one JSON line; committed per round as SEMDEDUP_SCALE_r{N}.json.
+  */
+object SemScale {
+
+  private val dim = 16
+
+  private def corpus(spark: SparkSession, n: Long): DataFrame =
+    spark.range(0L, n).toDF("vec_id")
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => (pmod(hash(col("vec_id") * dim + i), lit(1000)).cast("double")
+            / 1000.0).cast("float")).as("embedding"))
+
+  def main(args: Array[String]): Unit = {
+    val ns = args.headOption.getOrElse("1250000,2500000,5000000")
+      .split(",").map(_.trim.toLong).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // JIT/codegen/scheduler warmup on the smallest shape, untimed
+    corpus(spark, 100000L).agg(count(lit(1))).collect()
+
+    val rows = ns.map { n =>
+      val emb = corpus(spark, n)
+      val k = Dedup.autoClusters(n)
+      val cells = SimilaritySearch.sqrtCells(k)
+      val (sample, sampleS) = timed {
+        SimilaritySearch.sampleVectors(
+          emb, "vec_id", "embedding", math.max(10000, 2 * k))
+      }
+      val (centroids, trainS) = timed {
+        SimilaritySearch.trainCentroidsRouted(sample, k, iters = 3)
+      }
+      val assign = SimilaritySearch.twoLevelNearestUdf(centroids, cells, 2)
+      val (sizes, assignS) = timed {
+        emb.select(assign(col("embedding")).as("c"))
+          .groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt") * col("cnt")).as("ss"),
+            count(lit(1)).as("used"))
+          .collect()(0)
+      }
+      val pairBound = sizes.getLong(0).toDouble / n
+      val usedCells = sizes.getLong(1)
+      // flat comparison at the smallest step only (k=10k is the old cap
+      // boundary; at 40k the flat pass is the quadratic term this tool
+      // exists to show gone — running it at every step would just burn
+      // the wall clock re-proving O(n·k·d))
+      val flatS =
+        if (n == ns.min) {
+          val flat = SimilaritySearch.nearestUdf(centroids)
+          Some(timed {
+            emb.select(flat(col("embedding")).as("c"))
+              .groupBy(col("c")).agg(count(lit(1)))
+              .agg(count(lit(1))).collect()
+          }._2)
+        } else None
+      System.err.println(f"[semscale] n=$n k=$k cells=$cells " +
+        f"sample=$sampleS%.1f train=$trainS%.1f assign=$assignS%.1f " +
+        f"flat=${flatS.getOrElse(Double.NaN)}%.1f ssOverN=$pairBound%.1f")
+      (n, k, cells, usedCells, sampleS, trainS, assignS, flatS, pairBound)
+    }
+
+    def r2(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+    val steps = rows.map { case (n, k, cells, used, sa, tr, as, fl, pb) =>
+      s"""{"n":$n,"k":$k,"cells":$cells,"cells_used":$used,""" +
+        s""""sample_s":${r2(sa)},"train_s":${r2(tr)},"assign_s":${r2(as)},""" +
+        s""""flat_assign_s":${fl.map(r2).getOrElse("null")},""" +
+        s""""pairs_per_row_bound":${r2(pb)}}"""
+    }.mkString("[", ",", "]")
+    // growth exponents between consecutive steps: log(time ratio)/log(n
+    // ratio) — ~1.0 is linear, the flat regime this replaces measures ~2
+    val exps = rows.sliding(2).collect {
+      case Seq((n1, _, _, _, _, t1, a1, _, _), (n2, _, _, _, _, t2, a2, _, _)) =>
+        val ln = math.log(n2.toDouble / n1)
+        s"""{"n_ratio":${r2(n2.toDouble / n1)},""" +
+          s""""assign_exp":${r2(math.log(a2 / a1) / ln)},""" +
+          s""""train_exp":${r2(math.log(t2 / t1) / ln)}}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"semdedup_scale","unit":"sec","dim":$dim,""" +
+      s""""target_cluster_size":125,"steps":$steps,"growth":$exps}""")
+    spark.stop()
+  }
+}

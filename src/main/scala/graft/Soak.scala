@@ -31,7 +31,7 @@ object Soak {
     spark.sparkContext.setLogLevel("WARN")
 
     // optional comma-separated family filter (minhash, simhash, simskew,
-    // ivfrecall, clusters, ccdist, cross, crossidx, span, spanx, exactx,
+    // ivfrecall, pqrecall, ivfpqrecall, clusters, ccdist, cross, crossidx, span, spanx, exactx,
     // frames, envelope) for isolated soak runs
     val onlyFam = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -276,6 +276,120 @@ object Soak {
         cat.removeSet("soak", "ivf_centroids")
         cat.removeSet("soak", "ivf_vectors")
         graft.storage.SetCatalog.deleteTree(root)
+        full.unpersist()
+      }
+
+      // append-only PQ / IVF-PQ recall, mirroring the ivfrecall family:
+      // codebooks (and for IVF-PQ the coarse centroids) train on replica
+      // 0 ONLY, every further replica APPENDS under the standing models
+      // with its components circularly rotated per replica —
+      // deterministic distribution drift, the known failure mode of
+      // append-only quantization (stale sub-codebooks code drifted
+      // vectors badly). Recall is measured against the exact brute-force
+      // top-5 over the full appended corpus, for queries from BOTH the
+      // indexed replica and the last appended one, alongside the
+      // retrained-models recall on the same corpus (the rebuild-policy
+      // alternative the appendTo*Index scaladocs name). ASSERTED floors:
+      // a silent recall collapse fails the soak instead of reading as a
+      // fast wall.
+      if (fam("pqrecall") || fam("ivfpqrecall")) {
+        val embBase = graft.model.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        val nE = 10000000L
+        def replica(i: Int): DataFrame = {
+          val s = i % 64
+          val rot =
+            if (s == 0) col("embedding")
+            else concat(slice(col("embedding"), s + 1, 64 - s),
+              slice(col("embedding"), 1, s))
+          embBase.select((col("vec_id") + lit(i * nE)).as("vec_id"),
+            rot.as("embedding"))
+        }
+        val full = (0 until m).map(replica).reduce(_ unionByName _).persist()
+        val nVecs = full.count()
+        val queries =
+          if (m == 1) embBase.filter(col("vec_id") < 10)
+          else replica(0).filter(col("vec_id") < 5).unionByName(
+            replica(m - 1).filter(col("vec_id") - lit((m - 1) * nE) < 5))
+        def pairs(df: DataFrame): Set[(Long, Long)] = df
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val truth = pairs(graft.operators.SimilaritySearch
+          .bruteForceTopK(full, queries, 5))
+
+        if (fam("pqrecall")) {
+          val root = java.nio.file.Files.createTempDirectory("graft-soak-pqr")
+          val cat = new graft.storage.SetCatalog(spark, root.toString)
+          t0 = System.nanoTime()
+          graft.operators.SimilaritySearch.buildPqIndex(
+            spark, cat, "soak", "pq", replica(0))
+          (1 until m).foreach { i =>
+            graft.operators.SimilaritySearch.appendToPqIndex(
+              spark, cat, "soak", "pq", replica(i))
+          }
+          val idxSec = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          val got = pairs(graft.operators.SimilaritySearch
+            .searchPqIndex(spark, cat, "soak", "pq", queries, 5))
+          val searchSec = (System.nanoTime() - t0) / 1e9
+          val recallApp = (truth & got).size.toDouble / truth.size
+          val retrained = pairs(graft.operators.SimilaritySearch
+            .pqTopK(spark, full, queries, 5))
+          val recallRetrain = (truth & retrained).size.toDouble / truth.size
+          println(f"SOAK pqrecall m=$m%-3d vecs=$nVecs%-8d " +
+            f"append_recall=$recallApp%.3f retrain_recall=$recallRetrain%.3f " +
+            f"idx_s=$idxSec%.1f search_s=$searchSec%.1f")
+          // drift-damage bound (the ivfrecall contract, wider tolerance):
+          // PQ codes drifted vectors with STALE sub-codebooks — a harsher
+          // regime than IVF's coarse-cell-only staleness, measured at a
+          // 0.20 recall gap under the rotation drift at m=4 (vs IVF's
+          // ≤0.1). The bound makes a COLLAPSE loud while admitting the
+          // measured drift cost; the rebuild policy (appendToPqIndex's
+          // scaladoc) is the production answer once drift bites.
+          require(recallApp >= recallRetrain - 0.25,
+            f"append-only PQ recall $recallApp%.3f fell more than 0.25 below " +
+              f"the retrained codebooks' $recallRetrain%.3f at m=$m")
+          require(recallApp >= 0.35,
+            f"append-only PQ recall $recallApp%.3f fell below the 0.35 floor at m=$m")
+          Seq("pq_codebooks", "pq_codes", "pq_vectors")
+            .foreach(cat.removeSet("soak", _))
+          graft.storage.SetCatalog.deleteTree(root)
+        }
+
+        if (fam("ivfpqrecall")) {
+          val root = java.nio.file.Files.createTempDirectory("graft-soak-ivfpqr")
+          val cat = new graft.storage.SetCatalog(spark, root.toString)
+          t0 = System.nanoTime()
+          graft.operators.SimilaritySearch.buildIvfPqIndex(
+            spark, cat, "soak", "ivfpq", replica(0))
+          (1 until m).foreach { i =>
+            graft.operators.SimilaritySearch.appendToIvfPqIndex(
+              spark, cat, "soak", "ivfpq", replica(i))
+          }
+          val idxSec = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          val got = pairs(graft.operators.SimilaritySearch
+            .searchIvfPqIndex(spark, cat, "soak", "ivfpq", queries, 5))
+          val searchSec = (System.nanoTime() - t0) / 1e9
+          val recallApp = (truth & got).size.toDouble / truth.size
+          val retrained = pairs(graft.operators.SimilaritySearch
+            .ivfPqTopK(spark, full, queries, 5))
+          val recallRetrain = (truth & retrained).size.toDouble / truth.size
+          println(f"SOAK ivfpqrecall m=$m%-3d vecs=$nVecs%-8d " +
+            f"append_recall=$recallApp%.3f retrain_recall=$recallRetrain%.3f " +
+            f"idx_s=$idxSec%.1f search_s=$searchSec%.1f")
+          // IVF-PQ composes BOTH stale models; its intrinsic recall is
+          // the product of the IVF probe's and the ADC shortlist's, so
+          // the absolute floor sits at the two families' floors composed
+          require(recallApp >= recallRetrain - 0.25,
+            f"append-only IVF-PQ recall $recallApp%.3f fell more than 0.25 " +
+              f"below the retrained models' $recallRetrain%.3f at m=$m")
+          require(recallApp >= 0.25,
+            f"append-only IVF-PQ recall $recallApp%.3f fell below the 0.25 floor at m=$m")
+          Seq("ivfpq_centroids", "ivfpq_codebooks", "ivfpq_codes",
+            "ivfpq_vectors").foreach(cat.removeSet("soak", _))
+          graft.storage.SetCatalog.deleteTree(root)
+        }
         full.unpersist()
       }
 

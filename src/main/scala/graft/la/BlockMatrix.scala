@@ -67,7 +67,19 @@ object Kernels {
     try { SimdKernel.vectorLanes >= 2 }
     catch { case _: LinkageError => false }
 
+  /** The production block-matmul: the register-tiled SIMD micro-kernel
+    * (measured 2.0× the axpy SIMD form — 12.9 vs 6.6 GFLOP/s/thread on a
+    * loaded host, same ratio quiet; LaScale `kernel`), scalar fallback
+    * without the vector module. Results are bit-identical across all
+    * three forms on finite inputs (KernelsSpec).
+    */
   def matmul(a: MatrixBlock, b: MatrixBlock): Array[Double] =
+    if (simdOk) SimdKernel.matmulRegTile(a, b) else matmulScalar(a, b)
+
+  /** The previous axpy-form SIMD kernel, kept for the LaScale kernel
+    * bench comparison row.
+    */
+  private[graft] def matmulAxpy(a: MatrixBlock, b: MatrixBlock): Array[Double] =
     if (simdOk) SimdKernel.matmul(a, b) else matmulScalar(a, b)
 
   private[graft] def matmulScalar(a: MatrixBlock, b: MatrixBlock): Array[Double] = {
@@ -339,6 +351,124 @@ private object SimdKernel {
           }
         }
         i0 += MI
+      }
+      k0 += KC
+    }
+    out
+  }
+
+  /** Register-tiled micro-kernel experiment: 2 output rows × 4 j-vectors
+    * (8 live accumulator vectors — inside C2's register budget, where
+    * the earlier >8-accumulator tile spilled and ran 6× slower) held in
+    * registers across the whole k-chunk, so the per-k out-row
+    * load/store chain of the axpy form — its throughput ceiling —
+    * disappears: out is touched once per chunk per tile instead of once
+    * per k. Accumulation stays `acc.add(vb.mul(va))` (two roundings,
+    * exactly `out += a*b`) with k ascending per (i,j) across ascending
+    * chunks — the same IEEE sequence as [[Kernels.matmulNaive]], so
+    * KernelsSpec's bit-parity pin holds (the tile adds explicit +0.0 for
+    * zero a-elements like the axpy form; same finite-input caveat).
+    * Edges (row remainder, j past the last full tile) fall through to
+    * the axpy update with identical ordering.
+    */
+  def matmulRegTile(a: MatrixBlock, b: MatrixBlock): Array[Double] = {
+    require(a.cols == b.rows, s"inner dim ${a.cols} != ${b.rows}")
+    val m = a.rows
+    val kk = a.cols
+    val n = b.cols
+    val ad = a.data
+    val bd = b.data
+    val out = new Array[Double](m * n)
+    val KC = 128
+    val vlen = SP.length()
+    val tileJ = 4 * vlen
+    val jb = n - n % tileJ
+    var k0 = 0
+    while (k0 < kk) {
+      val kEnd = math.min(k0 + KC, kk)
+      var i0 = 0
+      while (i0 + 2 <= m) {
+        val ao0 = i0 * kk; val ao1 = ao0 + kk
+        val oo0 = i0 * n; val oo1 = oo0 + n
+        var j0 = 0
+        while (j0 < jb) {
+          var acc00 = DoubleVector.fromArray(SP, out, oo0 + j0)
+          var acc01 = DoubleVector.fromArray(SP, out, oo0 + j0 + vlen)
+          var acc02 = DoubleVector.fromArray(SP, out, oo0 + j0 + 2 * vlen)
+          var acc03 = DoubleVector.fromArray(SP, out, oo0 + j0 + 3 * vlen)
+          var acc10 = DoubleVector.fromArray(SP, out, oo1 + j0)
+          var acc11 = DoubleVector.fromArray(SP, out, oo1 + j0 + vlen)
+          var acc12 = DoubleVector.fromArray(SP, out, oo1 + j0 + 2 * vlen)
+          var acc13 = DoubleVector.fromArray(SP, out, oo1 + j0 + 3 * vlen)
+          var k = k0
+          while (k < kEnd) {
+            val bo = k * n + j0
+            val va0 = DoubleVector.broadcast(SP, ad(ao0 + k))
+            val va1 = DoubleVector.broadcast(SP, ad(ao1 + k))
+            val vb0 = DoubleVector.fromArray(SP, bd, bo)
+            val vb1 = DoubleVector.fromArray(SP, bd, bo + vlen)
+            val vb2 = DoubleVector.fromArray(SP, bd, bo + 2 * vlen)
+            val vb3 = DoubleVector.fromArray(SP, bd, bo + 3 * vlen)
+            acc00 = acc00.add(vb0.mul(va0))
+            acc01 = acc01.add(vb1.mul(va0))
+            acc02 = acc02.add(vb2.mul(va0))
+            acc03 = acc03.add(vb3.mul(va0))
+            acc10 = acc10.add(vb0.mul(va1))
+            acc11 = acc11.add(vb1.mul(va1))
+            acc12 = acc12.add(vb2.mul(va1))
+            acc13 = acc13.add(vb3.mul(va1))
+            k += 1
+          }
+          acc00.intoArray(out, oo0 + j0)
+          acc01.intoArray(out, oo0 + j0 + vlen)
+          acc02.intoArray(out, oo0 + j0 + 2 * vlen)
+          acc03.intoArray(out, oo0 + j0 + 3 * vlen)
+          acc10.intoArray(out, oo1 + j0)
+          acc11.intoArray(out, oo1 + j0 + vlen)
+          acc12.intoArray(out, oo1 + j0 + 2 * vlen)
+          acc13.intoArray(out, oo1 + j0 + 3 * vlen)
+          j0 += tileJ
+        }
+        // j remainder: axpy update, ascending k — same per-(i,j) order
+        if (jb < n) {
+          var k = k0
+          while (k < kEnd) {
+            val a0 = ad(ao0 + k); val a1 = ad(ao1 + k)
+            val bo = k * n
+            var j = jb
+            while (j < n) {
+              val bv = bd(bo + j)
+              out(oo0 + j) += a0 * bv
+              out(oo1 + j) += a1 * bv
+              j += 1
+            }
+            k += 1
+          }
+        }
+        i0 += 2
+      }
+      // row remainder (odd m): single-row axpy
+      if (i0 < m) {
+        val ao = i0 * kk
+        val oo = i0 * n
+        var k = k0
+        while (k < kEnd) {
+          val av = ad(ao + k)
+          if (av != 0.0) {
+            val bo = k * n
+            val va = DoubleVector.broadcast(SP, av)
+            val ub2 = SP.loopBound(n)
+            var j = 0
+            while (j < ub2) {
+              val vb = DoubleVector.fromArray(SP, bd, bo + j)
+              DoubleVector.fromArray(SP, out, oo + j)
+                .add(vb.mul(va)).intoArray(out, oo + j)
+              j += vlen
+            }
+            while (j < n) { out(oo + j) += av * bd(bo + j); j += 1 }
+          }
+          k += 1
+        }
       }
       k0 += KC
     }

@@ -62,7 +62,7 @@ object SimilaritySearch {
     * identical sample twice doubles the most expensive training step, a
     * full corpus scan at scale).
     */
-  private[operators] def sampleVectors(
+  private[graft] def sampleVectors(
       emb: DataFrame, idCol: String, vecCol: String,
       sampleLimit: Int): Array[Array[Double]] =
     emb
@@ -663,7 +663,10 @@ object SimilaritySearch {
       spark: SparkSession, catalog: graft.storage.SetCatalog,
       db: String, name: String, emb: DataFrame,
       nCentroids: Int = 16, m: Int = 16, kSub: Int = 16, iters: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      numBuckets: Int = 0,
+      advisor: Option[graft.advisor.PlacementAdvisor] = None,
+      targetRowsPerBucket: Long = 1L << 22): Unit = {
     // ONE sample scan feeds both trainers (see sampleVectors)
     val sample = sampleVectors(emb, idCol, vecCol, 10000)
     val centroids = trainCentroidsFromSample(sample, nCentroids, iters = 3)
@@ -681,10 +684,20 @@ object SimilaritySearch {
       emb.select(col(idCol).as("neighbor_id"), encode(col(vecCol)).as("codes"),
         assign(col(vecCol)).as("bucket")),
       "bucket")
+    // the vectors set is hash-placed on id and corpus-sized — its bucket
+    // count takes the same sizing rule as buildPqIndex's (explicit, else
+    // the advisor over the corpus rowcount, else the session default);
+    // the CODES layout needs no count: it is directory-partitioned by
+    // coarse cell, where nCentroids IS the layout
+    val n = if (numBuckets > 0) numBuckets
+      else advisor
+        .map(_.recommendBuckets(s"$db.${name}_vectors", emb.count(),
+          targetRowsPerBucket))
+        .getOrElse(spark.sessionState.conf.numShufflePartitions.toInt)
     catalog.createSet(db, s"${name}_vectors",
       emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
         l2Norm(col(vecCol)).as("n_nrm")),
-      partitionColumn = Some("neighbor_id"))
+      partitionColumn = Some("neighbor_id"), numPartitions = n)
   }
 
   /** Incrementally extend a persisted IVF-PQ index: assign + encode the

@@ -1921,6 +1921,117 @@ object PipelineQueries {
        |SELECT doc_id, shard, pos, n_tokens, cum_tokens
        |FROM bc WHERE cum_tokens <= 3750""".stripMargin
 
+  /** The LM-gated production curation chain — [[pipeAllBudget]] with the
+    * model-based quality gate a real pipeline filters on composed in:
+    * keep = pipe_all's cross-modal verdict ∧ lm_score in the corpus's
+    * top half ([[TextAnalysis.lmScore]] against the doc_id < 250
+    * reference slice, thresholded by [[Curation.quantileKeep]] over the
+    * SURVIVORS — a model-quality quantile, not the heuristic q_score one
+    * already inside pipe_all), and the token budget runs over the
+    * doubly-gated set. This is the CCNet-style recipe end to end:
+    * heuristic gates → reference-LM perplexity gate → budgeted sample,
+    * as ONE Spark plan. Docs with no bigrams are unscoreable and drop at
+    * the gate (lmScore's documented contract).
+    *
+    * Scale shape: adds two equi joins + a broadcast scalar (the LM
+    * score) and one quantile job over the already-curated survivor set —
+    * the gate's cost rides on the smallest frame in the pipeline.
+    */
+  def pipeLmBudget(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .filter(col("text").isNotNull)
+    val keep = pipeAll(spark, d).filter(col("keep")).select(col("doc_id"))
+    val kept = corpus.join(keep, Seq("doc_id"))
+    val scored = TextAnalysis.lmScore(
+      kept, docs.filter(col("doc_id") < 250), "doc_id", "text")
+      .select(col("doc_id"), col("lm_score"))
+    val lmKeep = graft.operators.Curation
+      .quantileKeep(scored, "lm_score", fraction = 0.5)
+      .select(col("doc_id"))
+    graft.operators.Curation.tokenBudgetSubset(
+      kept.join(lmKeep, Seq("doc_id")),
+      "doc_id", "text", totalTokens = 30000L, nShards = 8)
+  }
+
+  /** [[pipeAllBudgetSql]]'s chain with the LM gate spliced between
+    * `kept` and the budget CTEs: the lm-score CTEs (model from the
+    * doc_id < 250 reference, scored side = `kept`), the top-half
+    * quantile threshold (rank → min-score, the tqkeep shape), then the
+    * shard/position/cumsum budget over the doubly-gated docs.
+    */
+  lazy val pipeLmBudgetSql: String =
+    s"""WITH pa AS (
+       |${pipeAllSql}
+       |),
+       |u2 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+       |  WHERE doc_id < 100),
+       |kept AS (
+       |  SELECT u2.doc_id, u2.text FROM u2
+       |  JOIN pa ON pa.doc_id = u2.doc_id AND pa.keep
+       |  WHERE u2.text IS NOT NULL),
+       |lrb AS (
+       |  SELECT bg, COUNT(*) AS cb FROM (
+       |    SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+       |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+       |      AS bg
+       |    FROM documents WHERE doc_id < 250) z GROUP BY 1),
+       |lru AS (
+       |  SELECT w1, COUNT(*) AS cu FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w1
+       |    FROM documents WHERE doc_id < 250) z GROUP BY 1),
+       |lvv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM lru),
+       |ldb AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+       |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+       |      AS bg
+       |  FROM kept),
+       |ls AS (
+       |  SELECT ldb.doc_id,
+       |    ln(CAST(COALESCE(lrb.cb, 0) + 1 AS DOUBLE) /
+       |       (COALESCE(lru.cu, 0) + (SELECT v FROM lvv))) AS lp
+       |  FROM ldb
+       |  LEFT JOIN lrb USING (bg)
+       |  LEFT JOIN lru ON lru.w1 = string_split(ldb.bg, ' ')[1]),
+       |lsc AS (
+       |  SELECT doc_id, round(AVG(lp), 6) AS lm_score FROM ls GROUP BY 1),
+       |lranked AS (
+       |  SELECT doc_id, lm_score,
+       |    ROW_NUMBER() OVER (ORDER BY lm_score DESC, doc_id) AS rk FROM lsc),
+       |lthr AS (
+       |  SELECT MIN(lm_score) AS t FROM lranked
+       |  WHERE rk <= CAST(ceil(0.5 * (SELECT COUNT(*) FROM lsc)) AS BIGINT)),
+       |lkeep AS (
+       |  SELECT lsc.doc_id FROM lsc CROSS JOIN lthr
+       |  WHERE lsc.lm_score >= lthr.t),
+       |gated AS (
+       |  SELECT kept.doc_id, kept.text FROM kept JOIN lkeep USING (doc_id)),
+       |bh AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 8 AS shard,
+       |    md5(CAST(doc_id AS VARCHAR)) AS mh,
+       |    len(string_split(text, ' ')) AS n_tokens
+       |  FROM gated),
+       |br AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY mh, doc_id) - 1 AS pos
+       |  FROM bh),
+       |bc AS (
+       |  SELECT doc_id, shard, pos, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM br)
+       |SELECT doc_id, shard, pos, n_tokens, cum_tokens
+       |FROM bc WHERE cum_tokens <= 3750""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact,
     "dd_minhash_pairs" -> ddMinhash,
@@ -1970,7 +2081,8 @@ object PipelineQueries {
     "mm_ivf" -> mmIvf,
     "pipe_media" -> pipeMedia,
     "pipe_all" -> pipeAll,
-    "pipe_all_budget" -> pipeAllBudget)
+    "pipe_all_budget" -> pipeAllBudget,
+    "pipe_lm_budget" -> pipeLmBudget)
 
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -2018,5 +2130,6 @@ object PipelineQueries {
     "mm_ivf" -> mmIvfSql,
     "pipe_media" -> pipeMediaSql,
     "pipe_all" -> pipeAllSql,
-    "pipe_all_budget" -> pipeAllBudgetSql)
+    "pipe_all_budget" -> pipeAllBudgetSql,
+    "pipe_lm_budget" -> pipeLmBudgetSql)
 }

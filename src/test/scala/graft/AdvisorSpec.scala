@@ -180,12 +180,33 @@ class AdvisorSpec extends GraftSpecBase {
       spark, cat, "adv", "pq", emb.filter(col("vec_id") < 3), k = 3)
     assert(pqHits.count() > 0, "search over the advised PQ index was empty")
 
+    // IVF-PQ parity: the hash-placed VECTORS set takes the same advised
+    // sizing (the codes set needs none — it is directory-partitioned by
+    // coarse cell, where nCentroids is the layout)
+    graft.operators.SimilaritySearch.buildIvfPqIndex(spark, cat, "adv",
+      "ivfpq", emb, advisor = Some(adv), targetRowsPerBucket = 16)
+    val ivfpqVec = cat.meta("adv", "ivfpq_vectors").get
+    val expIvfpqVec = adv.recommendBuckets("adv.ivfpq_vectors", ivfpqVec.rows, 16)
+    assert(expIvfpqVec > 1,
+      s"fixture should need >1 vector bucket, got $expIvfpqVec")
+    assert(ivfpqVec.numPartitions == expIvfpqVec,
+      s"ivfpq vector set carries ${ivfpqVec.numPartitions} buckets, " +
+        s"advisor says $expIvfpqVec")
+    assert((expIvfpqVec & (expIvfpqVec - 1)) == 0)
+    assert(cat.meta("adv", "ivfpq_codes").get.policy == "dirpart",
+      "ivfpq codes set must stay directory-partitioned by coarse cell")
+    val ivfpqHits = graft.operators.SimilaritySearch.searchIvfPqIndex(
+      spark, cat, "adv", "ivfpq", emb.filter(col("vec_id") < 3), k = 3)
+    assert(ivfpqHits.count() > 0,
+      "search over the advised IVF-PQ index was empty")
+
     // the advised layout still serves the index's join: probing works
     val hits = graft.operators.Dedup.spansAgainstStoredIndex(
       docs.limit(5), cat, "adv", "idx", "doc_id", "text", k = 8)
     assert(hits.count() > 0, "self-probe of the gram index found no spans")
     Seq("idx_sets", "idx_bands", "idx_grams", "idx_hashes", "env_fps",
-        "pq_codebooks", "pq_codes", "pq_vectors")
+        "pq_codebooks", "pq_codes", "pq_vectors",
+        "ivfpq_centroids", "ivfpq_codebooks", "ivfpq_codes", "ivfpq_vectors")
       .foreach(cat.removeSet("adv", _))
     SetCatalog.deleteTree(java.nio.file.Paths.get(root))
   }

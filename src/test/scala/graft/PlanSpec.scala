@@ -119,6 +119,8 @@ class PlanSpec extends GraftSpecBase {
       "pipe_curate" -> "1-row threshold scalar broadcast (quality gate)",
       "pipe_all" -> "1-row threshold scalar broadcast (quality gate)",
       "pipe_all_budget" -> "inherits pipe_all's 1-row threshold scalar broadcast",
+      "pipe_lm_budget" -> ("inherits pipe_all's threshold scalar plus the " +
+        "LM gate's own 1-row scalars (vocab size, lm-score quantile)"),
       "op_pivot" -> "1-row header scalar broadcast",
       "la_l2_check" -> "1-row beta/residual scalar broadcast",
       "la_inverse_check" -> "1-row identity-error scalar broadcast",
