@@ -371,6 +371,59 @@ private object SimdKernel {
     * Edges (row remainder, j past the last full tile) fall through to
     * the axpy update with identical ordering.
     */
+  /** The 2-row × 4-vector micro-kernel body as its OWN method, on
+    * purpose: called once per (i-pair, j-tile, k-chunk) — hundreds of
+    * thousands of times per 1000³ block — it crosses C2's invocation
+    * threshold and gets METHOD-entry compiled with the Vector API
+    * intrinsics. Inlined into the driver loop it only ever ran as an
+    * OSR compilation, and a first call on a SMALL block (e.g. a 256³
+    * warmup, or a pdml test matrix) locked in an OSR form with the
+    * vector ops un-intrinsified for the JVM's lifetime — measured 13×
+    * slower (1.0 vs 13.2 GFLOP/s), reproducibly, depending only on
+    * which SHAPE ran first. Do not inline this back.
+    */
+  private def tile2x4(
+      ad: Array[Double], bd: Array[Double], out: Array[Double],
+      ao0: Int, ao1: Int, oo0j: Int, oo1j: Int, jOff: Int, n: Int,
+      k0: Int, kEnd: Int): Unit = {
+    val vlen = SP.length()
+    var acc00 = DoubleVector.fromArray(SP, out, oo0j)
+    var acc01 = DoubleVector.fromArray(SP, out, oo0j + vlen)
+    var acc02 = DoubleVector.fromArray(SP, out, oo0j + 2 * vlen)
+    var acc03 = DoubleVector.fromArray(SP, out, oo0j + 3 * vlen)
+    var acc10 = DoubleVector.fromArray(SP, out, oo1j)
+    var acc11 = DoubleVector.fromArray(SP, out, oo1j + vlen)
+    var acc12 = DoubleVector.fromArray(SP, out, oo1j + 2 * vlen)
+    var acc13 = DoubleVector.fromArray(SP, out, oo1j + 3 * vlen)
+    var k = k0
+    while (k < kEnd) {
+      val bo = k * n + jOff
+      val va0 = DoubleVector.broadcast(SP, ad(ao0 + k))
+      val va1 = DoubleVector.broadcast(SP, ad(ao1 + k))
+      val vb0 = DoubleVector.fromArray(SP, bd, bo)
+      val vb1 = DoubleVector.fromArray(SP, bd, bo + vlen)
+      val vb2 = DoubleVector.fromArray(SP, bd, bo + 2 * vlen)
+      val vb3 = DoubleVector.fromArray(SP, bd, bo + 3 * vlen)
+      acc00 = acc00.add(vb0.mul(va0))
+      acc01 = acc01.add(vb1.mul(va0))
+      acc02 = acc02.add(vb2.mul(va0))
+      acc03 = acc03.add(vb3.mul(va0))
+      acc10 = acc10.add(vb0.mul(va1))
+      acc11 = acc11.add(vb1.mul(va1))
+      acc12 = acc12.add(vb2.mul(va1))
+      acc13 = acc13.add(vb3.mul(va1))
+      k += 1
+    }
+    acc00.intoArray(out, oo0j)
+    acc01.intoArray(out, oo0j + vlen)
+    acc02.intoArray(out, oo0j + 2 * vlen)
+    acc03.intoArray(out, oo0j + 3 * vlen)
+    acc10.intoArray(out, oo1j)
+    acc11.intoArray(out, oo1j + vlen)
+    acc12.intoArray(out, oo1j + 2 * vlen)
+    acc13.intoArray(out, oo1j + 3 * vlen)
+  }
+
   def matmulRegTile(a: MatrixBlock, b: MatrixBlock): Array[Double] = {
     require(a.cols == b.rows, s"inner dim ${a.cols} != ${b.rows}")
     val m = a.rows
@@ -392,41 +445,7 @@ private object SimdKernel {
         val oo0 = i0 * n; val oo1 = oo0 + n
         var j0 = 0
         while (j0 < jb) {
-          var acc00 = DoubleVector.fromArray(SP, out, oo0 + j0)
-          var acc01 = DoubleVector.fromArray(SP, out, oo0 + j0 + vlen)
-          var acc02 = DoubleVector.fromArray(SP, out, oo0 + j0 + 2 * vlen)
-          var acc03 = DoubleVector.fromArray(SP, out, oo0 + j0 + 3 * vlen)
-          var acc10 = DoubleVector.fromArray(SP, out, oo1 + j0)
-          var acc11 = DoubleVector.fromArray(SP, out, oo1 + j0 + vlen)
-          var acc12 = DoubleVector.fromArray(SP, out, oo1 + j0 + 2 * vlen)
-          var acc13 = DoubleVector.fromArray(SP, out, oo1 + j0 + 3 * vlen)
-          var k = k0
-          while (k < kEnd) {
-            val bo = k * n + j0
-            val va0 = DoubleVector.broadcast(SP, ad(ao0 + k))
-            val va1 = DoubleVector.broadcast(SP, ad(ao1 + k))
-            val vb0 = DoubleVector.fromArray(SP, bd, bo)
-            val vb1 = DoubleVector.fromArray(SP, bd, bo + vlen)
-            val vb2 = DoubleVector.fromArray(SP, bd, bo + 2 * vlen)
-            val vb3 = DoubleVector.fromArray(SP, bd, bo + 3 * vlen)
-            acc00 = acc00.add(vb0.mul(va0))
-            acc01 = acc01.add(vb1.mul(va0))
-            acc02 = acc02.add(vb2.mul(va0))
-            acc03 = acc03.add(vb3.mul(va0))
-            acc10 = acc10.add(vb0.mul(va1))
-            acc11 = acc11.add(vb1.mul(va1))
-            acc12 = acc12.add(vb2.mul(va1))
-            acc13 = acc13.add(vb3.mul(va1))
-            k += 1
-          }
-          acc00.intoArray(out, oo0 + j0)
-          acc01.intoArray(out, oo0 + j0 + vlen)
-          acc02.intoArray(out, oo0 + j0 + 2 * vlen)
-          acc03.intoArray(out, oo0 + j0 + 3 * vlen)
-          acc10.intoArray(out, oo1 + j0)
-          acc11.intoArray(out, oo1 + j0 + vlen)
-          acc12.intoArray(out, oo1 + j0 + 2 * vlen)
-          acc13.intoArray(out, oo1 + j0 + 3 * vlen)
+          tile2x4(ad, bd, out, ao0, ao1, oo0 + j0, oo1 + j0, j0, n, k0, kEnd)
           j0 += tileJ
         }
         // j remainder: axpy update, ascending k — same per-(i,j) order

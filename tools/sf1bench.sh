@@ -37,6 +37,10 @@ ONLY=$ONLY,dd_topk_jaccard,txt_doc_filter,st_sliding
 # finalized rather than changed): the two new standing-index ANN
 # queries that land in the expensive slice at sf0.1 (3.3-5.0 s)
 ONLY=$ONLY,sim_ivfpq_indexed,st_ivfpq_append
+# round-12 list revision: the LM-gated capstone — a superset of
+# pipe_all_budget's plan (adds the LM-score joins + quantile gate), so
+# it lands in the expensive slice by construction
+ONLY=$ONLY,pipe_lm_budget
 
 OUT="BENCH_SF1_r${ROUND}.json"
 LOG="target/sf1bench_r${ROUND}.log"
