@@ -1943,7 +1943,13 @@ object PipelineQueries {
       .unionByName(docs.filter(col("doc_id") < 100)
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
       .filter(col("text").isNotNull)
+    // the keep set feeds TWO consumers (the LM-score branch and the
+    // final gated join) — materialize it eagerly or the whole pipe_all
+    // DAG executes twice (measured: 9.1 s -> ~7 s at sf0.1). Same
+    // lineage-for-speed trade pipe_all itself makes; the frame is a
+    // doc_id column, tiny.
     val keep = pipeAll(spark, d).filter(col("keep")).select(col("doc_id"))
+      .localCheckpoint(true)
     val kept = corpus.join(keep, Seq("doc_id"))
     val scored = TextAnalysis.lmScore(
       kept, docs.filter(col("doc_id") < 250), "doc_id", "text")
