@@ -351,7 +351,13 @@ object Bench {
       val out = java.nio.file.Paths.get("target", "bench_latest.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, bytes)
-      try {
+      // Only a FULL-registry run (or the scripted subset family that
+      // opts into adjudication, e.g. sf1bench) may write the committed
+      // round artifact: an ad-hoc SPARK_GRAFT_ONLY probe run would
+      // otherwise clobber the round's authoritative full artifact with
+      // a 3-query subset — which is exactly what happened to the first
+      // BENCH_full_r12.json before this guard existed.
+      if (only.isEmpty || isolateSubset) try {
         val re = (java.util.regex.Pattern.quote(prevPrefix) + """(\d+)\.json""").r
         val newest = Option(new java.io.File(".").listFiles())
           .getOrElse(Array.empty)
