@@ -325,9 +325,13 @@ object ExtendedQueries {
     // derived-feature CTE named `embeddings`, which then SHADOWS the base
     // table of the same name for the whole chain (mm_neardup's image
     // features train through the identical unrolled-Lloyd text).
+    // `se` is read by every trainer step (2 CTEs per iteration) — left
+    // to DuckDB's default inlining the hash-ranked sample re-sorts per
+    // reference; MATERIALIZED pins one evaluation (round-13 oracle-cost
+    // work: the same hint family cut pipe_all's oracle 26.9 s -> 0.9 s)
     val pre = if (prelude.isEmpty) "" else prelude + ",\n"
     val base =
-      s"""WITH ${pre}se AS (
+      s"""WITH ${pre}se AS MATERIALIZED (
          |  SELECT * FROM (
          |    SELECT e.*, ROW_NUMBER() OVER (
          |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srk

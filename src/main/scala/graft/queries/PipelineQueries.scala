@@ -542,11 +542,11 @@ object PipelineQueries {
       """md AS (
         |  SELECT f.k AS r, g.ck, SUM((f.v - g.v) * (f.v - g.v)) AS dist
         |  FROM c3 f JOIN g2 g ON f.i = g.i GROUP BY 1, 2),
-        |mem AS (
+        |mem AS MATERIALIZED (
         |  SELECT r AS k, ck FROM (
         |    SELECT r, ck, ROW_NUMBER() OVER (PARTITION BY r ORDER BY dist, ck) AS rk
         |    FROM md) z WHERE rk = 1),
-        |gne AS (
+        |gne AS MATERIALIZED (
         |  SELECT g2.ck, g2.i, g2.v FROM g2
         |  JOIN (SELECT DISTINCT ck FROM mem) ne ON ne.ck = g2.ck),
         |rd AS (
@@ -554,7 +554,7 @@ object PipelineQueries {
         |    SUM((CAST(e.embedding[g.i + 1] AS DOUBLE) - g.v) *
         |        (CAST(e.embedding[g.i + 1] AS DOUBLE) - g.v)) AS dist
         |  FROM embeddings e, gne g GROUP BY 1, 2),
-        |rr AS (
+        |rr AS MATERIALIZED (
         |  SELECT r, ck FROM (
         |    SELECT r, ck, ROW_NUMBER() OVER (PARTITION BY r ORDER BY dist, ck) AS rk
         |    FROM rd) z WHERE rk = 1),
@@ -567,11 +567,11 @@ object PipelineQueries {
         |  JOIN mem ON mem.ck = rr.ck
         |  JOIN c3 c ON c.k = mem.k
         |  GROUP BY 1, 2),
-        |fa AS (
+        |fa AS MATERIALIZED (
         |  SELECT r, k FROM (
         |    SELECT r, k, ROW_NUMBER() OVER (PARTITION BY r ORDER BY dist, k) AS rk
         |    FROM fd) z WHERE rk = 1),
-        |v AS (
+        |v AS MATERIALIZED (
         |  SELECT e.vec_id, e.embedding, a.k
         |  FROM embeddings e JOIN fa a ON e.vec_id = a.r),
         |p AS (
@@ -1586,30 +1586,30 @@ object PipelineQueries {
       |  UNION ALL
       |  SELECT doc_id + 10000 AS doc_id, text FROM documents
       |  WHERE doc_id < 100),
-      |m AS (
+      |m AS MATERIALIZED (
       |  SELECT doc_id, hex(encode(text)) AS hx,
       |    octet_length(encode(text)) AS len
       |  FROM u WHERE text IS NOT NULL),
-      |w AS (
+      |w AS MATERIALIZED (
       |  SELECT doc_id, hx, len,
       |    unnest(generate_series(0, (len - 1) // 256)) AS wno
       |  FROM m WHERE len > 0),
-      |b AS (
+      |b AS MATERIALIZED (
       |  SELECT doc_id, wno, hx,
       |    unnest(generate_series(wno * 256,
       |      least(wno * 256 + 256, len) - 1)) AS pos
       |  FROM w),
-      |v AS (
+      |v AS MATERIALIZED (
       |  SELECT doc_id, wno, hx,
       |    (strpos('0123456789ABCDEF', substring(hx, pos * 2 + 1, 1)) - 1) * 16
       |      + strpos('0123456789ABCDEF', substring(hx, pos * 2 + 2, 1)) - 1
       |      AS byte
       |  FROM b),
-      |e AS (
+      |e AS MATERIALIZED (
       |  SELECT doc_id, wno, hx,
       |    SUM((byte - 128) * (byte - 128)) AS energy
       |  FROM v GROUP BY doc_id, wno, hx),
-      |kept AS (
+      |kept AS MATERIALIZED (
       |  SELECT doc_id,
       |    string_agg(substring(hx, wno * 512 + 1, 512), '' ORDER BY wno)
       |      AS shx
@@ -1617,7 +1617,7 @@ object PipelineQueries {
       |removed AS (
       |  SELECT doc_id, COUNT(*) AS n_removed FROM e
       |  WHERE energy <= 500000 GROUP BY doc_id),
-      |s AS (
+      |s AS MATERIALIZED (
       |  SELECT m.doc_id, k.shx, strlen(k.shx) // 2 AS slen,
       |    CAST(COALESCE(r.n_removed, 0) AS INT) AS n_removed
       |  FROM m
@@ -1806,12 +1806,12 @@ object PipelineQueries {
          |trebuilt AS (
          |  SELECT doc_id, array_to_string(list(tok ORDER BY tp), ' ') AS clean_text
          |  FROM tkeep GROUP BY doc_id),
-         |tstrip AS (
+         |tstrip AS MATERIALIZED (
          |  SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text
          |  FROM ttoks t LEFT JOIN trebuilt r ON t.doc_id = r.doc_id),
          |tsurv AS (SELECT doc_id, clean_text AS text FROM tstrip
          |          WHERE clean_text <> ''),
-         |tq AS (SELECT doc_id, q_score FROM (
+         |tq AS MATERIALIZED (SELECT doc_id, q_score FROM (
          |  ${graft.operators.TextAnalysis.qualityScoreSqlFrom("tsurv")}) z),
          |tranked AS (
          |  SELECT doc_id, q_score,
@@ -1967,9 +1967,18 @@ object PipelineQueries {
     * doc_id < 250 reference, scored side = `kept`), the top-half
     * quantile threshold (rank → min-score, the tqkeep shape), then the
     * shard/position/cumsum budget over the doubly-gated docs.
+    *
+    * The multiply-referenced heavy CTEs are `MATERIALIZED`: DuckDB
+    * inlines CTEs by default, and `kept` (6 refs, dragging the whole
+    * `pa` = pipe_all chain behind it) inlined multiplicatively cost
+    * ~10 min / >6 GB at sf0.01 — which killed the round-12 driver
+    * compare and zeroed CORRECTNESS_r12.json. With pa/kept/lrb/lru/
+    * ldb/lsc materialized the same oracle runs in ~20 s (measured,
+    * DuckDB 1.0.0). Oracles must fit the harness budget: OracleCostSpec
+    * pins the ceiling against the committed ORACLE_COST artifact.
     */
   lazy val pipeLmBudgetSql: String =
-    s"""WITH pa AS (
+    s"""WITH pa AS MATERIALIZED (
        |${pipeAllSql}
        |),
        |u2 AS (
@@ -1977,22 +1986,22 @@ object PipelineQueries {
        |  UNION ALL
        |  SELECT doc_id + 10000 AS doc_id, text FROM documents
        |  WHERE doc_id < 100),
-       |kept AS (
+       |kept AS MATERIALIZED (
        |  SELECT u2.doc_id, u2.text FROM u2
        |  JOIN pa ON pa.doc_id = u2.doc_id AND pa.keep
        |  WHERE u2.text IS NOT NULL),
-       |lrb AS (
+       |lrb AS MATERIALIZED (
        |  SELECT bg, COUNT(*) AS cb FROM (
        |    SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
        |      AS bg
        |    FROM documents WHERE doc_id < 250) z GROUP BY 1),
-       |lru AS (
+       |lru AS MATERIALIZED (
        |  SELECT w1, COUNT(*) AS cu FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w1
        |    FROM documents WHERE doc_id < 250) z GROUP BY 1),
        |lvv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM lru),
-       |ldb AS (
+       |ldb AS MATERIALIZED (
        |  SELECT doc_id,
        |    unnest(list_transform(range(1, len(string_split(text, ' '))),
        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
@@ -2005,7 +2014,7 @@ object PipelineQueries {
        |  FROM ldb
        |  LEFT JOIN lrb USING (bg)
        |  LEFT JOIN lru ON lru.w1 = string_split(ldb.bg, ' ')[1]),
-       |lsc AS (
+       |lsc AS MATERIALIZED (
        |  SELECT doc_id, round(AVG(lp), 6) AS lm_score FROM ls GROUP BY 1),
        |lranked AS (
        |  SELECT doc_id, lm_score,
