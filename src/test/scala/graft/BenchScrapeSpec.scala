@@ -77,6 +77,48 @@ class BenchScrapeSpec extends AnyFunSuite {
     assert(Bench.parseArtifactText("", known).isEmpty)
   }
 
+  test("parsed top-N summary and tail full map are unioned; parsed wins") {
+    // Since r13 the driver's "parsed" holds the summary line (top-10
+    // queries only); the full cost-ascending map lives in the wrapper's
+    // raw tail. parseArtifactText must union them or the next round's
+    // prev-ref compare would shrink to 10 shared queries.
+    val text =
+      """{"round":13,"parsed":{"metric":"total","value":48.7,""" +
+        """"summary_of":3,"queries":{"dd_x":10.490}},""" +
+        """"tail":"\"queries\":{\"q1\":1.500,\"q2\":0.250,\"dd_x\":10.491},""" +
+        """\"failed\":[],\"isolated\":{\"q1\":0.900}"}"""
+    val m = Bench.parseArtifactText(text, known)
+    assert(m === Map("q1" -> 1.5, "q2" -> 0.25, "dd_x" -> 10.49))
+  }
+
+  /** The summary line exists so the driver's final-line json parse
+    * succeeds at any registry size: worst-case top-10 + full
+    * adjudication block must fit the ~2,000-char window whole.
+    */
+  test("worst-case summary LINE fits the driver's tail window whole") {
+    val tailWindow = 2000
+    val byLen = SparkEntry.queries.keySet.toSeq.sortBy(-_.length)
+    def entry(n: String) = "\"" + n + "\":9999.999"
+    val top10 = byLen.take(10).map(entry).mkString("{", ",", "}")
+    val failed = "\"failed\":" +
+      byLen.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val calib = "\"calibration\":{\"start\":9999.999,\"end\":9999.999}"
+    val iso = "\"isolated\":" +
+      byLen.take(12).map(entry).mkString("{", ",", "}")
+    val ref = "\"prev_ref\":{\"artifact\":\"BENCH_SF1_r99.json\"," +
+      "\"shared_sum_prev\":99999.999,\"shared_sum_now\":99999.999," +
+      "\"ratio\":99.999,\"calib_ratio\":99.999,\"flagged\":" +
+      byLen.take(20).map("\"" + _ + "\"").mkString("[", ",", "]") +
+      ",\"flagged_more\":999}"
+    val line = "{\"metric\":\"total\",\"unit\":\"sec\"," +
+      "\"sf\":\"/root/testdata/sf0.1\"," +
+      s""""summary_of":9999,"queries":$top10,""" +
+      s"$failed,$calib,$iso,$ref," + "\"value\":99999.999}"
+    assert(line.length <= tailWindow,
+      s"worst-case summary line ${line.length} chars exceeds the " +
+        s"$tailWindow-char driver tail window")
+  }
+
   // --- tail survivability of the reordered artifact line ---
 
   /** The driver keeps only a bounded tail of the bench log; Bench emits

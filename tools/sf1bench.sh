@@ -49,14 +49,17 @@ SPARK_GRAFT_SF_DIR="$SF1" \
 SPARK_GRAFT_ONLY="$ONLY" \
 SPARK_GRAFT_PREV_PREFIX=BENCH_SF1_r \
 SPARK_GRAFT_ISOLATE=1 \
+SPARK_GRAFT_ROUND="$ROUND" \
   sbt -batch "runMain graft.Bench" > "$LOG" 2>&1 || {
     echo "[sf1bench] sbt failed; tail of $LOG:" >&2; tail -20 "$LOG" >&2; exit 1; }
-# The bench prints ONE JSON line starting {"metric":"total" — that line
-# IS the artifact (Bench.prevArtifact reads top-level "queries").
+# The bench prints TWO JSON lines starting {"metric":"total": first the
+# full per-query line, then a driver-oriented top-10 summary. The FULL
+# line (head -1) is this family's artifact (Bench.prevArtifact reads
+# top-level "queries", and the SF1 set must carry every pinned query).
 # `|| true`: under pipefail a lineless log would otherwise kill the
 # script at the grep, AFTER the redirection truncated $OUT — leaving an
 # empty highest-numbered artifact that silently disables the next
 # round's prev-ref adjudication. Let the guard below do the failing.
-grep -h '^{"metric":"total"' "$LOG" | tail -1 > "$OUT" || true
+grep -h '^{"metric":"total"' "$LOG" | head -1 > "$OUT" || true
 [ -s "$OUT" ] || { rm -f "$OUT"; echo "[sf1bench] no bench line found in $LOG" >&2; exit 1; }
 echo "[sf1bench] wrote $OUT" >&2
