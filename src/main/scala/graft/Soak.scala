@@ -336,8 +336,36 @@ object Soak {
           val retrained = pairs(graft.operators.SimilaritySearch
             .pqTopK(spark, full, queries, 5))
           val recallRetrain = (truth & retrained).size.toDouble / truth.size
+          // The rebuild POLICY under test (appendToPqIndex's
+          // rebuildIfDrifted path): after m-1 appended replicas the
+          // sidecar drift fraction is m-1 ≥ the 0.5 default trigger, so
+          // a policy-enabled append would have rebuilt. Run the rebuild
+          // the trigger dispatches and assert it restores the retrained
+          // line — sampleVectors orders by md5(id), so the rebuild's
+          // training sample is IDENTICAL to the from-scratch retrain's
+          // and the recall must match it exactly, not approximately.
+          val recallRebuild = if (m > 1) {
+            val drift = graft.operators.SimilaritySearch
+              .appendedDriftFraction(cat, "soak", "pq")
+            require(drift >= 0.5,
+              f"PQ drift fraction $drift%.2f below the 0.5 trigger after " +
+                f"${m - 1} appended replicas — sidecar tracking broke")
+            graft.operators.SimilaritySearch.rebuildPqIndex(
+              spark, cat, "soak", "pq")
+            val rb = pairs(graft.operators.SimilaritySearch
+              .searchPqIndex(spark, cat, "soak", "pq", queries, 5))
+            val r = (truth & rb).size.toDouble / truth.size
+            require(r >= recallRetrain,
+              f"post-rebuild PQ recall $r%.3f below the retrained line " +
+                f"$recallRetrain%.3f at m=$m — rebuild did not restore recall")
+            require(graft.operators.SimilaritySearch
+              .appendedDriftFraction(cat, "soak", "pq") == 0.0,
+              "rebuild did not reset the drift fraction")
+            r
+          } else recallRetrain
           println(f"SOAK pqrecall m=$m%-3d vecs=$nVecs%-8d " +
             f"append_recall=$recallApp%.3f retrain_recall=$recallRetrain%.3f " +
+            f"rebuild_recall=$recallRebuild%.3f " +
             f"idx_s=$idxSec%.1f search_s=$searchSec%.1f")
           // drift-damage bound (the ivfrecall contract, wider tolerance):
           // PQ codes drifted vectors with STALE sub-codebooks — a harsher
@@ -351,7 +379,7 @@ object Soak {
               f"the retrained codebooks' $recallRetrain%.3f at m=$m")
           require(recallApp >= 0.35,
             f"append-only PQ recall $recallApp%.3f fell below the 0.35 floor at m=$m")
-          Seq("pq_codebooks", "pq_codes", "pq_vectors")
+          Seq("pq_codebooks", "pq_codes", "pq_vectors", "pq_built")
             .foreach(cat.removeSet("soak", _))
           graft.storage.SetCatalog.deleteTree(root)
         }
@@ -375,8 +403,31 @@ object Soak {
           val retrained = pairs(graft.operators.SimilaritySearch
             .ivfPqTopK(spark, full, queries, 5))
           val recallRetrain = (truth & retrained).size.toDouble / truth.size
+          // rebuild policy, mirroring the pqrecall family: both models
+          // retrain from the shared md5-ordered sample, so post-rebuild
+          // recall must equal the from-scratch retrained line
+          val recallRebuild = if (m > 1) {
+            val drift = graft.operators.SimilaritySearch
+              .appendedDriftFraction(cat, "soak", "ivfpq")
+            require(drift >= 0.5,
+              f"IVF-PQ drift fraction $drift%.2f below the 0.5 trigger after " +
+                f"${m - 1} appended replicas — sidecar tracking broke")
+            graft.operators.SimilaritySearch.rebuildIvfPqIndex(
+              spark, cat, "soak", "ivfpq")
+            val rb = pairs(graft.operators.SimilaritySearch
+              .searchIvfPqIndex(spark, cat, "soak", "ivfpq", queries, 5))
+            val r = (truth & rb).size.toDouble / truth.size
+            require(r >= recallRetrain,
+              f"post-rebuild IVF-PQ recall $r%.3f below the retrained line " +
+                f"$recallRetrain%.3f at m=$m — rebuild did not restore recall")
+            require(graft.operators.SimilaritySearch
+              .appendedDriftFraction(cat, "soak", "ivfpq") == 0.0,
+              "rebuild did not reset the drift fraction")
+            r
+          } else recallRetrain
           println(f"SOAK ivfpqrecall m=$m%-3d vecs=$nVecs%-8d " +
             f"append_recall=$recallApp%.3f retrain_recall=$recallRetrain%.3f " +
+            f"rebuild_recall=$recallRebuild%.3f " +
             f"idx_s=$idxSec%.1f search_s=$searchSec%.1f")
           // IVF-PQ composes BOTH stale models; its intrinsic recall is
           // the product of the IVF probe's and the ADC shortlist's, so
@@ -387,7 +438,7 @@ object Soak {
           require(recallApp >= 0.25,
             f"append-only IVF-PQ recall $recallApp%.3f fell below the 0.25 floor at m=$m")
           Seq("ivfpq_centroids", "ivfpq_codebooks", "ivfpq_codes",
-            "ivfpq_vectors").foreach(cat.removeSet("soak", _))
+            "ivfpq_vectors", "ivfpq_built").foreach(cat.removeSet("soak", _))
           graft.storage.SetCatalog.deleteTree(root)
         }
         full.unpersist()

@@ -688,16 +688,22 @@ object SimilaritySearch {
     // count takes the same sizing rule as buildPqIndex's (explicit, else
     // the advisor over the corpus rowcount, else the session default);
     // the CODES layout needs no count: it is directory-partitioned by
-    // coarse cell, where nCentroids IS the layout
+    // coarse cell, where nCentroids IS the layout. The advisor's rowcount
+    // comes off the just-written code set's sidecar (one code row per
+    // corpus vector, counted by its post-write footer pass) — NOT an
+    // extra emb.count() scan of the whole corpus.
     val n = if (numBuckets > 0) numBuckets
       else advisor
-        .map(_.recommendBuckets(s"$db.${name}_vectors", emb.count(),
+        .map(_.recommendBuckets(s"$db.${name}_vectors",
+          catalog.meta(db, s"${name}_codes").map(_.rows)
+            .getOrElse(emb.count()),
           targetRowsPerBucket))
         .getOrElse(spark.sessionState.conf.numShufflePartitions.toInt)
     catalog.createSet(db, s"${name}_vectors",
       emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
         l2Norm(col(vecCol)).as("n_nrm")),
       partitionColumn = Some("neighbor_id"), numPartitions = n)
+    persistBuiltRows(spark, catalog, db, name)
   }
 
   /** Incrementally extend a persisted IVF-PQ index: assign + encode the
@@ -706,11 +712,24 @@ object SimilaritySearch {
     * retrain, no rewrite; build(A)+append(B) ≡ one-pass under A's
     * models, since both assignment and encoding depend only on
     * (vector, model).
+    *
+    * `rebuildIfDrifted = true` adds the production rebuild policy the
+    * append-under-drift soaks motivated (README recall table: append-only
+    * IVF-PQ recall sinks to 0.34 at m=16 under rotation drift — stale
+    * models code drifted vectors badly, and append-only operation never
+    * recovers): when the appended fraction since the last (re)train
+    * reaches `driftFraction`, [[rebuildIvfPqIndex]] retrains both models
+    * from the standing vectors set and re-encodes the code set in place.
+    * The trigger reads two sidecar rowcounts — no corpus scan; the
+    * rebuild itself costs one scan of the vectors set, amortized over
+    * `driftFraction·n` appended rows.
     */
   def appendToIvfPqIndex(
       spark: SparkSession, catalog: graft.storage.SetCatalog,
       db: String, name: String, newEmb: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      rebuildIfDrifted: Boolean = false,
+      driftFraction: Double = 0.5): Unit = {
     val centroids = catalog.scanSet(db, s"${name}_centroids")
       .orderBy(col("bucket")).collect()
       .map(_.getSeq[Double](1).toArray)
@@ -723,6 +742,106 @@ object SimilaritySearch {
     catalog.appendToSet(db, s"${name}_vectors",
       newEmb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
         l2Norm(col(vecCol)).as("n_nrm")))
+    if (rebuildIfDrifted &&
+        appendedDriftFraction(catalog, db, name) >= driftFraction)
+      rebuildIvfPqIndex(spark, catalog, db, name)
+  }
+
+  /** Rows the standing models were last trained over, persisted as the
+    * one-row `<name>_built` set at build/rebuild time — the denominator
+    * of [[appendedDriftFraction]]. The rowcount comes from the vectors
+    * set's sidecar (already computed by its post-write count), so this
+    * costs one tiny parquet write and zero corpus scans.
+    */
+  private def persistBuiltRows(
+      spark: SparkSession, catalog: graft.storage.SetCatalog,
+      db: String, name: String): Unit = {
+    import spark.implicits._
+    val rows = catalog.meta(db, s"${name}_vectors").map(_.rows).getOrElse(0L)
+    catalog.createSet(db, s"${name}_built",
+      Seq(rows).toDF("rows_at_build"), policy = "none")
+  }
+
+  /** Fraction of the index appended since its models were last
+    * (re)trained: (rows_now - rows_at_build) / rows_at_build. Both
+    * numbers are sidecar reads — O(1), no corpus scan. 0.0 for indexes
+    * built before the `<name>_built` marker existed (they opt into the
+    * rebuild policy at their first rebuild).
+    */
+  def appendedDriftFraction(
+      catalog: graft.storage.SetCatalog, db: String, name: String): Double = {
+    val total = catalog.meta(db, s"${name}_vectors").map(_.rows).getOrElse(0L)
+    if (catalog.meta(db, s"${name}_built").isEmpty) 0.0
+    else {
+      val base = catalog.scanSet(db, s"${name}_built")
+        .collect()(0).getLong(0)
+      if (base <= 0) 0.0 else (total - base).toDouble / base
+    }
+  }
+
+  /** Retrain a persisted PQ index's codebooks from its OWN standing
+    * vectors set and re-encode the code set in place — the rebuild the
+    * appendTo* scaladocs name as the answer once drift bites. Hyperparams
+    * (m, kSub) are read off the standing codebooks, layout off the codes
+    * sidecar, so the call needs nothing but the index name. Because
+    * [[sampleVectors]] orders by md5(id) — not physical row order — the
+    * retrain sample over the vectors set is IDENTICAL to a from-scratch
+    * [[pqTopK]] train over the same corpus, so post-rebuild recall equals
+    * the retrained line exactly (soak-asserted, pqrecall family).
+    */
+  def rebuildPqIndex(
+      spark: SparkSession, catalog: graft.storage.SetCatalog,
+      db: String, name: String, iters: Int = 2): Unit = {
+    val old = loadPqCodebooks(catalog, db, name)
+    val m = old.length
+    val kSub = old(0).length
+    val vecs = catalog.scanSet(db, s"${name}_vectors")
+    val codebooks = trainPqCodebooks(vecs, m, kSub, iters, "neighbor_id", "n_vec")
+    catalog.removeSet(db, s"${name}_codebooks")
+    persistCodebooks(spark, catalog, db, name, codebooks)
+    val cm = catalog.meta(db, s"${name}_codes").getOrElse(
+      throw new IllegalArgumentException(s"rebuildPqIndex: no codes set for $db.$name"))
+    val encode = pqEncodeUdf(codebooks)
+    catalog.createSet(db, s"${name}_codes",
+      vecs.select(col("neighbor_id"), encode(col("n_vec")).as("codes")),
+      partitionColumn = cm.partitionColumn, numPartitions = cm.numPartitions)
+    persistBuiltRows(spark, catalog, db, name)
+  }
+
+  /** IVF-PQ form of [[rebuildPqIndex]]: retrain BOTH standing models
+    * (coarse centroids + sub-codebooks, one shared md5-ordered sample —
+    * the same sample [[ivfPqTopK]] trains on over this corpus), replace
+    * them, and rewrite the bucket-partitioned code set with fresh
+    * assignments + codes. One scan of the vectors set; the vectors set
+    * itself (hash-placed on id for the re-rank) is untouched.
+    */
+  def rebuildIvfPqIndex(
+      spark: SparkSession, catalog: graft.storage.SetCatalog,
+      db: String, name: String, iters: Int = 2): Unit = {
+    val nCentroids = catalog.scanSet(db, s"${name}_centroids").count().toInt
+    val old = loadPqCodebooks(catalog, db, name)
+    val m = old.length
+    val kSub = old(0).length
+    val vecs = catalog.scanSet(db, s"${name}_vectors")
+    val sample = sampleVectors(vecs, "neighbor_id", "n_vec", 10000)
+    val centroids = trainCentroidsFromSample(sample, nCentroids, iters = 3)
+    val codebooks = trainPqCodebooksFromSample(sample, m, kSub, iters)
+    import spark.implicits._
+    catalog.removeSet(db, s"${name}_centroids")
+    catalog.createSet(db, s"${name}_centroids",
+      centroids.zipWithIndex
+        .map { case (v, b) => (b.toLong, v.toSeq) }.toSeq
+        .toDF("bucket", "centroid"),
+      policy = "none")
+    catalog.removeSet(db, s"${name}_codebooks")
+    persistCodebooks(spark, catalog, db, name, codebooks)
+    val assign = nearestUdf(centroids)
+    val encode = pqEncodeUdf(codebooks)
+    catalog.createPartitionedSet(db, s"${name}_codes",
+      vecs.select(col("neighbor_id"), encode(col("n_vec")).as("codes"),
+        assign(col("n_vec")).as("bucket")),
+      "bucket")
+    persistBuiltRows(spark, catalog, db, name)
   }
 
   /** Streaming form of [[appendToIvfPqIndex]] — batching-invariant like
@@ -730,11 +849,14 @@ object SimilaritySearch {
   def streamAppendToIvfPqIndex(
       stream: DataFrame, catalog: graft.storage.SetCatalog,
       db: String, name: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      rebuildIfDrifted: Boolean = false,
+      driftFraction: Double = 0.5): Unit = {
     val spark = stream.sparkSession
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        appendToIvfPqIndex(spark, catalog, db, name, batch.toDF(), idCol, vecCol)
+        appendToIvfPqIndex(spark, catalog, db, name, batch.toDF(), idCol, vecCol,
+          rebuildIfDrifted, driftFraction)
         ()
       }
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
@@ -784,15 +906,21 @@ object SimilaritySearch {
       idCol: String = "vec_id", vecCol: String = "embedding",
       numBuckets: Int = 0,
       advisor: Option[graft.advisor.PlacementAdvisor] = None,
-      targetRowsPerBucket: Long = 1L << 22): Unit = {
+      targetRowsPerBucket: Long = 1L << 22,
+      knownRowCount: Long = 0L): Unit = {
     val codebooks = trainPqCodebooks(emb, m, kSub, iters, idCol, vecCol)
     persistCodebooks(spark, catalog, db, name, codebooks)
     // partition-count choice follows the other index builders: explicit,
     // else the advisor's sizing rule over the corpus rowcount, else the
-    // session's shuffle-partition count
+    // session's shuffle-partition count. Pass knownRowCount when the
+    // caller already paid for a count (e.g. the corpus came off a
+    // catalog set whose sidecar carries it) — the advisor path otherwise
+    // costs one extra whole-corpus pass here, since BOTH output sets
+    // need the bucket count before their writes.
     val n = if (numBuckets > 0) numBuckets
       else advisor
-        .map(_.recommendBuckets(s"$db.${name}_codes", emb.count(),
+        .map(_.recommendBuckets(s"$db.${name}_codes",
+          if (knownRowCount > 0) knownRowCount else emb.count(),
           targetRowsPerBucket))
         .getOrElse(spark.sessionState.conf.numShufflePartitions.toInt)
     val encode = pqEncodeUdf(codebooks)
@@ -803,6 +931,7 @@ object SimilaritySearch {
       emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
         l2Norm(col(vecCol)).as("n_nrm")),
       partitionColumn = Some("neighbor_id"), numPartitions = n)
+    persistBuiltRows(spark, catalog, db, name)
   }
 
   private def loadPqCodebooks(
@@ -823,13 +952,18 @@ object SimilaritySearch {
   def appendToPqIndex(
       spark: SparkSession, catalog: graft.storage.SetCatalog,
       db: String, name: String, newEmb: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      rebuildIfDrifted: Boolean = false,
+      driftFraction: Double = 0.5): Unit = {
     val encode = pqEncodeUdf(loadPqCodebooks(catalog, db, name))
     catalog.appendToSet(db, s"${name}_codes",
       newEmb.select(col(idCol).as("neighbor_id"), encode(col(vecCol)).as("codes")))
     catalog.appendToSet(db, s"${name}_vectors",
       newEmb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
         l2Norm(col(vecCol)).as("n_nrm")))
+    if (rebuildIfDrifted &&
+        appendedDriftFraction(catalog, db, name) >= driftFraction)
+      rebuildPqIndex(spark, catalog, db, name)
   }
 
   /** Streaming form of [[appendToPqIndex]]: every micro-batch of
@@ -840,11 +974,14 @@ object SimilaritySearch {
   def streamAppendToPqIndex(
       stream: DataFrame, catalog: graft.storage.SetCatalog,
       db: String, name: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      rebuildIfDrifted: Boolean = false,
+      driftFraction: Double = 0.5): Unit = {
     val spark = stream.sparkSession
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        appendToPqIndex(spark, catalog, db, name, batch.toDF(), idCol, vecCol)
+        appendToPqIndex(spark, catalog, db, name, batch.toDF(), idCol, vecCol,
+          rebuildIfDrifted, driftFraction)
         ()
       }
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
