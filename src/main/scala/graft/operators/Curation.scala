@@ -16,6 +16,14 @@ case class BudgetAdmit(doc_id: Long, shard: Long, n_tokens: Long, cum_tokens: Lo
 /** Per-shard running state: tokens SEEN so far (admitted or not — the
   * budget window closes at the first crossing, like the batch form's
   * prefix-sum filter).
+  *
+  * COMPATIBILITY: adding `lastSeq` (round 12's out-of-order self-check)
+  * changed the flatMapGroupsWithState state-encoder schema, so a
+  * [[Curation.streamTokenBudget]] query CANNOT resume from a checkpoint
+  * written before that change — restart it with a fresh checkpoint
+  * location (the budget re-derives from a replayed log; the state is
+  * not the source of truth). Any future field added here breaks old
+  * checkpoints the same way — note it here when it happens.
   */
 case class BudgetState(seenTokens: Long, lastSeq: Long = -1L)
 
