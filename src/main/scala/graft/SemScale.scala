@@ -62,10 +62,21 @@ object SemScale {
     // JIT/codegen/scheduler warmup on the smallest shape, untimed
     corpus(spark, 100000L).agg(count(lit(1))).collect()
 
+    // advised-geometry parity (VERDICT r12 next #7): the advisor's
+    // history-backed recommendation must land on the same configuration
+    // the hand-picked rule computes at every measured scale
+    val adv = new graft.advisor.PlacementAdvisor
+
     val rows = ns.map { n =>
       val emb = corpus(spark, n)
       val k = Dedup.autoClusters(n)
       val cells = SimilaritySearch.sqrtCells(k)
+      val g = adv.recommendSemGeometry(s"semscale_$n", n)
+      val advisedMatch = g.clusters == k &&
+        (g.routeCells == cells || (k <= Dedup.routeThreshold && g.routeCells == 0))
+      require(advisedMatch,
+        s"advised geometry (k=${g.clusters}, cells=${g.routeCells}) diverged " +
+          s"from the static sizing (k=$k, cells=$cells) at n=$n")
       val (sample, sampleS) = timed {
         SimilaritySearch.sampleVectors(
           emb, "vec_id", "embedding", math.max(10000, 2 * k))
@@ -105,6 +116,7 @@ object SemScale {
     def r2(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
     val steps = rows.map { case (n, k, cells, used, sa, tr, as, fl, pb) =>
       s"""{"n":$n,"k":$k,"cells":$cells,"cells_used":$used,""" +
+        s""""advised_match":true,""" +
         s""""sample_s":${r2(sa)},"train_s":${r2(tr)},"assign_s":${r2(as)},""" +
         s""""flat_assign_s":${fl.map(r2).getOrElse("null")},""" +
         s""""pairs_per_row_bound":${r2(pb)}}"""

@@ -242,6 +242,43 @@ final class PlacementAdvisor(historyPath: Option[String] = None) {
     math.min(pow2, 65536L).toInt
   }
 
+  /** SemDeDup clustering geometry from an observed corpus size — the
+    * same role [[recommendBuckets]] plays for index layouts, applied to
+    * the semantic-dedup regime knobs (VERDICT r12 next #7: the operator
+    * picked them statically; the advisor's history already records set
+    * sizes, so let it recommend).
+    *
+    * The rule mirrors the operator's documented scaling story
+    * ([[graft.operators.Dedup.autoClusters]]'s scaladoc): one cluster
+    * per `baseTargetClusterSize` rows keeps the within-cluster pair
+    * term at n·target (linear); `maxClusters` is the codebook-broadcast
+    * MEMORY bound (~100 MB at 200k × 64 dims × 8 B), past which
+    * `targetClusterSize` itself grows as ceil(n / maxClusters) — the
+    * knob that extends the linear regime arbitrarily; and past
+    * `routeThreshold` fine centroids the assignment routes through
+    * ceil(√k) coarse cells (O(n·√k·d) instead of O(n·k·d)). The corpus
+    * size is remembered in the same `setRows` history the bucket sizing
+    * uses, so a later call with a stale/smaller count still sizes for
+    * the largest corpus this table has been observed at.
+    */
+  def recommendSemGeometry(
+      table: String, rows: Long,
+      baseTargetClusterSize: Int = 125,
+      maxClusters: Int = 200000,
+      routeThreshold: Int = 2048): SemGeometry = {
+    val n = math.max(rows, setRows.getOrElse(table, 0L))
+    setRows(table) = n
+    persist()
+    val target = math.max(baseTargetClusterSize.toLong,
+      (n + maxClusters - 1) / maxClusters).toInt
+    val k = math.min(
+      math.max(4L, (n + target - 1) / target), maxClusters.toLong).toInt
+    val cells =
+      if (k > routeThreshold) math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+      else 0
+    SemGeometry(target, k, cells)
+  }
+
   def observedKeyUse: Map[(String, String), Long] = keyUse.toMap
 
   def observedKeyReward: Map[(String, String), Long] = keyReward.toMap
@@ -273,3 +310,11 @@ object PlacementAdvisor {
   /** Cap on replayed per-query history lines in the sidecar file. */
   val MaxHistory = 10000
 }
+
+/** [[PlacementAdvisor.recommendSemGeometry]]'s recommendation: the
+  * SemDeDup cluster-size knob, the codebook size it implies, and the
+  * coarse routing cell count (0 = flat assignment, below the routing
+  * threshold).
+  */
+final case class SemGeometry(
+    targetClusterSize: Int, clusters: Int, routeCells: Int)

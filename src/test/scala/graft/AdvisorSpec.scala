@@ -346,6 +346,34 @@ class AdvisorSpec extends GraftSpecBase {
     assert(cat.scanSet("db", "log").collect().map(_.toSeq).toSet == want)
   }
 
+  test("advised SemDeDup geometry matches the static sizing and remembers the largest corpus") {
+    import graft.operators.{Dedup, SimilaritySearch}
+    val adv = new PlacementAdvisor
+    // parity with the hand-picked rule at three regimes: fixture-scale
+    // flat (k ≤ 2048 → no routing), the routed SEMDEDUP_SCALE points,
+    // and the memory-bound cap where targetClusterSize itself grows
+    for (n <- Seq(50000L, 1250000L, 5000000L, 30000000L)) {
+      val g = adv.recommendSemGeometry(s"t$n", n)
+      val k = Dedup.autoClusters(n)
+      assert(g.clusters == k, s"advised k ${g.clusters} != static $k at n=$n")
+      val cells =
+        if (k > Dedup.routeThreshold) SimilaritySearch.sqrtCells(k) else 0
+      assert(g.routeCells == cells,
+        s"advised cells ${g.routeCells} != static $cells at n=$n")
+    }
+    // past the 200k-cluster memory bound the target grows with n — the
+    // documented knob — and k pins at the cap
+    val big = adv.recommendSemGeometry("huge", 50000000L)
+    assert(big.clusters == 200000 && big.targetClusterSize == 250)
+    // history: a later probe over a SLICE of an observed corpus still
+    // sizes for the largest size seen — the advantage over static
+    // sizing, which can only see the frame in front of it
+    val first = adv.recommendSemGeometry("corpus", 5000000L)
+    val replay = adv.recommendSemGeometry("corpus", 10000L)
+    assert(replay == first,
+      s"advisor forgot the observed corpus: $replay != $first")
+  }
+
   test("removeSet drops the session-catalog entry only for bucketed sets") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-remove").toString

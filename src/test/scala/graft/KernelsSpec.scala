@@ -41,6 +41,11 @@ class KernelsSpec extends AnyFunSuite {
     check(33, 130, 17)      // crosses the KC=128 chunk boundary
     check(64, 257, 40)      // chunk boundary + odd k
     check(10, 300, 65, zeroEvery = 3) // zero a-elements exercise skip paths
+    // ODD m with zeros: the row-remainder path skips av == 0.0 while the
+    // 2x4 register tile adds explicit +0.0 — without an odd-m zero shape
+    // the remainder's zero-skip is never pinned by the bit-parity check
+    check(33, 130, 17, zeroEvery = 3)
+    check(7, 13, 9, zeroEvery = 2)
   }
 
   test("kernel agreement at a full fixture-like block") {
