@@ -261,8 +261,33 @@ object Soak {
         val retrained = pairs(graft.operators.SimilaritySearch
           .ivfTopK(spark, full, queries, 5))
         val recallRetrain = (truth & retrained).size.toDouble / truth.size
+        // rebuild policy, same contract as the pq/ivfpq families — for
+        // IVF the rebuild re-partitions the whole vector set under the
+        // retrained codebook (staged write + renameSet swap), and the
+        // md5-ordered sample makes post-rebuild recall equal the
+        // retrained line exactly
+        val recallRebuild = if (m > 1) {
+          val drift = graft.operators.SimilaritySearch
+            .appendedDriftFraction(cat, "soak", "ivf")
+          require(drift >= 0.5,
+            f"IVF drift fraction $drift%.2f below the 0.5 trigger after " +
+              f"${m - 1} appended replicas — sidecar tracking broke")
+          graft.operators.SimilaritySearch.rebuildIvfIndex(
+            spark, cat, "soak", "ivf")
+          val rb = pairs(graft.operators.SimilaritySearch
+            .searchIvfIndex(spark, cat, "soak", "ivf", queries, 5))
+          val r = (truth & rb).size.toDouble / truth.size
+          require(r >= recallRetrain,
+            f"post-rebuild IVF recall $r%.3f below the retrained line " +
+              f"$recallRetrain%.3f at m=$m — rebuild did not restore recall")
+          require(graft.operators.SimilaritySearch
+            .appendedDriftFraction(cat, "soak", "ivf") == 0.0,
+            "rebuild did not reset the drift fraction")
+          r
+        } else recallRetrain
         println(f"SOAK ivfrecall m=$m%-3d vecs=$nVecs%-8d " +
           f"append_recall=$recallApp%.3f retrain_recall=$recallRetrain%.3f " +
+          f"rebuild_recall=$recallRebuild%.3f " +
           f"idx_s=$idxSec%.1f search_s=$searchSec%.1f")
         // The drift-damage bound: append-only recall must track the
         // rebuild-policy recall within 0.1 (the level itself — ~0.5 on
@@ -275,6 +300,7 @@ object Soak {
           f"append-only IVF recall $recallApp%.3f fell below the 0.4 floor at m=$m")
         cat.removeSet("soak", "ivf_centroids")
         cat.removeSet("soak", "ivf_vectors")
+        cat.removeSet("soak", "ivf_built")
         graft.storage.SetCatalog.deleteTree(root)
         full.unpersist()
       }

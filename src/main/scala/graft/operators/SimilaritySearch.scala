@@ -324,6 +324,7 @@ object SimilaritySearch {
       emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
         l2Norm(col(vecCol)).as("n_nrm"), assign(col(vecCol)).as("bucket")),
       "bucket")
+    persistBuiltRows(spark, catalog, db, name)
   }
 
   /** Incrementally extend a persisted IVF index: assign the NEW vectors
@@ -332,7 +333,14 @@ object SimilaritySearch {
     * data, one scan of the batch. This is how a standing ANN index keeps
     * up with a continuously-embedding ingest pipeline; the codebook only
     * needs retraining when the corpus distribution drifts enough that
-    * cell sizes skew (rebuild = [[buildIvfIndex]], a policy decision).
+    * cell sizes skew. `rebuildIfDrifted` makes that policy decision
+    * automatic, like the PQ/IVF-PQ appends' — but note the cost
+    * asymmetry: an IVF rebuild rewrites the WHOLE bucket-partitioned
+    * vector set (the cells ARE the corpus layout), where the compressed
+    * tiers rewrite only codes. The ivfrecall soak also shows append-only
+    * IVF tracks the retrained codebook within 0.1 under drift, so the
+    * default here stays manual; enable the trigger when cell-size skew,
+    * not recall, is the concern.
     * Search results over build(A)+append(B) are IDENTICAL to an index
     * whose vectors were all assigned under A's codebook in one pass —
     * assignment depends only on (vector, codebook).
@@ -340,7 +348,9 @@ object SimilaritySearch {
   def appendToIvfIndex(
       spark: SparkSession, catalog: graft.storage.SetCatalog,
       db: String, name: String, newEmb: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      rebuildIfDrifted: Boolean = false,
+      driftFraction: Double = 0.5): Unit = {
     val centroids = catalog.scanSet(db, s"${name}_centroids")
       .orderBy(col("bucket")).collect()
       .map(_.getSeq[Double](1).toArray)
@@ -349,6 +359,43 @@ object SimilaritySearch {
       newEmb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
         l2Norm(col(vecCol)).as("n_nrm"), assign(col(vecCol)).as("bucket")),
       "bucket")
+    if (rebuildIfDrifted &&
+        appendedDriftFraction(catalog, db, name) >= driftFraction)
+      rebuildIvfIndex(spark, catalog, db, name)
+  }
+
+  /** IVF form of [[rebuildPqIndex]]: retrain the coarse codebook from
+    * the standing vectors set (same md5-ordered sample a from-scratch
+    * [[ivfTopK]] trains on, so post-rebuild recall equals the retrained
+    * line exactly — soak-asserted) and re-partition the corpus under the
+    * new cells. The rewrite goes to a STAGING set and swaps in via
+    * [[graft.storage.SetCatalog.renameSet]] — source and destination
+    * are the same set here (the cells are the corpus layout), so an
+    * in-place overwrite would read what it is deleting.
+    */
+  def rebuildIvfIndex(
+      spark: SparkSession, catalog: graft.storage.SetCatalog,
+      db: String, name: String, iters: Int = 3): Unit = {
+    val nCentroids = catalog.scanSet(db, s"${name}_centroids").count().toInt
+    val vecs = catalog.scanSet(db, s"${name}_vectors")
+      .select(col("neighbor_id"), col("n_vec"), col("n_nrm"))
+    val centroids = trainCentroids(vecs, nCentroids, iters, "neighbor_id", "n_vec")
+    import spark.implicits._
+    catalog.removeSet(db, s"${name}_centroids")
+    catalog.createSet(db, s"${name}_centroids",
+      centroids.zipWithIndex
+        .map { case (v, b) => (b.toLong, v.toSeq) }.toSeq
+        .toDF("bucket", "centroid"),
+      policy = "none")
+    val assign = nearestUdf(centroids)
+    val stage = s"${name}_vectors_rebuild"
+    catalog.createPartitionedSet(db, stage,
+      vecs.select(col("neighbor_id"), col("n_vec"), col("n_nrm"),
+        assign(col("n_vec")).as("bucket")),
+      "bucket")
+    catalog.removeSet(db, s"${name}_vectors")
+    catalog.renameSet(db, stage, s"${name}_vectors")
+    persistBuiltRows(spark, catalog, db, name)
   }
 
   /** Streaming form of [[appendToIvfIndex]]: every micro-batch of
@@ -361,11 +408,14 @@ object SimilaritySearch {
   def streamAppendToIvfIndex(
       stream: DataFrame, catalog: graft.storage.SetCatalog,
       db: String, name: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      rebuildIfDrifted: Boolean = false,
+      driftFraction: Double = 0.5): Unit = {
     val spark = stream.sparkSession
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        appendToIvfIndex(spark, catalog, db, name, batch.toDF(), idCol, vecCol)
+        appendToIvfIndex(spark, catalog, db, name, batch.toDF(), idCol, vecCol,
+          rebuildIfDrifted, driftFraction)
         ()
       }
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())

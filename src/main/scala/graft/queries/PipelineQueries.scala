@@ -32,7 +32,7 @@ object PipelineQueries {
     * (see Dedup.minhashPairs).
     */
   val ddMinhashSql: String =
-    """WITH w AS (SELECT doc_id, list_distinct(list_transform(
+    """WITH w AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
       |    generate_series(1, greatest(len(string_split(text,' '))-1, 0)),
       |    i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS ws
       |  FROM documents)
@@ -56,7 +56,7 @@ object PipelineQueries {
     * recursive transitive closure.
     */
   val ddClustersSql: String =
-    s"""WITH RECURSIVE pairs AS ($ddMinhashSql),
+    s"""WITH RECURSIVE pairs AS MATERIALIZED ($ddMinhashSql),
        |e AS (SELECT id_a AS a, id_b AS b FROM pairs
        |      UNION SELECT id_b, id_a FROM pairs),
        |reach(id, r) AS (
@@ -87,7 +87,7 @@ object PipelineQueries {
       n = 3, threshold = 0.5)
 
   val ddNgramSql: String =
-    """WITH s AS (
+    """WITH s AS MATERIALIZED (
       |  SELECT doc_id, list_distinct(list_transform(
       |    generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
       |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
@@ -114,7 +114,7 @@ object PipelineQueries {
     * as [[ddMinhashSql]] (banding miss prob ~1e-28 at j≥0.8)
     */
   val ddCrossSql: String =
-    """WITH w AS (SELECT doc_id, list_distinct(list_transform(
+    """WITH w AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
       |    generate_series(1, greatest(len(string_split(text,' '))-1, 0)),
       |    i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS ws
       |  FROM documents)

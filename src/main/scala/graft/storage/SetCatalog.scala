@@ -309,6 +309,30 @@ final class SetCatalog(spark: SparkSession, root: String) {
       spark.sql(s"DROP TABLE IF EXISTS `${db}_$set`")
   }
 
+  /** Rename a non-bucketed set in place: two directory-level moves (data
+    * dir, then sidecar), no data rewrite — the swap step a staged
+    * rebuild needs (write the new layout to a staging set, remove the
+    * old, rename the stage over it; the IVF index rebuild does exactly
+    * this). Bucketed sets are refused: their identity includes a
+    * session-catalog entry and file-name-embedded bucket ids, so a
+    * rename would have to rewrite both — recreate instead. Crash
+    * between the two moves leaves data under the NEW name with the
+    * OLD name's sidecar still present; the sidecar is authoritative
+    * only next to its data, so a retry (rename back or re-remove)
+    * self-heals like compactSet's two-rename window.
+    */
+  def renameSet(db: String, from: String, to: String): Unit = {
+    val m = meta(db, from).getOrElse(throw new IllegalArgumentException(
+      s"renameSet: set $db.$from does not exist"))
+    require(m.policy != "bucket",
+      s"renameSet: $db.$from is bucketed — its session-catalog entry and " +
+        "bucket-id file names cannot be renamed; recreate instead")
+    require(meta(db, to).isEmpty && !Files.exists(Paths.get(dir(db, to))),
+      s"renameSet: target $db.$to already exists")
+    Files.move(Paths.get(dir(db, from)), Paths.get(dir(db, to)))
+    Files.move(Paths.get(metaPath(db, from)), Paths.get(metaPath(db, to)))
+  }
+
   def listSets(): Seq[(String, String)] = {
     val d = Paths.get(root)
     if (!Files.exists(d)) Seq.empty

@@ -346,6 +346,38 @@ class AdvisorSpec extends GraftSpecBase {
     assert(cat.scanSet("db", "log").collect().map(_.toSeq).toSet == want)
   }
 
+  test("renameSet swaps a staged set over the original; bucketed sets refuse") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-rename").toString
+    val cat = new SetCatalog(spark, root)
+    val base = (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v")
+    cat.createPartitionedSet("db", "tgt", base.withColumn("b", $"k" % 2), "b")
+    // the staged-rebuild swap: the stage holds the SAME logical rows
+    // under a NEW partitioning (rebuildIvfIndex's sequence: stage,
+    // remove original, rename over it)
+    val want = cat.scanSet("db", "tgt")
+      .select($"k", $"v").collect().map(_.toSeq).toSet
+    cat.createPartitionedSet("db", "tgt_stage",
+      base.withColumn("b", $"k" % 4), "b")
+    intercept[IllegalArgumentException] {
+      cat.renameSet("db", "tgt_stage", "tgt") // target still exists
+    }
+    cat.removeSet("db", "tgt")
+    cat.renameSet("db", "tgt_stage", "tgt")
+    assert(cat.scanSet("db", "tgt")
+      .select($"k", $"v").collect().map(_.toSeq).toSet == want)
+    assert(cat.meta("db", "tgt").exists(m =>
+      m.policy == "dirpart" && m.rows == 20L))
+    assert(cat.meta("db", "tgt_stage").isEmpty)
+    // bucketed identity includes a session-catalog entry — refuse
+    cat.createBucketedSet("db", "bkt", base, "k", 2)
+    intercept[IllegalArgumentException] {
+      cat.renameSet("db", "bkt", "bkt2")
+    }
+    cat.removeSet("db", "bkt")
+    cat.removeSet("db", "tgt")
+  }
+
   test("advised SemDeDup geometry matches the static sizing and remembers the largest corpus") {
     import graft.operators.{Dedup, SimilaritySearch}
     val adv = new PlacementAdvisor
