@@ -451,9 +451,26 @@ object Soak {
               "rebuild did not reset the drift fraction")
             r
           } else recallRetrain
+          // the QUALITY knobs, measured: the ~0.3 absolute level at high
+          // m is the default nprobe=4/16 cells × shortlist=10 pruning
+          // cost, not a ceiling — widening the probe (nprobe 8) and the
+          // ADC shortlist (30) on the SAME standing index trades linear
+          // search cost for recall, the dial a production deployment
+          // turns before reaching for a bigger index
+          val wideT0 = System.nanoTime()
+          val wide = pairs(graft.operators.SimilaritySearch
+            .searchIvfPqIndex(spark, cat, "soak", "ivfpq", queries, 5,
+              nprobe = 8, shortlist = 30))
+          val wideSec = (System.nanoTime() - wideT0) / 1e9
+          val recallWide = (truth & wide).size.toDouble / truth.size
+          require(recallWide >= recallRebuild,
+            f"widened-probe recall $recallWide%.3f fell below the default " +
+              f"probe's $recallRebuild%.3f at m=$m — pruning got worse as " +
+              "the candidate set grew, which cannot happen")
           println(f"SOAK ivfpqrecall m=$m%-3d vecs=$nVecs%-8d " +
             f"append_recall=$recallApp%.3f retrain_recall=$recallRetrain%.3f " +
             f"rebuild_recall=$recallRebuild%.3f " +
+            f"wide_recall=$recallWide%.3f wide_s=$wideSec%.1f " +
             f"idx_s=$idxSec%.1f search_s=$searchSec%.1f")
           // IVF-PQ composes BOTH stale models; its intrinsic recall is
           // the product of the IVF probe's and the ADC shortlist's, so

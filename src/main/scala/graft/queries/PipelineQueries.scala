@@ -467,6 +467,22 @@ object PipelineQueries {
     Dedup.semanticPairs(Tables.embeddings(spark, d), "vec_id", "embedding",
       iters = 3, threshold = 0.4)
 
+  /** [[ddSemantic]] through the ADVISED geometry path
+    * ([[Dedup.semanticPairsAdvised]] — the advisor recommends
+    * (targetClusterSize, k, routeCells) from the observed corpus size
+    * and remembers it in its history). At fixture scale the
+    * recommendation equals the static sizing exactly (AdvisorSpec pins
+    * the rule at four regimes), so the oracle is [[ddSemanticSql]]
+    * unchanged — the point of this entry is that the advised path's
+    * full chain (count → recommend → train → assign → verify) sits
+    * under the hash-exact correctness gate, not just unit specs.
+    */
+  def ddSemanticAdvised(spark: SparkSession, d: String): DataFrame =
+    Dedup.semanticPairsAdvised(Tables.embeddings(spark, d),
+      "vec_id", "embedding",
+      new graft.advisor.PlacementAdvisor, "embeddings_corpus",
+      iters = 3, threshold = 0.4)
+
   /** Terminal action for the semantic family, mirroring [[ddKeepList]]:
     * semantic pairs → connected components → drop list (every member
     * that is not its component's min-id representative).
@@ -2063,6 +2079,7 @@ object PipelineQueries {
     "dd_span_cross" -> ddSpanCross,
     "dd_span_strip" -> ddSpanStrip,
     "dd_semantic" -> ddSemantic,
+    "dd_semantic_advised" -> ddSemanticAdvised,
     "dd_semantic_keep" -> ddSemanticKeep,
     "dd_semantic_route" -> ddSemanticRoute,
     "dd_cosine_lsh" -> ddCosineLsh,
@@ -2115,6 +2132,7 @@ object PipelineQueries {
     "dd_span_cross" -> ddSpanCrossSql,
     "dd_span_strip" -> ddSpanStripSql,
     "dd_semantic" -> ddSemanticSql,
+    "dd_semantic_advised" -> ddSemanticSql,
     "dd_semantic_keep" -> ddSemanticKeepSql,
     "dd_semantic_route" -> ddSemanticRouteSql,
     "dd_cosine_lsh" -> ddCosineLshSql,

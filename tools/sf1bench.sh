@@ -41,6 +41,9 @@ ONLY=$ONLY,sim_ivfpq_indexed,st_ivfpq_append
 # pipe_all_budget's plan (adds the LM-score joins + quantile gate), so
 # it lands in the expensive slice by construction
 ONLY=$ONLY,pipe_lm_budget
+# round-13 list revision: the STREAMING LM-gated capstone (16 s at sf1
+# when added — standing-state build + two streaming jobs dominate)
+ONLY=$ONLY,st_pipe_lm_budget
 
 OUT="BENCH_SF1_r${ROUND}.json"
 LOG="target/sf1bench_r${ROUND}.log"
