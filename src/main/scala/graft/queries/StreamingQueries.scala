@@ -873,9 +873,15 @@ object StreamingQueries {
     val calScored = graft.operators.TextAnalysis
       .lmScore(calib, lmRef, "doc_id", "text")
       .select(col("doc_id"), col("lm_score"))
-    val thr = graft.operators.Curation
+    // a fixture too small to have a held-out slice (sf0.001's corpus is
+    // 50 docs, all < 125) yields an empty calibration set and a NULL
+    // min — gate open (−∞) rather than NPE: with no data to calibrate
+    // on, admitting everything is the only defensible cut
+    val thrRow = graft.operators.Curation
       .quantileKeep(calScored, "lm_score", fraction = 0.5)
-      .agg(min(col("lm_score"))).collect()(0).getDouble(0)
+      .agg(min(col("lm_score"))).collect()(0)
+    val thr =
+      if (thrRow.isNullAt(0)) Double.NegativeInfinity else thrRow.getDouble(0)
     // stage 2: gate arrivals per micro-batch, stage admitted docs
     val arrivals = stArrivals(readDocStream(spark, d))
     graft.operators.Dedup.streamProbe(arrivals, batch => {
