@@ -365,6 +365,59 @@ object Curation extends Serializable {
         col("cum_tokens"))
   }
 
+  /** Domain-weighted token budget — data-MIXTURE execution, the step
+    * between "decide the mixture" (DoReMi-style weights, a modeling
+    * choice made elsewhere) and "ship the training set": each domain d
+    * in `weights` gets its own [[tokenBudgetSubset]]-style budget of
+    * ⌊totalTokens·w_d⌋ tokens, taken in the same deterministic md5
+    * shuffle order over `nShards` writer streams per domain. Domains
+    * absent from `weights` are excluded entirely (weight 0 — the way a
+    * mixture drops a source). Docs with null text are excluded (they
+    * carry no tokens and would occupy shuffle positions).
+    *
+    * Output: (idCol, domain, shard, pos, n_tokens, cum_tokens) — pos
+    * and cum_tokens are per (domain, shard), so the result is a set of
+    * |weights|·nShards independent writer streams, each prefix-closed:
+    * rerunning with a larger budget extends every stream without
+    * reshuffling what an earlier run already shipped.
+    *
+    * Scale shape: one broadcast join against the |weights|-row table,
+    * one hash projection, and two windows partitioned by
+    * (domain, shard) — parallelism |weights|·nShards, no global sort,
+    * no cross-domain coordination; the per-row threshold
+    * ⌊total·w/nShards⌋ rides the joined weight column, so one plan
+    * serves every domain.
+    */
+  def domainTokenBudget(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: String, weights: Map[String, Double],
+      totalTokens: Long, nShards: Int): DataFrame = {
+    require(totalTokens >= 1, s"need a positive budget, got $totalTokens")
+    require(nShards >= 1, s"need a positive shard count, got $nShards")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "need a non-empty mixture of positive weights")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF(domainCol, "w")
+    val h = col(idCol).cast("string").cast("binary")
+    val hv = conv(substring(md5(h), 1, 15), 16, 10).cast("long")
+    val wPos = Window.partitionBy(col(domainCol), col("shard"))
+      .orderBy(md5(h), col(idCol))
+    val wCum = Window.partitionBy(col(domainCol), col("shard"))
+      .orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), col(textCol), col(domainCol))
+      .filter(col(textCol).isNotNull)
+      .join(broadcast(wdf), Seq(domainCol))
+      .withColumn("shard", (hv % nShards).cast("long"))
+      .withColumn("pos", row_number().over(wPos).cast("long") - 1)
+      .withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wCum))
+      .filter(col("cum_tokens") <=
+        floor(lit(totalTokens.toDouble) * col("w") / nShards).cast("long"))
+      .select(col(idCol), col(domainCol).as("domain"), col("shard"),
+        col("pos"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** The per-shard admission fold shared by the streaming operator and
     * its spec: process `docs` (MUST be sequence-ordered) on top of the
     * carried state, admitting each doc whose shard-cumulative token count

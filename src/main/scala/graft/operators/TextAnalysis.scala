@@ -193,6 +193,43 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 6).as("lm_score"))
   }
 
+  /** CCNet-style quality buckets: rank the corpus by its reference-LM
+    * score and cut it into `nBuckets` quality tiers (head / middle /
+    * tail at the default 3 — Wenzek et al. 2020 §4.3, the shape CCNet
+    * actually ships its crawl in). Thresholds are EXACT-rank cuts
+    * ([[Curation.quantileKeep]]'s machinery — top-m heap or recursive
+    * bracket + broadcast scalar, never a global sort or an
+    * unpartitioned window at any scale): t_i = the minimum score among the
+    * top ceil(i/nBuckets·n) docs by (score desc, id); bucket(d) = the
+    * first i with score ≥ t_{i+1}, ties always landing in the BETTER
+    * tier (the quantileKeep "keep all at the threshold" contract, which
+    * keeps the rule deterministic on the 1e-6-rounded scores). Docs
+    * with no bigrams are unscoreable and absent, per lmScore's
+    * contract. Output: (doc_id, lm_score, bucket), bucket 0 = head.
+    *
+    * Scale shape: one lmScore pass (materialized once — nBuckets−1
+    * rank-selection jobs reuse it), then nBuckets−1 broadcast-scalar
+    * threshold comparisons in a single projection.
+    */
+  def lmQualityBuckets(
+      docs: DataFrame, refDocs: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 1, s"need a positive bucket count, got $nBuckets")
+    val scored = lmScore(docs, refDocs, idCol, textCol)
+      .select(col("doc_id"), col("lm_score")).localCheckpoint(true)
+    val thresholds = (1 until nBuckets).map { i =>
+      val r = graft.operators.Curation
+        .quantileKeep(scored, "lm_score", i.toDouble / nBuckets)
+        .agg(min(col("lm_score"))).collect()(0)
+      if (r.isNullAt(0)) Double.NegativeInfinity else r.getDouble(0)
+    }
+    val bucket = thresholds.zipWithIndex
+      .foldRight(lit(nBuckets - 1): org.apache.spark.sql.Column) {
+        case ((t, i), rest) => when(col("lm_score") >= t, lit(i)).otherwise(rest)
+      }
+    scored.withColumn("bucket", bucket)
+  }
+
   /** Oracle for [[lmScore]] with the reference slice `doc_id < 250`;
     * `scoreWhere` restricts the SCORED side (the streaming form scores
     * arrivals only — the model side stays the full reference slice).
@@ -209,6 +246,58 @@ object TextAnalysis {
         "lmScoreSql's formatting changed out from under the replace anchor")
     out
   }
+
+  /** Oracle for [[lmQualityBuckets]] at the default head/middle/tail
+    * terciles (reference slice < 250): the lmScore CTE chain, exact-rank
+    * thresholds t1/t2 = min score among the top ceil(i/3·n) by
+    * (score desc, id), then the ties-to-the-better-tier CASE. The
+    * (i·1.0/3)·n double math matches quantileKeep's
+    * `ceil(fraction · n)` op-for-op.
+    */
+  val lmBucketsSql: String =
+    """WITH rb AS MATERIALIZED (
+      |  SELECT bg, COUNT(*) AS cb FROM (
+      |    SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+      |      AS bg
+      |    FROM documents WHERE doc_id < 250) z GROUP BY 1),
+      |ru AS MATERIALIZED (
+      |  SELECT w1, COUNT(*) AS cu FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w1
+      |    FROM documents WHERE doc_id < 250) z GROUP BY 1),
+      |vv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM ru),
+      |db AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+      |      AS bg
+      |  FROM documents),
+      |s AS (
+      |  SELECT db.doc_id,
+      |    ln(CAST(COALESCE(rb.cb, 0) + 1 AS DOUBLE) /
+      |       (COALESCE(ru.cu, 0) + (SELECT v FROM vv))) AS lp
+      |  FROM db
+      |  LEFT JOIN rb USING (bg)
+      |  LEFT JOIN ru ON ru.w1 = string_split(db.bg, ' ')[1]),
+      |lsc AS MATERIALIZED (
+      |  SELECT doc_id, round(AVG(lp), 6) AS lm_score FROM s GROUP BY 1),
+      |rk AS (
+      |  SELECT doc_id, lm_score,
+      |    ROW_NUMBER() OVER (ORDER BY lm_score DESC, doc_id) AS r FROM lsc),
+      |nn AS (SELECT COUNT(*) AS n FROM lsc),
+      |t1 AS (
+      |  SELECT MIN(lm_score) AS t FROM rk
+      |  WHERE r <= GREATEST(1,
+      |    CAST(ceil((1.0/3) * (SELECT n FROM nn)) AS BIGINT))),
+      |t2 AS (
+      |  SELECT MIN(lm_score) AS t FROM rk
+      |  WHERE r <= GREATEST(1,
+      |    CAST(ceil((2.0/3) * (SELECT n FROM nn)) AS BIGINT)))
+      |SELECT doc_id, lm_score,
+      |  CASE WHEN lm_score >= (SELECT t FROM t1) THEN 0
+      |       WHEN lm_score >= (SELECT t FROM t2) THEN 1
+      |       ELSE 2 END AS bucket
+      |FROM lsc""".stripMargin
 
   val lmScoreSql: String =
     """WITH rb AS (

@@ -250,6 +250,48 @@ object CurationQueries {
       |SELECT doc_id, shard, pos, n_tokens, cum_tokens
       |FROM c WHERE cum_tokens <= 3750""".stripMargin
 
+  /** Domain-weighted mixture budget over the `lang` column: en gets
+    * half the 30k-token budget, fr and de a fifth each, es/zh are
+    * dropped (weight 0) — [[Curation.domainTokenBudget]].
+    */
+  def domainBudget(spark: SparkSession, d: String): DataFrame =
+    Curation.domainTokenBudget(Tables.documents(spark, d), "doc_id", "text",
+      "lang", Map("en" -> 0.5, "fr" -> 0.2, "de" -> 0.2),
+      totalTokens = 30000L, nShards = 8)
+
+  /** [[tokenBudgetSql]]'s chain with the weights VALUES join and
+    * (domain, shard) window keys; the per-row threshold
+    * FLOOR(30000.0·w/8) mirrors the operator's double math exactly
+    * (both engines evaluate (total·w)/nShards in IEEE doubles — the
+    * weights are CAST AS DOUBLE so DuckDB does not infer DECIMAL).
+    */
+  val domainBudgetSql: String =
+    """WITH wts(domain, w) AS (
+      |  VALUES ('en', CAST(0.5 AS DOUBLE)), ('fr', CAST(0.2 AS DOUBLE)),
+      |         ('de', CAST(0.2 AS DOUBLE))),
+      |h AS (
+      |  SELECT doc_id, lang AS domain, w,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 8 AS shard,
+      |    md5(CAST(doc_id AS VARCHAR)) AS mh,
+      |    len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents JOIN wts ON wts.domain = documents.lang
+      |  WHERE text IS NOT NULL),
+      |r AS (
+      |  SELECT doc_id, domain, w, shard, n_tokens,
+      |    ROW_NUMBER() OVER (PARTITION BY domain, shard ORDER BY mh, doc_id) - 1
+      |      AS pos
+      |  FROM h),
+      |c AS (
+      |  SELECT doc_id, domain, w, shard, pos, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY domain, shard ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM r)
+      |SELECT doc_id, domain, shard, pos, n_tokens, cum_tokens
+      |FROM c WHERE cum_tokens <= CAST(FLOOR(30000.0 * w / 8) AS BIGINT)"""
+      .stripMargin
+
   val globalShuffleSql: String =
     """WITH h AS (
       |  SELECT doc_id,
@@ -340,6 +382,7 @@ object CurationQueries {
     "op_pack_sequences" -> packSequences,
     "op_global_shuffle" -> globalShuffle,
     "op_token_budget" -> tokenBudget,
+    "op_domain_budget" -> domainBudget,
     "pipe_curate" -> pipeCurate,
     "op_skew_join" -> skewJoin)
 
@@ -353,6 +396,7 @@ object CurationQueries {
     "op_pack_sequences" -> packSequencesSql,
     "op_global_shuffle" -> globalShuffleSql,
     "op_token_budget" -> tokenBudgetSql,
+    "op_domain_budget" -> domainBudgetSql,
     "pipe_curate" -> pipeCurateSql,
     "op_skew_join" -> skewJoinSql)
 }

@@ -2100,6 +2100,11 @@ object PipelineQueries {
       val docs = Tables.documents(sp, d)
       TextAnalysis.lmScore(docs, docs.filter(col("doc_id") < 250), "doc_id", "text")
     }),
+    "txt_lm_buckets" -> ((sp, d) => {
+      val docs = Tables.documents(sp, d)
+      TextAnalysis.lmQualityBuckets(
+        docs, docs.filter(col("doc_id") < 250), "doc_id", "text")
+    }),
     "txt_repetition" -> ((sp, d) => TextAnalysis.repetitionStats(Tables.documents(sp, d), "doc_id", "text")),
     "mm_features" -> mmFeatures,
     "mm_resize" -> mmResize,
@@ -2150,6 +2155,7 @@ object PipelineQueries {
     "txt_fingerprint" -> txtFingerprintSql,
     "txt_tfidf" -> TextAnalysis.tfidfSql,
     "txt_lm_score" -> TextAnalysis.lmScoreSql,
+    "txt_lm_buckets" -> TextAnalysis.lmBucketsSql,
     "txt_repetition" -> TextAnalysis.repetitionStatsSql,
     "mm_features" -> mmFeaturesSql,
     "mm_resize" -> mmResizeSql,

@@ -196,6 +196,46 @@ class CurationSpec extends GraftSpecBase {
     }
   }
 
+  test("domainTokenBudget honors per-domain shares, drops unweighted domains, and is prefix-closed") {
+    import spark.implicits._
+    // doc i carries i tokens; domains alternate a/a/b/c (c unweighted)
+    val docs = (1L to 60L).map { i =>
+      val dom = (i % 4) match { case 0 => "c"; case 1 | 2 => "a"; case _ => "b" }
+      (i, ("tok " * i.toInt).trim, dom)
+    }.toDF("doc_id", "text", "lang")
+    val weights = Map("a" -> 0.6, "b" -> 0.4)
+    val out = Curation.domainTokenBudget(
+        docs, "doc_id", "text", "lang", weights,
+        totalTokens = 200L, nShards = 2)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(0), r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    // unweighted domain never appears
+    assert(!out.exists(_._1 == "c"))
+    // per-(domain, shard): cum is the running sum in pos order and stays
+    // within the domain's share of the budget
+    out.groupBy(t => (t._1, t._2)).foreach { case ((dom, _), rows) =>
+      val perShard = math.floor(200.0 * weights(dom) / 2).toLong
+      var run = 0L
+      rows.sortBy(_._3).foreach { case (_, _, _, _, n, cum) =>
+        run += n
+        assert(cum == run && cum <= perShard)
+      }
+    }
+    // prefix-closure: doubling the budget extends every stream without
+    // disturbing what the smaller budget already shipped
+    val bigger = Curation.domainTokenBudget(
+        docs, "doc_id", "text", "lang", weights,
+        totalTokens = 400L, nShards = 2)
+      .select(col("doc_id"), col("domain"), col("shard"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    out.foreach { case (dom, shard, pos, id, _, _) =>
+      assert(bigger((id, dom, shard, pos)),
+        s"doc $id left the mixture when the budget grew")
+    }
+  }
+
   test("shardAssign is a deterministic permutation with dense per-shard positions") {
     import spark.implicits._
     val df = (1L to 200L).map(i => (i, s"d$i")).toDF("doc_id", "payload")

@@ -894,4 +894,38 @@ class PipelineSpec extends GraftSpecBase {
     // every score is a mean of log-probabilities: strictly negative
     assert(out.values.forall(_ < 0))
   }
+
+  test("lm quality buckets: score-monotone tiers, ties land in the better tier") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug")).toDF("doc_id", "text")
+    // a quality gradient: in-vocab, partly in-vocab, fully OOV — plus a
+    // planted TIE (two identical texts must share a bucket, the better
+    // one their rank would straddle)
+    val docs = Seq(
+      (10L, "the cat sat on the rug"),
+      (11L, "the cat sat on the rug"),
+      (12L, "the cat ate qq ww"),
+      (13L, "zz qq ww ee rr tt"),
+      (14L, "aa bb cc dd ee ff"),
+      (15L, "the dog sat on the mat")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .lmQualityBuckets(docs, ref, "doc_id", "text", nBuckets = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(out.length == 6 && out.map(_._3).toSet.subsetOf(Set(0, 1, 2)))
+    // bucket assignment is monotone in score: a higher score can never
+    // land in a worse (higher-numbered) bucket
+    for ((_, s1, b1) <- out; (_, s2, b2) <- out if s1 > s2)
+      assert(b1 <= b2, s"score $s1 in bucket $b1 but $s2 in bucket $b2")
+    // equal scores share a bucket (the ties-to-the-better-tier rule)
+    out.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).distinct.length == 1,
+        s"tied scores split across buckets: $g")
+    }
+    // the head tier exists and holds a best-scoring doc
+    val best = out.maxBy(_._2)
+    assert(best._3 == 0, s"best doc ${best._1} not in the head bucket")
+  }
 }
