@@ -78,6 +78,22 @@ class PlanSpec extends GraftSpecBase {
       s"packing should have exactly the one stream-partition exchange, found $exchanges:\n$plan")
   }
 
+  test("domain mixture budget: one (domain, shard) exchange, broadcast weights, pruned scan") {
+    val plan = planOf(
+      graft.queries.CurationQueries.all("op_domain_budget")(spark, sfDir))
+    // the weights table is broadcast, never shuffled
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weights join should broadcast:\n$plan")
+    // both windows (pos rank, cum sum) share the ONE hash exchange on
+    // (domain, shard); the broadcast exchange is the only other one
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"mixture budget should shuffle once on (domain, shard), found $shuffles:\n$plan")
+    // projection pruning reaches the scan: only id/text/domain are read
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+      s"scan should read exactly (doc_id, text, lang):\n$plan")
+  }
+
   test("no registered query plans an unpartitioned global window") {
     // An empty-partitionSpec Window moves EVERY row through one
     // partition — the anti-pattern that hid in the LDA θ init for five
