@@ -2063,6 +2063,73 @@ object PipelineQueries {
        |SELECT doc_id, shard, pos, n_tokens, cum_tokens
        |FROM bc WHERE cum_tokens <= 3750""".stripMargin
 
+  /** The CCNet SAMPLING recipe end-to-end, as a pure composition of the
+    * round-13 operators: score the corpus under the reference LM, cut it
+    * into head/middle/tail quality tiers
+    * ([[TextAnalysis.lmQualityBuckets]] — exact-rank terciles), then
+    * ship a tier-weighted mixture (head 0.6 / middle 0.3 / tail 0.1 of
+    * the 30k-token budget) via [[Curation.domainTokenBudget]] with the
+    * TIER as the mixture domain — "sample more from the text the model
+    * likes" (Wenzek et al. 2020 §4.3 keep head+middle; the weighted form
+    * generalizes the hard cut). Unscoreable docs (no bigrams) have no
+    * tier and drop, per lmScore's contract.
+    *
+    * Scale shape: the scoring pass + nBuckets−1 rank-selection jobs
+    * (each a broadcast-scalar threshold, no global sort), one broadcast
+    * tier join, then the mixture's single (tier, shard) exchange — the
+    * whole recipe adds ONE shuffle on top of scoring.
+    */
+  def pipeQualityMix(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val tiers = graft.operators.TextAnalysis
+      .lmQualityBuckets(docs, docs.filter(col("doc_id") < 250),
+        "doc_id", "text")
+      .select(col("doc_id"), col("bucket").cast("string").as("tier"))
+    val tiered = docs.select(col("doc_id"), col("text"))
+      .join(tiers, Seq("doc_id"))
+    graft.operators.Curation.domainTokenBudget(
+      tiered, "doc_id", "text", "tier",
+      Map("0" -> 0.6, "1" -> 0.3, "2" -> 0.1),
+      totalTokens = 30000L, nShards = 8)
+  }
+
+  /** [[TextAnalysis.lmBucketsSql]]'s chain as CTE `bkt`, then the
+    * domain-budget CTEs with the tier (bucket cast to VARCHAR) as the
+    * mixture domain and the head/middle/tail weights in the VALUES
+    * table. Same op-matched double math as both component oracles.
+    */
+  lazy val pipeQualityMixSql: String =
+    s"""WITH bkt AS MATERIALIZED (
+       |${graft.operators.TextAnalysis.lmBucketsSql}
+       |),
+       |wts(domain, w) AS (
+       |  VALUES ('0', CAST(0.6 AS DOUBLE)), ('1', CAST(0.3 AS DOUBLE)),
+       |         ('2', CAST(0.1 AS DOUBLE))),
+       |mh0 AS (
+       |  SELECT d.doc_id, CAST(b.bucket AS VARCHAR) AS domain, w,
+       |    CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 8 AS shard,
+       |    md5(CAST(d.doc_id AS VARCHAR)) AS mh,
+       |    len(string_split(d.text, ' ')) AS n_tokens
+       |  FROM documents d
+       |  JOIN bkt b ON b.doc_id = d.doc_id
+       |  JOIN wts ON wts.domain = CAST(b.bucket AS VARCHAR)
+       |  WHERE d.text IS NOT NULL),
+       |mr AS (
+       |  SELECT doc_id, domain, w, shard, n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY domain, shard ORDER BY mh, doc_id) - 1
+       |      AS pos
+       |  FROM mh0),
+       |mc AS (
+       |  SELECT doc_id, domain, w, shard, pos, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY domain, shard ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM mr)
+       |SELECT doc_id, domain, shard, pos, n_tokens, cum_tokens
+       |FROM mc WHERE cum_tokens <= CAST(FLOOR(30000.0 * w / 8) AS BIGINT)"""
+      .stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact,
     "dd_minhash_pairs" -> ddMinhash,
@@ -2119,7 +2186,8 @@ object PipelineQueries {
     "pipe_media" -> pipeMedia,
     "pipe_all" -> pipeAll,
     "pipe_all_budget" -> pipeAllBudget,
-    "pipe_lm_budget" -> pipeLmBudget)
+    "pipe_lm_budget" -> pipeLmBudget,
+    "pipe_quality_mix" -> pipeQualityMix)
 
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -2170,5 +2238,6 @@ object PipelineQueries {
     "pipe_media" -> pipeMediaSql,
     "pipe_all" -> pipeAllSql,
     "pipe_all_budget" -> pipeAllBudgetSql,
-    "pipe_lm_budget" -> pipeLmBudgetSql)
+    "pipe_lm_budget" -> pipeLmBudgetSql,
+    "pipe_quality_mix" -> pipeQualityMixSql)
 }

@@ -179,6 +179,29 @@ class PropertySpec extends GraftSpecBase {
     }
   }
 
+  test("domainTokenBudget is invariant under input partitioning, random corpora") {
+    import spark.implicits._
+    // the md5-keyed shuffle order is the whole point: the shipped
+    // mixture must not depend on how the input happened to be laid out
+    // (zipWithIndex-style ordering would silently fail this)
+    for (trial <- 1 to 3) {
+      val docs = (1L to (rnd.nextInt(40) + 20).toLong).map { i =>
+        (i * 7 + trial, ("w " * (rnd.nextInt(9) + 1)).trim,
+          Seq("a", "b", "c")(rnd.nextInt(3)))
+      }.toDF("doc_id", "text", "lang")
+      def run(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Curation.domainTokenBudget(
+            df, "doc_id", "text", "lang",
+            Map("a" -> 0.5, "b" -> 0.5), totalTokens = 60L, nShards = 2)
+          .collect().map(_.toSeq).toSet
+      val base = run(docs)
+      assert(base == run(docs.repartition(7)),
+        s"trial $trial: mixture changed under repartition(7)")
+      assert(base == run(docs.orderBy(desc("doc_id")).coalesce(1)),
+        s"trial $trial: mixture changed under reversed single-partition input")
+    }
+  }
+
   test("dupClusters == local union-find on random pair graphs") {
     import spark.implicits._
     for (trial <- 1 to 5) {
