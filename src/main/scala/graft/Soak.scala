@@ -463,10 +463,43 @@ object Soak {
               nprobe = 8, shortlist = 30))
           val wideSec = (System.nanoTime() - wideT0) / 1e9
           val recallWide = (truth & wide).size.toDouble / truth.size
-          require(recallWide >= recallRebuild,
-            f"widened-probe recall $recallWide%.3f fell below the default " +
-              f"probe's $recallRebuild%.3f at m=$m — pruning got worse as " +
-              "the candidate set grew, which cannot happen")
+          // tolerance, not strict monotonicity: the ADC shortlist is not
+          // NESTED across probe widths — top-30-by-ADC over 8 cells is
+          // not a superset of top-10 over the 4-cell subset, so a true
+          // neighbor kept by the narrow search can be displaced by
+          // better-ADC candidates from the extra cells. Wider probes win
+          // in aggregate (measured +0.3 recall), but per-run the extra
+          // cells can cost a query one neighbor — allow 0.05.
+          require(recallWide >= recallRebuild - 0.05,
+            f"widened-probe recall $recallWide%.3f fell more than 0.05 " +
+              f"below the default probe's $recallRebuild%.3f at m=$m — " +
+              "beyond shortlist-displacement noise; pruning regressed")
+          // close the nprobe loop (VERDICT r13 next #3): feed the two
+          // measured dial points to the advisor and assert its
+          // recommendation HITS the target on this standing index. The
+          // dial ties shortlist to probe width (10 per 4 cells — constant
+          // candidate pool per cell), so re-searching at the recommended
+          // width reproduces a measured run exactly; the target is the
+          // best measured recall, the hardest ask the conservative rule
+          // can answer from these rows.
+          locally {
+            val shortlistOf = Map(4 -> 10, 8 -> 30)
+            val adv = new graft.advisor.PlacementAdvisor
+            adv.observeProbeRecall("soak.ivfpq", 4, recallRebuild)
+            adv.observeProbeRecall("soak.ivfpq", 8, recallWide)
+            val target = math.max(recallRebuild, recallWide)
+            val rec = adv.recommendProbeWidth("soak.ivfpq", target).get
+            val got = pairs(graft.operators.SimilaritySearch
+              .searchIvfPqIndex(spark, cat, "soak", "ivfpq", queries, 5,
+                nprobe = rec, shortlist = shortlistOf(rec)))
+            val recallRec = (truth & got).size.toDouble / truth.size
+            println(f"SOAK nprobeloop m=$m%-3d target=$target%.3f " +
+              f"recommended=$rec recall=$recallRec%.3f")
+            require(recallRec >= target,
+              f"advisor-recommended nprobe=$rec reached $recallRec%.3f, " +
+                f"below its own $target%.3f target at m=$m — the dial " +
+                "rows no longer predict the index they were measured on")
+          }
           println(f"SOAK ivfpqrecall m=$m%-3d vecs=$nVecs%-8d " +
             f"append_recall=$recallApp%.3f retrain_recall=$recallRetrain%.3f " +
             f"rebuild_recall=$recallRebuild%.3f " +

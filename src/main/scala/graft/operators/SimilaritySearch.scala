@@ -376,25 +376,35 @@ object SimilaritySearch {
   def rebuildIvfIndex(
       spark: SparkSession, catalog: graft.storage.SetCatalog,
       db: String, name: String, iters: Int = 3): Unit = {
+    Seq("vectors", "centroids")
+      .foreach(s => recoverStagedSwap(catalog, db, s"${name}_$s"))
     val nCentroids = catalog.scanSet(db, s"${name}_centroids").count().toInt
     val vecs = catalog.scanSet(db, s"${name}_vectors")
       .select(col("neighbor_id"), col("n_vec"), col("n_nrm"))
     val centroids = trainCentroids(vecs, nCentroids, iters, "neighbor_id", "n_vec")
     import spark.implicits._
-    catalog.removeSet(db, s"${name}_centroids")
-    catalog.createSet(db, s"${name}_centroids",
+    val assign = nearestUdf(centroids)
+    // Stage the re-partitioned corpus AND the new codebook before
+    // touching live state — the whole-corpus rewrite (the expensive
+    // part; the cells ARE the corpus layout here) runs while searches
+    // still see the consistent old (centroids, vectors) pair, and a
+    // crash before the swaps leaves the live index untouched. The two
+    // swaps run back-to-back; a crash between them (new vectors under
+    // the old codebook) or inside either remove→rename window is healed
+    // by re-running this rebuild (recoverStagedSwap + renameSet's
+    // half-move recovery), which re-derives all staged state from the
+    // vectors set.
+    catalog.createPartitionedSet(db, s"${name}_vectors_rebuild",
+      vecs.select(col("neighbor_id"), col("n_vec"), col("n_nrm"),
+        assign(col("n_vec")).as("bucket")),
+      "bucket")
+    catalog.createSet(db, s"${name}_centroids_rebuild",
       centroids.zipWithIndex
         .map { case (v, b) => (b.toLong, v.toSeq) }.toSeq
         .toDF("bucket", "centroid"),
       policy = "none")
-    val assign = nearestUdf(centroids)
-    val stage = s"${name}_vectors_rebuild"
-    catalog.createPartitionedSet(db, stage,
-      vecs.select(col("neighbor_id"), col("n_vec"), col("n_nrm"),
-        assign(col("n_vec")).as("bucket")),
-      "bucket")
-    catalog.removeSet(db, s"${name}_vectors")
-    catalog.renameSet(db, stage, s"${name}_vectors")
+    swapInStaged(catalog, db, s"${name}_vectors")
+    swapInStaged(catalog, db, s"${name}_centroids")
     persistBuiltRows(spark, catalog, db, name)
   }
 
@@ -624,13 +634,46 @@ object SimilaritySearch {
   private def persistCodebooks(
       spark: SparkSession, catalog: graft.storage.SetCatalog,
       db: String, name: String,
-      codebooks: Array[Array[Array[Double]]]): Unit = {
+      codebooks: Array[Array[Array[Double]]],
+      suffix: String = ""): Unit = {
     import spark.implicits._
-    catalog.createSet(db, s"${name}_codebooks",
+    catalog.createSet(db, s"${name}_codebooks$suffix",
       codebooks.zipWithIndex.flatMap { case (cb, j) =>
         cb.zipWithIndex.map { case (v, c) => (j, c.toLong, v.toSeq) }
       }.toSeq.toDF("sub", "centroid", "components"),
       policy = "none")
+  }
+
+  /** Crash-recovery preamble for the rebuilds' staged-rename swaps,
+    * mirroring [[graft.storage.SetCatalog.compactSet]]'s
+    * recovery-before-cleanup pattern: a prior rebuild that died after
+    * `removeSet(target)` but before the rename left the FINISHED staging
+    * set (`<target>_rebuild`) as the only copy — complete the swap; a
+    * staging set still sitting next to a live target is a rebuild that
+    * aborted before its swap — discard it (every staged set re-derives
+    * deterministically from the untouched `<name>_vectors` set, so
+    * staged data is never the only copy of anything).
+    */
+  private def recoverStagedSwap(
+      catalog: graft.storage.SetCatalog, db: String, target: String): Unit = {
+    val stage = s"${target}_rebuild"
+    val stageLive = catalog.meta(db, stage).isDefined
+    if (catalog.meta(db, target).isEmpty && stageLive)
+      catalog.renameSet(db, stage, target)
+    else if (stageLive)
+      catalog.removeSet(db, stage)
+  }
+
+  /** The swap step itself: remove the live set and rename its finished
+    * staging set over it. The remove→rename window is the two-move gap
+    * [[recoverStagedSwap]] (plus renameSet's own half-move recovery)
+    * heals — re-running the rebuild after a crash anywhere in the swap
+    * sequence converges to a consistent index.
+    */
+  private def swapInStaged(
+      catalog: graft.storage.SetCatalog, db: String, target: String): Unit = {
+    if (catalog.meta(db, target).isDefined) catalog.removeSet(db, target)
+    catalog.renameSet(db, s"${target}_rebuild", target)
   }
 
   /** Asymmetric-distance top-k with exact re-rank: encode the corpus once
@@ -842,19 +885,31 @@ object SimilaritySearch {
   def rebuildPqIndex(
       spark: SparkSession, catalog: graft.storage.SetCatalog,
       db: String, name: String, iters: Int = 2): Unit = {
+    Seq("codes", "codebooks")
+      .foreach(s => recoverStagedSwap(catalog, db, s"${name}_$s"))
     val old = loadPqCodebooks(catalog, db, name)
     val m = old.length
     val kSub = old(0).length
     val vecs = catalog.scanSet(db, s"${name}_vectors")
     val codebooks = trainPqCodebooks(vecs, m, kSub, iters, "neighbor_id", "n_vec")
-    catalog.removeSet(db, s"${name}_codebooks")
-    persistCodebooks(spark, catalog, db, name, codebooks)
     val cm = catalog.meta(db, s"${name}_codes").getOrElse(
       throw new IllegalArgumentException(s"rebuildPqIndex: no codes set for $db.$name"))
     val encode = pqEncodeUdf(codebooks)
-    catalog.createSet(db, s"${name}_codes",
+    // Stage BOTH the data rewrite and the model write before touching
+    // live state: searches keep reading the consistent old
+    // (codebooks, codes) pair for the whole expensive part, and a crash
+    // anywhere before the swaps leaves the live index untouched. The
+    // swaps then run back-to-back; a crash between them leaves new codes
+    // under old codebooks for exactly one re-run — the recovery step is
+    // to re-run this rebuild, which re-derives everything from the
+    // untouched vectors set ([[recoverStagedSwap]] heals the remove→
+    // rename windows on entry).
+    catalog.createSet(db, s"${name}_codes_rebuild",
       vecs.select(col("neighbor_id"), encode(col("n_vec")).as("codes")),
       partitionColumn = cm.partitionColumn, numPartitions = cm.numPartitions)
+    persistCodebooks(spark, catalog, db, name, codebooks, suffix = "_rebuild")
+    swapInStaged(catalog, db, s"${name}_codes")
+    swapInStaged(catalog, db, s"${name}_codebooks")
     persistBuiltRows(spark, catalog, db, name)
   }
 
@@ -868,6 +923,8 @@ object SimilaritySearch {
   def rebuildIvfPqIndex(
       spark: SparkSession, catalog: graft.storage.SetCatalog,
       db: String, name: String, iters: Int = 2): Unit = {
+    Seq("codes", "centroids", "codebooks")
+      .foreach(s => recoverStagedSwap(catalog, db, s"${name}_$s"))
     val nCentroids = catalog.scanSet(db, s"${name}_centroids").count().toInt
     val old = loadPqCodebooks(catalog, db, name)
     val m = old.length
@@ -877,20 +934,29 @@ object SimilaritySearch {
     val centroids = trainCentroidsFromSample(sample, nCentroids, iters = 3)
     val codebooks = trainPqCodebooksFromSample(sample, m, kSub, iters)
     import spark.implicits._
-    catalog.removeSet(db, s"${name}_centroids")
-    catalog.createSet(db, s"${name}_centroids",
+    val assign = nearestUdf(centroids)
+    val encode = pqEncodeUdf(codebooks)
+    // Stage the data rewrite AND both model writes before touching live
+    // state (rebuildPqIndex's ordering rationale): the expensive
+    // re-encode scan runs while searches still see the consistent old
+    // (centroids, codebooks, codes) triple; the three swaps then run
+    // back-to-back, and a crash between any two of them is healed by
+    // re-running this rebuild (recoverStagedSwap + renameSet's half-move
+    // recovery make the re-run converge; everything staged re-derives
+    // from the untouched vectors set).
+    catalog.createPartitionedSet(db, s"${name}_codes_rebuild",
+      vecs.select(col("neighbor_id"), encode(col("n_vec")).as("codes"),
+        assign(col("n_vec")).as("bucket")),
+      "bucket")
+    catalog.createSet(db, s"${name}_centroids_rebuild",
       centroids.zipWithIndex
         .map { case (v, b) => (b.toLong, v.toSeq) }.toSeq
         .toDF("bucket", "centroid"),
       policy = "none")
-    catalog.removeSet(db, s"${name}_codebooks")
-    persistCodebooks(spark, catalog, db, name, codebooks)
-    val assign = nearestUdf(centroids)
-    val encode = pqEncodeUdf(codebooks)
-    catalog.createPartitionedSet(db, s"${name}_codes",
-      vecs.select(col("neighbor_id"), encode(col("n_vec")).as("codes"),
-        assign(col("n_vec")).as("bucket")),
-      "bucket")
+    persistCodebooks(spark, catalog, db, name, codebooks, suffix = "_rebuild")
+    swapInStaged(catalog, db, s"${name}_codes")
+    swapInStaged(catalog, db, s"${name}_centroids")
+    swapInStaged(catalog, db, s"${name}_codebooks")
     persistBuiltRows(spark, catalog, db, name)
   }
 

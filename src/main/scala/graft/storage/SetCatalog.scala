@@ -317,11 +317,24 @@ final class SetCatalog(spark: SparkSession, root: String) {
     * session-catalog entry and file-name-embedded bucket ids, so a
     * rename would have to rewrite both — recreate instead. Crash
     * between the two moves leaves data under the NEW name with the
-    * OLD name's sidecar still present; the sidecar is authoritative
-    * only next to its data, so a retry (rename back or re-remove)
-    * self-heals like compactSet's two-rename window.
+    * OLD name's sidecar still present — a state where `meta(to)` is
+    * empty (scans of `to` work, appends/compacts misbehave) and a
+    * naive retry throws on "target exists". The recovery preamble
+    * below detects exactly that half-moved state and COMPLETES the
+    * sidecar move (compactSet's crash-recovery-before-cleanup
+    * pattern), so a retry of the same rename self-heals into a no-op.
     */
   def renameSet(db: String, from: String, to: String): Unit = {
+    // Crash recovery BEFORE validation: data under `to` with no `to`
+    // sidecar while `from`'s sidecar remains (and `from`'s data is
+    // gone) is a rename that died between its two moves — finish it.
+    if (Files.exists(Paths.get(dir(db, to))) &&
+        !Files.exists(Paths.get(metaPath(db, to))) &&
+        Files.exists(Paths.get(metaPath(db, from))) &&
+        !Files.exists(Paths.get(dir(db, from)))) {
+      Files.move(Paths.get(metaPath(db, from)), Paths.get(metaPath(db, to)))
+      return
+    }
     val m = meta(db, from).getOrElse(throw new IllegalArgumentException(
       s"renameSet: set $db.$from does not exist"))
     require(m.policy != "bucket",

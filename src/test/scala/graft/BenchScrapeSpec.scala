@@ -23,10 +23,36 @@ class BenchScrapeSpec extends AnyFunSuite {
     assert(m === Map("q1" -> 1.5, "q2" -> 0.25, "dd_x" -> 10.49))
   }
 
-  test("first occurrence wins even with no section markers") {
-    val tail = """"q1":1.500,"q2":0.250,"q1":0.900"""
+  test("first occurrence wins across anchored segments") {
+    val tail =
+      """"queries":{"q1":1.500,"q2":0.250},"failed":[]""" + "\n" +
+        """{"metric":"total","queries":{"q1":0.900},"failed":[]}"""
     val m = Bench.scrapeTail(tail, known)
     assert(m("q1") === 1.5)
+  }
+
+  test("markerless fragment is dropped: it starts inside a later block") {
+    // A tail whose bounded window opens PAST the "isolated" key sees
+    // isolated entries with no section marker following them (only
+    // prev_ref/value remain) — scraping them as per-query mins was the
+    // round-13 skew. Such a fragment must contribute nothing, while the
+    // complete summary line after it scrapes normally.
+    val tail =
+      """"dd_x":4.010,"q1":0.900},"prev_ref":null,"value":115.6}""" + "\n" +
+        """{"metric":"total","summary_of":3,"queries":{"dd_x":10.490},""" +
+        """"failed":[],"isolated":{"dd_x":4.015}}"""
+    val m = Bench.scrapeTail(tail, known)
+    assert(m === Map("dd_x" -> 10.49))
+  }
+
+  test("truncated queries-map fragment is kept: a marker follows it") {
+    // Front truncation inside the cost-ascending per-query map is the
+    // DESIGNED shape — the map is always followed by "failed" within
+    // its own line, which is what proves the fragment is map content.
+    val tail = """"q2":0.250,"dd_x":10.490},"failed":[],""" +
+      """"isolated":{"dd_x":4.010}"""
+    assert(Bench.scrapeTail(tail, known) ===
+      Map("q2" -> 0.25, "dd_x" -> 10.49))
   }
 
   test("unknown keys are dropped; earliest marker bounds the scope") {
@@ -38,9 +64,30 @@ class BenchScrapeSpec extends AnyFunSuite {
     assert(m === Map("q2" -> 0.25))
   }
 
-  test("empty and markerless tails scrape cleanly") {
+  test("empty and unprovable tails scrape cleanly to nothing") {
     assert(Bench.scrapeTail("", known).isEmpty)
-    assert(Bench.scrapeTail(""""q2":3.125""", known) === Map("q2" -> 3.125))
+    // a bare fragment with neither anchor nor marker cannot be proven
+    // to be per-query map content — dropped, not guessed at
+    assert(Bench.scrapeTail(""""q2":3.125""", known).isEmpty)
+  }
+
+  // --- flag auto-clear by isolated re-profile ---
+
+  test("a flag the isolated re-run refutes is cleared; others stay") {
+    val prevQ = Map("q1" -> 1.0, "q2" -> 2.0, "dd_x" -> 1.5)
+    // q1 flagged at 2.5 (> 2x1.0, > 1s) but isolated reads 1.1 -> cleared;
+    // q2 flagged and isolated STILL reads 5.0 (> 2x2.0) -> stays;
+    // dd_x flagged but not re-profiled (outside the cap) -> stays.
+    val iso = Map("q1" -> 1.1, "q2" -> 5.0)
+    assert(Bench.clearedFlags(Seq("q1", "q2", "dd_x"), prevQ, iso) ===
+      Seq("q1"))
+  }
+
+  test("an isolated re-run under the 1s floor clears regardless of ratio") {
+    // the (c) flag condition requires BOTH >2x and >1s; an isolated
+    // 0.9s read fails the floor, so the flag condition no longer holds
+    assert(Bench.clearedFlags(
+      Seq("q1"), Map("q1" -> 0.3), Map("q1" -> 0.9)) === Seq("q1"))
   }
 
   // --- parseArtifactText: the three artifact shapes ---
@@ -109,7 +156,9 @@ class BenchScrapeSpec extends AnyFunSuite {
       "\"shared_sum_prev\":99999.999,\"shared_sum_now\":99999.999," +
       "\"ratio\":99.999,\"calib_ratio\":99.999,\"flagged\":" +
       byLen.take(20).map("\"" + _ + "\"").mkString("[", ",", "]") +
-      ",\"flagged_more\":999}"
+      ",\"flagged_more\":999,\"flag_cleared_by_isolation\":" +
+      byLen.take(3).map("\"" + _ + "\"").mkString("[", ",", "]") +
+      ",\"cleared_more\":99}"
     val line = "{\"metric\":\"total\",\"unit\":\"sec\"," +
       "\"sf\":\"/root/testdata/sf0.1\"," +
       s""""summary_of":9999,"queries":$top10,""" +
@@ -147,7 +196,9 @@ class BenchScrapeSpec extends AnyFunSuite {
       "\"shared_sum_prev\":99999.999,\"shared_sum_now\":99999.999," +
       "\"ratio\":99.999,\"calib_ratio\":99.999,\"flagged\":" +
       longest.map("\"" + _ + "\"").mkString("[", ",", "]") +
-      ",\"flagged_more\":999}"
+      ",\"flagged_more\":999,\"flag_cleared_by_isolation\":" +
+      longest.take(3).map("\"" + _ + "\"").mkString("[", ",", "]") +
+      ",\"cleared_more\":99}"
     val summary =
       s"$failed,$calib,$iso,$ref,${"\"value\":99999.999}"}"
     // the summary must leave at least 25 top-cost query entries' worth

@@ -122,6 +122,27 @@ class CatalogSpec extends GraftSpecBase {
       .head().getLong(0) == 25L, "reads must survive the write guard")
   }
 
+  test("renameSet heals a half-moved rename on retry (crash between moves)") {
+    val r = Files.createTempDirectory("graft-ren").toString
+    val sets = new SetCatalog(spark, r)
+    sets.createSet("db", "a", Tables.nation(spark, sfDir), policy = "none")
+    val rows = sets.scanSet("db", "a").count()
+    // simulate a rename that died between its two moves: data directory
+    // moved to the new name, sidecar still under the old name
+    Files.move(java.nio.file.Paths.get(s"$r/db.a"),
+      java.nio.file.Paths.get(s"$r/db.b"))
+    assert(sets.meta("db", "b").isEmpty && sets.meta("db", "a").isDefined)
+    // the retry of the SAME rename must complete the sidecar move
+    // instead of throwing "target exists"
+    sets.renameSet("db", "a", "b")
+    assert(sets.meta("db", "b").isDefined && sets.meta("db", "a").isEmpty)
+    assert(sets.scanSet("db", "b").count() == rows)
+    // and the healed set is fully functional, not just scannable
+    sets.appendToSet("db", "b", Tables.nation(spark, sfDir))
+    assert(sets.meta("db", "b").get.rows == 2 * rows)
+    SetCatalog.deleteTree(java.nio.file.Paths.get(r))
+  }
+
   test("SHOW NAMESPACES IN an existing leaf namespace returns no children") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.leafns")
     assert(spark.sql("SHOW NAMESPACES IN graft.leafns").collect().isEmpty)

@@ -78,6 +78,57 @@ class IvfIndexSpec extends GraftSpecBase {
     assert(capp.meta("idx", "emb_vectors").exists(_.rows == emb.count()))
   }
 
+  test("rebuild discards a stale staging leftover and converges") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val root = Files.createTempDirectory("graft-ivf-stale").toString
+    val c = new SetCatalog(spark, root)
+    SimilaritySearch.buildIvfIndex(spark, c, "idx", "emb", emb)
+    // simulate a rebuild aborted BEFORE its swaps: a finished (here,
+    // garbage) staging set sits next to the live one
+    c.createSet("idx", "emb_centroids_rebuild",
+      emb.limit(1).select(col("vec_id").as("junk")), policy = "none")
+    SimilaritySearch.rebuildIvfIndex(spark, c, "idx", "emb")
+    // staging was discarded and re-derived, not swapped in as-is
+    assert(c.meta("idx", "emb_centroids_rebuild").isEmpty &&
+      c.meta("idx", "emb_vectors_rebuild").isEmpty)
+    assert(c.scanSet("idx", "emb_centroids").columns.toSeq ==
+      Seq("bucket", "centroid"))
+    val hits = SimilaritySearch
+      .searchIvfIndex(spark, c, "idx", "emb", queries, k = 5)
+    assert(hits.count() == 5 * queries.count())
+    SetCatalog.deleteTree(java.nio.file.Paths.get(root))
+  }
+
+  test("rebuild heals a crash between removeSet and the staged rename") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val root = Files.createTempDirectory("graft-ivf-crash").toString
+    val c = new SetCatalog(spark, root)
+    SimilaritySearch.buildIvfIndex(spark, c, "idx", "emb", emb)
+    val expect = SimilaritySearch
+      .searchIvfIndex(spark, c, "idx", "emb", queries, k = 5)
+      .collect().map(_.toSeq).toSet
+    // simulate the swap's crash window: the finished staging set is the
+    // ONLY copy of the vectors (live set already removed, rename not run)
+    val vecs = c.scanSet("idx", "emb_vectors").localCheckpoint(true)
+    c.createPartitionedSet("idx", "emb_vectors_rebuild", vecs, "bucket")
+    c.removeSet("idx", "emb_vectors")
+    assert(c.meta("idx", "emb_vectors").isEmpty)
+    // re-running the rebuild must first complete the interrupted swap,
+    // then converge to a consistent, searchable index
+    SimilaritySearch.rebuildIvfIndex(spark, c, "idx", "emb")
+    assert(c.meta("idx", "emb_vectors").isDefined &&
+      c.meta("idx", "emb_vectors_rebuild").isEmpty)
+    val got = SimilaritySearch
+      .searchIvfIndex(spark, c, "idx", "emb", queries, k = 5)
+      .collect().map(_.toSeq).toSet
+    // retraining over the identical corpus under the md5-ordered sample
+    // reproduces the same codebook, hence the same search results
+    assert(got == expect)
+    SetCatalog.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("the vector set is laid out as one directory per bucket") {
     assert(built)
     val meta = cat.meta("idx", "emb_vectors")

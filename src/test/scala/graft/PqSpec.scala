@@ -106,4 +106,38 @@ class PqSpec extends GraftSpecBase {
     assert(recall >= 0.5, s"PQ recall vs exact top-5 fell to $recall")
     assert(r1 >= 0.7, s"PQ rank-1 recall fell to $r1")
   }
+
+  test("rebuilt PQ and IVF-PQ indexes search like the standing build and leave no staging") {
+    // over an UNCHANGED corpus the rebuild retrains on the identical
+    // md5-ordered sample, so the swapped-in models reproduce the build's
+    // models exactly — search results must be identical, and every
+    // `_rebuild` staging set must be gone after the swap
+    val queries = emb.filter(col("vec_id") < 5)
+    for ((family, build, rebuild, search, stages) <- Seq(
+      ("pq",
+        () => SimilaritySearch.buildPqIndex(spark, cat, "idx", "p", emb),
+        () => SimilaritySearch.rebuildPqIndex(spark, cat, "idx", "p"),
+        () => SimilaritySearch.searchPqIndex(spark, cat, "idx", "p", queries, 5),
+        Seq("p_codes", "p_codebooks")),
+      ("ivfpq",
+        () => SimilaritySearch.buildIvfPqIndex(spark, cat, "idx", "q", emb),
+        () => SimilaritySearch.rebuildIvfPqIndex(spark, cat, "idx", "q"),
+        () => SimilaritySearch.searchIvfPqIndex(spark, cat, "idx", "q", queries, 5),
+        Seq("q_codes", "q_centroids", "q_codebooks")))) {
+      build()
+      val expect = search().collect().map(_.toSeq).toSet
+      rebuild()
+      stages.foreach(s => assert(cat.meta("idx", s + "_rebuild").isEmpty,
+        s"$family rebuild left staging set ${s}_rebuild"))
+      val got = search().collect().map(_.toSeq).toSet
+      assert(got == expect && got.nonEmpty, s"$family rebuild diverged")
+      assert(SimilaritySearch.appendedDriftFraction(cat, "idx", stages.head
+        .stripSuffix("_codes")) == 0.0)
+    }
+  }
+
+  private lazy val cat = {
+    val root = java.nio.file.Files.createTempDirectory("graft-pq-rb").toString
+    new graft.storage.SetCatalog(spark, root)
+  }
 }
