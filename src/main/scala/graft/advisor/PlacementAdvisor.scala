@@ -45,6 +45,10 @@ final class PlacementAdvisor(historyPath: Option[String] = None) {
     * that column as a join/agg key — the reward signal for
     * [[recommendByReward]] */
   private val keyReward = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+  /** (index table, nprobe) -> last measured recall at that probe width —
+    * the dial rows [[recommendProbeWidth]] fits (fed by the soak's
+    * measured (nprobe, recall) points) */
+  private val probeDial = mutable.Map.empty[(String, Int), Double]
 
   historyPath.foreach(load)
 
@@ -55,6 +59,7 @@ final class PlacementAdvisor(historyPath: Option[String] = None) {
         line.split("\t", -1) match {
           case Array("K", t, c, n) => keyUse((t, c)) = n.toLong
           case Array("R", t, c, r) => keyReward((t, c)) = r.toLong
+          case Array("D", t, p, r) => probeDial((t, p.toInt)) = r.toDouble
           case Array("P", a, b)    => joinPartners += ((a, b))
           case Array("S", t, r)    => setRows(t) = r.toLong
           case Array("H", n, ms)   => history += ((n, ms.toLong))
@@ -77,6 +82,7 @@ final class PlacementAdvisor(historyPath: Option[String] = None) {
     val sb = new StringBuilder
     keyUse.toSeq.sortBy(_._1).foreach { case ((t, c), n) => sb ++= s"K\t$t\t$c\t$n\n" }
     keyReward.toSeq.sortBy(_._1).foreach { case ((t, c), r) => sb ++= s"R\t$t\t$c\t$r\n" }
+    probeDial.toSeq.sortBy(_._1).foreach { case ((t, p), r) => sb ++= s"D\t$t\t$p\t$r\n" }
     joinPartners.toSeq.sorted.foreach { case (a, b) => sb ++= s"P\t$a\t$b\n" }
     setRows.toSeq.sorted.foreach { case (t, r) => sb ++= s"S\t$t\t$r\n" }
     history.foreach { case (n, ms) => sb ++= s"H\t$n\t$ms\n" }
@@ -278,6 +284,60 @@ final class PlacementAdvisor(historyPath: Option[String] = None) {
       else 0
     SemGeometry(target, k, cells)
   }
+
+  /** Record one measured point of an index's probe-width quality dial:
+    * searching `table` at `nprobe` cells achieved `recall`. The soak's
+    * widened-probe rows feed this; the latest measurement per
+    * (table, nprobe) wins (recall under drift is a moving target — the
+    * dial should reflect the index as it stands).
+    */
+  def observeProbeRecall(table: String, nprobe: Int, recall: Double): Unit = {
+    require(nprobe >= 1 && recall >= 0.0 && recall <= 1.0,
+      s"need nprobe >= 1 and recall in [0,1], got ($nprobe, $recall)")
+    probeDial((table, nprobe)) = recall
+    persist()
+  }
+
+  /** The probe width to search `table` at for a recall target — the
+    * advisor's answer to "tune nprobe to a recall target", closing the
+    * loop the round-13 dial measurement opened (nprobe 4→8 lifted
+    * IVF-PQ recall 0.30→0.66 at comparable wall; VERDICT r13 next #3).
+    *
+    * CONSERVATIVE by design: the recommendation is the smallest
+    * MEASURED nprobe whose measured recall meets the target — a width
+    * whose recall is a recorded fact, so re-searching at it
+    * deterministically reproduces ≥ target on the measured corpus
+    * (soak-asserted). Interpolating between measured points could
+    * recommend widths whose recall was never observed (the dial is
+    * monotone only in aggregate — the ADC shortlist is not nested
+    * across widths). Only when the target exceeds every measured recall
+    * does it extrapolate, by the LAST segment's measured slope
+    * (recall-per-probe), capped at `maxProbe` — an explicit "measure
+    * here next" pointer, not a guarantee; a flat-or-falling tail slope
+    * caps immediately (more probes demonstrably stopped paying).
+    * Returns None when the table has no dial rows at all.
+    */
+  def recommendProbeWidth(
+      table: String, targetRecall: Double, maxProbe: Int = 64): Option[Int] = {
+    val rows = probeDial.toSeq
+      .collect { case ((t, p), r) if t == table => (p, r) }
+      .sortBy(_._1)
+    if (rows.isEmpty) None
+    else rows.find(_._2 >= targetRecall) match {
+      case Some((p, _)) => Some(p)
+      case None =>
+        val (pLast, rLast) = rows.last
+        val slope = if (rows.length < 2) 0.0 else {
+          val (pPrev, rPrev) = rows(rows.length - 2)
+          (rLast - rPrev) / (pLast - pPrev).toDouble
+        }
+        if (slope <= 0) Some(maxProbe)
+        else Some(math.min(maxProbe.toLong,
+          pLast + math.ceil((targetRecall - rLast) / slope).toLong).toInt)
+    }
+  }
+
+  def observedProbeDial: Map[(String, Int), Double] = probeDial.toMap
 
   def observedKeyUse: Map[(String, String), Long] = keyUse.toMap
 

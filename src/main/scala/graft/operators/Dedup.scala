@@ -1253,12 +1253,120 @@ object Dedup {
       routeCells = g.routeCells, routeIters = routeIters)
   }
 
+  /** Brute-force cosine near-dup pairs — the EXACT regime of a
+    * two-regime design whose scale path is [[cosineLshPairs]] (lexical
+    * family: [[minHashLshPairs]]; paraphrase family: [[semanticPairs]]).
+    * The plan is a deliberate O(n²) cross join, correct and fine for
+    * oracle fixtures and re-rank pools; `maxRows` is the loud size gate
+    * (mirroring `BlockMatrix.inverse`'s `maxN`) that refuses to silently
+    * attempt an n² plan on a corpus-sized input — at the default bound
+    * the pair count already reaches ~5×10⁹. The gate's count runs over
+    * an eagerly-materialized frame, so the (often derived) embedding
+    * input is evaluated once, not once for the count and once for the
+    * pair scan.
+    */
+  /** Persist a standing SEMANTIC index over a corpus: the SemDeDup
+    * codebook (sized by [[autoClusters]] unless pinned) trained once,
+    * plus the assigned corpus vectors partitioned one directory per
+    * cluster — structurally [[SimilaritySearch.buildIvfIndex]] with the
+    * semantic geometry, because the SemDeDup cluster IS an IVF cell:
+    * the layout that makes the within-cluster verify a pruned join is
+    * the same layout that makes ANN probes cheap. Build once; every
+    * later [[streamSemanticAgainstIndex]] micro-batch reads only the
+    * cells its arrivals assign to.
+    */
+  def persistSemanticIndex(
+      catalog: graft.storage.SetCatalog, db: String, name: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 0, iters: Int = 3,
+      targetClusterSize: Int = 125): Unit = {
+    val (mat, k) =
+      if (nClusters > 0) (corpus, nClusters)
+      else {
+        // same eager materialization rationale as semanticPairs' auto
+        // path: the build needs a count + the trainer sample + the full
+        // assignment over a possibly-derived embedding frame
+        val m = corpus.localCheckpoint(true)
+        (m, autoClusters(m.count(), targetClusterSize))
+      }
+    SimilaritySearch.buildIvfIndex(mat.sparkSession, catalog, db, name,
+      mat, nCentroids = k, iters = iters, idCol = idCol, vecCol = vecCol)
+  }
+
+  /** One micro-batch of [[streamSemanticAgainstIndex]]: assign each
+    * arrival under the STANDING codebook (the same flat-argmin kernel
+    * the corpus was assigned with), then verify cosine against the
+    * standing vectors of the arrival's cell only. The arrival side is
+    * broadcast, so the standing set is read with dynamic partition
+    * pruning — a batch touching b distinct cells costs b directories of
+    * IO however large the corpus grows.
+    */
+  private def semanticBatchPairs(
+      batch: DataFrame, centroids: Array[Array[Double]],
+      vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val assign = SimilaritySearch.nearestUdf(centroids)
+    val bucketType = vectors.schema("bucket").dataType
+    val arr = batch.select(col(idCol).as("id_b"), col(vecCol).as("b_vec"),
+        l2Norm(col(vecCol)).as("b_nrm"))
+      .withColumn("bucket", assign(col("b_vec")).cast(bucketType))
+    vectors.join(broadcast(arr), Seq("bucket"))
+      .withColumn("cos",
+        round(dot(col("n_vec"), col("b_vec")) / (col("n_nrm") * col("b_nrm")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("neighbor_id").as("id_a"), col("id_b"),
+        col("bucket").cast("long").as("cluster"), col("cos"))
+  }
+
+  /** Streaming SEMANTIC dedup — the standing-index form of
+    * [[semanticPairs]], completing streaming parity for the last dedup
+    * family without one (exact/minhash/span/frame/audio all have `st_*`
+    * forms): arrivals are assigned per micro-batch under the standing
+    * codebook persisted by [[persistSemanticIndex]] and verified against
+    * the standing corpus vectors WITHIN their assigned cell only —
+    * paraphrase-level near-dup detection at ingest, the regime text LSH
+    * cannot reach. Emits (id_a = corpus id, id_b = arrival id, cluster,
+    * cos ≥ threshold) — the cross-corpus contract of
+    * [[streamNearDupPairs]]; arrival-vs-arrival pairs are the batch
+    * operator's job at the next re-index.
+    *
+    * Batching-invariant by construction: an arrival's cell depends only
+    * on (vector, codebook) — the [[SimilaritySearch.appendToIvfIndex]]
+    * argument — and its pairs only on (arrival, standing cell), so any
+    * batching of the same arrivals unions to the one-shot batch probe.
+    *
+    * Scale shape: per batch, one broadcast of the arrivals and a
+    * partition-pruned read of only their cells; nothing re-shuffles the
+    * corpus, no state store at all (the standing index IS the state).
+    */
+  def streamSemanticAgainstIndex(
+      stream: DataFrame, catalog: graft.storage.SetCatalog,
+      db: String, name: String, idCol: String, vecCol: String,
+      threshold: Double = 0.4,
+      sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame = {
+    val centroids = catalog.scanSet(db, s"${name}_centroids")
+      .orderBy(col("bucket")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val vectors = catalog.scanSet(db, s"${name}_vectors")
+    streamProbe(stream,
+      batch => semanticBatchPairs(batch, centroids, vectors, idCol, vecCol,
+        threshold),
+      sink)
+  }
+
   def cosinePairs(
       emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxRows: Long = 100000L): DataFrame = {
+    val mat = emb.localCheckpoint(true)
+    val n = mat.count()
+    require(n <= maxRows,
+      s"cosinePairs: $n rows exceeds the brute-force bound $maxRows — " +
+        "the all-pairs plan is O(n²) by design; use cosineLshPairs " +
+        "(high-threshold LSH) or semanticPairs (SemDeDup clustering) " +
+        "for corpus-scale near-dup, or raise maxRows deliberately")
     // precompute each vector's norm once — O(n·d) instead of O(n²·d) norm
     // work inside the pair loop
-    val withNorm = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val withNorm = mat.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2Norm(col(vecCol)).as("nrm"))
       // small single-file inputs would otherwise give the O(n²) pair loop
       // single-task parallelism; no-op when the input is already wide

@@ -756,6 +756,71 @@ object StreamingQueries {
 
   val stIvfPqAppendSql: String = PipelineQueries.ivfPqAppendSql
 
+  /** Streaming SEMANTIC dedup — the standing-index form of dd_semantic,
+    * completing streaming parity for the last dedup family without one:
+    * the SemDeDup codebook + cluster-partitioned vectors are persisted
+    * once over the corpus half (vec_id < 250,
+    * [[graft.operators.Dedup.persistSemanticIndex]] — auto-sized
+    * geometry, k = autoClusters(250) = 4 at fixture scale), then the
+    * arrival stream (vec_id ≥ 250) is assigned per micro-batch under
+    * the STANDING codebook and cosine-verified against the standing
+    * vectors of its cell only
+    * ([[graft.operators.Dedup.streamSemanticAgainstIndex]]) ≡ the
+    * one-shot batch probe, because an arrival's cell depends only on
+    * (vector, codebook) and its pairs only on (arrival, standing cell).
+    */
+  def stSemantic(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val emb = graft.model.Tables.embeddings(spark, d)
+    val root = java.nio.file.Files.createTempDirectory("graft-stsem")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    graft.operators.Dedup.persistSemanticIndex(cat, "stx", "sem",
+      emb.filter(col("vec_id") < 250), "vec_id", "embedding")
+    val pairs = graft.operators.Dedup.streamSemanticAgainstIndex(
+      readEmbStream(spark, d).filter(col("vec_id") >= 250),
+      cat, "stx", "sem", "vec_id", "embedding", threshold = 0.4)
+      .localCheckpoint(true)
+    Seq("sem_centroids", "sem_vectors", "sem_built")
+      .foreach(cat.removeSet("stx", _))
+    graft.storage.SetCatalog.deleteTree(root)
+    pairs
+  }
+
+  /** Oracle: the shared unrolled-Lloyd trainer restricted to the corpus
+    * half (`sourceWhere` — the stream side must not influence the
+    * standing codebook), k sized by the dd_semantic autoClusters rule
+    * over the SAME corpus slice, then one assignment pass over the whole
+    * table and the within-cell cosine verify restricted to
+    * corpus × arrival pairs.
+    */
+  val stSemanticSql: String = {
+    val kExpr = "(SELECT LEAST(GREATEST(4, (COUNT(*) + 124) // 125), " +
+      "200000) FROM embeddings WHERE vec_id < 250)"
+    ExtendedQueries.lloydCtes(kExpr, 3, "WHERE vec_id < 250", 64, "") + ",\n" +
+      """fd AS (
+        |  SELECT e.vec_id AS r, c.k,
+        |    SUM((CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v) *
+        |        (CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v)) AS dist
+        |  FROM embeddings e, c3 c GROUP BY 1, 2),
+        |fa AS (
+        |  SELECT r, k FROM (
+        |    SELECT r, k, ROW_NUMBER() OVER (PARTITION BY r ORDER BY dist, k) AS rk
+        |    FROM fd) z WHERE rk = 1),
+        |v AS MATERIALIZED (
+        |  SELECT e.vec_id, e.embedding, a.k
+        |  FROM embeddings e JOIN fa a ON e.vec_id = a.r),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.k AS cluster,
+        |    round((SELECT SUM(CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))
+        |     FROM generate_series(1, 64) g(i)) /
+        |    (sqrt((SELECT SUM(CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))
+        |           FROM generate_series(1, 64) g(i))) *
+        |     sqrt((SELECT SUM(CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))
+        |           FROM generate_series(1, 64) g(i)))), 6) AS cos
+        |  FROM v a JOIN v b ON a.k = b.k AND a.vec_id < 250 AND b.vec_id >= 250)
+        |SELECT id_a, id_b, cluster, cos FROM p WHERE cos >= 0.4""".stripMargin
+  }
+
   /** Streaming token-budget admission: the budget gate at INGEST — docs
     * arrive as a sequenced log (doc_id = ingest offset), route to their
     * md5 writer shard, and a standing per-shard token counter admits
@@ -814,6 +879,55 @@ object StreamingQueries {
       |  FROM h)
       |SELECT doc_id, shard, n_tokens, cum_tokens FROM c
       |WHERE cum_tokens <= 3750""".stripMargin
+
+  /** Streaming domain-weighted mixture admission
+    * ([[graft.operators.Curation.streamDomainTokenBudget]]) — the
+    * ingest-time form of op_domain_budget, completing the streaming
+    * symmetry of the mixture family: docs arrive as a sequenced log,
+    * route to their (lang, md5-shard) writer stream, and each stream
+    * admits in sequence order until its ⌊30000·w⌋/8 share closes.
+    * Domains outside the mixture (es, zh on this fixture) are dropped
+    * whole, like the batch form.
+    */
+  def stDomainBudget(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val out = graft.operators.Curation.streamDomainTokenBudget(
+      readDocStream(spark, d), "doc_id", "text", "lang",
+      Map("en" -> 0.5, "fr" -> 0.2, "de" -> 0.2),
+      totalTokens = 30000L, nShards = 8)
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("st_domain_budget_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("st_domain_budget_sink")
+      .select(col("doc_id"), col("domain"), col("shard"),
+        col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Oracle: [[stBudgetSql]]'s per-stream prefix sum in sequence
+    * (doc_id) order, with the weights VALUES join and (domain, shard)
+    * window keys of op_domain_budget's oracle; the per-row threshold
+    * FLOOR(30000.0·w/8) matches the operator's IEEE-double op order.
+    */
+  val stDomainBudgetSql: String =
+    """WITH wts(domain, w) AS (
+      |  VALUES ('en', CAST(0.5 AS DOUBLE)), ('fr', CAST(0.2 AS DOUBLE)),
+      |         ('de', CAST(0.2 AS DOUBLE))),
+      |h AS (
+      |  SELECT doc_id, lang AS domain, w,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 8 AS shard,
+      |    len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents JOIN wts ON wts.domain = documents.lang
+      |  WHERE text IS NOT NULL),
+      |c AS (
+      |  SELECT doc_id, domain, w, shard, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY domain, shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM h)
+      |SELECT doc_id, domain, shard, n_tokens, cum_tokens FROM c
+      |WHERE cum_tokens <= CAST(FLOOR(30000.0 * w / 8) AS BIGINT)""".stripMargin
 
   /** The LM-gated curation capstone's STREAMING form — the composition
     * of [[stPipeAll]] (cross-modal keep vs three standing indexes),
@@ -1021,7 +1135,9 @@ object StreamingQueries {
     "st_ivf_append" -> stIvfAppend,
     "st_pq_append" -> stPqAppend,
     "st_budget" -> stBudget,
+    "st_domain_budget" -> stDomainBudget,
     "st_ivfpq_append" -> stIvfPqAppend,
+    "st_semantic" -> stSemantic,
     "st_lm_score" -> stLmScore,
     "st_pipe_lm_budget" -> stPipeLmBudget)
 
@@ -1043,7 +1159,9 @@ object StreamingQueries {
     "st_ivf_append" -> stIvfAppendSql,
     "st_pq_append" -> stPqAppendSql,
     "st_budget" -> stBudgetSql,
+    "st_domain_budget" -> stDomainBudgetSql,
     "st_ivfpq_append" -> stIvfPqAppendSql,
+    "st_semantic" -> stSemanticSql,
     "st_lm_score" -> stLmScoreSql,
     "st_pipe_lm_budget" -> stPipeLmBudgetSql)
 }

@@ -378,6 +378,32 @@ class AdvisorSpec extends GraftSpecBase {
     cat.removeSet("db", "tgt")
   }
 
+  test("probe-width dial: conservative recommendation, extrapolation, persistence") {
+    val path = Files.createTempFile("graft-dial", ".tsv")
+    Files.delete(path)
+    val adv = new PlacementAdvisor(Some(path.toString))
+    assert(adv.recommendProbeWidth("idx", 0.5).isEmpty)
+    // the round-13 measured dial: nprobe 4 -> 0.30, nprobe 8 -> 0.66
+    adv.observeProbeRecall("idx", 4, 0.30)
+    adv.observeProbeRecall("idx", 8, 0.66)
+    // conservative: smallest MEASURED width meeting the target
+    assert(adv.recommendProbeWidth("idx", 0.30) === Some(4))
+    assert(adv.recommendProbeWidth("idx", 0.50) === Some(8))
+    assert(adv.recommendProbeWidth("idx", 0.66) === Some(8))
+    // beyond every measured recall: last-segment slope 0.09/probe ->
+    // 8 + ceil((0.90-0.66)/0.09) = 8 + 3
+    assert(adv.recommendProbeWidth("idx", 0.90) === Some(11))
+    assert(adv.recommendProbeWidth("idx", 0.90, maxProbe = 10) === Some(10))
+    // a flat tail slope caps immediately: wider probes stopped paying
+    adv.observeProbeRecall("idx", 16, 0.66)
+    assert(adv.recommendProbeWidth("idx", 0.90, maxProbe = 32) === Some(32))
+    // dial rows survive the sidecar round-trip like every other signal
+    val replay = new PlacementAdvisor(Some(path.toString))
+    assert(replay.recommendProbeWidth("idx", 0.50) === Some(8))
+    assert(replay.observedProbeDial === adv.observedProbeDial)
+    Files.deleteIfExists(path)
+  }
+
   test("advised SemDeDup geometry matches the static sizing and remembers the largest corpus") {
     import graft.operators.{Dedup, SimilaritySearch}
     val adv = new PlacementAdvisor

@@ -241,6 +241,22 @@ class ExtendedSpec extends GraftSpecBase {
     assert(lsh == exact)
   }
 
+  test("cosinePairs size gate refuses a corpus-sized input loudly") {
+    val emb = graft.model.Tables.embeddings(spark, sfDir)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup
+        .cosinePairs(emb, "vec_id", "embedding", threshold = 0.95,
+          maxRows = 10)
+        .count()
+    }
+    // the failure must point callers at the scale paths, not just refuse
+    assert(e.getMessage.contains("cosineLshPairs") &&
+      e.getMessage.contains("semanticPairs"))
+    // fixture scale stays under the DEFAULT bound — dd_cosine_pairs and
+    // this spec's planted-dup test are unaffected by the gate
+    assert(emb.count() <= 100000L)
+  }
+
   test("plan guards: banded range join is a hash join; selection pushes filters") {
     val rj = ExtendedQueries.rangeJoin(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -223,6 +223,97 @@ class StreamingSpec extends GraftSpecBase {
     cat.removeSet("stx", "c_grams")
   }
 
+  test("streaming domain budget: multi-batch == one-shot; shares honored; unweighted dropped") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // deterministic fixture: doc i has (i % 5 + 1) tokens, domains cycle
+    val rows = (1L to 60L).map { i =>
+      (i, Seq.fill((i % 5).toInt + 1)("w").mkString(" "),
+        Seq("en", "fr", "zh")((i % 3).toInt))
+    }
+    val weights = Map("en" -> 0.5, "fr" -> 0.25)
+    def run(name: String, batches: Seq[Seq[(Long, String, String)]]): Set[Seq[Any]] = {
+      val input = MemoryStream[(Long, String, String)]
+      val out = graft.operators.Curation.streamDomainTokenBudget(
+        input.toDS().toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang", weights, totalTokens = 80L, nShards = 2)
+      val q = out.toDF().writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).collect().map(_.toSeq).toSet
+    }
+    val oneShot = run("t_db_one", Seq(rows))
+    val split = run("t_db_two", Seq(rows.take(17), rows.slice(17, 40), rows.drop(40)))
+    assert(split == oneShot, "micro-batch boundary changed the admissions")
+    // the batch-semantics reference, computed independently: per-(domain,
+    // md5-shard) prefix sum in sequence order against the
+    // floor(total·w/nShards) share (token counting through the operator's
+    // own kernel is covered by the registry oracle at sf0.01)
+    val byKey = rows.filter(r => weights.contains(r._3))
+      .map { r =>
+        val hx = java.security.MessageDigest.getInstance("MD5")
+          .digest(r._1.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val shard = java.lang.Long.parseLong(hx.take(15), 16) % 2
+        (r._3, shard, r._1, r._2.split(" ").length.toLong)
+      }.groupBy(t => (t._1, t._2))
+    val expect = byKey.toSeq.flatMap { case ((dom, shard), ds) =>
+      val per = math.floor(80.0 * weights(dom) / 2).toLong
+      var seen = 0L
+      ds.sortBy(_._3).flatMap { case (_, _, id, n) =>
+        seen += n
+        if (seen <= per) Some(Seq[Any](id, dom, shard, n, seen)) else None
+      }
+    }.toSet
+    assert(oneShot == expect, "streaming admissions diverged from the fold reference")
+    // zh never appears — unweighted domains are dropped whole
+    assert(!oneShot.exists(_(1) == "zh"))
+    assert(oneShot.nonEmpty)
+  }
+
+  test("streaming semantic dedup: multi-batch == one-shot; planted dup found in its cell") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(64)(rnd.nextGaussian().toFloat)
+    val corpus = (0L until 40L).map(i => (i, vec()))
+    // arrivals: fresh vectors plus tiny perturbations of corpus ids < 5
+    // (same cell, cos ~ 1) — the paraphrase-ingest case
+    val arrivals = (100L until 120L).map(i => (i, vec())) ++
+      corpus.take(5).map { case (i, v) =>
+        (1000L + i, v.map(x => x + 0.001f * rnd.nextGaussian().toFloat))
+      }
+    val root = java.nio.file.Files.createTempDirectory("graft-stsem-spec")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    graft.operators.Dedup.persistSemanticIndex(cat, "t", "sem",
+      corpus.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      nClusters = 4)
+    def run(batches: Seq[Seq[(Long, Seq[Float])]]): Set[Seq[Any]] = {
+      val input = MemoryStream[(Long, Seq[Float])]
+      batches.foreach(b => input.addData(b: _*))
+      graft.operators.Dedup.streamSemanticAgainstIndex(
+        input.toDS().toDF("vec_id", "embedding"),
+        cat, "t", "sem", "vec_id", "embedding", threshold = 0.4)
+        .collect().map(_.toSeq).toSet
+    }
+    val oneShot = run(Seq(arrivals))
+    val split = run(Seq(arrivals.take(8), arrivals.drop(8)))
+    assert(split == oneShot,
+      "micro-batch boundary changed the semantic pair set")
+    // every planted near-dup lands in its source's cell and pairs with it
+    val planted = oneShot.collect {
+      case s if s(1).asInstanceOf[Long] >= 1000L =>
+        (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long])
+    }
+    assert((0L until 5L).forall(i => planted.contains((i, 1000L + i))),
+      s"planted duplicates missing from $planted")
+    // pairs are cross-corpus only: id_a is standing, id_b is arriving
+    assert(oneShot.forall(s => s(0).asInstanceOf[Long] < 40L &&
+      s(1).asInstanceOf[Long] >= 100L))
+    graft.storage.SetCatalog.deleteTree(root)
+  }
+
   test("stream-stream interval join == batch interval join") {
     val got = graft.queries.StreamingQueries.stJoin(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
