@@ -988,6 +988,60 @@ object Dedup {
       batch => exactAgainstHashes(batch, hashes, idCol, textCol), sink)
   }
 
+  /** SELF-GROWING streaming ingest dedup — first-seen-wins over the
+    * arrival stream ITSELF, not against a frozen corpus: each micro-batch
+    * keeps one representative per exact content (the minimum-id arrival,
+    * intra-batch), drops everything whose fingerprint the STANDING set
+    * has already admitted (cross-batch), and appends the survivors'
+    * fingerprints so every later batch dedups against everything that
+    * came before. This is the ingest-pipeline semantics the static-index
+    * forms can't express: [[streamExactAgainstStoredIndex]] flags
+    * arrivals against a fixed corpus and two identical arrivals BOTH
+    * pass; here the second is dropped because the first grew the index.
+    *
+    * Equivalence contract: under ordered delivery (the ingest-log
+    * contract [[graft.operators.Curation.streamTokenBudget]] documents —
+    * ids arrive non-decreasing across batches), the admitted set is
+    * exactly the batch rule "minimum id per distinct content", for ANY
+    * batching (spec-pinned). Under unordered delivery the weaker
+    * invariant still holds: exactly one representative per content.
+    *
+    * Scale shape: the standing set is a hash-layout catalog set keyed on
+    * the 16-byte fingerprint — APPENDABLE (unlike the write-once bucketed
+    * sets the static probes use; growth is the point here), with
+    * [[graft.storage.SetCatalog.compactSet]] as the periodic maintenance
+    * pass for the accumulated micro-batch files. Each batch costs one
+    * arrival-sized aggregate + one join against the standing set + an
+    * O(survivors) append; the set grows with DISTINCT content only. The
+    * survivors frame is localCheckpointed BEFORE the append — recomputing
+    * it lazily after the append would anti-join arrivals against their
+    * own just-added fingerprints and emit nothing.
+    */
+  def streamIngestExactDedup(
+      stream: DataFrame, catalog: graft.storage.SetCatalog,
+      db: String, name: String, idCol: String, textCol: String,
+      sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame = {
+    val setName = s"${name}_hashes"
+    streamProbe(stream, batch => {
+      val keyed = batch.filter(col(textCol).isNotNull)
+        .select(col(idCol), unhex(md5(col(textCol))).as("h"))
+      // intra-batch first-wins: the minimum id per fingerprint
+      val winners = keyed.groupBy(col("h")).agg(min(col(idCol)).as(idCol))
+      val fresh = (catalog.meta(db, setName) match {
+        case Some(_) =>
+          winners.join(catalog.scanSet(db, setName).select(col("h")),
+            Seq("h"), "left_anti")
+        case None => winners
+      }).localCheckpoint(eager = true)
+      catalog.meta(db, setName) match {
+        case Some(_) => catalog.appendToSet(db, setName, fresh.select(col("h")))
+        case None => catalog.createSet(db, setName, fresh.select(col("h")),
+          partitionColumn = Some("h"))
+      }
+      fresh.select(col(idCol))
+    }, sink)
+  }
+
   /** Spans of `newDocs` whose windows already occur in the stored gram
     * index: (idCol, span_start, span_end, span_tokens) per arriving doc.
     */

@@ -1117,6 +1117,222 @@ object StreamingQueries {
        |SELECT doc_id, shard, n_tokens, cum_tokens FROM bc
        |WHERE cum_tokens <= 3750""".stripMargin
 
+  /** Self-growing ingest dedup ([[graft.operators.Dedup.streamIngestExactDedup]])
+    * — where [[stExact]] FLAGS arrivals against a frozen corpus index,
+    * this admits first-seen content and GROWS the index with every
+    * admission, so the re-crawl replay (docs < 100 re-arriving under
+    * offset ids with identical text) is dropped because the original
+    * crawl already claimed its content. The output is the admitted ids —
+    * exactly "minimum id per distinct content" under the ingest-log
+    * ordered-delivery contract.
+    */
+  def stIngestDedup(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val root = java.nio.file.Files.createTempDirectory("graft-sting")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    val s = readDocStream(spark, d)
+    val arrivals = s.select(col("doc_id"), col("text"))
+      .unionByName(s.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val kept = graft.operators.Dedup.streamIngestExactDedup(
+      arrivals, cat, "stx", "ing", "doc_id", "text")
+      .localCheckpoint(true)
+    cat.removeSet("stx", "ing_hashes")
+    graft.storage.SetCatalog.deleteTree(root)
+    kept
+  }
+
+  /** Oracle: first-seen-wins == minimum id per distinct text over the
+    * full arrival log (originals + the offset-id re-crawl replay).
+    */
+  val stIngestDedupSql: String =
+    """WITH arr AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+      |  WHERE doc_id < 100)
+      |SELECT MIN(doc_id) AS doc_id FROM arr
+      |WHERE text IS NOT NULL GROUP BY text""".stripMargin
+
+  /** The CCNet SAMPLING recipe's STREAMING form — pipe_quality_mix as a
+    * standing ingest pipeline, the stretch composition VERDICT r13 next
+    * #2 names. The batch capstone cuts the corpus into quality terciles
+    * by exact global ranks; a global rank is not computable on an
+    * unbounded stream, so the streaming form freezes the tier model the
+    * way [[stPipeLmBudget]] freezes its LM threshold:
+    *
+    *  1. standing state, built ONCE: the reference bigram LM trains on
+    *     the corpus slice's first half (doc_id < 125) and the TWO tier
+    *     boundaries are frozen as the exact-rank tercile cuts
+    *     ([[graft.operators.Curation.quantileKeep]]'s min-score at 1/3
+    *     and 2/3) of the held-out SECOND half's scores under that model —
+    *     held-out calibration for the [[stPipeLmBudget]] reason: the
+    *     boundaries must sit on the out-of-model score scale arrivals
+    *     land on, which is how CCNet derives its perplexity buckets;
+    *  2. per micro-batch: arrivals score under the standing model and
+    *     classify against the frozen boundaries (score ≥ t1 → head "0",
+    *     ≥ t2 → middle "1", else tail "2" — ties to the better tier,
+    *     [[graft.operators.TextAnalysis.lmQualityBuckets]]'s contract;
+    *     docs with no bigrams are unscoreable and drop), the tiered docs
+    *     STAGED into a standing catalog set (the stage boundary between
+    *     scoring and sampling);
+    *  3. the staged set re-ingested as a sequenced log into the stateful
+    *     mixture admission
+    *     ([[graft.operators.Curation.streamDomainTokenBudget]] with the
+    *     TIER as the mixture domain, head 0.6 / middle 0.3 / tail 0.1 of
+    *     the 30k budget) — "sample more from the text the model likes",
+    *     applied at ingest.
+    *
+    * Scale shape: stage 2 is arrival-sized against two broadcast count
+    * tables + two frozen scalars (never re-scores the corpus); stage 3's
+    * state is O(tiers·nShards) longs. Nothing grows with stream length.
+    * An sf too small to have a held-out slice yields NULL cuts → both
+    * boundaries −∞ → everything lands in the head tier: with no data to
+    * calibrate on, the open gate is the only defensible cut (the
+    * [[stPipeLmBudget]] convention).
+    */
+  def stPipeQualityMix(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val docs = graft.model.Tables.documents(spark, d)
+    val lmRef = docs.filter(col("doc_id") < 125)
+    val calib = docs.filter(col("doc_id") >= 125 && col("doc_id") < 250)
+    val calScored = graft.operators.TextAnalysis
+      .lmScore(calib, lmRef, "doc_id", "text")
+      .select(col("doc_id"), col("lm_score")).localCheckpoint(true)
+    val Seq(t1, t2) = Seq(1, 2).map { i =>
+      val r = graft.operators.Curation
+        .quantileKeep(calScored, "lm_score", i.toDouble / 3)
+        .agg(min(col("lm_score"))).collect()(0)
+      if (r.isNullAt(0)) Double.NegativeInfinity else r.getDouble(0)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-stqmix")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    // stage 2: score + classify arrivals per micro-batch, stage tiers
+    val arrivals = readDocStream(spark, d).filter(col("doc_id") >= 250)
+      .select(col("doc_id"), col("text"))
+    graft.operators.Dedup.streamProbe(arrivals, batch => {
+      val tiers = graft.operators.TextAnalysis
+        .lmScore(batch, lmRef, "doc_id", "text")
+        .select(col("doc_id"),
+          when(col("lm_score") >= t1, lit("0"))
+            .when(col("lm_score") >= t2, lit("1"))
+            .otherwise(lit("2")).as("tier"))
+      batch.join(tiers, Seq("doc_id"))
+    }, Some((cat, "stx", "tiered")))
+    // stage 3: the staged tiered log feeds the standing mixture admission
+    val tieredSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("tier",
+        org.apache.spark.sql.types.StringType)))
+    val tstream = spark.readStream.schema(tieredSchema)
+      .parquet(s"${root.toString}/stx.tiered")
+    val out = graft.operators.Curation.streamDomainTokenBudget(
+      tstream, "doc_id", "text", "tier",
+      Map("0" -> 0.6, "1" -> 0.3, "2" -> 0.1),
+      totalTokens = 30000L, nShards = 8)
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("st_pipe_quality_mix_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val res = spark.table("st_pipe_quality_mix_sink")
+      .select(col("doc_id"), col("domain"), col("shard"),
+        col("n_tokens"), col("cum_tokens"))
+      .localCheckpoint(true)
+    cat.removeSet("stx", "tiered")
+    graft.storage.SetCatalog.deleteTree(root)
+    res
+  }
+
+  /** Oracle: the held-out model/calibration CTE shapes of
+    * [[stPipeLmBudgetSql]] (train < 125, calibrate 125..249), TWO
+    * exact-rank tercile cuts with [[TextAnalysis.lmBucketsSql]]'s
+    * GREATEST(1, ceil(i/3·n)) double math, arrival (≥ 250) scores under
+    * the same model, the ties-to-the-better-tier CASE, then
+    * [[stDomainBudgetSql]]'s per-(tier, shard) prefix sum in sequence
+    * (doc_id) order with the head/middle/tail weights. Multiply-
+    * referenced heavy CTEs are MATERIALIZED (OracleCostSpec).
+    */
+  val stPipeQualityMixSql: String =
+    """WITH lrb AS MATERIALIZED (
+      |  SELECT bg, COUNT(*) AS cb FROM (
+      |    SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+      |      AS bg
+      |    FROM documents WHERE doc_id < 125) z GROUP BY 1),
+      |lru AS MATERIALIZED (
+      |  SELECT w1, COUNT(*) AS cu FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w1
+      |    FROM documents WHERE doc_id < 125) z GROUP BY 1),
+      |lvv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM lru),
+      |ldc AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+      |      AS bg
+      |  FROM documents WHERE doc_id >= 125 AND doc_id < 250),
+      |lscc AS MATERIALIZED (
+      |  SELECT ldc.doc_id, round(AVG(
+      |    ln(CAST(COALESCE(lrb.cb, 0) + 1 AS DOUBLE) /
+      |       (COALESCE(lru.cu, 0) + (SELECT v FROM lvv)))), 6) AS lm_score
+      |  FROM ldc
+      |  LEFT JOIN lrb USING (bg)
+      |  LEFT JOIN lru ON lru.w1 = string_split(ldc.bg, ' ')[1]
+      |  GROUP BY 1),
+      |crk AS MATERIALIZED (
+      |  SELECT lm_score,
+      |    ROW_NUMBER() OVER (ORDER BY lm_score DESC, doc_id) AS r
+      |  FROM lscc),
+      |cnn AS (SELECT COUNT(*) AS n FROM lscc),
+      |t1 AS (
+      |  SELECT MIN(lm_score) AS t FROM crk
+      |  WHERE r <= GREATEST(1,
+      |    CAST(ceil((1.0/3) * (SELECT n FROM cnn)) AS BIGINT))),
+      |t2 AS (
+      |  SELECT MIN(lm_score) AS t FROM crk
+      |  WHERE r <= GREATEST(1,
+      |    CAST(ceil((2.0/3) * (SELECT n FROM cnn)) AS BIGINT))),
+      |lda AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+      |      AS bg
+      |  FROM documents WHERE doc_id >= 250),
+      |lsa AS MATERIALIZED (
+      |  SELECT lda.doc_id, round(AVG(
+      |    ln(CAST(COALESCE(lrb.cb, 0) + 1 AS DOUBLE) /
+      |       (COALESCE(lru.cu, 0) + (SELECT v FROM lvv)))), 6) AS lm_score
+      |  FROM lda
+      |  LEFT JOIN lrb USING (bg)
+      |  LEFT JOIN lru ON lru.w1 = string_split(lda.bg, ' ')[1]
+      |  GROUP BY 1),
+      |tiered AS (
+      |  SELECT d.doc_id, d.text,
+      |    CASE WHEN lsa.lm_score >= (SELECT t FROM t1) THEN '0'
+      |         WHEN lsa.lm_score >= (SELECT t FROM t2) THEN '1'
+      |         ELSE '2' END AS tier
+      |  FROM documents d JOIN lsa ON lsa.doc_id = d.doc_id),
+      |wts(domain, w) AS (
+      |  VALUES ('0', CAST(0.6 AS DOUBLE)), ('1', CAST(0.3 AS DOUBLE)),
+      |         ('2', CAST(0.1 AS DOUBLE))),
+      |h AS (
+      |  SELECT doc_id, tier AS domain, w,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 8 AS shard,
+      |    len(string_split(text, ' ')) AS n_tokens
+      |  FROM tiered JOIN wts ON wts.domain = tiered.tier
+      |  WHERE text IS NOT NULL),
+      |c AS (
+      |  SELECT doc_id, domain, w, shard, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY domain, shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM h)
+      |SELECT doc_id, domain, shard, n_tokens, cum_tokens FROM c
+      |WHERE cum_tokens <= CAST(FLOOR(30000.0 * w / 8) AS BIGINT)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_hourly" -> stHourly,
     "st_sliding" -> stSliding,
@@ -1139,7 +1355,9 @@ object StreamingQueries {
     "st_ivfpq_append" -> stIvfPqAppend,
     "st_semantic" -> stSemantic,
     "st_lm_score" -> stLmScore,
-    "st_pipe_lm_budget" -> stPipeLmBudget)
+    "st_pipe_lm_budget" -> stPipeLmBudget,
+    "st_pipe_quality_mix" -> stPipeQualityMix,
+    "st_ingest_dedup" -> stIngestDedup)
 
   val oracles: Map[String, String] = Map(
     "st_hourly" -> stHourlySql,
@@ -1163,5 +1381,7 @@ object StreamingQueries {
     "st_ivfpq_append" -> stIvfPqAppendSql,
     "st_semantic" -> stSemanticSql,
     "st_lm_score" -> stLmScoreSql,
-    "st_pipe_lm_budget" -> stPipeLmBudgetSql)
+    "st_pipe_lm_budget" -> stPipeLmBudgetSql,
+    "st_pipe_quality_mix" -> stPipeQualityMixSql,
+    "st_ingest_dedup" -> stIngestDedupSql)
 }

@@ -314,6 +314,115 @@ class StreamingSpec extends GraftSpecBase {
     graft.storage.SetCatalog.deleteTree(root)
   }
 
+  test("self-growing ingest dedup: first-seen wins within and across batches; index grows") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // content "aaa" arrives three times: ids 1 and 5 in the first batch
+    // (intra-batch dup — min id must win) and 11 in the second batch
+    // (cross-batch dup — the GROWN index must drop it, which the static
+    // probe form cannot do); null text carries no content and drops
+    val b1 = Seq((1L, "aaa"), (2L, "bbb"), (5L, "aaa"), (6L, null: String))
+    val b2 = Seq((11L, "aaa"), (12L, "ccc"), (13L, "bbb"))
+    def runOnce(cat: graft.storage.SetCatalog,
+        rows: Seq[(Long, String)]): Set[Long] = {
+      val input = MemoryStream[(Long, String)]
+      input.addData(rows: _*)
+      graft.operators.Dedup.streamIngestExactDedup(
+        input.toDS().toDF("doc_id", "text"), cat, "t", "ing",
+        "doc_id", "text")
+        .collect().map(_.getLong(0)).toSet
+    }
+    val rootA = java.nio.file.Files.createTempDirectory("graft-sting-a")
+    val catA = new graft.storage.SetCatalog(spark, rootA.toString)
+    assert(runOnce(catA, b1 ++ b2) == Set(1L, 2L, 12L))
+    // split delivery against a persistent catalog — TWO separate stream
+    // runs, so the second genuinely probes the index the first grew
+    // (this also pins restart survival: the state is the catalog set,
+    // not anything held by the stopped query)
+    val rootB = java.nio.file.Files.createTempDirectory("graft-sting-b")
+    val catB = new graft.storage.SetCatalog(spark, rootB.toString)
+    assert(runOnce(catB, b1) == Set(1L, 2L))
+    assert(runOnce(catB, b2) == Set(12L),
+      "grown index failed to drop cross-run duplicates")
+    // the standing index holds exactly one fingerprint per distinct content
+    assert(catA.scanSet("t", "ing_hashes").count() == 3L)
+    assert(catB.scanSet("t", "ing_hashes").count() == 3L)
+    graft.storage.SetCatalog.deleteTree(rootA)
+    graft.storage.SetCatalog.deleteTree(rootB)
+  }
+
+  test("streaming quality mix: frozen tercile cuts == lmQualityBuckets on the calibration slice") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, min, when}
+    // synthetic corpus: reference docs all in-vocab; calibration docs mix
+    // in-vocab text with per-doc OOV tokens so scores spread across tiers
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def text(n: Int, oov: Int) =
+      (Seq.fill(n)(vocab(rnd.nextInt(vocab.size))) ++
+        (0 until oov).map(j => s"xq${rnd.nextInt(50)}_$j")).mkString(" ")
+    val ref = (0L until 10L).map(i => (i, text(30, 0))).toDF("doc_id", "text")
+    val calib = (10L until 40L).map(i => (i, text(10, (i % 7).toInt)))
+      .toDF("doc_id", "text")
+    // the capstone's standing state: score the calibration slice under
+    // the reference model, freeze the two exact-rank tercile cuts
+    val calScored = graft.operators.TextAnalysis
+      .lmScore(calib, ref, "doc_id", "text")
+      .select(col("doc_id"), col("lm_score")).localCheckpoint(true)
+    val Seq(t1, t2) = Seq(1, 2).map { i =>
+      val r = graft.operators.Curation
+        .quantileKeep(calScored, "lm_score", i.toDouble / 3)
+        .agg(min(col("lm_score"))).collect()(0)
+      if (r.isNullAt(0)) Double.NegativeInfinity else r.getDouble(0)
+    }
+    // classifying the calibration docs against their OWN frozen cuts must
+    // reproduce lmQualityBuckets exactly — same thresholds, same
+    // ties-to-the-better-tier CASE — or the capstone's arrival tiers
+    // drift from the batch operator's semantics
+    val got = calScored.withColumn("tier",
+        when(col("lm_score") >= t1, lit(0))
+          .when(col("lm_score") >= t2, lit(1)).otherwise(lit(2)))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val want = graft.operators.TextAnalysis
+      .lmQualityBuckets(calib, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == want, "frozen-cut CASE diverged from lmQualityBuckets")
+    assert(got.values.toSet == Set(0, 1, 2),
+      s"fixture failed to spread scores across all three tiers: $got")
+    assert(t2 <= t1, "tercile cuts out of order")
+  }
+
+  test("streaming quality mix end-to-end: admissions are prefix-closed within each tier share") {
+    // full staged path on the fixture (value equivalence to the batch
+    // reference is the registry oracle's job at sf0.01 — here pin the
+    // ADMISSION invariants the oracle's hash can't explain on failure)
+    val out = graft.queries.StreamingQueries.stPipeQualityMix(spark, sfDir)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "domain", "shard", "n_tokens", "cum_tokens"))
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty, "no admissions at fixture scale")
+    val weights = Map("0" -> 0.6, "1" -> 0.3, "2" -> 0.1)
+    assert(rows.map(_._2).toSet.subsetOf(weights.keySet))
+    // the head tier gets the largest share; it must be represented
+    assert(rows.exists(_._2 == "0"), "head tier absent from admissions")
+    rows.groupBy(r => (r._2, r._3)).foreach { case ((dom, shard), g) =>
+      val share = math.floor(30000.0 * weights(dom) / 8).toLong
+      val seq = g.sortBy(_._1)
+      // within a (tier, shard) writer stream: positive token counts, a
+      // consistent running sum over the ADMITTED docs (skipped arrivals
+      // still consumed budget, so cum may jump — but never decrease),
+      // and the share never exceeded
+      assert(seq.forall(_._4 > 0))
+      seq.foldLeft(0L) { case (prev, (_, _, _, n, cum)) =>
+        assert(cum >= prev + n, s"cum_tokens not cumulative in ($dom,$shard)")
+        cum
+      }
+      assert(seq.last._5 <= share,
+        s"stream ($dom,$shard) exceeded its share $share")
+    }
+  }
+
   test("stream-stream interval join == batch interval join") {
     val got = graft.queries.StreamingQueries.stJoin(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

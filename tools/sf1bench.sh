@@ -44,6 +44,10 @@ ONLY=$ONLY,pipe_lm_budget
 # round-13 list revision: the STREAMING LM-gated capstone (16 s at sf1
 # when added — standing-state build + two streaming jobs dominate)
 ONLY=$ONLY,st_pipe_lm_budget
+# round-14 list revision: the streaming CCNet sampling capstone — the
+# same standing-state + two-streaming-jobs shape as st_pipe_lm_budget,
+# so it lands in the expensive slice by construction
+ONLY=$ONLY,st_pipe_quality_mix
 
 OUT="BENCH_SF1_r${ROUND}.json"
 LOG="target/sf1bench_r${ROUND}.log"
