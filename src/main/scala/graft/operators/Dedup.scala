@@ -374,6 +374,84 @@ object Dedup {
     out
   }
 
+  /** SELF-GROWING streaming near-dup — the MinHash analogue of
+    * [[streamIngestExactDedup]]: arrivals pair against everything that
+    * arrived BEFORE them, not against a frozen corpus. Each micro-batch
+    * (1) self-joins its own band keys for intra-batch candidate pairs
+    * (id_a < id_b), (2) joins them against the STANDING band set for
+    * cross-batch candidates (standing id as id_a — the earlier arrival),
+    * (3) verifies both with exact shingle jaccard, and (4) appends the
+    * batch's shingle sets + band keys to the standing sets so every
+    * later batch pairs against this one. Under ordered delivery the
+    * accumulated pair log is EXACTLY the one-shot self-join pair set
+    * ([[minhashPairs]]' output, which the exact-jaccard oracle pins) —
+    * each true pair is found once, by whichever batch carries its later
+    * element. The verified frame is localCheckpointed BEFORE the appends
+    * ([[streamIngestExactDedup]]'s reason: a lazy recompute after the
+    * append would find each arrival's own bands in the standing set).
+    *
+    * No hot-bucket cap, unlike the static-index forms: a growing index
+    * cannot compute a batching-invariant global bucket census
+    * mid-stream. The ≥2-band candidate rule still bounds background
+    * collisions; a pathological bucket is the signal to compact and
+    * re-cap via a periodic [[persistLshIndex]] rebuild, the same
+    * build/append/rebuild lifecycle the ANN indexes run.
+    *
+    * Scale shape: the standing sets are hash-layout catalog sets
+    * (APPENDABLE — the growth is the point; the write-once bucketed
+    * layout of [[persistLshIndex]] refuses appends), with
+    * [[graft.storage.SetCatalog.compactSet]] as the maintenance pass.
+    * Each batch costs one arrival-sized shingle/signature pass, one join
+    * against the standing bands, and a candidate-sized verify; the sets
+    * grow with corpus size exactly like the static index's build side.
+    */
+  def streamIngestNearDup(
+      stream: DataFrame, catalog: graft.storage.SetCatalog,
+      db: String, name: String, idCol: String, textCol: String,
+      threshold: Double = 0.8, k: Int = 128, bands: Int = 32,
+      shingleN: Int = 2,
+      sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame = {
+    val setsName = s"${name}_sets"
+    val bandsName = s"${name}_bands"
+    def cand(joined: DataFrame): DataFrame =
+      joined.groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_bands"))
+        .filter(col("n_bands") >= 2)
+        .select(col("id_a"), col("id_b"))
+    streamProbe(stream, batch => {
+      val (nSets, nBanded) = bandFrames(batch, idCol,
+        wordShingles(col(textCol), shingleN), k, bands)
+      val exists = catalog.meta(db, bandsName).nonEmpty
+      val newA = nBanded.select(col("band"), col("bkey"), col("id").as("id_a"))
+      val newB = nBanded.select(col("band"), col("bkey"), col("id").as("id_b"))
+      val intra = cand(newA.join(newB, Seq("band", "bkey"))
+        .filter(col("id_a") < col("id_b")))
+      val cands = if (!exists) intra else intra.unionByName(
+        cand(catalog.scanSet(db, bandsName)
+          .select(col("band"), col("bkey"), col("id").as("id_a"))
+          .join(newB, Seq("band", "bkey"))))
+      val wsA = if (!exists) nSets
+        else catalog.scanSet(db, setsName).unionByName(nSets)
+      val verified = cands
+        .join(wsA.select(col("id").as("id_a"), col("ws").as("ws_a")), Seq("id_a"))
+        .join(nSets.select(col("id").as("id_b"), col("ws").as("ws_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          jaccard(col("ws_a"), col("ws_b")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .localCheckpoint(eager = true)
+      if (exists) {
+        catalog.appendToSet(db, setsName, nSets)
+        catalog.appendToSet(db, bandsName, nBanded)
+      } else {
+        catalog.createSet(db, setsName, nSets, partitionColumn = Some("id"))
+        catalog.createSet(db, bandsName, nBanded, partitionColumn = Some("bkey"))
+      }
+      nSets.unpersist(blocking = false)
+      nBanded.unpersist(blocking = false)
+      verified
+    }, sink)
+  }
+
   /** Shared per-micro-batch probe harness for the streaming ingest-dedup
     * forms: run `perBatch` on every micro-batch, appending results to the
     * catalog `sink` when given (the production form — the log set is

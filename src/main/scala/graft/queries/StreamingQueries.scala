@@ -1154,6 +1154,28 @@ object StreamingQueries {
       |SELECT MIN(doc_id) AS doc_id FROM arr
       |WHERE text IS NOT NULL GROUP BY text""".stripMargin
 
+  /** Self-growing ingest NEAR-dup
+    * ([[graft.operators.Dedup.streamIngestNearDup]]) — the MinHash
+    * analogue of [[stIngestDedup]]: the whole corpus arrives as a
+    * stream, each micro-batch pairs against its own arrivals AND the
+    * standing band/shingle sets grown by every earlier batch. The
+    * accumulated pair log equals the one-shot self-join
+    * (`dd_minhash_pairs`), so the exact O(n²) jaccard oracle pins the
+    * growing-index mechanism end to end.
+    */
+  def stIngestNearDup(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val root = java.nio.file.Files.createTempDirectory("graft-stingnd")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    val pairs = graft.operators.Dedup.streamIngestNearDup(
+      readDocStream(spark, d), cat, "stx", "ind", "doc_id", "text",
+      threshold = 0.8)
+      .localCheckpoint(true)
+    Seq("ind_sets", "ind_bands").foreach(cat.removeSet("stx", _))
+    graft.storage.SetCatalog.deleteTree(root)
+    pairs
+  }
+
   /** The CCNet SAMPLING recipe's STREAMING form — pipe_quality_mix as a
     * standing ingest pipeline, the stretch composition VERDICT r13 next
     * #2 names. The batch capstone cuts the corpus into quality terciles
@@ -1357,7 +1379,8 @@ object StreamingQueries {
     "st_lm_score" -> stLmScore,
     "st_pipe_lm_budget" -> stPipeLmBudget,
     "st_pipe_quality_mix" -> stPipeQualityMix,
-    "st_ingest_dedup" -> stIngestDedup)
+    "st_ingest_dedup" -> stIngestDedup,
+    "st_ingest_neardup" -> stIngestNearDup)
 
   val oracles: Map[String, String] = Map(
     "st_hourly" -> stHourlySql,
@@ -1383,5 +1406,6 @@ object StreamingQueries {
     "st_lm_score" -> stLmScoreSql,
     "st_pipe_lm_budget" -> stPipeLmBudgetSql,
     "st_pipe_quality_mix" -> stPipeQualityMixSql,
-    "st_ingest_dedup" -> stIngestDedupSql)
+    "st_ingest_dedup" -> stIngestDedupSql,
+    "st_ingest_neardup" -> PipelineQueries.ddMinhashSql)
 }

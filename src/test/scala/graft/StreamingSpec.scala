@@ -351,6 +351,48 @@ class StreamingSpec extends GraftSpecBase {
     graft.storage.SetCatalog.deleteTree(rootB)
   }
 
+  test("self-growing ingest near-dup: cross-run pairs found via the grown index") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // doc 21 is doc 1 with the last word swapped: 30-word docs share
+    // 28 of 30 distinct 2-gram shingles (jaccard ~0.93 >= 0.8); docs 2
+    // and 22 are unrelated word streams
+    val words = (0 until 30).map(i => s"w$i")
+    val t1 = words.mkString(" ")
+    val t21 = (words.dropRight(1) :+ "zz").mkString(" ")
+    val other = (100 until 130).map(i => s"q$i").mkString(" ")
+    val other2 = (200 until 230).map(i => s"r$i").mkString(" ")
+    val b1 = Seq((1L, t1), (2L, other))
+    val b2 = Seq((21L, t21), (22L, other2))
+    def runOnce(cat: graft.storage.SetCatalog,
+        rows: Seq[(Long, String)]): Set[(Long, Long)] = {
+      val input = MemoryStream[(Long, String)]
+      input.addData(rows: _*)
+      graft.operators.Dedup.streamIngestNearDup(
+        input.toDS().toDF("doc_id", "text"), cat, "t", "ind",
+        "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // one-shot: the intra-batch self-join path finds the pair
+    val rootA = java.nio.file.Files.createTempDirectory("graft-stind-a")
+    val catA = new graft.storage.SetCatalog(spark, rootA.toString)
+    assert(runOnce(catA, b1 ++ b2) == Set((1L, 21L)))
+    // split across two stream RUNS: the pair's elements never share a
+    // batch, so finding it requires the standing index the first run grew
+    val rootB = java.nio.file.Files.createTempDirectory("graft-stind-b")
+    val catB = new graft.storage.SetCatalog(spark, rootB.toString)
+    assert(runOnce(catB, b1).isEmpty)
+    assert(runOnce(catB, b2) == Set((1L, 21L)),
+      "grown band index failed to pair the cross-run near-dup")
+    // and the accumulated log equals the one-shot batch self-join
+    val batch = graft.operators.Dedup.minhashPairs(
+      (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == Set((1L, 21L)))
+    graft.storage.SetCatalog.deleteTree(rootA)
+    graft.storage.SetCatalog.deleteTree(rootB)
+  }
+
   test("streaming quality mix: frozen tercile cuts == lmQualityBuckets on the calibration slice") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, min, when}
