@@ -32,7 +32,7 @@ object Soak {
 
     // optional comma-separated family filter (minhash, simhash, simskew,
     // ivfrecall, pqrecall, ivfpqrecall, clusters, ccdist, cross, crossidx, span, spanx, exactx,
-    // frames, envelope) for isolated soak runs
+    // ingest, frames, envelope) for isolated soak runs
     val onlyFam = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
@@ -50,6 +50,12 @@ object Soak {
       * near-dups. A prefix re-mixes every coefficient.
       */
     val n = 10000000L
+    // the base corpus's one-shot verified near-dup pair count — the
+    // per-replica truth the ingest family's linear gate multiplies; the
+    // sf0.01/sf0.1 driver oracles pin this equal to the exact O(n²)
+    // jaccard pair set, so it doubles as ground truth here
+    lazy val baseNearDupPairs = graft.operators.Dedup
+      .minhashPairs(base, "doc_id", "text").count()
     def corpus(m: Int): DataFrame =
       (0 until m).map { i =>
         base.select((col("doc_id") + lit(i * n)).as("doc_id"),
@@ -204,6 +210,41 @@ object Soak {
         require(nDup == expectedDups,
           s"exactx planted $expectedDups dups but flagged $nDup at m=$m")
         cat.removeSet("soak", "c_hashes")
+        graft.storage.SetCatalog.deleteTree(root)
+      }
+
+      // self-growing ingest near-dup: the per-batch cost curve as the
+      // standing band/shingle sets grow — THE scale question for the
+      // growing-index regime: does the last batch cost what the first
+      // did plus an arrival-sized probe, or does the growing standing
+      // side creep into every batch? The corpus arrives as 8 disjoint
+      // batches driven through the public batch kernel against one
+      // catalog; each batch is timed. Linear-truth gate: replicas are
+      // word-salted (shingles never cross replicas), so the accumulated
+      // pair count must be EXACTLY m x the base corpus's one-shot
+      // verified pair count — a shortfall is a probe hole, an excess a
+      // verification leak.
+      if (fam("ingest")) {
+        val root = java.nio.file.Files.createTempDirectory("graft-soak-ing")
+        val cat = new graft.storage.SetCatalog(spark, root.toString)
+        val nb = 8
+        var nPairs = 0L
+        val secs = (0 until nb).map { i =>
+          val b = docs.filter(col("doc_id") % nb === i)
+          val t = System.nanoTime()
+          nPairs += graft.operators.Dedup.ingestNearDupBatch(
+            b, cat, "soak", "ing", "doc_id", "text").count()
+          (System.nanoTime() - t) / 1e9
+        }
+        val standing = cat.scanSet("soak", "ing_bands").count()
+        println(f"SOAK ingest  m=$m%-3d docs=$nDocs%-8d pairs=$nPairs%-7d " +
+          f"standing_bands=$standing%-9d batch_s=" +
+          secs.map(s => f"$s%.1f").mkString(","))
+        val expected = m * baseNearDupPairs
+        require(nPairs == expected,
+          s"growing ingest near-dup accumulated $nPairs pairs, expected " +
+            s"$expected (m=$m x base one-shot $baseNearDupPairs)")
+        Seq("ing_sets", "ing_bands").foreach(cat.removeSet("soak", _))
         graft.storage.SetCatalog.deleteTree(root)
       }
 

@@ -410,7 +410,19 @@ object Dedup {
       db: String, name: String, idCol: String, textCol: String,
       threshold: Double = 0.8, k: Int = 128, bands: Int = 32,
       shingleN: Int = 2,
-      sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame = {
+      sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame =
+    streamProbe(stream, batch => ingestNearDupBatch(batch, catalog, db, name,
+      idCol, textCol, threshold, k, bands, shingleN), sink)
+
+  /** One micro-batch of [[streamIngestNearDup]]: probe + grow. Public as
+    * the batch kernel so the soak harness can drive successive batches
+    * directly and time each one against the growing standing set.
+    */
+  def ingestNearDupBatch(
+      batch: DataFrame, catalog: graft.storage.SetCatalog,
+      db: String, name: String, idCol: String, textCol: String,
+      threshold: Double = 0.8, k: Int = 128, bands: Int = 32,
+      shingleN: Int = 2): DataFrame = {
     val setsName = s"${name}_sets"
     val bandsName = s"${name}_bands"
     def cand(joined: DataFrame): DataFrame =
@@ -418,38 +430,36 @@ object Dedup {
         .agg(count(lit(1)).as("n_bands"))
         .filter(col("n_bands") >= 2)
         .select(col("id_a"), col("id_b"))
-    streamProbe(stream, batch => {
-      val (nSets, nBanded) = bandFrames(batch, idCol,
-        wordShingles(col(textCol), shingleN), k, bands)
-      val exists = catalog.meta(db, bandsName).nonEmpty
-      val newA = nBanded.select(col("band"), col("bkey"), col("id").as("id_a"))
-      val newB = nBanded.select(col("band"), col("bkey"), col("id").as("id_b"))
-      val intra = cand(newA.join(newB, Seq("band", "bkey"))
-        .filter(col("id_a") < col("id_b")))
-      val cands = if (!exists) intra else intra.unionByName(
-        cand(catalog.scanSet(db, bandsName)
-          .select(col("band"), col("bkey"), col("id").as("id_a"))
-          .join(newB, Seq("band", "bkey"))))
-      val wsA = if (!exists) nSets
-        else catalog.scanSet(db, setsName).unionByName(nSets)
-      val verified = cands
-        .join(wsA.select(col("id").as("id_a"), col("ws").as("ws_a")), Seq("id_a"))
-        .join(nSets.select(col("id").as("id_b"), col("ws").as("ws_b")), Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          jaccard(col("ws_a"), col("ws_b")).as("jaccard"))
-        .filter(col("jaccard") >= threshold)
-        .localCheckpoint(eager = true)
-      if (exists) {
-        catalog.appendToSet(db, setsName, nSets)
-        catalog.appendToSet(db, bandsName, nBanded)
-      } else {
-        catalog.createSet(db, setsName, nSets, partitionColumn = Some("id"))
-        catalog.createSet(db, bandsName, nBanded, partitionColumn = Some("bkey"))
-      }
-      nSets.unpersist(blocking = false)
-      nBanded.unpersist(blocking = false)
-      verified
-    }, sink)
+    val (nSets, nBanded) = bandFrames(batch, idCol,
+      wordShingles(col(textCol), shingleN), k, bands)
+    val exists = catalog.meta(db, bandsName).nonEmpty
+    val newA = nBanded.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val newB = nBanded.select(col("band"), col("bkey"), col("id").as("id_b"))
+    val intra = cand(newA.join(newB, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b")))
+    val cands = if (!exists) intra else intra.unionByName(
+      cand(catalog.scanSet(db, bandsName)
+        .select(col("band"), col("bkey"), col("id").as("id_a"))
+        .join(newB, Seq("band", "bkey"))))
+    val wsA = if (!exists) nSets
+      else catalog.scanSet(db, setsName).unionByName(nSets)
+    val verified = cands
+      .join(wsA.select(col("id").as("id_a"), col("ws").as("ws_a")), Seq("id_a"))
+      .join(nSets.select(col("id").as("id_b"), col("ws").as("ws_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("ws_a"), col("ws_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint(eager = true)
+    if (exists) {
+      catalog.appendToSet(db, setsName, nSets)
+      catalog.appendToSet(db, bandsName, nBanded)
+    } else {
+      catalog.createSet(db, setsName, nSets, partitionColumn = Some("id"))
+      catalog.createSet(db, bandsName, nBanded, partitionColumn = Some("bkey"))
+    }
+    nSets.unpersist(blocking = false)
+    nBanded.unpersist(blocking = false)
+    verified
   }
 
   /** Shared per-micro-batch probe harness for the streaming ingest-dedup
