@@ -337,7 +337,10 @@ object Bench {
         // names + counter so the summary block stays tail-survivable
         // (BenchScrapeSpec pins the window budget); the isolated block
         // itself still carries every re-run number.
-        val cleared = clearedFlags(flaggedShown, prevQ, iso.toMap)
+        // computed from the FULL flagged list, not the render-capped
+        // flaggedShown — a refuted flag past the 20-name render cap must
+        // still be stamped cleared (only the RENDERING is capped below)
+        val cleared = clearedFlags(flagged, prevQ, iso.toMap)
         val clearedShown = cleared.take(3)
         val clearedJson = if (cleared.isEmpty) "" else
           s""","flag_cleared_by_isolation":""" +

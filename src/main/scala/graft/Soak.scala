@@ -241,9 +241,22 @@ object Soak {
           f"standing_bands=$standing%-9d batch_s=" +
           secs.map(s => f"$s%.1f").mkString(","))
         val expected = m * baseNearDupPairs
-        require(nPairs == expected,
+        // excess is a hard failure (a verification leak or a self-pair —
+        // exact jaccard admits no false positives, and the capped base
+        // equals the exact pair set on this fixture per the driver
+        // oracle); shortfall gets a small LSH-miss allowance: each
+        // replica re-randomizes every minhash, so a true pair at
+        // j ≈ threshold misses the ≥2-band filter with probability
+        // ~3e-6 independently per replica — across m×base trials the
+        // strict == gate would flake at large m
+        require(nPairs <= expected,
+          s"growing ingest near-dup accumulated $nPairs pairs, more than " +
+            s"the $expected possible (m=$m x base one-shot $baseNearDupPairs)")
+        val slack = math.max(1L, expected / 500)
+        require(nPairs >= expected - slack,
           s"growing ingest near-dup accumulated $nPairs pairs, expected " +
-            s"$expected (m=$m x base one-shot $baseNearDupPairs)")
+            s"$expected - at most $slack LSH misses (m=$m x base " +
+            s"one-shot $baseNearDupPairs)")
         Seq("ing_sets", "ing_bands").foreach(cat.removeSet("soak", _))
         graft.storage.SetCatalog.deleteTree(root)
       }

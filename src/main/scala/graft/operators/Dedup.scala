@@ -404,6 +404,14 @@ object Dedup {
     * Each batch costs one arrival-sized shingle/signature pass, one join
     * against the standing bands, and a candidate-sized verify; the sets
     * grow with corpus size exactly like the static index's build side.
+    *
+    * Replay-safe under foreachBatch's at-least-once contract: the
+    * standing side excludes the batch's OWN ids (a failed prior attempt
+    * may have appended them — without the exclusion re-delivered docs
+    * would pair with themselves at jaccard 1) and the appends anti-join
+    * on id, so a re-executed micro-batch emits exactly its first
+    * attempt's pairs and grows nothing twice; a crash between the two
+    * appends heals the same way on replay.
     */
   def streamIngestNearDup(
       stream: DataFrame, catalog: graft.storage.SetCatalog,
@@ -433,16 +441,28 @@ object Dedup {
     val (nSets, nBanded) = bandFrames(batch, idCol,
       wordShingles(col(textCol), shingleN), k, bands)
     val exists = catalog.meta(db, bandsName).nonEmpty
+    val batchIds = nSets.select(col("id"))
     val newA = nBanded.select(col("band"), col("bkey"), col("id").as("id_a"))
     val newB = nBanded.select(col("band"), col("bkey"), col("id").as("id_b"))
     val intra = cand(newA.join(newB, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b")))
+    // the standing side excludes the batch's own ids: under an
+    // at-least-once re-execution the standing sets already hold this
+    // batch's rows (appended by the failed attempt), and without the
+    // exclusion every re-delivered doc would pair with itself at
+    // jaccard 1 and intra pairs would duplicate as (a,b)+(b,a) —
+    // with it, a replayed batch emits exactly the first attempt's pairs
     val cands = if (!exists) intra else intra.unionByName(
       cand(catalog.scanSet(db, bandsName)
+        .join(batchIds, Seq("id"), "left_anti")
         .select(col("band"), col("bkey"), col("id").as("id_a"))
         .join(newB, Seq("band", "bkey"))))
+    // same batch-id exclusion on the verify side: a replayed batch's
+    // shingle sets would otherwise appear twice in wsA (standing copy +
+    // arrival copy) and double every intra pair through the id_a join
     val wsA = if (!exists) nSets
-      else catalog.scanSet(db, setsName).unionByName(nSets)
+      else catalog.scanSet(db, setsName)
+        .join(batchIds, Seq("id"), "left_anti").unionByName(nSets)
     val verified = cands
       .join(wsA.select(col("id").as("id_a"), col("ws").as("ws_a")), Seq("id_a"))
       .join(nSets.select(col("id").as("id_b"), col("ws").as("ws_b")), Seq("id_b"))
@@ -450,9 +470,17 @@ object Dedup {
         jaccard(col("ws_a"), col("ws_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .localCheckpoint(eager = true)
+    // idempotent growth: append only ids each standing set does not
+    // already hold — a replayed batch appends nothing, and a crash
+    // BETWEEN the two appends (sets landed, bands not) heals on replay
+    // because the bands anti-join still sees those ids missing
     if (exists) {
-      catalog.appendToSet(db, setsName, nSets)
-      catalog.appendToSet(db, bandsName, nBanded)
+      catalog.appendToSet(db, setsName, nSets.join(
+        catalog.scanSet(db, setsName).select(col("id")),
+        Seq("id"), "left_anti"))
+      catalog.appendToSet(db, bandsName, nBanded.join(
+        catalog.scanSet(db, bandsName).select(col("id")).distinct(),
+        Seq("id"), "left_anti"))
     } else {
       catalog.createSet(db, setsName, nSets, partitionColumn = Some("id"))
       catalog.createSet(db, bandsName, nBanded, partitionColumn = Some("bkey"))
@@ -1101,9 +1129,17 @@ object Dedup {
     * pass for the accumulated micro-batch files. Each batch costs one
     * arrival-sized aggregate + one join against the standing set + an
     * O(survivors) append; the set grows with DISTINCT content only. The
-    * survivors frame is localCheckpointed BEFORE the append — recomputing
-    * it lazily after the append would anti-join arrivals against their
-    * own just-added fingerprints and emit nothing.
+    * probe frame is localCheckpointed BEFORE the append — recomputing
+    * it lazily after the append would find the arrivals' own just-added
+    * fingerprints and emit nothing.
+    *
+    * REPLAY-SAFE under foreachBatch's at-least-once contract: the
+    * standing set records (fingerprint, CLAIMING id), not the bare
+    * fingerprint, so a re-executed micro-batch recognizes its own prior
+    * claims — a winner whose standing claim carries its own id is
+    * re-emitted (same output as the first attempt) instead of
+    * anti-joined away, and only unclaimed fingerprints append (the
+    * append is idempotent).
     */
   def streamIngestExactDedup(
       stream: DataFrame, catalog: graft.storage.SetCatalog,
@@ -1115,18 +1151,24 @@ object Dedup {
         .select(col(idCol), unhex(md5(col(textCol))).as("h"))
       // intra-batch first-wins: the minimum id per fingerprint
       val winners = keyed.groupBy(col("h")).agg(min(col(idCol)).as(idCol))
-      val fresh = (catalog.meta(db, setName) match {
+      val probed = (catalog.meta(db, setName) match {
         case Some(_) =>
-          winners.join(catalog.scanSet(db, setName).select(col("h")),
-            Seq("h"), "left_anti")
-        case None => winners
+          winners.join(catalog.scanSet(db, setName)
+              .select(col("h"), col(idCol).as("__claimed")),
+            Seq("h"), "left")
+        case None => winners.withColumn("__claimed",
+          lit(null).cast(winners.schema(idCol).dataType))
       }).localCheckpoint(eager = true)
+      val fresh = probed.filter(col("__claimed").isNull)
+        .select(col("h"), col(idCol))
       catalog.meta(db, setName) match {
-        case Some(_) => catalog.appendToSet(db, setName, fresh.select(col("h")))
-        case None => catalog.createSet(db, setName, fresh.select(col("h")),
+        case Some(_) => catalog.appendToSet(db, setName, fresh)
+        case None => catalog.createSet(db, setName, fresh,
           partitionColumn = Some("h"))
       }
-      fresh.select(col(idCol))
+      probed
+        .filter(col("__claimed").isNull || col("__claimed") === col(idCol))
+        .select(col(idCol))
     }, sink)
   }
 

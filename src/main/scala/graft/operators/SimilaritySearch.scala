@@ -644,37 +644,25 @@ object SimilaritySearch {
       policy = "none")
   }
 
-  /** Crash-recovery preamble for the rebuilds' staged-rename swaps,
-    * mirroring [[graft.storage.SetCatalog.compactSet]]'s
-    * recovery-before-cleanup pattern: a prior rebuild that died after
-    * `removeSet(target)` but before the rename left the FINISHED staging
-    * set (`<target>_rebuild`) as the only copy — complete the swap; a
-    * staging set still sitting next to a live target is a rebuild that
-    * aborted before its swap — discard it (every staged set re-derives
-    * deterministically from the untouched `<name>_vectors` set, so
-    * staged data is never the only copy of anything).
+  /** Crash-recovery preamble for the rebuilds' staged swaps — delegates
+    * to [[graft.storage.SetCatalog.recoverSwap]], whose intent marker
+    * decides authority. The earlier sidecar-inference version had a
+    * destructive hole: `removeSet` deletes the data tree BEFORE its
+    * sidecar, so a crash inside the target's remove left a live-LOOKING
+    * target (stale sidecar, no data) next to the finished staging set,
+    * and the inference discarded the staging set — the only copy.
     */
   private def recoverStagedSwap(
-      catalog: graft.storage.SetCatalog, db: String, target: String): Unit = {
-    val stage = s"${target}_rebuild"
-    val stageLive = catalog.meta(db, stage).isDefined
-    if (catalog.meta(db, target).isEmpty && stageLive)
-      catalog.renameSet(db, stage, target)
-    else if (stageLive)
-      catalog.removeSet(db, stage)
-  }
+      catalog: graft.storage.SetCatalog, db: String, target: String): Unit =
+    catalog.recoverSwap(db, s"${target}_rebuild", target)
 
-  /** The swap step itself: remove the live set and rename its finished
-    * staging set over it. The remove→rename window is the two-move gap
-    * [[recoverStagedSwap]] (plus renameSet's own half-move recovery)
-    * heals — re-running the rebuild after a crash anywhere in the swap
-    * sequence converges to a consistent index.
+  /** The swap step itself: [[graft.storage.SetCatalog.swapSet]] — intent
+    * marker, remove, rename, marker clear. A crash anywhere in the
+    * sequence converges under [[recoverStagedSwap]] on the next rebuild.
     */
   private def swapInStaged(
-      catalog: graft.storage.SetCatalog, db: String, target: String): Unit = {
-    if (catalog.meta(db, target).isDefined) catalog.removeSet(db, target)
-    catalog.renameSet(db, s"${target}_rebuild", target)
-  }
+      catalog: graft.storage.SetCatalog, db: String, target: String): Unit =
+    catalog.swapSet(db, s"${target}_rebuild", target)
 
   /** Asymmetric-distance top-k with exact re-rank: encode the corpus once
     * (the compressed code table), broadcast the queries WITH their LUTs,

@@ -1275,7 +1275,10 @@ object StreamingQueries {
     * the same model, the ties-to-the-better-tier CASE, then
     * [[stDomainBudgetSql]]'s per-(tier, shard) prefix sum in sequence
     * (doc_id) order with the head/middle/tail weights. Multiply-
-    * referenced heavy CTEs are MATERIALIZED (OracleCostSpec).
+    * referenced heavy CTEs are MATERIALIZED (OracleCostSpec). NULL cuts
+    * (an empty calibration slice) COALESCE to −∞ so the oracle lands on
+    * the Scala side's open-head-tier convention instead of CASE's
+    * NULL-falls-through-to-tail.
     */
   val stPipeQualityMixSql: String =
     """WITH lrb AS MATERIALIZED (
@@ -1332,8 +1335,12 @@ object StreamingQueries {
       |  GROUP BY 1),
       |tiered AS (
       |  SELECT d.doc_id, d.text,
-      |    CASE WHEN lsa.lm_score >= (SELECT t FROM t1) THEN '0'
-      |         WHEN lsa.lm_score >= (SELECT t FROM t2) THEN '1'
+      |    CASE WHEN lsa.lm_score >=
+      |           COALESCE((SELECT t FROM t1), CAST('-infinity' AS DOUBLE))
+      |         THEN '0'
+      |         WHEN lsa.lm_score >=
+      |           COALESCE((SELECT t FROM t2), CAST('-infinity' AS DOUBLE))
+      |         THEN '1'
       |         ELSE '2' END AS tier
       |  FROM documents d JOIN lsa ON lsa.doc_id = d.doc_id),
       |wts(domain, w) AS (

@@ -346,6 +346,85 @@ final class SetCatalog(spark: SparkSession, root: String) {
     Files.move(Paths.get(metaPath(db, from)), Paths.get(metaPath(db, to)))
   }
 
+  private def swapMarker(db: String, target: String) =
+    Paths.get(s"$root/$db.$target.swapin")
+
+  /** Replace `target` with the FINISHED `staging` set: write an intent
+    * marker, remove the target, rename staging over it, clear the
+    * marker. The marker is the commit point — from the moment it exists,
+    * staging is the authoritative copy and [[recoverSwap]] will finish
+    * the swap after a crash ANYWHERE in the remove→rename sequence.
+    * Without it, liveness had to be inferred from the sidecars, and
+    * [[removeSet]]'s own crash window (tree deleted, sidecar not)
+    * presented a live-looking target next to a staging set the
+    * recovery would then discard — destroying the only copy.
+    */
+  def swapSet(db: String, staging: String, target: String): Unit = {
+    require(meta(db, staging).isDefined,
+      s"swapSet: staging set $db.$staging does not exist")
+    Files.writeString(swapMarker(db, target), staging)
+    if (meta(db, target).isDefined || Files.exists(Paths.get(dir(db, target))))
+      removeSet(db, target)
+    renameSet(db, staging, target)
+    Files.deleteIfExists(swapMarker(db, target))
+  }
+
+  /** Heal an interrupted [[swapSet]]; call before starting a new staged
+    * rebuild of `target`. Marker PRESENT: the prior swap committed —
+    * staging is authoritative, so finish the remove+rename (whatever
+    * partial state the crash left: an un-removed or half-deleted
+    * target, or renameSet's own half-move, which its preamble
+    * completes) and clear the marker. Marker ABSENT: any staging set is
+    * a pre-swap abort — the live target is authoritative and staging is
+    * discarded (staged sets re-derive deterministically from their
+    * source sets, so a pre-commit staging copy is never the only copy
+    * of anything).
+    */
+  def recoverSwap(db: String, staging: String, target: String): Unit = {
+    val marker = swapMarker(db, target)
+    if (Files.exists(marker)) {
+      if (Files.exists(Paths.get(dir(db, staging)))) {
+        // staging data intact: finish (or redo) the remove, then rename
+        if (meta(db, target).isDefined ||
+            Files.exists(Paths.get(dir(db, target))))
+          removeSet(db, target)
+        renameSet(db, staging, target)
+      } else if (meta(db, staging).isDefined) {
+        // staging data already moved, sidecar not: renameSet's preamble
+        // detects exactly this half-move and completes the sidecar move
+        renameSet(db, staging, target)
+      } else if (meta(db, target).isDefined &&
+          !Files.exists(Paths.get(dir(db, target)))) {
+        // both staging pieces gone but the target is a dangling sidecar:
+        // the crash hit removeSet's tree-then-sidecar window AFTER the
+        // rename had... no — staging gone + target sidecar without data
+        // cannot follow a completed rename; it is an interrupted remove
+        // of the PRE-swap target with staging already consumed by an
+        // earlier recovery. Nothing to restore from; fail loudly rather
+        // than clear the marker over a hole.
+        throw new IllegalStateException(
+          s"recoverSwap: $db.$target has a sidecar but no data and no " +
+            s"staging copy survives — the index needs a rebuild from its " +
+            "source sets")
+      }
+      // else: rename fully completed before the crash — nothing to do
+      Files.deleteIfExists(marker)
+    } else if (meta(db, staging).isDefined ||
+        Files.exists(Paths.get(dir(db, staging)))) {
+      if (meta(db, target).isEmpty &&
+          !Files.exists(Paths.get(dir(db, target))) &&
+          meta(db, staging).isDefined) {
+        // no marker, but the target is fully GONE and the staging set is
+        // the only surviving copy — unreachable under swapSet's marker
+        // protocol (the marker outlives the remove), but guessing
+        // "pre-swap abort" here would discard data: adopt the staging
+        // copy instead. Pre-marker rebuild generations crash into
+        // exactly this state, so it also keeps their recovery working.
+        renameSet(db, staging, target)
+      } else removeSet(db, staging)
+    }
+  }
+
   def listSets(): Seq[(String, String)] = {
     val d = Paths.get(root)
     if (!Files.exists(d)) Seq.empty

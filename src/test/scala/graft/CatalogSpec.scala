@@ -143,6 +143,40 @@ class CatalogSpec extends GraftSpecBase {
     SetCatalog.deleteTree(java.nio.file.Paths.get(r))
   }
 
+  test("swapSet replaces the target; recoverSwap survives the interrupted-remove window") {
+    import java.nio.file.Paths
+    val r = Files.createTempDirectory("graft-swap").toString
+    val sets = new SetCatalog(spark, r)
+    def mk(name: String, n: Int) = sets.createSet("db", name,
+      Tables.nation(spark, sfDir).limit(n), policy = "none")
+    // happy path: target's 25 rows replaced by staging's 5
+    mk("t", 25); mk("t_rebuild", 5)
+    sets.swapSet("db", "t_rebuild", "t")
+    assert(sets.scanSet("db", "t").count() == 5L)
+    assert(sets.meta("db", "t_rebuild").isEmpty)
+    assert(!Files.exists(Paths.get(s"$r/db.t.swapin")))
+    // THE destructive window (round-14 review finding): the swap died
+    // inside removeSet(target) — data tree deleted, sidecar still
+    // present — leaving a live-LOOKING target. The sidecar-inference
+    // recovery discarded the staging set here, destroying the only
+    // copy; the marker must instead finish the swap.
+    mk("u", 25); mk("u_rebuild", 5)
+    Files.writeString(Paths.get(s"$r/db.u.swapin"), "u_rebuild")
+    SetCatalog.deleteTree(Paths.get(s"$r/db.u")) // tree gone, sidecar kept
+    assert(sets.meta("db", "u").isDefined, "fixture needs the stale sidecar")
+    sets.recoverSwap("db", "u_rebuild", "u")
+    assert(sets.scanSet("db", "u").count() == 5L,
+      "staging copy must survive the interrupted remove and become live")
+    assert(!Files.exists(Paths.get(s"$r/db.u.swapin")))
+    // pre-swap abort (no marker): the live target is authoritative and
+    // the staging leftover is discarded — the old behavior, preserved
+    mk("v", 25); mk("v_rebuild", 5)
+    sets.recoverSwap("db", "v_rebuild", "v")
+    assert(sets.scanSet("db", "v").count() == 25L)
+    assert(sets.meta("db", "v_rebuild").isEmpty)
+    SetCatalog.deleteTree(Paths.get(r))
+  }
+
   test("SHOW NAMESPACES IN an existing leaf namespace returns no children") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.leafns")
     assert(spark.sql("SHOW NAMESPACES IN graft.leafns").collect().isEmpty)

@@ -347,6 +347,13 @@ class StreamingSpec extends GraftSpecBase {
     // the standing index holds exactly one fingerprint per distinct content
     assert(catA.scanSet("t", "ing_hashes").count() == 3L)
     assert(catB.scanSet("t", "ing_hashes").count() == 3L)
+    // at-least-once REPLAY: re-delivering b2 must re-emit the same
+    // admissions — the standing claims carry the claiming id, so doc 12
+    // recognizes its own claim instead of being anti-joined away — and
+    // must not grow the index
+    assert(runOnce(catB, b2) == Set(12L),
+      "replayed batch lost its own first-seen admissions")
+    assert(catB.scanSet("t", "ing_hashes").count() == 3L)
     graft.storage.SetCatalog.deleteTree(rootA)
     graft.storage.SetCatalog.deleteTree(rootB)
   }
@@ -389,6 +396,16 @@ class StreamingSpec extends GraftSpecBase {
       (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", threshold = 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(batch == Set((1L, 21L)))
+    // at-least-once REPLAY: re-delivering b2 (whose rows the standing
+    // sets already hold) must emit exactly the first attempt's pairs —
+    // no self-pairs at jaccard 1, no (a,b)+(b,a) doubling — and must
+    // not grow the standing sets
+    val preBands = new graft.storage.SetCatalog(spark, rootB.toString)
+      .scanSet("t", "ind_bands").count()
+    assert(runOnce(catB, b2) == Set((1L, 21L)),
+      "replayed batch diverged from its first attempt's pair set")
+    assert(catB.scanSet("t", "ind_bands").count() == preBands,
+      "replayed batch grew the standing band set")
     graft.storage.SetCatalog.deleteTree(rootA)
     graft.storage.SetCatalog.deleteTree(rootB)
   }
