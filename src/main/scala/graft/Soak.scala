@@ -317,7 +317,7 @@ object Soak {
         val recallRetrain = (truth & retrained).size.toDouble / truth.size
         // rebuild policy, same contract as the pq/ivfpq families — for
         // IVF the rebuild re-partitions the whole vector set under the
-        // retrained codebook (staged write + renameSet swap), and the
+        // retrained codebook (staged write + marker-committed swap), and the
         // md5-ordered sample makes post-rebuild recall equal the
         // retrained line exactly
         val recallRebuild = if (m > 1) {

@@ -401,9 +401,11 @@ object Dedup {
     * (APPENDABLE — the growth is the point; the write-once bucketed
     * layout of [[persistLshIndex]] refuses appends), with
     * [[graft.storage.SetCatalog.compactSet]] as the maintenance pass.
-    * Each batch costs one arrival-sized shingle/signature pass, one join
-    * against the standing bands, and a candidate-sized verify; the sets
-    * grow with corpus size exactly like the static index's build side.
+    * Each batch costs one arrival-sized shingle/signature pass, two
+    * joins against each standing set (the probe/verify pair and the
+    * replay-guard append anti-joins below), and a candidate-sized
+    * verify; the sets grow with corpus size exactly like the static
+    * index's build side.
     *
     * Replay-safe under foreachBatch's at-least-once contract: the
     * standing side excludes the batch's OWN ids (a failed prior attempt
@@ -478,8 +480,11 @@ object Dedup {
       catalog.appendToSet(db, setsName, nSets.join(
         catalog.scanSet(db, setsName).select(col("id")),
         Seq("id"), "left_anti"))
+      // no distinct() on the right side: left_anti is set-semantics over
+      // the probe side regardless of right-side duplicates, and a
+      // distinct would shuffle the whole growing band set every batch
       catalog.appendToSet(db, bandsName, nBanded.join(
-        catalog.scanSet(db, bandsName).select(col("id")).distinct(),
+        catalog.scanSet(db, bandsName).select(col("id")),
         Seq("id"), "left_anti"))
     } else {
       catalog.createSet(db, setsName, nSets, partitionColumn = Some("id"))
@@ -1151,15 +1156,26 @@ object Dedup {
         .select(col(idCol), unhex(md5(col(textCol))).as("h"))
       // intra-batch first-wins: the minimum id per fingerprint
       val winners = keyed.groupBy(col("h")).agg(min(col(idCol)).as(idCol))
+      val idType = winners.schema(idCol).dataType
       val probed = (catalog.meta(db, setName) match {
         case Some(_) =>
-          winners.join(catalog.scanSet(db, setName)
-              .select(col("h"), col(idCol).as("__claimed")),
-            Seq("h"), "left")
-        case None => winners.withColumn("__claimed",
-          lit(null).cast(winners.schema(idCol).dataType))
+          val standing = catalog.scanSet(db, setName)
+          // bare-fingerprint sets persisted before the claim column
+          // existed still probe (a legacy hit drops the duplicate; only
+          // the replay re-emission needs the claiming id). New appends
+          // carry the claim column from here on.
+          val claims =
+            if (standing.columns.contains(idCol))
+              standing.select(col("h"), col(idCol).as("__claimed"),
+                lit(true).as("__hit"))
+            else standing.select(col("h"),
+              lit(null).cast(idType).as("__claimed"), lit(true).as("__hit"))
+          winners.join(claims, Seq("h"), "left")
+        case None => winners
+          .withColumn("__claimed", lit(null).cast(idType))
+          .withColumn("__hit", lit(null).cast("boolean"))
       }).localCheckpoint(eager = true)
-      val fresh = probed.filter(col("__claimed").isNull)
+      val fresh = probed.filter(col("__hit").isNull)
         .select(col("h"), col(idCol))
       catalog.meta(db, setName) match {
         case Some(_) => catalog.appendToSet(db, setName, fresh)
@@ -1167,7 +1183,7 @@ object Dedup {
           partitionColumn = Some("h"))
       }
       probed
-        .filter(col("__claimed").isNull || col("__claimed") === col(idCol))
+        .filter(col("__hit").isNull || col("__claimed") === col(idCol))
         .select(col(idCol))
     }, sink)
   }

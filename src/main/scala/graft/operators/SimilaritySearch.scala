@@ -369,15 +369,16 @@ object SimilaritySearch {
     * [[ivfTopK]] trains on, so post-rebuild recall equals the retrained
     * line exactly — soak-asserted) and re-partition the corpus under the
     * new cells. The rewrite goes to a STAGING set and swaps in via
-    * [[graft.storage.SetCatalog.renameSet]] — source and destination
-    * are the same set here (the cells are the corpus layout), so an
-    * in-place overwrite would read what it is deleting.
+    * [[graft.storage.SetCatalog.swapSetGroup]] (marker-committed
+    * remove+rename) — source and destination are the same set here (the
+    * cells are the corpus layout), so an in-place overwrite would read
+    * what it is deleting.
     */
   def rebuildIvfIndex(
       spark: SparkSession, catalog: graft.storage.SetCatalog,
       db: String, name: String, iters: Int = 3): Unit = {
-    Seq("vectors", "centroids")
-      .foreach(s => recoverStagedSwap(catalog, db, s"${name}_$s"))
+    recoverStagedSwaps(catalog, db, Seq("vectors", "centroids")
+      .map(s => s"${name}_$s"))
     val nCentroids = catalog.scanSet(db, s"${name}_centroids").count().toInt
     val vecs = catalog.scanSet(db, s"${name}_vectors")
       .select(col("neighbor_id"), col("n_vec"), col("n_nrm"))
@@ -389,11 +390,11 @@ object SimilaritySearch {
     // part; the cells ARE the corpus layout here) runs while searches
     // still see the consistent old (centroids, vectors) pair, and a
     // crash before the swaps leaves the live index untouched. The two
-    // swaps run back-to-back; a crash between them (new vectors under
-    // the old codebook) or inside either remove→rename window is healed
-    // by re-running this rebuild (recoverStagedSwap + renameSet's
-    // half-move recovery), which re-derives all staged state from the
-    // vectors set.
+    // swaps commit as ONE marker group (swapSetGroup): a crash between
+    // them (new vectors under the old codebook) or inside either
+    // remove→rename window is FINISHED — not discarded — by the next
+    // rebuild's recoverSwapGroup preamble, so no mixed-generation index
+    // ever serves a search.
     catalog.createPartitionedSet(db, s"${name}_vectors_rebuild",
       vecs.select(col("neighbor_id"), col("n_vec"), col("n_nrm"),
         assign(col("n_vec")).as("bucket")),
@@ -403,8 +404,8 @@ object SimilaritySearch {
         .map { case (v, b) => (b.toLong, v.toSeq) }.toSeq
         .toDF("bucket", "centroid"),
       policy = "none")
-    swapInStaged(catalog, db, s"${name}_vectors")
-    swapInStaged(catalog, db, s"${name}_centroids")
+    swapInStaged(catalog, db,
+      Seq(s"${name}_vectors", s"${name}_centroids"))
     persistBuiltRows(spark, catalog, db, name)
   }
 
@@ -645,24 +646,31 @@ object SimilaritySearch {
   }
 
   /** Crash-recovery preamble for the rebuilds' staged swaps — delegates
-    * to [[graft.storage.SetCatalog.recoverSwap]], whose intent marker
-    * decides authority. The earlier sidecar-inference version had a
-    * destructive hole: `removeSet` deletes the data tree BEFORE its
-    * sidecar, so a crash inside the target's remove left a live-LOOKING
-    * target (stale sidecar, no data) next to the finished staging set,
-    * and the inference discarded the staging set — the only copy.
+    * to [[graft.storage.SetCatalog.recoverSwapGroup]], whose GROUP
+    * intent marker decides authority for all of a rebuild's sets at
+    * once: a crash between two member swaps no longer leaves a
+    * mixed-generation live index (new codes under old codebooks) for
+    * the next rebuild run to discover — recovery finishes every member.
+    * The earlier sidecar-inference version had a destructive hole on
+    * top: `removeSet` deletes the data tree BEFORE its sidecar, so a
+    * crash inside the target's remove left a live-LOOKING target (stale
+    * sidecar, no data) next to the finished staging set, and the
+    * inference discarded the staging set — the only copy.
     */
-  private def recoverStagedSwap(
-      catalog: graft.storage.SetCatalog, db: String, target: String): Unit =
-    catalog.recoverSwap(db, s"${target}_rebuild", target)
+  private def recoverStagedSwaps(
+      catalog: graft.storage.SetCatalog, db: String,
+      targets: Seq[String]): Unit =
+    catalog.recoverSwapGroup(db, targets.map(t => s"${t}_rebuild" -> t))
 
-  /** The swap step itself: [[graft.storage.SetCatalog.swapSet]] — intent
-    * marker, remove, rename, marker clear. A crash anywhere in the
-    * sequence converges under [[recoverStagedSwap]] on the next rebuild.
+  /** The swap step itself: [[graft.storage.SetCatalog.swapSetGroup]] —
+    * one marker for the whole set group, then remove+rename per member,
+    * then marker clear. A crash anywhere in the sequence (including
+    * BETWEEN members) converges under [[recoverStagedSwaps]].
     */
   private def swapInStaged(
-      catalog: graft.storage.SetCatalog, db: String, target: String): Unit =
-    catalog.swapSet(db, s"${target}_rebuild", target)
+      catalog: graft.storage.SetCatalog, db: String,
+      targets: Seq[String]): Unit =
+    catalog.swapSetGroup(db, targets.map(t => s"${t}_rebuild" -> t))
 
   /** Asymmetric-distance top-k with exact re-rank: encode the corpus once
     * (the compressed code table), broadcast the queries WITH their LUTs,
@@ -873,8 +881,8 @@ object SimilaritySearch {
   def rebuildPqIndex(
       spark: SparkSession, catalog: graft.storage.SetCatalog,
       db: String, name: String, iters: Int = 2): Unit = {
-    Seq("codes", "codebooks")
-      .foreach(s => recoverStagedSwap(catalog, db, s"${name}_$s"))
+    recoverStagedSwaps(catalog, db, Seq("codes", "codebooks")
+      .map(s => s"${name}_$s"))
     val old = loadPqCodebooks(catalog, db, name)
     val m = old.length
     val kSub = old(0).length
@@ -887,17 +895,16 @@ object SimilaritySearch {
     // live state: searches keep reading the consistent old
     // (codebooks, codes) pair for the whole expensive part, and a crash
     // anywhere before the swaps leaves the live index untouched. The
-    // swaps then run back-to-back; a crash between them leaves new codes
-    // under old codebooks for exactly one re-run — the recovery step is
-    // to re-run this rebuild, which re-derives everything from the
-    // untouched vectors set ([[recoverStagedSwap]] heals the remove→
-    // rename windows on entry).
+    // swaps then commit as ONE marker group (swapSetGroup): a crash
+    // between them no longer leaves new codes under old codebooks — the
+    // next rebuild's recoverSwapGroup preamble finishes the whole group
+    // before anything else runs.
     catalog.createSet(db, s"${name}_codes_rebuild",
       vecs.select(col("neighbor_id"), encode(col("n_vec")).as("codes")),
       partitionColumn = cm.partitionColumn, numPartitions = cm.numPartitions)
     persistCodebooks(spark, catalog, db, name, codebooks, suffix = "_rebuild")
-    swapInStaged(catalog, db, s"${name}_codes")
-    swapInStaged(catalog, db, s"${name}_codebooks")
+    swapInStaged(catalog, db,
+      Seq(s"${name}_codes", s"${name}_codebooks"))
     persistBuiltRows(spark, catalog, db, name)
   }
 
@@ -911,8 +918,8 @@ object SimilaritySearch {
   def rebuildIvfPqIndex(
       spark: SparkSession, catalog: graft.storage.SetCatalog,
       db: String, name: String, iters: Int = 2): Unit = {
-    Seq("codes", "centroids", "codebooks")
-      .foreach(s => recoverStagedSwap(catalog, db, s"${name}_$s"))
+    recoverStagedSwaps(catalog, db, Seq("codes", "centroids", "codebooks")
+      .map(s => s"${name}_$s"))
     val nCentroids = catalog.scanSet(db, s"${name}_centroids").count().toInt
     val old = loadPqCodebooks(catalog, db, name)
     val m = old.length
@@ -927,10 +934,10 @@ object SimilaritySearch {
     // Stage the data rewrite AND both model writes before touching live
     // state (rebuildPqIndex's ordering rationale): the expensive
     // re-encode scan runs while searches still see the consistent old
-    // (centroids, codebooks, codes) triple; the three swaps then run
-    // back-to-back, and a crash between any two of them is healed by
-    // re-running this rebuild (recoverStagedSwap + renameSet's half-move
-    // recovery make the re-run converge; everything staged re-derives
+    // (centroids, codebooks, codes) triple; the three swaps then commit
+    // as ONE marker group (swapSetGroup), and a crash between any two of
+    // them is FINISHED by the next rebuild's recoverSwapGroup preamble
+    // (no mixed-generation window; everything staged re-derives
     // from the untouched vectors set).
     catalog.createPartitionedSet(db, s"${name}_codes_rebuild",
       vecs.select(col("neighbor_id"), encode(col("n_vec")).as("codes"),
@@ -942,9 +949,8 @@ object SimilaritySearch {
         .toDF("bucket", "centroid"),
       policy = "none")
     persistCodebooks(spark, catalog, db, name, codebooks, suffix = "_rebuild")
-    swapInStaged(catalog, db, s"${name}_codes")
-    swapInStaged(catalog, db, s"${name}_centroids")
-    swapInStaged(catalog, db, s"${name}_codebooks")
+    swapInStaged(catalog, db, Seq(s"${name}_codes",
+      s"${name}_centroids", s"${name}_codebooks"))
     persistBuiltRows(spark, catalog, db, name)
   }
 

@@ -346,84 +346,115 @@ final class SetCatalog(spark: SparkSession, root: String) {
     Files.move(Paths.get(metaPath(db, from)), Paths.get(metaPath(db, to)))
   }
 
-  private def swapMarker(db: String, target: String) =
-    Paths.get(s"$root/$db.$target.swapin")
-
-  /** Replace `target` with the FINISHED `staging` set: write an intent
-    * marker, remove the target, rename staging over it, clear the
-    * marker. The marker is the commit point — from the moment it exists,
-    * staging is the authoritative copy and [[recoverSwap]] will finish
-    * the swap after a crash ANYWHERE in the remove→rename sequence.
-    * Without it, liveness had to be inferred from the sidecars, and
-    * [[removeSet]]'s own crash window (tree deleted, sidecar not)
-    * presented a live-looking target next to a staging set the
-    * recovery would then discard — destroying the only copy.
+  /** One marker per swap GROUP, named by the sorted target list — the
+    * rebuild that owns a group always knows its exact member sets, so
+    * recovery reconstructs the same name.
     */
-  def swapSet(db: String, staging: String, target: String): Unit = {
-    require(meta(db, staging).isDefined,
-      s"swapSet: staging set $db.$staging does not exist")
-    Files.writeString(swapMarker(db, target), staging)
-    if (meta(db, target).isDefined || Files.exists(Paths.get(dir(db, target))))
-      removeSet(db, target)
-    renameSet(db, staging, target)
-    Files.deleteIfExists(swapMarker(db, target))
+  private def swapMarker(db: String, targets: Seq[String]) =
+    Paths.get(s"$root/$db.${targets.sorted.mkString("+")}.swapin")
+
+  /** Replace each `target` with its FINISHED `staging` set — as ONE
+    * crash-atomic group: write a single intent marker covering every
+    * pair, run the remove+rename sequence for each, clear the marker.
+    * The marker is the commit point — from the moment it exists, every
+    * staging set is authoritative and [[recoverSwapGroup]] finishes ALL
+    * of them after a crash anywhere in the sequence, INCLUDING between
+    * two member swaps. Per-set markers could not give that: a crash
+    * between a completed vectors swap and the pending centroids swap
+    * would leave no marker anywhere, the next recovery would discard
+    * the staged centroids that match the already-live vectors, and the
+    * index would serve new bucket assignments under old centroids —
+    * silently wrong neighbors until someone happened to re-run the
+    * rebuild. (Sidecar-inference recovery was worse still:
+    * [[removeSet]] deletes the data tree before its sidecar, so a crash
+    * inside the remove presented a live-LOOKING target next to the
+    * staging set, and the inference discarded the only copy.)
+    */
+  def swapSetGroup(db: String, pairs: Seq[(String, String)]): Unit = {
+    pairs.foreach { case (staging, _) =>
+      require(meta(db, staging).isDefined,
+        s"swapSetGroup: staging set $db.$staging does not exist")
+    }
+    val marker = swapMarker(db, pairs.map(_._2))
+    Files.writeString(marker,
+      pairs.map { case (s, t) => s"$s -> $t" }.mkString("\n"))
+    pairs.foreach { case (staging, target) =>
+      if (meta(db, target).isDefined ||
+          Files.exists(Paths.get(dir(db, target))))
+        removeSet(db, target)
+      renameSet(db, staging, target)
+    }
+    Files.deleteIfExists(marker)
   }
 
-  /** Heal an interrupted [[swapSet]]; call before starting a new staged
-    * rebuild of `target`. Marker PRESENT: the prior swap committed —
-    * staging is authoritative, so finish the remove+rename (whatever
-    * partial state the crash left: an un-removed or half-deleted
-    * target, or renameSet's own half-move, which its preamble
-    * completes) and clear the marker. Marker ABSENT: any staging set is
-    * a pre-swap abort — the live target is authoritative and staging is
-    * discarded (staged sets re-derive deterministically from their
-    * source sets, so a pre-commit staging copy is never the only copy
-    * of anything).
+  /** [[swapSetGroup]] for a single pair. */
+  def swapSet(db: String, staging: String, target: String): Unit =
+    swapSetGroup(db, Seq(staging -> target))
+
+  /** Heal an interrupted [[swapSetGroup]]; call with the SAME pairs
+    * before starting a new staged rebuild. Marker PRESENT: the prior
+    * group committed — every staging set is authoritative, so finish
+    * each member's remove+rename (whatever partial state the crash
+    * left: an un-removed or half-deleted target, a completed member, or
+    * renameSet's own half-move, which its preamble completes) and clear
+    * the marker. Marker ABSENT: staging leftovers are a pre-swap abort
+    * and the live targets are authoritative — discard them (staged sets
+    * re-derive deterministically from their source sets) — EXCEPT when
+    * a target is gone or half-gone and its staging copy survives, the
+    * footprint of a pre-marker-generation crash: adopt the staging copy
+    * rather than guess destructively.
     */
-  def recoverSwap(db: String, staging: String, target: String): Unit = {
-    val marker = swapMarker(db, target)
+  def recoverSwapGroup(db: String, pairs: Seq[(String, String)]): Unit = {
+    val marker = swapMarker(db, pairs.map(_._2))
     if (Files.exists(marker)) {
-      if (Files.exists(Paths.get(dir(db, staging)))) {
-        // staging data intact: finish (or redo) the remove, then rename
-        if (meta(db, target).isDefined ||
-            Files.exists(Paths.get(dir(db, target))))
-          removeSet(db, target)
-        renameSet(db, staging, target)
-      } else if (meta(db, staging).isDefined) {
-        // staging data already moved, sidecar not: renameSet's preamble
-        // detects exactly this half-move and completes the sidecar move
-        renameSet(db, staging, target)
-      } else if (meta(db, target).isDefined &&
-          !Files.exists(Paths.get(dir(db, target)))) {
-        // both staging pieces gone but the target is a dangling sidecar:
-        // the crash hit removeSet's tree-then-sidecar window AFTER the
-        // rename had... no — staging gone + target sidecar without data
-        // cannot follow a completed rename; it is an interrupted remove
-        // of the PRE-swap target with staging already consumed by an
-        // earlier recovery. Nothing to restore from; fail loudly rather
-        // than clear the marker over a hole.
-        throw new IllegalStateException(
-          s"recoverSwap: $db.$target has a sidecar but no data and no " +
-            s"staging copy survives — the index needs a rebuild from its " +
-            "source sets")
+      pairs.foreach { case (staging, target) =>
+        if (Files.exists(Paths.get(dir(db, staging)))) {
+          // staging data intact: finish (or redo) the remove, then rename
+          if (meta(db, target).isDefined ||
+              Files.exists(Paths.get(dir(db, target))))
+            removeSet(db, target)
+          renameSet(db, staging, target)
+        } else if (meta(db, staging).isDefined) {
+          // staging data already moved, sidecar not: renameSet's preamble
+          // detects exactly this half-move and completes the sidecar move
+          renameSet(db, staging, target)
+        } else if (meta(db, target).isDefined &&
+            !Files.exists(Paths.get(dir(db, target)))) {
+          // both staging pieces gone but the target is a dangling
+          // sidecar: cannot follow a completed rename — an interrupted
+          // remove with the staging already consumed. Nothing to restore
+          // from; fail loudly rather than clear the marker over a hole.
+          throw new IllegalStateException(
+            s"recoverSwapGroup: $db.$target has a sidecar but no data " +
+              "and no staging copy survives — the index needs a rebuild " +
+              "from its source sets")
+        }
+        // else: this member's rename completed before the crash
       }
-      // else: rename fully completed before the crash — nothing to do
       Files.deleteIfExists(marker)
-    } else if (meta(db, staging).isDefined ||
-        Files.exists(Paths.get(dir(db, staging)))) {
-      if (meta(db, target).isEmpty &&
-          !Files.exists(Paths.get(dir(db, target))) &&
-          meta(db, staging).isDefined) {
-        // no marker, but the target is fully GONE and the staging set is
-        // the only surviving copy — unreachable under swapSet's marker
-        // protocol (the marker outlives the remove), but guessing
-        // "pre-swap abort" here would discard data: adopt the staging
-        // copy instead. Pre-marker rebuild generations crash into
-        // exactly this state, so it also keeps their recovery working.
-        renameSet(db, staging, target)
-      } else removeSet(db, staging)
+    } else pairs.foreach { case (staging, target) =>
+      val stageMeta = meta(db, staging).isDefined
+      val stageDir = Files.exists(Paths.get(dir(db, staging)))
+      if (stageMeta || stageDir) {
+        val targetGone = meta(db, target).isEmpty &&
+          !Files.exists(Paths.get(dir(db, target)))
+        // renameSet's mid-rename footprint: data landed under the
+        // target, neither sidecar moved/written — completing the
+        // sidecar move is the only non-destructive option (discarding
+        // the staging sidecar would strand the data meta-less forever)
+        val halfMoved = !stageDir && stageMeta &&
+          Files.exists(Paths.get(dir(db, target))) &&
+          !Files.exists(Paths.get(metaPath(db, target)))
+        if ((targetGone || halfMoved) && stageMeta)
+          renameSet(db, staging, target)
+        else removeSet(db, staging)
+      }
     }
   }
+
+  /** [[recoverSwapGroup]] for a single pair. */
+  def recoverSwap(db: String, staging: String, target: String): Unit =
+    recoverSwapGroup(db, Seq(staging -> target))
 
   def listSets(): Seq[(String, String)] = {
     val d = Paths.get(root)
