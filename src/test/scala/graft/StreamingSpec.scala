@@ -358,6 +358,34 @@ class StreamingSpec extends GraftSpecBase {
     graft.storage.SetCatalog.deleteTree(rootB)
   }
 
+  test("ingest dedup standing sets survive compaction mid-stream") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the growing sets accumulate one file per micro-batch; compactSet
+    // is the documented maintenance valve — probes after a compaction
+    // must behave exactly as before it
+    val root = java.nio.file.Files.createTempDirectory("graft-sting-cpt")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    def runExact(rows: Seq[(Long, String)]): Set[Long] = {
+      val input = MemoryStream[(Long, String)]
+      input.addData(rows: _*)
+      graft.operators.Dedup.streamIngestExactDedup(
+        input.toDS().toDF("doc_id", "text"), cat, "t", "ing",
+        "doc_id", "text")
+        .collect().map(_.getLong(0)).toSet
+    }
+    assert(runExact(Seq((1L, "aaa"), (2L, "bbb"))) == Set(1L, 2L))
+    assert(runExact(Seq((3L, "ccc"))) == Set(3L))
+    cat.compactSet("t", "ing_hashes")
+    assert(cat.scanSet("t", "ing_hashes").count() == 3L)
+    // post-compaction: dups of all three pre-compaction contents drop,
+    // fresh content admits, and the set keeps growing
+    assert(runExact(Seq((11L, "aaa"), (12L, "ccc"), (13L, "ddd"))) ==
+      Set(13L))
+    assert(cat.scanSet("t", "ing_hashes").count() == 4L)
+    graft.storage.SetCatalog.deleteTree(root)
+  }
+
   test("self-growing ingest near-dup: cross-run pairs found via the grown index") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
