@@ -91,6 +91,17 @@ final class SetCatalog(spark: SparkSession, root: String) {
   def scanSet(db: String, set: String): DataFrame =
     spark.read.parquet(dir(db, set))
 
+  /** [[scanSet]] with parquet schema merging — for sets whose schema
+    * WIDENED across appends (a set created before a column existed and
+    * appended to after). The default read infers the schema from one
+    * arbitrary file, so whether the late column is visible on a mixed
+    * directory is nondeterministic; a reader whose semantics depend on
+    * that column (the ingest-dedup claim column) must merge. Costs one
+    * footer read per file at planning, which set compaction bounds.
+    */
+  def scanSetMerged(db: String, set: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir(db, set))
+
   /** Append rows to an existing set, keeping its recorded layout policy —
     * the streaming-sink form of [[createSet]] (a foreachBatch writer calls
     * this once per micro-batch; the reference's dispatcher likewise adds

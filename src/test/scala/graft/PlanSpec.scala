@@ -161,6 +161,62 @@ class PlanSpec extends GraftSpecBase {
       s"non-allowlisted queries planning all-pairs joins: $offenders")
   }
 
+  test("ingest near-dup batch reads each standing set once (guard reads only the id column)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // VERDICT r14 next #2's done-criterion: the per-batch plan scans the
+    // standing band set ONCE (candidate join) and the standing shingle
+    // set ONCE (verify join); the replay guard's extra read is
+    // column-pruned to the 8-byte id — at 100 TB that is the difference
+    // between arrival-bound and corpus-IO-bound ingest
+    val root = java.nio.file.Files.createTempDirectory("graft-plan-ind")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    val corpus = (0L until 20L)
+      .map(i => (i, (0 until 25).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.ingestNearDupBatch(
+      corpus, cat, "p", "ind", "doc_id", "text")
+    val batch = Seq((100L, (0 until 25).map(j => s"z$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val (nSets, nBanded) = graft.operators.Dedup.bandFrames(
+      batch, "doc_id",
+      graft.functions.TextFunctions.wordShingles(col("text"), 2), 128, 32)
+    // (Location, ReadSchema) per parquet scan block of the FORMATTED
+    // plan — the AQE wrapper hides physical scan nodes from collect, but
+    // the formatted explain always lists every scan with its location
+    // and pruned schema
+    def scansOf(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] = {
+      val lines = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        .split("\n").map(_.trim)
+      var loc = ""
+      lines.flatMap {
+        case l if l.startsWith("Location:") => loc = l; None
+        case l if l.startsWith("ReadSchema:") => Some((loc, l))
+        case _ => None
+      }.toSeq
+    }
+    val probe = graft.operators.Dedup.ingestNearDupProbe(
+      nSets, nBanded,
+      Some((cat.scanSet("p", "ind_sets"), cat.scanSet("p", "ind_bands"))),
+      threshold = 0.8)
+    val probeScans = scansOf(probe)
+    assert(probeScans.count(_._1.contains("p.ind_bands")) == 1,
+      s"probe should scan the standing band set exactly once: $probeScans")
+    assert(probeScans.count(_._1.contains("p.ind_sets")) == 1,
+      s"probe should scan the standing shingle set exactly once: $probeScans")
+    // the append guard: one more read of the shingle set, pruned to id
+    val guard = nSets.select(col("id"))
+      .join(cat.scanSet("p", "ind_sets").select(col("id")), Seq("id"), "left_semi")
+    val guardSchemas = scansOf(guard).collect {
+      case (l, s) if l.contains("p.ind_sets") => s
+    }
+    assert(guardSchemas == Seq("ReadSchema: struct<id:bigint>"),
+      s"guard read of the standing set should prune to the id column: $guardSchemas")
+    nSets.unpersist(); nBanded.unpersist()
+    graft.storage.SetCatalog.deleteTree(root)
+  }
+
   test("README's stated query count matches the live registry") {
     // the README is contract surface the judge reads; a drifted count
     // (happened rounds 4 and 5) now fails CI instead of shipping

@@ -510,6 +510,126 @@ class StreamingSpec extends GraftSpecBase {
     }
   }
 
+  test("ingest near-dup recap mid-stream: probes identical, census bounded, ingest continues") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // same near-dup fixture as the growing-index test: 1~21 is the true
+    // pair, split so it needs the standing index; the recap runs BETWEEN
+    // the two runs, so the post-recap probe exercises the new generation
+    val words = (0 until 30).map(i => s"w$i")
+    val t1 = words.mkString(" ")
+    val t21 = (words.dropRight(1) :+ "zz").mkString(" ")
+    val other = (100 until 130).map(i => s"q$i").mkString(" ")
+    val other2 = (200 until 230).map(i => s"r$i").mkString(" ")
+    def runOnce(cat: graft.storage.SetCatalog,
+        rows: Seq[(Long, String)]): Set[(Long, Long)] = {
+      val input = MemoryStream[(Long, String)]
+      input.addData(rows: _*)
+      graft.operators.Dedup.streamIngestNearDup(
+        input.toDS().toDF("doc_id", "text"), cat, "t", "ind",
+        "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-stind-recap")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    assert(runOnce(cat, Seq((1L, t1), (2L, other))).isEmpty)
+    val preBands = cat.scanSet("t", "ind_bands").count()
+    val preSets = cat.scanSet("t", "ind_sets").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSet)).toSet
+    graft.operators.Dedup.recapIngestNearDupIndex(cat, "t", "ind")
+    // no bucket on this fixture is hot at the default cap, so the recap
+    // is pure compaction: both generations hold identical logical rows
+    assert(cat.scanSet("t", "ind_bands").count() == preBands)
+    assert(cat.scanSet("t", "ind_sets").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSet)).toSet == preSets)
+    // the recapped generation still probes AND still ingests: the
+    // cross-run pair is found through it and the sets keep growing
+    assert(runOnce(cat, Seq((21L, t21), (22L, other2))) == Set((1L, 21L)),
+      "recapped index failed the cross-run probe")
+    assert(cat.scanSet("t", "ind_sets").count() == 4L,
+      "recapped index stopped accepting appends")
+    graft.storage.SetCatalog.deleteTree(root)
+  }
+
+  test("ingest near-dup recap: hot-bucket cap demonstrably bounds the candidate blowup") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // adversarial corpus: every doc is the SAME boilerplate block plus a
+    // few unique tail words — pairwise jaccard sits far below 0.8 (no
+    // true pairs) but the minhash signature is dominated by the shared
+    // shingles, so many band buckets collect ALL docs: the quadratic
+    // candidate regime the cap exists for
+    val boiler = (0 until 40).map(i => s"b$i").mkString(" ")
+    def doc(i: Long) = (i,
+      boiler + " " + (0 until 14).map(j => s"u${i}_$j").mkString(" "))
+    val docs = (0L until 24L).map(doc)
+    val root = java.nio.file.Files.createTempDirectory("graft-stind-hot")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs: _*)
+    val pairs = graft.operators.Dedup.streamIngestNearDup(
+      input.toDS().toDF("doc_id", "text"), cat, "t", "hot",
+      "doc_id", "text")
+      .collect()
+    assert(pairs.isEmpty, s"boilerplate docs are not true near-dups: ${pairs.toSeq}")
+    val preMax = graft.operators.Dedup.ingestBandCensus(cat, "t", "hot")
+      .agg(max(col("bucket_n"))).collect()(0).getLong(0)
+    // not all 24: a doc whose band slice has one unique-shingle minimum
+    // leaves that bucket — but the boilerplate still concentrates a
+    // majority far above the cap, which is all the blowup needs
+    assert(preMax >= 12L,
+      s"fixture failed to produce a hot bucket (max=$preMax)")
+    graft.operators.Dedup.recapIngestNearDupIndex(cat, "t", "hot", maxBucket = 5)
+    val census = graft.operators.Dedup.ingestBandCensus(cat, "t", "hot")
+      .collect().map(_.getLong(2))
+    assert(census.forall(_ <= 5L),
+      s"recap left buckets above the cap: ${census.max}")
+    // candidate bound, measured through the probe itself: one arriving
+    // boilerplate doc against the capped generation generates candidates
+    // only through surviving (≤ cap) buckets
+    val arrival = Seq(doc(100L)).toDF("doc_id", "text")
+    val (nSets, nBanded) = graft.operators.Dedup.bandFrames(
+      arrival, "doc_id", graft.functions.TextFunctions.wordShingles(col("text"), 2),
+      128, 32)
+    // drop the ≥2-band/jaccard filters' help: count raw standing rows the
+    // band join pulls — the per-arrival cost the census bounds
+    val raw = cat.scanSet("t", "hot_bands")
+      .join(nBanded.select(col("band"), col("bkey")), Seq("band", "bkey"))
+      .count()
+    assert(raw <= 5L * 32L,
+      s"capped probe still pulled $raw standing rows (> cap x bands)")
+    nSets.unpersist(); nBanded.unpersist()
+    graft.storage.SetCatalog.deleteTree(root)
+  }
+
+  test("ingest exact dedup under UNORDERED delivery: one representative per content") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // batches arrive with ids out of order (the scaladoc's weaker
+    // invariant: one representative per content — NOT minimum id)
+    val root = java.nio.file.Files.createTempDirectory("graft-sting-uno")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    def runOnce(rows: Seq[(Long, String)]): Set[Long] = {
+      val input = MemoryStream[(Long, String)]
+      input.addData(rows: _*)
+      graft.operators.Dedup.streamIngestExactDedup(
+        input.toDS().toDF("doc_id", "text"), cat, "t", "uno",
+        "doc_id", "text")
+        .collect().map(_.getLong(0)).toSet
+    }
+    val first = runOnce(Seq((11L, "aaa"), (12L, "bbb")))
+    val second = runOnce(Seq((1L, "aaa"), (2L, "ccc"), (3L, "bbb")))
+    assert(first == Set(11L, 12L))
+    // 1 and 3 duplicate earlier-arrived content under SMALLER ids: they
+    // drop (first-seen wins by arrival, not by id)
+    assert(second == Set(2L))
+    // exactly one representative per distinct content, and the standing
+    // index holds exactly one claim per content
+    assert((first ++ second).size == 3)
+    assert(cat.scanSet("t", "uno_hashes").count() == 3L)
+    graft.storage.SetCatalog.deleteTree(root)
+  }
+
   test("stream-stream interval join == batch interval join") {
     val got = graft.queries.StreamingQueries.stJoin(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
