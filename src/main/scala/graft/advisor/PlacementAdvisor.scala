@@ -248,6 +248,26 @@ final class PlacementAdvisor(historyPath: Option[String] = None) {
     math.min(pow2, 65536L).toInt
   }
 
+  /** The auto-compaction trigger for an appendable set whose COMPACTED
+    * tiling is `layoutFiles` files (a hash set's recorded partition
+    * count; ceil(bytes/target) for plain sets) — the advisor's sizing of
+    * [[graft.storage.SetCatalog]]'s `spark.graft.catalog.autoCompact
+    * .files` valve (VERDICT r14 next #5). Compaction rewrites the WHOLE
+    * set, so the rule amortizes: let the file count drift to
+    * `growthFactor`× the compacted tiling before paying — each rewrite
+    * then buys at least (growthFactor−1)·layoutFiles appends of
+    * headroom, keeping total compaction IO within
+    * growthFactor/(growthFactor−1) ≈ 1.33× of the data ever written.
+    * The floor keeps small sets from compacting every few micro-batches
+    * when the listing cost they'd save is already negligible.
+    */
+  def recommendCompactionTrigger(
+      layoutFiles: Int, growthFactor: Int = 4, floor: Int = 64): Int = {
+    require(layoutFiles >= 0 && growthFactor >= 2,
+      s"need layoutFiles >= 0 and growthFactor >= 2, got ($layoutFiles, $growthFactor)")
+    math.max(floor, growthFactor * math.max(1, layoutFiles))
+  }
+
   /** SemDeDup clustering geometry from an observed corpus size — the
     * same role [[recommendBuckets]] plays for index layouts, applied to
     * the semantic-dedup regime knobs (VERDICT r12 next #7: the operator

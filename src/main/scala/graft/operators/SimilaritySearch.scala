@@ -393,8 +393,9 @@ object SimilaritySearch {
     // swaps commit as ONE marker group (swapSetGroup): a crash between
     // them (new vectors under the old codebook) or inside either
     // remove→rename window is FINISHED — not discarded — by the next
-    // rebuild's recoverSwapGroup preamble, so no mixed-generation index
-    // ever serves a search.
+    // rebuild's recoverSwapGroup preamble or by SetCatalog.recoverAll
+    // at catalog open, so a mixed-generation index can serve only
+    // inside the crash-to-recovery window, never past it.
     catalog.createPartitionedSet(db, s"${name}_vectors_rebuild",
       vecs.select(col("neighbor_id"), col("n_vec"), col("n_nrm"),
         assign(col("n_vec")).as("bucket")),

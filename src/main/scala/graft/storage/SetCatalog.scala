@@ -16,9 +16,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * for path-based tables we record it and re-apply `repartition` on read so
   * co-partitioned joins avoid one exchange side.
   */
+/** `files` is the set's data-file count, maintained incrementally by the
+  * writers (0 = unknown, for sidecars written before the field existed —
+  * such sets report `needsCompaction = false` until their next write
+  * refreshes the count). At 100 TB a scan's task count and the
+  * namenode's listing cost degrade with FILE count, not byte count, so
+  * the count is first-class set metadata: it is what
+  * [[SetCatalog.needsCompaction]] and the auto-compaction valve read,
+  * without listing anything.
+  */
 final case class SetMeta(
     partitionColumn: Option[String], numPartitions: Int, rows: Long,
-    policy: String = "hash", nodeShares: Seq[Int] = Nil)
+    policy: String = "hash", nodeShares: Seq[Int] = Nil, files: Long = 0L)
 
 object SetCatalog {
   /** Recursive tree delete, closing its directory stream (the ad-hoc
@@ -58,9 +67,28 @@ final class SetCatalog(spark: SparkSession, root: String) {
   private def metaPath(db: String, set: String) = s"${dir(db, set)}.meta"
 
   private[storage] def writeMeta(db: String, set: String, col: Option[String],
-      n: Int, rows: Long, policy: String, shares: Seq[Int] = Nil): Unit =
+      n: Int, rows: Long, policy: String, shares: Seq[Int] = Nil,
+      files: Long = 0L): Unit =
     Files.writeString(Paths.get(metaPath(db, set)),
-      s"${col.getOrElse("")}\n$n\n$rows\n$policy\n${shares.mkString(",")}\n")
+      s"${col.getOrElse("")}\n$n\n$rows\n$policy\n${shares.mkString(",")}\n$files\n")
+
+  /** Count a set directory's data files — used by the CREATE paths to
+    * seed the sidecar's file count (appends advance it incrementally by
+    * the batch's own task count, never by re-listing; see
+    * [[appendToSet]]). One listing per create is the same bill the
+    * create's own row-count read just paid.
+    */
+  private def countDataFiles(db: String, set: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(dir(db, set))
+    if (!Files.exists(p)) 0L
+    else {
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.count(q => Files.isRegularFile(q) &&
+        q.getFileName.toString.endsWith(".parquet")).toLong
+      finally walk.close()
+    }
+  }
 
   /** `policy`: "hash" (partition by `partitionColumn` — the dispatcher's
     * hash-by-lambda placement), "roundrobin" (reference RoundRobinPolicy),
@@ -85,7 +113,8 @@ final class SetCatalog(spark: SparkSession, root: String) {
     out.write.mode(SaveMode.Overwrite).parquet(dir(db, set))
     val rows = spark.read.parquet(dir(db, set)).count()
     writeMeta(db, set, partitionColumn,
-      if (policy == "fair") shares.sum else n, rows, policy, shares)
+      if (policy == "fair") shares.sum else n, rows, policy, shares,
+      countDataFiles(db, set))
   }
 
   def scanSet(db: String, set: String): DataFrame =
@@ -120,10 +149,47 @@ final class SetCatalog(spark: SparkSession, root: String) {
     val batch = df.persist()
     val n = batch.count()
     batch.write.mode(SaveMode.Append).parquet(dir(db, set))
+    // file-count advance stays O(batch): a plain parquet append writes
+    // one file per non-empty batch partition (no shuffle is inserted),
+    // counted off the cached batch — never a directory listing. A
+    // legacy sidecar (files = 0, unknown) is re-seeded by one listing.
+    val newFiles = batch.rdd
+      .mapPartitions(it => Iterator.single(if (it.hasNext) 1L else 0L))
+      .fold(0L)(_ + _)
     batch.unpersist(blocking = false)
+    val files = if (m.files > 0) m.files + newFiles
+      else countDataFiles(db, set)
     writeMeta(db, set, m.partitionColumn, m.numPartitions, m.rows + n,
-      m.policy, m.nodeShares)
+      m.policy, m.nodeShares, files)
+    maybeAutoCompact(db, set, files)
   }
+
+  /** The auto-compaction valve (VERDICT r14 next #5): when
+    * `spark.graft.catalog.autoCompact.files` is a positive trigger and a
+    * set's tracked file count exceeds it, the append that crossed the
+    * line runs [[compactSet]] before returning — so a standing ingest
+    * pipeline's file count is BOUNDED by (trigger + one batch's files)
+    * with no operator having to remember the maintenance call. Off by
+    * default (0): compaction rewrites the whole set, and when to pay
+    * that is a placement decision — [[graft.advisor.PlacementAdvisor
+    * .recommendCompactionTrigger]] is the advisor's sizing of it
+    * (amortize the rewrite over ≥ growthFactor× the compacted tiling).
+    */
+  private def maybeAutoCompact(db: String, set: String, files: Long): Unit = {
+    val trigger = spark.conf
+      .get("spark.graft.catalog.autoCompact.files", "0").toInt
+    if (trigger > 0 && files > trigger) compactSet(db, set)
+  }
+
+  /** True when the set's tracked file count exceeds `maxFiles` — the
+    * surface a pipeline (or operator) polls to schedule [[compactSet]] /
+    * [[graft.operators.Dedup.recapIngestNearDupIndex]] without listing
+    * the directory. Unknown counts (legacy sidecars) and bucketed sets
+    * (never fragment) report false.
+    */
+  def needsCompaction(db: String, set: String, maxFiles: Long): Boolean =
+    meta(db, set).exists(m =>
+      m.policy != "bucket" && m.files > 0 && m.files > maxFiles)
 
   /** Compact a set's files back to its recorded layout — the maintenance
     * pass a standing append pipeline ([[appendToSet]],
@@ -187,7 +253,7 @@ final class SetCatalog(spark: SparkSession, root: String) {
     rmTree(old)
     // layout and row count are preserved; only the file tiling changed
     writeMeta(db, set, m.partitionColumn, m.numPartitions, m.rows,
-      m.policy, m.nodeShares)
+      m.policy, m.nodeShares, countDataFiles(db, set))
   }
 
   /** Directory-partitioned set: one subdirectory per distinct value of
@@ -204,7 +270,8 @@ final class SetCatalog(spark: SparkSession, root: String) {
       .partitionBy(partitionColumn)
       .parquet(dir(db, set))
     val rows = spark.read.parquet(dir(db, set)).count()
-    writeMeta(db, set, Some(partitionColumn), 0, rows, "dirpart")
+    writeMeta(db, set, Some(partitionColumn), 0, rows, "dirpart",
+      files = countDataFiles(db, set))
   }
 
   /** Append rows to an existing directory-partitioned set: new files land
@@ -225,9 +292,18 @@ final class SetCatalog(spark: SparkSession, root: String) {
     batch.write.mode(SaveMode.Append)
       .partitionBy(partitionColumn)
       .parquet(dir(db, set))
+    // a partitionBy append writes one file per distinct (task,
+    // partition value) — count it off the cached batch, O(batch)
+    val newFiles = batch
+      .select(org.apache.spark.sql.functions.spark_partition_id(),
+        batch(partitionColumn))
+      .distinct().count()
     batch.unpersist(blocking = false)
+    val files = if (m.files > 0) m.files + newFiles
+      else countDataFiles(db, set)
     writeMeta(db, set, m.partitionColumn, m.numPartitions, m.rows + n,
-      m.policy, m.nodeShares)
+      m.policy, m.nodeShares, files)
+    maybeAutoCompact(db, set, files)
   }
 
   /** Bucketed set via the session catalog: `bucketBy` + `sortBy` on the
@@ -270,7 +346,8 @@ final class SetCatalog(spark: SparkSession, root: String) {
       .format("parquet")
       .saveAsTable(tableName)
     writeMeta(db, set, Some(bucketColumns.mkString(",")), numBuckets,
-      spark.table(tableName).count(), "bucket")
+      spark.table(tableName).count(), "bucket",
+      files = countDataFiles(db, set))
   }
 
   /** scan a bucketed set through the catalog (bucket-spec aware) */
@@ -287,7 +364,8 @@ final class SetCatalog(spark: SparkSession, root: String) {
         if (lines.length > 3 && lines(3).nonEmpty) lines(3) else "hash",
         if (lines.length > 4 && lines(4).nonEmpty)
           lines(4).split(",").map(_.toInt).toSeq
-        else Nil))
+        else Nil,
+        if (lines.length > 5 && lines(5).nonEmpty) lines(5).toLong else 0L))
     }
   }
 
@@ -370,7 +448,13 @@ final class SetCatalog(spark: SparkSession, root: String) {
     * The marker is the commit point — from the moment it exists, every
     * staging set is authoritative and [[recoverSwapGroup]] finishes ALL
     * of them after a crash anywhere in the sequence, INCLUDING between
-    * two member swaps. Per-set markers could not give that: a crash
+    * two member swaps. Crash-atomic means no swap state is ever LOST —
+    * not that the window is invisible: between a crash inside the group
+    * and the recovery run, a reader can still see a missing or
+    * mixed-generation target. Recovery runs as the next same-pairs
+    * rebuild's preamble AND catalog-wide at open via [[recoverAll]], so
+    * the window closes without waiting for the original pipeline to
+    * rebuild again. Per-set markers could not give that: a crash
     * between a completed vectors swap and the pending centroids swap
     * would leave no marker anywhere, the next recovery would discard
     * the staged centroids that match the already-live vectors, and the
@@ -466,6 +550,77 @@ final class SetCatalog(spark: SparkSession, root: String) {
   /** [[recoverSwapGroup]] for a single pair. */
   def recoverSwap(db: String, staging: String, target: String): Unit =
     recoverSwapGroup(db, Seq(staging -> target))
+
+  /** Catalog-wide crash recovery (VERDICT r14 next #6): heal EVERY
+    * interrupted staged swap under `db`, whoever started it — the entry
+    * point a session runs at catalog open. [[recoverSwapGroup]] heals
+    * only when the SAME rebuild re-runs with the same pairs; an orphaned
+    * marker from a pipeline that never rebuilds again was healed by
+    * nobody, and until then searches could see a missing or
+    * mixed-generation target (the serving window ADVICE r14 #3 named).
+    *
+    * Two sweeps, marker-first because markers are authoritative:
+    *  1. every `<db>.<targets>.swapin` marker file replays its own
+    *     recorded `staging -> target` pairs through [[recoverSwapGroup]]
+    *     — the marker body IS the recovery plan, so a stranger needs no
+    *     knowledge of which rebuild wrote it;
+    *  2. every leftover set named by a staging convention
+    *     (`*_rebuild`, `*_recap`) with no surviving marker is resolved
+    *     against its implied target by [[recoverSwapGroup]]'s
+    *     no-marker rules: discarded when the target is live
+    *     (staged sets re-derive deterministically), adopted when the
+    *     target is gone or half-moved.
+    *
+    * Returns what it healed (marker names and staging sets) so callers
+    * can log it; empty on the overwhelmingly common clean-open path,
+    * which costs one directory listing.
+    */
+  def recoverAll(db: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val rootPath = Paths.get(root)
+    if (!Files.exists(rootPath)) return Seq.empty
+    val entries = {
+      val s = Files.list(rootPath)
+      try s.iterator().asScala.map(_.getFileName.toString).toList
+      finally s.close()
+    }
+    val prefix = s"$db."
+    val healed = scala.collection.mutable.Buffer[String]()
+    entries.filter(e => e.startsWith(prefix) && e.endsWith(".swapin"))
+      .foreach { markerName =>
+        val marker = Paths.get(s"$root/$markerName")
+        val pairs = Files.readString(marker).split("\n")
+          .filter(_.contains(" -> "))
+          .map { line =>
+            val Array(s, t) = line.split(" -> ", 2); (s.trim, t.trim)
+          }.toSeq
+        if (pairs.nonEmpty) {
+          recoverSwapGroup(db, pairs)
+          healed += s"marker:$markerName"
+        }
+      }
+    // set names present as a data dir OR a dangling sidecar (a
+    // half-moved rename leaves sidecar-only staging leftovers)
+    val setNames = entries.collect {
+      case e if e.startsWith(prefix) && e.endsWith(".meta") =>
+        e.stripPrefix(prefix).stripSuffix(".meta")
+      case e if e.startsWith(prefix) && !e.contains(".meta") &&
+          !e.endsWith(".swapin") =>
+        e.stripPrefix(prefix)
+    }.distinct
+    for (staging <- setNames; suffix <- Seq("_rebuild", "_recap")
+         if staging.endsWith(suffix)) {
+      val target = staging.stripSuffix(suffix)
+      // only resolvable when the convention implies a real target name
+      if (target.nonEmpty &&
+          (meta(db, staging).isDefined ||
+            Files.exists(Paths.get(dir(db, staging))))) {
+        recoverSwapGroup(db, Seq(staging -> target))
+        healed += s"staging:$staging"
+      }
+    }
+    healed.toSeq
+  }
 
   def listSets(): Seq[(String, String)] = {
     val d = Paths.get(root)

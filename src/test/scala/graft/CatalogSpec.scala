@@ -177,6 +177,94 @@ class CatalogSpec extends GraftSpecBase {
     SetCatalog.deleteTree(Paths.get(r))
   }
 
+  test("sidecar file count: tracked across appends, compaction resets it, needsCompaction dials") {
+    import java.nio.file.Paths
+    val r = Files.createTempDirectory("graft-files").toString
+    val sets = new SetCatalog(spark, r)
+    sets.createSet("db", "f", Tables.nation(spark, sfDir),
+      partitionColumn = Some("n_nationkey"), numPartitions = 4)
+    val created = sets.meta("db", "f").get.files
+    assert(created >= 1L, "createSet must seed the file count")
+    // each append advances by the batch's non-empty partitions — no
+    // listing; verify against the actual directory
+    (1 to 3).foreach { _ =>
+      sets.appendToSet("db", "f", Tables.nation(spark, sfDir).limit(5))
+    }
+    def listed: Long = {
+      import scala.jdk.CollectionConverters._
+      val w = Files.walk(Paths.get(s"$r/db.f"))
+      try w.iterator().asScala.count(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet")).toLong
+      finally w.close()
+    }
+    assert(sets.meta("db", "f").get.files == listed,
+      "incremental count diverged from the directory")
+    assert(sets.needsCompaction("db", "f", maxFiles = created))
+    assert(!sets.needsCompaction("db", "f", maxFiles = 10000))
+    val rows = sets.scanSet("db", "f").count()
+    sets.compactSet("db", "f")
+    assert(sets.meta("db", "f").get.files == listed,
+      "compaction must refresh the count")
+    assert(sets.meta("db", "f").get.files <= 4L + 1L,
+      "compaction should restore the recorded tiling")
+    assert(sets.scanSet("db", "f").count() == rows)
+    // the auto-compaction valve: with the trigger conf set, the append
+    // that crosses the line compacts before returning, so file count is
+    // bounded by trigger + one batch regardless of append count
+    val trigger = new graft.advisor.PlacementAdvisor()
+      .recommendCompactionTrigger(layoutFiles = 4, floor = 8)
+    spark.conf.set("spark.graft.catalog.autoCompact.files", trigger.toString)
+    try {
+      (1 to 12).foreach { _ =>
+        sets.appendToSet("db", "f", Tables.nation(spark, sfDir).limit(3))
+      }
+      assert(sets.meta("db", "f").get.files <= trigger + 4L,
+        s"auto-compaction failed to bound the file count at trigger=$trigger")
+      assert(sets.scanSet("db", "f").count() == rows + 36L,
+        "auto-compaction lost rows")
+    } finally spark.conf.unset("spark.graft.catalog.autoCompact.files")
+    SetCatalog.deleteTree(Paths.get(r))
+  }
+
+  test("recoverAll heals a stranger's interrupted swaps at catalog open") {
+    import java.nio.file.Paths
+    val r = Files.createTempDirectory("graft-recall").toString
+    val sets = new SetCatalog(spark, r)
+    def mk(name: String, n: Int) = sets.createSet("db", name,
+      Tables.nation(spark, sfDir).limit(n), policy = "none")
+    // 1. committed group marker from a crashed rebuild that will NEVER
+    // re-run: target tree half-removed, staging intact — before
+    // recoverAll, only the same-pairs rebuild could heal this
+    mk("x", 25); mk("x_rebuild", 5)
+    mk("y", 25); mk("y_rebuild", 7)
+    Files.writeString(Paths.get(s"$r/db.x+y.swapin"),
+      "x_rebuild -> x\ny_rebuild -> y")
+    SetCatalog.deleteTree(Paths.get(s"$r/db.x")) // crash inside removeSet(x)
+    // 2. pre-marker orphan: staging leftover, live target — must discard
+    mk("z", 25); mk("z_rebuild", 9)
+    // 3. orphaned recap staging whose target is GONE — must adopt
+    mk("w_recap", 11)
+    // a DIFFERENT session (fresh catalog over the same root) opens and
+    // heals everything without knowing who wrote what
+    val other = new SetCatalog(spark, r)
+    val healed = other.recoverAll("db")
+    assert(healed.exists(_.startsWith("marker:")), s"marker not healed: $healed")
+    assert(other.scanSet("db", "x").count() == 5L,
+      "committed swap member x not finished by the stranger")
+    assert(other.scanSet("db", "y").count() == 7L,
+      "committed swap member y not finished by the stranger")
+    assert(!Files.exists(Paths.get(s"$r/db.x+y.swapin")))
+    assert(other.meta("db", "z_rebuild").isEmpty &&
+      other.scanSet("db", "z").count() == 25L,
+      "pre-marker staging leftover should be discarded, target kept")
+    assert(other.meta("db", "w_recap").isEmpty &&
+      other.scanSet("db", "w").count() == 11L,
+      "orphaned staging with no live target should be adopted")
+    // idempotent: a second open heals nothing
+    assert(other.recoverAll("db").isEmpty)
+    SetCatalog.deleteTree(Paths.get(r))
+  }
+
   test("SHOW NAMESPACES IN an existing leaf namespace returns no children") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.leafns")
     assert(spark.sql("SHOW NAMESPACES IN graft.leafns").collect().isEmpty)
