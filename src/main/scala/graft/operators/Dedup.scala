@@ -1655,6 +1655,91 @@ object Dedup {
       mat, nCentroids = k, iters = iters, idCol = idCol, vecCol = vecCol)
   }
 
+  /** Incrementally extend a persisted SEMANTIC index (lifecycle parity
+    * with the ANN tiers — VERDICT r14 next #3, closing the build-once
+    * asymmetry): arrivals are assigned under the index's FROZEN codebook
+    * and appended into the cluster-partitioned standing vectors, so
+    * every later [[streamSemanticAgainstIndex]] probe pairs against them
+    * too — the index IS [[SimilaritySearch.buildIvfIndex]]'s layout with
+    * semantic geometry, so the append IS the IVF append (assignment
+    * depends only on (vector, codebook); build(A)+append(B) ≡ one-shot
+    * assignment of A∪B under A's codebook).
+    *
+    * Drift: the O(1) sidecar fraction ([[semanticDriftFraction]] —
+    * appended rows over rows-at-build, no corpus scan) triggers
+    * [[rebuildSemanticIndex]] when `rebuildIfDrifted` is set, the same
+    * policy knob the compressed ANN appends carry. A long-running
+    * semantic pipeline otherwise degrades silently as the corpus drifts
+    * from the frozen codebook — the exact failure mode the ANN tiers'
+    * rebuild exists to catch.
+    */
+  def appendToSemanticIndex(
+      catalog: graft.storage.SetCatalog, db: String, name: String,
+      newEmb: DataFrame, idCol: String, vecCol: String,
+      rebuildIfDrifted: Boolean = false, driftFraction: Double = 0.5,
+      targetClusterSize: Int = 125, iters: Int = 3): Unit = {
+    SimilaritySearch.appendToIvfIndex(newEmb.sparkSession, catalog, db, name,
+      newEmb, idCol, vecCol)
+    if (rebuildIfDrifted &&
+        semanticDriftFraction(catalog, db, name) >= driftFraction)
+      rebuildSemanticIndex(catalog, db, name, targetClusterSize, iters)
+  }
+
+  /** Streaming form of [[appendToSemanticIndex]]: every micro-batch of
+    * arriving embeddings joins the standing semantic index (assigned
+    * under the frozen codebook, appended into its cell's directory).
+    * Batching-invariant — a vector's cell depends only on (vector,
+    * codebook).
+    */
+  def streamAppendToSemanticIndex(
+      stream: DataFrame, catalog: graft.storage.SetCatalog,
+      db: String, name: String, idCol: String, vecCol: String,
+      rebuildIfDrifted: Boolean = false, driftFraction: Double = 0.5): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        appendToSemanticIndex(catalog, db, name, batch.toDF(), idCol, vecCol,
+          rebuildIfDrifted, driftFraction)
+        ()
+      }
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** Fraction of the semantic index appended since its codebook was
+    * trained — two sidecar reads, O(1), the ANN tiers' drift dial
+    * applied to the semantic geometry.
+    */
+  def semanticDriftFraction(
+      catalog: graft.storage.SetCatalog, db: String, name: String): Double =
+    SimilaritySearch.appendedDriftFraction(catalog, db, name)
+
+  /** Retrain a persisted semantic index from its OWN standing vectors
+    * and re-partition the corpus under the new cells — the rebuild half
+    * of the lifecycle. Unlike the ANN rebuild (which keeps its codebook
+    * size), the semantic codebook RE-SIZES by the SemDeDup rule: k =
+    * [[autoClusters]](standing rows, targetClusterSize), read off the
+    * sidecar — the whole point of the knob is that k tracks corpus
+    * growth, and an append-heavy index whose k froze at build size is
+    * exactly the degradation this exists to repair. Trainer and sample
+    * are [[persistSemanticIndex]]'s own (md5-ordered deterministic
+    * sample), so a rebuild equals a from-scratch build over the standing
+    * corpus — the registry's lifecycle oracle pins that equality
+    * end-to-end. Staged + swapped via
+    * [[graft.storage.SetCatalog.swapSetGroup]]; the drift fraction
+    * resets to 0.
+    */
+  def rebuildSemanticIndex(
+      catalog: graft.storage.SetCatalog, db: String, name: String,
+      targetClusterSize: Int = 125, iters: Int = 3): Unit = {
+    val rows = catalog.meta(db, s"${name}_vectors").map(_.rows).getOrElse(
+      throw new IllegalArgumentException(
+        s"rebuildSemanticIndex: no semantic index $db.$name"))
+    val spark = catalog.scanSet(db, s"${name}_vectors").sparkSession
+    SimilaritySearch.rebuildIvfIndex(spark, catalog, db, name, iters,
+      nCentroids0 = autoClusters(rows, targetClusterSize))
+  }
+
   /** One micro-batch of [[streamSemanticAgainstIndex]]: assign each
     * arrival under the STANDING codebook (the same flat-argmin kernel
     * the corpus was assigned with), then verify cosine against the
@@ -1663,7 +1748,7 @@ object Dedup {
     * pruning — a batch touching b distinct cells costs b directories of
     * IO however large the corpus grows.
     */
-  private def semanticBatchPairs(
+  private[graft] def semanticBatchPairs(
       batch: DataFrame, centroids: Array[Array[Double]],
       vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {

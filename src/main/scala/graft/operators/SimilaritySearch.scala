@@ -374,12 +374,19 @@ object SimilaritySearch {
     * cells are the corpus layout), so an in-place overwrite would read
     * what it is deleting.
     */
+  /** `nCentroids = 0` (the default) keeps the standing codebook's size;
+    * a positive value RE-SIZES the codebook at rebuild — the semantic
+    * tier's need, where k tracks corpus growth by the autoClusters rule
+    * ([[graft.operators.Dedup.rebuildSemanticIndex]] computes it from
+    * the sidecar row count and passes it here).
+    */
   def rebuildIvfIndex(
       spark: SparkSession, catalog: graft.storage.SetCatalog,
-      db: String, name: String, iters: Int = 3): Unit = {
+      db: String, name: String, iters: Int = 3, nCentroids0: Int = 0): Unit = {
     recoverStagedSwaps(catalog, db, Seq("vectors", "centroids")
       .map(s => s"${name}_$s"))
-    val nCentroids = catalog.scanSet(db, s"${name}_centroids").count().toInt
+    val nCentroids = if (nCentroids0 > 0) nCentroids0
+      else catalog.scanSet(db, s"${name}_centroids").count().toInt
     val vecs = catalog.scanSet(db, s"${name}_vectors")
       .select(col("neighbor_id"), col("n_vec"), col("n_nrm"))
     val centroids = trainCentroids(vecs, nCentroids, iters, "neighbor_id", "n_vec")

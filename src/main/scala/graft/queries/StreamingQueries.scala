@@ -821,6 +821,67 @@ object StreamingQueries {
         |SELECT id_a, id_b, cluster, cos FROM p WHERE cos >= 0.4""".stripMargin
   }
 
+  /** The semantic index's FULL lifecycle in one standing pipeline
+    * (VERDICT r14 next #3 — the ANN tiers' build/append/drift/rebuild
+    * symmetry, now on the semantic geometry): the codebook + cell-
+    * partitioned vectors persist over the FIRST corpus slice
+    * (vec_id < 150), the second slice ([150, 250)) STREAM-APPENDS under
+    * that frozen codebook ([[graft.operators.Dedup
+    * .streamAppendToSemanticIndex]]) — at which point the sidecar drift
+    * fraction reads ≥ 0.5 — then [[graft.operators.Dedup
+    * .rebuildSemanticIndex]] retrains the codebook from the standing
+    * vectors with k re-sized by the autoClusters rule, and the arrival
+    * stream (vec_id ≥ 250) probes the REBUILT index.
+    *
+    * The oracle pins the strongest equality in the lifecycle: because
+    * the rebuild trains on the same md5-ordered deterministic sample a
+    * from-scratch build would draw over the standing corpus, the
+    * rebuilt index ≡ [[stSemantic]]'s build-once index over vec_id <
+    * 250 — so the oracle is the stSemantic chain with the codebook
+    * trained on the full standing slice. A drifted un-rebuilt index
+    * would pair arrivals under the <150 codebook's cells and fail the
+    * hash compare.
+    */
+  def stSemanticLifecycle(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val emb = graft.model.Tables.embeddings(spark, d)
+    val root = java.nio.file.Files.createTempDirectory("graft-stseml")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    graft.operators.Dedup.persistSemanticIndex(cat, "stx", "seml",
+      emb.filter(col("vec_id") < 150), "vec_id", "embedding")
+    graft.operators.Dedup.streamAppendToSemanticIndex(
+      readEmbStream(spark, d)
+        .filter(col("vec_id") >= 150 && col("vec_id") < 250),
+      cat, "stx", "seml", "vec_id", "embedding")
+    val drift = graft.operators.Dedup.semanticDriftFraction(cat, "stx", "seml")
+    require(drift >= 0.5,
+      f"semantic drift fraction $drift%.2f below the appended 100/150 — " +
+        "sidecar tracking broke")
+    graft.operators.Dedup.rebuildSemanticIndex(cat, "stx", "seml")
+    require(graft.operators.Dedup.semanticDriftFraction(cat, "stx", "seml") == 0.0,
+      "rebuild did not reset the semantic drift fraction")
+    val pairs = graft.operators.Dedup.streamSemanticAgainstIndex(
+      readEmbStream(spark, d).filter(col("vec_id") >= 250),
+      cat, "stx", "seml", "vec_id", "embedding", threshold = 0.4)
+      .localCheckpoint(true)
+    Seq("seml_centroids", "seml_vectors", "seml_built")
+      .foreach(cat.removeSet("stx", _))
+    graft.storage.SetCatalog.deleteTree(root)
+    pairs
+  }
+
+  /** Oracle: EXACTLY [[stSemanticSql]] — the build-once index over
+    * vec_id < 250. That identity IS the lifecycle claim: rebuild trains
+    * on the same md5-ordered deterministic sample a from-scratch build
+    * draws over the standing corpus and re-assigns every standing
+    * vector under the new codebook, so build(<150) + append([150,250))
+    * + rebuild ≡ build(<250). A drifted un-rebuilt index would pair
+    * arrivals under the <150 codebook's cells and fail the hash
+    * compare; a rebuild that forgot to re-assign the appended vectors
+    * would miss their pairs.
+    */
+  val stSemanticLifecycleSql: String = stSemanticSql
+
   /** Streaming token-budget admission: the budget gate at INGEST — docs
     * arrive as a sequenced log (doc_id = ingest offset), route to their
     * md5 writer shard, and a standing per-shard token counter admits
@@ -1383,6 +1444,7 @@ object StreamingQueries {
     "st_domain_budget" -> stDomainBudget,
     "st_ivfpq_append" -> stIvfPqAppend,
     "st_semantic" -> stSemantic,
+    "st_sem_lifecycle" -> stSemanticLifecycle,
     "st_lm_score" -> stLmScore,
     "st_pipe_lm_budget" -> stPipeLmBudget,
     "st_pipe_quality_mix" -> stPipeQualityMix,
@@ -1410,6 +1472,7 @@ object StreamingQueries {
     "st_domain_budget" -> stDomainBudgetSql,
     "st_ivfpq_append" -> stIvfPqAppendSql,
     "st_semantic" -> stSemanticSql,
+    "st_sem_lifecycle" -> stSemanticLifecycleSql,
     "st_lm_score" -> stLmScoreSql,
     "st_pipe_lm_budget" -> stPipeLmBudgetSql,
     "st_pipe_quality_mix" -> stPipeQualityMixSql,

@@ -404,6 +404,38 @@ class AdvisorSpec extends GraftSpecBase {
     Files.deleteIfExists(path)
   }
 
+  test("probe-width dial at four measured widths: every target answers from a measured point") {
+    // the widened soak dial (VERDICT r14 next #7): 4/8/16/32 measured —
+    // real segments end to end, so any reachable target resolves to the
+    // smallest MEASURED width meeting it, never an interpolated one
+    val adv = new PlacementAdvisor
+    val dial = Seq(4 -> 0.42, 8 -> 0.64, 16 -> 0.82, 32 -> 0.94)
+    dial.foreach { case (w, r) => adv.observeProbeRecall("soak.dial", w, r) }
+    assert(adv.recommendProbeWidth("soak.dial", 0.40) === Some(4))
+    assert(adv.recommendProbeWidth("soak.dial", 0.60) === Some(8))
+    assert(adv.recommendProbeWidth("soak.dial", 0.80) === Some(16))
+    assert(adv.recommendProbeWidth("soak.dial", 0.90) === Some(32))
+    assert(adv.recommendProbeWidth("soak.dial", 0.94) === Some(32))
+    // only past the whole measured dial does it extrapolate: last
+    // segment slope (0.94-0.82)/16 = 0.0075 -> 32 + ceil(0.04/0.0075)
+    assert(adv.recommendProbeWidth("soak.dial", 0.98, maxProbe = 64)
+      === Some(32 + math.ceil(0.04 / 0.0075).toInt))
+  }
+
+  test("compaction trigger: amortized over the compacted tiling, floored for small sets") {
+    val adv = new PlacementAdvisor
+    assert(adv.recommendCompactionTrigger(layoutFiles = 32) === 128)
+    assert(adv.recommendCompactionTrigger(layoutFiles = 1000,
+      growthFactor = 4) === 4000)
+    // small sets hit the floor: compaction saves too little listing to
+    // run every few batches
+    assert(adv.recommendCompactionTrigger(layoutFiles = 4) === 64)
+    assert(adv.recommendCompactionTrigger(layoutFiles = 0) === 64)
+    intercept[IllegalArgumentException] {
+      adv.recommendCompactionTrigger(layoutFiles = 4, growthFactor = 1)
+    }
+  }
+
   test("advised SemDeDup geometry matches the static sizing and remembers the largest corpus") {
     import graft.operators.{Dedup, SimilaritySearch}
     val adv = new PlacementAdvisor

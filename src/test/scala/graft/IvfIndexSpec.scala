@@ -138,4 +138,73 @@ class IvfIndexSpec extends GraftSpecBase {
       .select("bucket").distinct().count()
     assert(buckets > 1 && buckets <= 16)
   }
+
+  test("semantic index lifecycle: append visible to probes, drift tracked, rebuild re-sizes k") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+    val root = Files.createTempDirectory("graft-sem-life").toString
+    val c = new SetCatalog(spark, root)
+    graft.operators.Dedup.persistSemanticIndex(c, "idx", "sem",
+      emb.filter(col("vec_id") < 150), "vec_id", "embedding")
+    val kBuilt = c.scanSet("idx", "sem_centroids").count()
+    assert(kBuilt == graft.operators.Dedup.autoClusters(150).toLong)
+    assert(graft.operators.Dedup.semanticDriftFraction(c, "idx", "sem") == 0.0)
+    // append the second slice under the FROZEN codebook
+    graft.operators.Dedup.appendToSemanticIndex(c, "idx", "sem",
+      emb.filter(col("vec_id") >= 150 && col("vec_id") < 250),
+      "vec_id", "embedding")
+    val drift = graft.operators.Dedup.semanticDriftFraction(c, "idx", "sem")
+    assert(math.abs(drift - 100.0 / 150.0) < 1e-9, s"drift=$drift")
+    // appended vectors are live standing state: a probe of a vector's
+    // own value must pair with it (cos = 1 within its cell)
+    def probe(ids: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Set[(Long, Long)] = {
+      val input = MemoryStream[(Long, Seq[Float])]
+      input.addData(emb.filter(ids(col("vec_id")))
+        .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq: _*)
+      graft.operators.Dedup.streamSemanticAgainstIndex(
+        input.toDS().toDF("vec_id", "embedding"), c, "idx", "sem",
+        "vec_id", "embedding", threshold = 0.999)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val hits = probe(id => id >= 150 && id < 160)
+    assert((150L until 160L).forall(i => hits.contains((i, i + 1000L))),
+      s"appended vectors invisible to the probe: $hits")
+    // rebuild: k re-sizes by the autoClusters rule over the STANDING
+    // rows (pin a different target so the size visibly changes), the
+    // drift dial resets, and the appended vectors keep probing
+    graft.operators.Dedup.rebuildSemanticIndex(c, "idx", "sem",
+      targetClusterSize = 25)
+    assert(c.scanSet("idx", "sem_centroids").count() ==
+      graft.operators.Dedup.autoClusters(250, 25).toLong)
+    assert(graft.operators.Dedup.semanticDriftFraction(c, "idx", "sem") == 0.0)
+    val hitsAfter = probe(id => id >= 150 && id < 160)
+    assert((150L until 160L).forall(i => hitsAfter.contains((i, i + 1000L))),
+      s"rebuild lost appended vectors: $hitsAfter")
+    SetCatalog.deleteTree(java.nio.file.Paths.get(root))
+  }
+
+  test("appendToSemanticIndex rebuildIfDrifted triggers the re-sized rebuild") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val root = Files.createTempDirectory("graft-sem-drift").toString
+    val c = new SetCatalog(spark, root)
+    graft.operators.Dedup.persistSemanticIndex(c, "idx", "sem",
+      emb.filter(col("vec_id") < 100), "vec_id", "embedding",
+      targetClusterSize = 25)
+    assert(c.scanSet("idx", "sem_centroids").count() ==
+      graft.operators.Dedup.autoClusters(100, 25).toLong)
+    // 150 appended over 100 built = drift 1.5 >= 0.5 → auto-rebuild,
+    // k re-derived over the grown corpus
+    graft.operators.Dedup.appendToSemanticIndex(c, "idx", "sem",
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 250),
+      "vec_id", "embedding",
+      rebuildIfDrifted = true, targetClusterSize = 25)
+    assert(c.scanSet("idx", "sem_centroids").count() ==
+      graft.operators.Dedup.autoClusters(250, 25).toLong,
+      "drift trigger did not re-size the codebook")
+    assert(graft.operators.Dedup.semanticDriftFraction(c, "idx", "sem") == 0.0)
+    SetCatalog.deleteTree(java.nio.file.Paths.get(root))
+  }
 }
