@@ -379,14 +379,16 @@ object Dedup {
     * arrived BEFORE them, not against a frozen corpus. Each micro-batch
     * (1) self-joins its own band keys for intra-batch candidate pairs
     * (id_a < id_b), (2) joins them against the STANDING band set for
-    * cross-batch candidates (standing id as id_a — the earlier arrival),
-    * (3) verifies both with exact shingle jaccard, and (4) appends the
-    * batch's shingle sets + band keys to the standing sets so every
-    * later batch pairs against this one. Under ordered delivery the
-    * accumulated pair log is EXACTLY the one-shot self-join pair set
-    * ([[minhashPairs]]' output, which the exact-jaccard oracle pins) —
-    * each true pair is found once, by whichever batch carries its later
-    * element. The verified frame is localCheckpointed BEFORE the appends
+    * cross-batch candidates, (3) verifies both with exact shingle
+    * jaccard, and (4) appends the batch's shingle sets + band keys to
+    * the standing sets so every later batch pairs against this one.
+    * Under ANY batching of the arrivals — ordered or interleaved ids
+    * alike — the accumulated pair log is EXACTLY the one-shot self-join
+    * pair set ([[minhashPairs]]' canonical output, which the
+    * exact-jaccard oracle pins): each true pair is found once, by
+    * whichever batch arrives later (candidates are canonicalized to
+    * id_a < id_b, not orientation-filtered — [[ingestNearDupCandidates]]).
+    * The verified frame is localCheckpointed BEFORE the appends
     * ([[streamIngestExactDedup]]'s reason: a lazy recompute after the
     * append would find each arrival's own bands in the standing set).
     *
@@ -444,16 +446,18 @@ object Dedup {
     * Replay-safe under foreachBatch's at-least-once contract WITHOUT
     * excluding the batch's ids from the standing side (the r14
     * mechanism, which is what forced the extra scans): candidate pairs
-    * are canonicalized to id_a < id_b BEFORE aggregation, so a replayed
-    * batch's standing copies produce only (a) self-pairs, dropped by
-    * the strict inequality, and (b) copies of the batch's own intra
-    * pairs, collapsed by the distinct() on the candidate union — a
-    * re-executed micro-batch emits exactly its first attempt's pairs.
-    * Canonical orientation also means emitted pairs can never flip to
-    * (later, earlier) regardless of delivery order (the oracle-side
-    * concern ADVICE r14 #4 raised); under the ingest-log
-    * ordered-delivery contract the standing element of a cross-batch
-    * pair is always the smaller id, so nothing genuine is dropped.
+    * are canonicalized to id_a < id_b via least/greatest BEFORE
+    * aggregation, so a replayed batch's standing copies produce only
+    * (a) self-pairs, dropped by the strict inequality, and (b) copies
+    * of the batch's own intra pairs, collapsed by the distinct() on the
+    * candidate union — a re-executed micro-batch emits exactly its
+    * first attempt's pairs. Canonicalization (not an orientation
+    * filter) makes pair discovery DELIVERY-ORDER INDEPENDENT: a
+    * standing id larger than the arrival's still pairs (ids may arrive
+    * interleaved — the soak's modulo batching does), and emitted
+    * orientation can never flip (the oracle-side concern ADVICE r14 #4
+    * raised). The verify side therefore resolves BOTH pair columns
+    * through one candidate-id shingle lookup ([[ingestNearDupLookup]]).
     *
     * Both appends are guarded by one tiny `replayed` frame (batch ids
     * already present in the standing SHINGLE set, the LAST set the
@@ -509,21 +513,23 @@ object Dedup {
     verified
   }
 
-  /** The probe half of [[ingestNearDupBatch]], side-effect-free and lazy
-    * (package-visible so PlanSpec can count its standing-set scans):
-    * candidate pairs from the batch's self-join plus the standing band
-    * join, canonicalized to id_a < id_b, verified by exact shingle
-    * jaccard. The verify side resolves ws_a from the standing set OR the
-    * batch (an intra pair's id_a is an arrival; a cross pair's is
-    * standing; on a replay both exist and are identical, so coalesce
-    * order is immaterial).
+  /** Candidate half of the ingest probe, LAZY (package-visible so
+    * PlanSpec can pin that it scans the standing band set exactly once):
+    * the batch's band self-join plus the standing×batch band join,
+    * CANONICALIZED to id_a < id_b via least/greatest BEFORE aggregation
+    * — so pair orientation is canonical by construction under ANY
+    * delivery order (ids need not arrive monotonically; a standing id
+    * larger than the arrival's still pairs), and a replayed batch's
+    * standing copies can only re-derive its own canonical pairs
+    * (self-pairs drop on the strict inequality; duplicates collapse in
+    * the distinct()).
     */
-  private[graft] def ingestNearDupProbe(
-      nSets: DataFrame, nBanded: DataFrame,
-      standing: Option[(DataFrame, DataFrame)],
-      threshold: Double): DataFrame = {
+  private[graft] def ingestNearDupCandidates(
+      nBanded: DataFrame, standingBands: Option[DataFrame]): DataFrame = {
     def cand(joined: DataFrame): DataFrame =
-      joined.filter(col("id_a") < col("id_b"))
+      joined.filter(col("ia") =!= col("ib"))
+        .select(least(col("ia"), col("ib")).as("id_a"),
+          greatest(col("ia"), col("ib")).as("id_b"), col("band"))
         .groupBy(col("id_a"), col("id_b"))
         // DISTINCT bands, not row count: duplicate standing band rows
         // (the healed footprint of a crash inside a bands append) must
@@ -531,33 +537,64 @@ object Dedup {
         .agg(count_distinct(col("band")).as("n_bands"))
         .filter(col("n_bands") >= 2)
         .select(col("id_a"), col("id_b"))
-    val newB = nBanded.select(col("band"), col("bkey"), col("id").as("id_b"))
+    val newB = nBanded.select(col("band"), col("bkey"), col("id").as("ib"))
     val intra = cand(
-      nBanded.select(col("band"), col("bkey"), col("id").as("id_a"))
-        .join(newB, Seq("band", "bkey")))
-    val cands = standing match {
+      nBanded.select(col("band"), col("bkey"), col("id").as("ia"))
+        .join(newB, Seq("band", "bkey"))
+        // halve the symmetric self-join before grouping; least/greatest
+        // is then a no-op for intra rows
+        .filter(col("ia") < col("ib")))
+    standingBands match {
       case None => intra
-      case Some((_, sBands)) =>
-        // distinct: on a replay the standing copies of this batch's rows
-        // re-derive its intra pairs through the cross join — collapse
-        // them so a re-executed batch emits its first attempt's pairs
-        intra.unionByName(cand(
-          sBands.select(col("band"), col("bkey"), col("id").as("id_a"))
+      case Some(sBands) => intra.unionByName(cand(
+          sBands.select(col("band"), col("bkey"), col("id").as("ia"))
             .join(newB, Seq("band", "bkey"))))
-          .distinct()
+        .distinct()
     }
-    val arrivalA = nSets.select(col("id").as("id_a"), col("ws").as("ws_na"))
-    val withA = standing match {
-      case None => cands.join(arrivalA, Seq("id_a"))
-        .withColumn("ws_a", col("ws_na"))
-      case Some((sSets, _)) => cands
-        .join(sSets.select(col("id").as("id_a"), col("ws").as("ws_sa")),
-          Seq("id_a"), "left")
-        .join(arrivalA, Seq("id_a"), "left")
-        .withColumn("ws_a", coalesce(col("ws_na"), col("ws_sa")))
-    }
-    withA
-      .join(nSets.select(col("id").as("id_b"), col("ws").as("ws_b")),
+  }
+
+  /** Shingle-set lookup for the candidate ids, LAZY (package-visible for
+    * PlanSpec): the standing shingle set is scanned ONCE, semi-joined
+    * down to the ids the candidates actually reference, and unioned with
+    * the batch's own sets — because pairs are canonical under unordered
+    * delivery, EITHER column of a cross pair can be the standing
+    * element, so both verify sides resolve through this one table. On a
+    * replay an id exists on both sides with identical content
+    * (deterministic shingles of the same text); dropDuplicates keeps
+    * one.
+    */
+  private[graft] def ingestNearDupLookup(
+      nSets: DataFrame, standingSets: Option[DataFrame],
+      candIds: DataFrame): DataFrame = standingSets match {
+    case None => nSets
+    case Some(sSets) =>
+      sSets.join(candIds, Seq("id"), "left_semi")
+        .unionByName(nSets.join(candIds, Seq("id"), "left_semi"))
+        .dropDuplicates("id")
+  }
+
+  /** The probe half of [[ingestNearDupBatch]], side-effect-free:
+    * canonical candidate pairs ([[ingestNearDupCandidates]]) verified by
+    * exact shingle jaccard against the candidate-id lookup
+    * ([[ingestNearDupLookup]]). The candidates and the lookup are
+    * localCheckpointed (both candidate-sized — bounded by the ≥2-band
+    * rule between recaps) so the lookup's two uses cost ONE standing
+    * shingle-set scan, not two.
+    */
+  private[graft] def ingestNearDupProbe(
+      nSets: DataFrame, nBanded: DataFrame,
+      standing: Option[(DataFrame, DataFrame)],
+      threshold: Double): DataFrame = {
+    val cands = ingestNearDupCandidates(nBanded, standing.map(_._2))
+      .localCheckpoint(eager = true)
+    val candIds = cands.select(col("id_a").as("id"))
+      .unionByName(cands.select(col("id_b").as("id"))).distinct()
+    val lookup = ingestNearDupLookup(nSets, standing.map(_._1), candIds)
+      .localCheckpoint(eager = true)
+    cands
+      .join(lookup.select(col("id").as("id_a"), col("ws").as("ws_a")),
+        Seq("id_a"))
+      .join(lookup.select(col("id").as("id_b"), col("ws").as("ws_b")),
         Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("ws_a"), col("ws_b")).as("jaccard"))

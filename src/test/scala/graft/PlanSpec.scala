@@ -196,15 +196,22 @@ class PlanSpec extends GraftSpecBase {
         case _ => None
       }.toSeq
     }
-    val probe = graft.operators.Dedup.ingestNearDupProbe(
-      nSets, nBanded,
-      Some((cat.scanSet("p", "ind_sets"), cat.scanSet("p", "ind_bands"))),
-      threshold = 0.8)
-    val probeScans = scansOf(probe)
-    assert(probeScans.count(_._1.contains("p.ind_bands")) == 1,
-      s"probe should scan the standing band set exactly once: $probeScans")
-    assert(probeScans.count(_._1.contains("p.ind_sets")) == 1,
-      s"probe should scan the standing shingle set exactly once: $probeScans")
+    val cands = graft.operators.Dedup.ingestNearDupCandidates(
+      nBanded, Some(cat.scanSet("p", "ind_bands")))
+    val candScans = scansOf(cands)
+    assert(candScans.count(_._1.contains("p.ind_bands")) == 1,
+      s"candidates should scan the standing band set exactly once: $candScans")
+    assert(candScans.count(_._1.contains("p.ind_sets")) == 0,
+      s"candidates must not touch the shingle set: $candScans")
+    // the verify lookup: the standing shingle set exactly once, semi-
+    // joined to the candidate ids; both verify sides then read the
+    // (checkpointed) lookup, never the set again
+    val lookup = graft.operators.Dedup.ingestNearDupLookup(
+      nSets, Some(cat.scanSet("p", "ind_sets")),
+      cands.select(col("id_a").as("id")))
+    val lookupScans = scansOf(lookup)
+    assert(lookupScans.count(_._1.contains("p.ind_sets")) == 1,
+      s"lookup should scan the standing shingle set exactly once: $lookupScans")
     // the append guard: one more read of the shingle set, pruned to id
     val guard = nSets.select(col("id"))
       .join(cat.scanSet("p", "ind_sets").select(col("id")), Seq("id"), "left_semi")

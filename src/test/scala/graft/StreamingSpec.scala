@@ -602,6 +602,36 @@ class StreamingSpec extends GraftSpecBase {
     graft.storage.SetCatalog.deleteTree(root)
   }
 
+  test("ingest near-dup under INTERLEAVED delivery: pair found when the standing id is larger") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the r15 soak caught exactly this: batches split by doc_id modulo
+    // deliver interleaved ids, so a cross-batch pair's STANDING element
+    // can carry the larger id — an orientation filter (instead of
+    // canonicalization) drops it silently
+    val words = (0 until 30).map(i => s"w$i")
+    val t21 = words.mkString(" ")
+    val t1 = (words.dropRight(1) :+ "zz").mkString(" ")
+    val other = (100 until 130).map(i => s"q$i").mkString(" ")
+    def runOnce(cat: graft.storage.SetCatalog,
+        rows: Seq[(Long, String)]): Set[(Long, Long)] = {
+      val input = MemoryStream[(Long, String)]
+      input.addData(rows: _*)
+      graft.operators.Dedup.streamIngestNearDup(
+        input.toDS().toDF("doc_id", "text"), cat, "t", "ile",
+        "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-stind-ile")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    // doc 21 arrives FIRST (grows the index), its near-dup doc 1 arrives
+    // later with a smaller id — the pair must still emit, canonically
+    assert(runOnce(cat, Seq((21L, t21), (22L, other))).isEmpty)
+    assert(runOnce(cat, Seq((1L, t1))) == Set((1L, 21L)),
+      "interleaved-id cross pair dropped or flipped")
+    graft.storage.SetCatalog.deleteTree(root)
+  }
+
   test("ingest exact dedup under UNORDERED delivery: one representative per content") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
