@@ -508,6 +508,15 @@ object Dedup {
       catalog.createSet(db, setsName, nSets, partitionColumn = Some("id"))
       catalog.createSet(db, bandsName, nBanded, partitionColumn = Some("bkey"))
     }
+    // the standing-pipeline recap policy, opt-in per session: growth-
+    // gated census, census-gated recap (see maybeRecapIngestNearDupIndex)
+    val autoRecap = batch.sparkSession.conf
+      .get("spark.graft.dedup.ingest.autoRecap.growth", "0").toDouble
+    if (autoRecap > 0)
+      maybeRecapIngestNearDupIndex(catalog, db, name,
+        maxBucket = batch.sparkSession.conf
+          .get("spark.graft.dedup.ingest.autoRecap.maxBucket", "200").toInt,
+        growthFraction = autoRecap)
     nSets.unpersist(blocking = false)
     nBanded.unpersist(blocking = false)
     verified
@@ -685,6 +694,69 @@ object Dedup {
     catalog.createSet(db, s"${bandsName}_recap", capped,
       partitionColumn = catalog.meta(db, bandsName).flatMap(_.partitionColumn))
     catalog.swapSetGroup(db, pairs)
+    stampIngestCensusRows(catalog, db, name)
+  }
+
+  /** Record "rows the band set held when its census was last known
+    * clean" — the ANN tiers' `_built` sidecar pattern applied to the
+    * recap policy, so [[ingestGrowthFraction]] is two O(1) sidecar
+    * reads, never a scan.
+    */
+  private def stampIngestCensusRows(
+      catalog: graft.storage.SetCatalog, db: String, name: String): Unit = {
+    val spark = catalog.scanSet(db, s"${name}_bands").sparkSession
+    import spark.implicits._
+    val rows = catalog.meta(db, s"${name}_bands").map(_.rows).getOrElse(0L)
+    catalog.createSet(db, s"${name}_censused",
+      Seq(rows).toDF("rows_at_census"), policy = "none")
+  }
+
+  /** Fraction the standing band set has GROWN since its census was last
+    * known clean ((rows_now − rows_then)/rows_then) — two sidecar
+    * reads, O(1). 0.0 for indexes grown before the marker existed (they
+    * opt in at their first census/recap), ∞-ish growth reads large.
+    */
+  def ingestGrowthFraction(
+      catalog: graft.storage.SetCatalog, db: String, name: String): Double = {
+    val now = catalog.meta(db, s"${name}_bands").map(_.rows).getOrElse(0L)
+    if (catalog.meta(db, s"${name}_censused").isEmpty) 0.0
+    else {
+      val base = catalog.scanSet(db, s"${name}_censused")
+        .collect()(0).getLong(0)
+      if (base <= 0) 0.0 else (now - base).toDouble / base
+    }
+  }
+
+  /** The recap POLICY — "recap on census, not on a timer", as code: a
+    * census is itself a full band-set scan, so it runs only once the
+    * standing side has GROWN by `growthFraction` since the last clean
+    * census (an O(1) sidecar check); if the census then finds a bucket
+    * above `maxBucket`, the full [[recapIngestNearDupIndex]] runs;
+    * otherwise the clean census is stamped and nothing rewrites.
+    * Returns true iff a recap ran. Wire it per-batch via
+    * `spark.graft.dedup.ingest.autoRecap.growth` (a fraction; 0 = off,
+    * the default) — [[ingestNearDupBatch]] calls this after its appends,
+    * so a standing pipeline's hot buckets are bounded by
+    * (cap at last census) × (1 + growthFraction) with no operator
+    * remembering the maintenance call.
+    */
+  def maybeRecapIngestNearDupIndex(
+      catalog: graft.storage.SetCatalog, db: String, name: String,
+      maxBucket: Int = 200, growthFraction: Double = 1.0): Boolean = {
+    require(growthFraction > 0, "growthFraction must be positive")
+    if (catalog.meta(db, s"${name}_censused").isDefined &&
+        ingestGrowthFraction(catalog, db, name) < growthFraction) false
+    else {
+      val worst = ingestBandCensus(catalog, db, name)
+        .agg(coalesce(max(col("bucket_n")), lit(0L))).collect()(0).getLong(0)
+      if (worst > maxBucket) {
+        recapIngestNearDupIndex(catalog, db, name, maxBucket)
+        true
+      } else {
+        stampIngestCensusRows(catalog, db, name)
+        false
+      }
+    }
   }
 
   /** Shared per-micro-batch probe harness for the streaming ingest-dedup

@@ -60,8 +60,17 @@ object SetCatalog {
   }
 }
 
-final class SetCatalog(spark: SparkSession, root: String) {
+/** `recoverDbsOnOpen`: databases to run [[recoverAll]] over at
+  * construction — the standing-pipeline posture (every open closes any
+  * crash-to-recovery serving window left by a dead session). OPT-IN
+  * rather than default because recovery has a policy (pre-marker
+  * staging leftovers are DISCARDED as re-derivable), and an ad-hoc
+  * reader of someone else's root shouldn't silently apply it.
+  */
+final class SetCatalog(spark: SparkSession, root: String,
+    recoverDbsOnOpen: Seq[String] = Nil) {
   Files.createDirectories(Paths.get(root))
+  recoverDbsOnOpen.foreach(recoverAll)
 
   private def dir(db: String, set: String) = s"$root/$db.$set"
   private def metaPath(db: String, set: String) = s"${dir(db, set)}.meta"

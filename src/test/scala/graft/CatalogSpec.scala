@@ -262,6 +262,12 @@ class CatalogSpec extends GraftSpecBase {
       "orphaned staging with no live target should be adopted")
     // idempotent: a second open heals nothing
     assert(other.recoverAll("db").isEmpty)
+    // the standing-pipeline posture: recovery AT construction (opt-in)
+    mk("p_recap", 3)
+    val auto = new SetCatalog(spark, r, recoverDbsOnOpen = Seq("db"))
+    assert(auto.meta("db", "p_recap").isEmpty &&
+      auto.scanSet("db", "p").count() == 3L,
+      "recoverDbsOnOpen did not heal at construction")
     SetCatalog.deleteTree(Paths.get(r))
   }
 

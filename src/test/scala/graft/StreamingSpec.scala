@@ -632,6 +632,42 @@ class StreamingSpec extends GraftSpecBase {
     graft.storage.SetCatalog.deleteTree(root)
   }
 
+  test("auto-recap policy: growth-gated census, census-gated recap, census stays bounded") {
+    import spark.implicits._
+    // the boilerplate fixture again, driven through the batch kernel
+    // with the session policy ON: the census must stay bounded across
+    // batches with NO manual maintenance call, and clean censuses must
+    // stamp (not rewrite)
+    val boiler = (0 until 40).map(i => s"b$i").mkString(" ")
+    def docs(lo: Long, hi: Long) = (lo until hi).map(i => (i,
+      boiler + " " + (0 until 14).map(j => s"u${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-autorecap")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    spark.conf.set("spark.graft.dedup.ingest.autoRecap.growth", "0.5")
+    spark.conf.set("spark.graft.dedup.ingest.autoRecap.maxBucket", "10")
+    try {
+      (0 until 4).foreach { i =>
+        graft.operators.Dedup.ingestNearDupBatch(
+          docs(i * 12L, (i + 1) * 12L), cat, "t", "ar", "doc_id", "text")
+          .count()
+        // the policy's bound: hot buckets never exceed
+        // cap x (1 + growth) + one batch's own contribution
+        val worst = graft.operators.Dedup.ingestBandCensus(cat, "t", "ar")
+          .agg(org.apache.spark.sql.functions.max(col("bucket_n")))
+          .collect()(0).getLong(0)
+        assert(worst <= 10L * 2L + 12L,
+          s"auto-recap let a bucket grow to $worst after batch $i")
+      }
+      // the growth dial reads fresh after the last stamp/recap
+      assert(graft.operators.Dedup.ingestGrowthFraction(cat, "t", "ar") < 1.0)
+    } finally {
+      spark.conf.unset("spark.graft.dedup.ingest.autoRecap.growth")
+      spark.conf.unset("spark.graft.dedup.ingest.autoRecap.maxBucket")
+    }
+    graft.storage.SetCatalog.deleteTree(root)
+  }
+
   test("ingest exact dedup under UNORDERED delivery: one representative per content") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -48,6 +48,10 @@ ONLY=$ONLY,st_pipe_lm_budget
 # same standing-state + two-streaming-jobs shape as st_pipe_lm_budget,
 # so it lands in the expensive slice by construction
 ONLY=$ONLY,st_pipe_quality_mix
+# round-15 list revision: the semantic-lifecycle query (build + stream
+# append + re-sized rebuild + probe — 4.3 s at sf0.1, the expensive
+# slice by measurement)
+ONLY=$ONLY,st_sem_lifecycle
 
 OUT="BENCH_SF1_r${ROUND}.json"
 LOG="target/sf1bench_r${ROUND}.log"
