@@ -1850,9 +1850,10 @@ object Dedup {
   }
 
   /** One micro-batch of [[streamSemanticAgainstIndex]]: assign each
-    * arrival under the STANDING codebook (the same flat-argmin kernel
-    * the corpus was assigned with), then verify cosine against the
-    * standing vectors of the arrival's cell only. The arrival side is
+    * arrival under the STANDING codebook (the same assignment kernel
+    * the corpus was assigned with — flat below the routing threshold,
+    * √k-routed above it), then verify cosine against the standing
+    * vectors of the arrival's cell only. The arrival side is
     * broadcast, so the standing set is read with dynamic partition
     * pruning — a batch touching b distinct cells costs b directories of
     * IO however large the corpus grows.
@@ -1861,7 +1862,11 @@ object Dedup {
       batch: DataFrame, centroids: Array[Array[Double]],
       vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val assign = SimilaritySearch.nearestUdf(centroids)
+    // the index lifecycle's shared assignment rule (flat below the
+    // routing threshold, √k-routed above — SimilaritySearch
+    // .indexAssignUdf): arrivals MUST assign exactly as the standing
+    // vectors were, or probes read the wrong cells
+    val assign = SimilaritySearch.indexAssignUdf(batch.sparkSession, centroids)
     val bucketType = vectors.schema("bucket").dataType
     val arr = batch.select(col(idCol).as("id_b"), col(vecCol).as("b_vec"),
         l2Norm(col(vecCol)).as("b_nrm"))

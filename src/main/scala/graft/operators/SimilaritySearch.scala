@@ -203,6 +203,61 @@ object SimilaritySearch {
     })
   }
 
+  /** Routed-cell count for a PERSISTED index's per-row assignment: 0
+    * (flat argmin) at or below the routing threshold, ceil(√k) above it
+    * — [[graft.operators.Dedup.semanticPairs]]' rule applied to the
+    * index lifecycle, because a semantic index's codebook grows with
+    * the corpus (k ≈ n/125 — 200k cells at 25M vectors) and a flat
+    * O(n·k·d) assignment pass in build/append/probe would re-acquire
+    * exactly the quadratic term routing removed from the pair operator.
+    * The rule is a PURE FUNCTION of the persisted centroid count (plus
+    * the session threshold), so build, append, rebuild and probe all
+    * derive the identical assignment with nothing extra to persist or
+    * crash-protect. `spark.graft.ann.routeThreshold` exists so tests
+    * can exercise the routed lifecycle at fixture scale — it is an
+    * engine constant in production (an index must be probed under the
+    * threshold it was built with; the default never changes mid-run).
+    */
+  private[graft] def autoRouteCells(
+      spark: SparkSession, k: Int): Int = {
+    val threshold = spark.conf
+      .get("spark.graft.ann.routeThreshold",
+        graft.operators.Dedup.routeThreshold.toString).toInt
+    if (k > threshold) sqrtCells(k) else 0
+  }
+
+  /** The per-row cell-assignment kernel every persisted-index lifecycle
+    * stage shares: flat argmin below the routing threshold (bit-
+    * identical to every oracle), two-level routed above it.
+    */
+  private[graft] def indexAssignUdf(
+      spark: SparkSession, centroids: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val cells = autoRouteCells(spark, centroids.length)
+    if (cells > 0) twoLevelNearestUdf(centroids, cells, routeIters = 2)
+    else nearestUdf(centroids)
+  }
+
+  /** Codebook trainer for the persisted-index build/rebuild paths,
+    * large-k-safe: seeds are sample rows, so the md5-ordered sample
+    * widens to 2k once k outgrows the default limit (a 200k-cell
+    * semantic codebook would otherwise silently cap at the 10000-row
+    * sample), and past the routing threshold the Lloyd steps route
+    * ([[trainCentroidsRouted]] — O(sample·√k·d) per iter, not
+    * O(sample·k·d)). At ANN-scale k (≤ threshold, sample ≤ default)
+    * this IS [[trainCentroids]] bit for bit — the regime every
+    * index oracle pins.
+    */
+  private[graft] def indexTrainCentroids(
+      spark: SparkSession, emb: DataFrame, k: Int, iters: Int,
+      idCol: String, vecCol: String): Array[Array[Double]] = {
+    val threshold = spark.conf
+      .get("spark.graft.ann.routeThreshold",
+        graft.operators.Dedup.routeThreshold.toString).toInt
+    trainCentroidsRouted(
+      sampleVectors(emb, idCol, vecCol, math.max(10000, 2 * k)),
+      k, iters, threshold)
+  }
+
   /** Lloyd training with two-level routed assignment steps for LARGE k:
     * at or below `routeThreshold` this IS [[trainCentroidsFromSample]]
     * (bit-identical — the oracle-mirrored regime); above it, each
@@ -312,14 +367,17 @@ object SimilaritySearch {
       db: String, name: String, emb: DataFrame,
       nCentroids: Int = 16, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val centroids = trainCentroids(emb, nCentroids, iters, idCol, vecCol)
+    val centroids = indexTrainCentroids(spark, emb, nCentroids, iters,
+      idCol, vecCol)
     import spark.implicits._
     catalog.createSet(db, s"${name}_centroids",
       centroids.zipWithIndex
         .map { case (v, b) => (b.toLong, v.toSeq) }.toSeq
         .toDF("bucket", "centroid"),
       policy = "none")
-    val assign = nearestUdf(centroids)
+    // routed above the threshold (semantic-scale codebooks) — the SAME
+    // rule every later append/probe derives, so assignments never mix
+    val assign = indexAssignUdf(spark, centroids)
     catalog.createPartitionedSet(db, s"${name}_vectors",
       emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
         l2Norm(col(vecCol)).as("n_nrm"), assign(col(vecCol)).as("bucket")),
@@ -354,7 +412,7 @@ object SimilaritySearch {
     val centroids = catalog.scanSet(db, s"${name}_centroids")
       .orderBy(col("bucket")).collect()
       .map(_.getSeq[Double](1).toArray)
-    val assign = nearestUdf(centroids)
+    val assign = indexAssignUdf(spark, centroids)
     catalog.appendToPartitionedSet(db, s"${name}_vectors",
       newEmb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
         l2Norm(col(vecCol)).as("n_nrm"), assign(col(vecCol)).as("bucket")),
@@ -389,9 +447,10 @@ object SimilaritySearch {
       else catalog.scanSet(db, s"${name}_centroids").count().toInt
     val vecs = catalog.scanSet(db, s"${name}_vectors")
       .select(col("neighbor_id"), col("n_vec"), col("n_nrm"))
-    val centroids = trainCentroids(vecs, nCentroids, iters, "neighbor_id", "n_vec")
+    val centroids = indexTrainCentroids(spark, vecs, nCentroids, iters,
+      "neighbor_id", "n_vec")
     import spark.implicits._
-    val assign = nearestUdf(centroids)
+    val assign = indexAssignUdf(spark, centroids)
     // Stage the re-partitioned corpus AND the new codebook before
     // touching live state — the whole-corpus rewrite (the expensive
     // part; the cells ARE the corpus layout here) runs while searches

@@ -186,6 +186,54 @@ class IvfIndexSpec extends GraftSpecBase {
     SetCatalog.deleteTree(java.nio.file.Paths.get(root))
   }
 
+  test("routed index lifecycle: build/append/probe/rebuild share the assignment kernel above the threshold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // a semantic-scale codebook routes every lifecycle stage through
+    // the SAME √k coarse quantizer — at the real threshold (2048) that
+    // regime needs a >256k-vector corpus, so force it with the test
+    // conf and pin the consistency property: a vector appended under
+    // routing is found by a routed probe of its own value (same cell by
+    // construction), through a re-sized rebuild too
+    val emb = Tables.embeddings(spark, sfDir)
+    val root = Files.createTempDirectory("graft-sem-route").toString
+    val c = new SetCatalog(spark, root)
+    spark.conf.set("spark.graft.ann.routeThreshold", "4")
+    try {
+      // k = autoClusters(150, 25) = 6 > 4 -> routed build
+      graft.operators.Dedup.persistSemanticIndex(c, "idx", "rsem",
+        emb.filter(col("vec_id") < 150), "vec_id", "embedding",
+        targetClusterSize = 25)
+      assert(c.scanSet("idx", "rsem_centroids").count() == 6L)
+      graft.operators.Dedup.appendToSemanticIndex(c, "idx", "rsem",
+        emb.filter(col("vec_id") >= 150 && col("vec_id") < 250),
+        "vec_id", "embedding")
+      def probe(): Set[(Long, Long)] = {
+        val input = MemoryStream[(Long, Seq[Float])]
+        input.addData(emb
+          .filter(col("vec_id") >= 150 && col("vec_id") < 160)
+          .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+          .as[(Long, Seq[Float])].collect().toSeq: _*)
+        graft.operators.Dedup.streamSemanticAgainstIndex(
+          input.toDS().toDF("vec_id", "embedding"), c, "idx", "rsem",
+          "vec_id", "embedding", threshold = 0.999)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val hits = probe()
+      assert((150L until 160L).forall(i => hits.contains((i, i + 1000L))),
+        s"routed probe lost appended identity pairs: $hits")
+      // re-sized routed rebuild: k = autoClusters(250, 25) = 10 > 4
+      graft.operators.Dedup.rebuildSemanticIndex(c, "idx", "rsem",
+        targetClusterSize = 25)
+      assert(c.scanSet("idx", "rsem_centroids").count() == 10L)
+      val hitsAfter = probe()
+      assert((150L until 160L).forall(i => hitsAfter.contains((i, i + 1000L))),
+        s"routed rebuild broke probe consistency: $hitsAfter")
+    } finally spark.conf.unset("spark.graft.ann.routeThreshold")
+    SetCatalog.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("appendToSemanticIndex rebuildIfDrifted triggers the re-sized rebuild") {
     val emb = Tables.embeddings(spark, sfDir)
     val root = Files.createTempDirectory("graft-sem-drift").toString
