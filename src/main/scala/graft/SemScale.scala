@@ -107,28 +107,77 @@ object SemScale {
               .agg(count(lit(1))).collect()
           }._2)
         } else None
+      // the PERSISTED-index lifecycle at the same scale (round 15: the
+      // routed assignment + grouped cell directories now extend to
+      // build/append/probe — this measures that path where it matters):
+      // build the standing semantic index over the full corpus, append
+      // a 1% arrival slice under the frozen codebook, probe a
+      // 1000-arrival batch within its cells
+      val root = java.nio.file.Files.createTempDirectory("graft-semscale-idx")
+      val cat = new graft.storage.SetCatalog(spark, root.toString)
+      val (_, buildS) = timed {
+        Dedup.persistSemanticIndex(cat, "ss", "idx", emb,
+          "vec_id", "embedding")
+      }
+      val nDirs = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$root/ss.idx_vectors"))
+        try s.iterator().asScala.count(p =>
+          java.nio.file.Files.isDirectory(p))
+        finally s.close()
+      }
+      val (_, appendS) = timed {
+        Dedup.appendToSemanticIndex(cat, "ss", "idx",
+          corpus(spark, n / 100).select(
+            (col("vec_id") + n).as("vec_id"), col("embedding")),
+          "vec_id", "embedding")
+      }
+      val standingC = cat.scanSet("ss", "idx_centroids")
+        .orderBy(col("bucket")).collect().map(_.getSeq[Double](1).toArray)
+      val (probed, probeS) = timed {
+        Dedup.semanticBatchPairs(
+          corpus(spark, 1000L).select(
+            (col("vec_id") + 2 * n).as("vec_id"), col("embedding")),
+          standingC, cat.scanSet("ss", "idx_vectors"),
+          "vec_id", "embedding", threshold = 0.999).count()
+      }
+      // every probe row IS a corpus vector — its identity pair is in its
+      // own cell by construction, so a shortfall is a lifecycle
+      // assignment mismatch
+      require(probed >= 1000L,
+        s"index probe found $probed pairs for 1000 identity arrivals at n=$n")
+      graft.storage.SetCatalog.deleteTree(root)
       System.err.println(f"[semscale] n=$n k=$k cells=$cells " +
         f"sample=$sampleS%.1f train=$trainS%.1f assign=$assignS%.1f " +
-        f"flat=${flatS.getOrElse(Double.NaN)}%.1f ssOverN=$pairBound%.1f")
-      (n, k, cells, usedCells, sampleS, trainS, assignS, flatS, pairBound)
+        f"flat=${flatS.getOrElse(Double.NaN)}%.1f ssOverN=$pairBound%.1f " +
+        f"idx_build=$buildS%.1f idx_dirs=$nDirs idx_append=$appendS%.1f " +
+        f"idx_probe=$probeS%.1f")
+      (n, k, cells, usedCells, sampleS, trainS, assignS, flatS, pairBound,
+        buildS, nDirs, appendS, probeS)
     }
 
     def r2(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
-    val steps = rows.map { case (n, k, cells, used, sa, tr, as, fl, pb) =>
-      s"""{"n":$n,"k":$k,"cells":$cells,"cells_used":$used,""" +
-        s""""advised_match":true,""" +
-        s""""sample_s":${r2(sa)},"train_s":${r2(tr)},"assign_s":${r2(as)},""" +
-        s""""flat_assign_s":${fl.map(r2).getOrElse("null")},""" +
-        s""""pairs_per_row_bound":${r2(pb)}}"""
+    val steps = rows.map {
+      case (n, k, cells, used, sa, tr, as, fl, pb, ib, nd, ia, ip) =>
+        s"""{"n":$n,"k":$k,"cells":$cells,"cells_used":$used,""" +
+          s""""advised_match":true,""" +
+          s""""sample_s":${r2(sa)},"train_s":${r2(tr)},"assign_s":${r2(as)},""" +
+          s""""flat_assign_s":${fl.map(r2).getOrElse("null")},""" +
+          s""""pairs_per_row_bound":${r2(pb)},""" +
+          s""""index_build_s":${r2(ib)},"index_dirs":$nd,""" +
+          s""""index_append_s":${r2(ia)},"index_probe_s":${r2(ip)}}"""
     }.mkString("[", ",", "]")
     // growth exponents between consecutive steps: log(time ratio)/log(n
     // ratio) — ~1.0 is linear, the flat regime this replaces measures ~2
     val exps = rows.sliding(2).collect {
-      case Seq((n1, _, _, _, _, t1, a1, _, _), (n2, _, _, _, _, t2, a2, _, _)) =>
+      case Seq((n1, _, _, _, _, t1, a1, _, _, b1, _, _, _),
+          (n2, _, _, _, _, t2, a2, _, _, b2, _, _, _)) =>
         val ln = math.log(n2.toDouble / n1)
         s"""{"n_ratio":${r2(n2.toDouble / n1)},""" +
           s""""assign_exp":${r2(math.log(a2 / a1) / ln)},""" +
-          s""""train_exp":${r2(math.log(t2 / t1) / ln)}}"""
+          s""""train_exp":${r2(math.log(t2 / t1) / ln)},""" +
+          s""""index_build_exp":${r2(math.log(b2 / b1) / ln)}}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"semdedup_scale","unit":"sec","dim":$dim,""" +
       s""""target_cluster_size":125,"steps":$steps,"growth":$exps}""")

@@ -1868,10 +1868,11 @@ object Dedup {
     // vectors were, or probes read the wrong cells
     val assign = SimilaritySearch.indexAssignUdf(batch.sparkSession, centroids)
     val bucketType = vectors.schema("bucket").dataType
-    val arr = batch.select(col(idCol).as("id_b"), col(vecCol).as("b_vec"),
-        l2Norm(col(vecCol)).as("b_nrm"))
-      .withColumn("bucket", assign(col("b_vec")).cast(bucketType))
-    vectors.join(broadcast(arr), Seq("bucket"))
+    val arr = SimilaritySearch.withCellGroup(vectors,
+      batch.select(col(idCol).as("id_b"), col(vecCol).as("b_vec"),
+          l2Norm(col(vecCol)).as("b_nrm"))
+        .withColumn("bucket", assign(col("b_vec")).cast(bucketType)))
+    vectors.join(broadcast(arr), SimilaritySearch.cellJoinKeys(vectors))
       .withColumn("cos",
         round(dot(col("n_vec"), col("b_vec")) / (col("n_nrm") * col("b_nrm")), 6))
       .filter(col("cos") >= threshold)

@@ -237,6 +237,73 @@ object SimilaritySearch {
     else nearestUdf(centroids)
   }
 
+  /** Directory-fanout bound for the cell-partitioned vector set: one
+    * directory PER CELL is the right layout at ANN-scale k (16-256
+    * cells — pruning reads exactly the probed cells' directories), but a
+    * semantic-scale codebook (k ≈ n/125 — 200k cells at 25M vectors)
+    * would mean 200k directories of ~125 rows each: tiny files and a
+    * listing/namenode bill that grows with k, the classic
+    * over-partitioning failure. Above this bound the build partitions by
+    * a CELL GROUP (bucket mod nGroups) instead — a probe of b cells
+    * touches ≤ b group directories (same pruning bound), each holding
+    * ~k/nGroups cells' rows, and the true cell id stays a normal column
+    * for the in-group join. Conf for tests; an engine constant in
+    * production.
+    */
+  private[graft] def maxCellDirs(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.ann.maxCellDirs", "1024").toInt
+
+  /** The group column NAME carries its modulus (`cell_group_1024`), so
+    * the layout is entirely self-describing: append and probe parse the
+    * modulus back out of the schema they just read — atomic with the
+    * data by construction, nothing extra to persist or crash-protect,
+    * and a conf change after build cannot desynchronize them.
+    */
+  private[graft] def cellGroupColOf(vectors: DataFrame): Option[(String, Int)] =
+    vectors.columns.find(_.startsWith("cell_group_"))
+      .map(c => (c, c.stripPrefix("cell_group_").toInt))
+
+  /** (partitionColumn, frame-with-layout-columns) for a freshly assigned
+    * vector frame: per-cell directories at ANN-scale k, grouped
+    * directories above [[maxCellDirs]].
+    */
+  private def cellLayout(
+      spark: SparkSession, assigned: DataFrame, k: Int): (String, DataFrame) = {
+    val nGroups = maxCellDirs(spark)
+    if (k <= nGroups) ("bucket", assigned)
+    else {
+      val c = s"cell_group_$nGroups"
+      // cluster by group before the partitioned write: an unclustered
+      // partitionBy write emits one file per (task × group) — the
+      // bucketed-write explosion createBucketedSet documents, ~32k tiny
+      // files at 1024 groups × 32 tasks. Clustered, each group's rows
+      // land in one shuffle partition → ~one file per directory.
+      (c, assigned.withColumn(c, pmod(col("bucket"), lit(nGroups.toLong)))
+        .repartition(col(c)))
+    }
+  }
+
+  /** Add the standing layout's group column to a probe/append side whose
+    * `bucket` is already computed, casting to the partition column's
+    * Hive-inferred type. No-op for per-cell layouts.
+    */
+  private[graft] def withCellGroup(
+      standing: DataFrame, df: DataFrame): DataFrame =
+    cellGroupColOf(standing) match {
+      case None => df
+      case Some((c, n)) =>
+        df.withColumn(c,
+          pmod(col("bucket").cast("long"), lit(n.toLong))
+            .cast(standing.schema(c).dataType))
+    }
+
+  /** Join keys for a probe against the standing vector set: the group
+    * column first when the layout is grouped (directory pruning), then
+    * the cell id (in-group row pruning).
+    */
+  private[graft] def cellJoinKeys(standing: DataFrame): Seq[String] =
+    cellGroupColOf(standing).map(_._1).toSeq :+ "bucket"
+
   /** Codebook trainer for the persisted-index build/rebuild paths,
     * large-k-safe: seeds are sample rows, so the md5-ordered sample
     * widens to 2k once k outgrows the default limit (a 200k-cell
@@ -376,12 +443,14 @@ object SimilaritySearch {
         .toDF("bucket", "centroid"),
       policy = "none")
     // routed above the threshold (semantic-scale codebooks) — the SAME
-    // rule every later append/probe derives, so assignments never mix
+    // rule every later append/probe derives, so assignments never mix;
+    // grouped directories above the fanout bound, for the same reason
     val assign = indexAssignUdf(spark, centroids)
-    catalog.createPartitionedSet(db, s"${name}_vectors",
+    val (partCol, laidOut) = cellLayout(spark,
       emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
         l2Norm(col(vecCol)).as("n_nrm"), assign(col(vecCol)).as("bucket")),
-      "bucket")
+      centroids.length)
+    catalog.createPartitionedSet(db, s"${name}_vectors", laidOut, partCol)
     persistBuiltRows(spark, catalog, db, name)
   }
 
@@ -413,10 +482,16 @@ object SimilaritySearch {
       .orderBy(col("bucket")).collect()
       .map(_.getSeq[Double](1).toArray)
     val assign = indexAssignUdf(spark, centroids)
+    // the standing schema is the layout witness: grouped sets append
+    // into their group directories under the SAME modulus the build
+    // wrote (parsed from the column name, never from session state)
+    val standing = catalog.scanSet(db, s"${name}_vectors")
+    val partCol = cellGroupColOf(standing).map(_._1).getOrElse("bucket")
     catalog.appendToPartitionedSet(db, s"${name}_vectors",
-      newEmb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
-        l2Norm(col(vecCol)).as("n_nrm"), assign(col(vecCol)).as("bucket")),
-      "bucket")
+      withCellGroup(standing,
+        newEmb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+          l2Norm(col(vecCol)).as("n_nrm"), assign(col(vecCol)).as("bucket"))),
+      partCol)
     if (rebuildIfDrifted &&
         appendedDriftFraction(catalog, db, name) >= driftFraction)
       rebuildIvfIndex(spark, catalog, db, name)
@@ -462,10 +537,12 @@ object SimilaritySearch {
     // rebuild's recoverSwapGroup preamble or by SetCatalog.recoverAll
     // at catalog open, so a mixed-generation index can serve only
     // inside the crash-to-recovery window, never past it.
-    catalog.createPartitionedSet(db, s"${name}_vectors_rebuild",
+    val (partCol, laidOut) = cellLayout(spark,
       vecs.select(col("neighbor_id"), col("n_vec"), col("n_nrm"),
         assign(col("n_vec")).as("bucket")),
-      "bucket")
+      centroids.length)
+    catalog.createPartitionedSet(db, s"${name}_vectors_rebuild", laidOut,
+      partCol)
     catalog.createSet(db, s"${name}_centroids_rebuild",
       centroids.zipWithIndex
         .map { case (v, b) => (b.toLong, v.toSeq) }.toSeq
@@ -1206,13 +1283,14 @@ object SimilaritySearch {
     // partition-column type follows Hive directory inference (int), not
     // the written long — cast the probe side to whatever came back
     val bucketType = vectors.schema("bucket").dataType
-    val probes = queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("q_vec"), l2Norm(col(vecCol)).as("q_nrm"),
-      explode(probe(col(vecCol))).as("bucket"))
-      .withColumn("bucket", col("bucket").cast(bucketType))
+    val probes = withCellGroup(vectors,
+      queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("q_vec"), l2Norm(col(vecCol)).as("q_nrm"),
+        explode(probe(col(vecCol))).as("bucket"))
+        .withColumn("bucket", col("bucket").cast(bucketType)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    vectors.join(broadcast(probes), Seq("bucket"))
+    vectors.join(broadcast(probes), cellJoinKeys(vectors))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         round(dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))

@@ -234,6 +234,59 @@ class IvfIndexSpec extends GraftSpecBase {
     SetCatalog.deleteTree(java.nio.file.Paths.get(root))
   }
 
+  test("grouped cell directories above the fanout bound: same results, bounded fanout, pruned scans") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val root = Files.createTempDirectory("graft-ivf-grp").toString
+    val c = new SetCatalog(spark, root)
+    spark.conf.set("spark.graft.ann.maxCellDirs", "3")
+    try {
+      // k = 16 cells > 3 dirs -> grouped layout (bucket mod 3)
+      SimilaritySearch.buildIvfIndex(spark, c, "idx", "grp", emb)
+      // fanout is the bound, not k: exactly <= 3 partition directories
+      import scala.jdk.CollectionConverters._
+      val dirs = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$root/idx.grp_vectors"))
+        .iterator().asScala
+        .count(p => p.getFileName.toString.startsWith("cell_group_3="))
+      assert(dirs >= 1 && dirs <= 3, s"grouped layout wrote $dirs dirs")
+      // identical results to the in-memory IVF over the same corpus:
+      // grouping changes STORAGE, never assignment or scoring
+      val fromIndex = SimilaritySearch
+        .searchIvfIndex(spark, c, "idx", "grp", queries, k = 5)
+        .collect().map(_.toSeq).toSet
+      val inMemory = SimilaritySearch
+        .ivfTopK(spark, emb, queries, k = 5)
+        .collect().map(r => Seq(r.get(0), r.get(1), r.get(2), r.get(3))).toSet
+      assert(fromIndex == inMemory && fromIndex.nonEmpty)
+      // the probe still dynamic-prunes, now on the group directory
+      val plan = SimilaritySearch
+        .searchIvfIndex(spark, c, "idx", "grp", queries, k = 5)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"grouped probe lost dynamic partition pruning:\n$plan")
+      // appends land inside the standing group directories (the layout
+      // witness is the schema, not session state) and the semantic
+      // probe path shares it: a probe of an appended vector's value
+      // finds it at cos 1
+      SimilaritySearch.appendToIvfIndex(spark, c, "idx", "grp",
+        emb.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 2000L).as("vec_id"), col("embedding")))
+      val centroids = c.scanSet("idx", "grp_centroids")
+        .orderBy(col("bucket")).collect().map(_.getSeq[Double](1).toArray)
+      val pairs = graft.operators.Dedup.semanticBatchPairs(
+        emb.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 1000L).as("vec_id"), col("embedding")),
+        centroids, c.scanSet("idx", "grp_vectors"),
+        "vec_id", "embedding", threshold = 0.999)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert((0L until 5L).forall(i =>
+          pairs.contains((i, i + 1000L)) && pairs.contains((i + 2000L, i + 1000L))),
+        s"grouped semantic probe lost built or appended identity pairs: $pairs")
+    } finally spark.conf.unset("spark.graft.ann.maxCellDirs")
+    SetCatalog.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("appendToSemanticIndex rebuildIfDrifted triggers the re-sized rebuild") {
     val emb = Tables.embeddings(spark, sfDir)
     val root = Files.createTempDirectory("graft-sem-drift").toString
