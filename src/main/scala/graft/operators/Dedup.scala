@@ -477,6 +477,16 @@ object Dedup {
       shingleN: Int = 2): DataFrame = {
     val setsName = s"${name}_sets"
     val bandsName = s"${name}_bands"
+    // Heal a crashed recap BEFORE reading or appending to the standing
+    // sets: a recap that died mid-swap left its group marker, making
+    // the STAGED generation authoritative — appending to the doomed old
+    // generation instead would be silently discarded when the swap is
+    // eventually finished (the recap's own preamble only runs when the
+    // recap policy re-fires, which a conf change can prevent forever).
+    // Cost on the overwhelmingly common clean path: one marker
+    // Files.exists plus two staging-sidecar existence checks.
+    catalog.recoverSwapGroup(db, Seq(s"${setsName}_recap" -> setsName,
+      s"${bandsName}_recap" -> bandsName))
     val (nSets, nBanded) = bandFrames(batch, idCol,
       wordShingles(col(textCol), shingleN), k, bands)
     val exists = catalog.meta(db, bandsName).nonEmpty
@@ -569,17 +579,27 @@ object Dedup {
     * delivery, EITHER column of a cross pair can be the standing
     * element, so both verify sides resolve through this one table. On a
     * replay an id exists on both sides with identical content
-    * (deterministic shingles of the same text); dropDuplicates keeps
-    * one.
+    * (deterministic shingles of the same text) and either copy serves;
+    * when an id is REUSED with different content (outside the replay
+    * contract), the ARRIVAL copy wins DETERMINISTICALLY — source-
+    * priority min per id, not dropDuplicates' arbitrary survivor — so
+    * verify jaccard can never flip between runs on that edge (the r14
+    * standing-side exclusion had the same arrival preference; this
+    * keeps it under the 1-scan kernel). The window runs over the
+    * candidate-id-sized lookup, not the standing set.
     */
   private[graft] def ingestNearDupLookup(
       nSets: DataFrame, standingSets: Option[DataFrame],
       candIds: DataFrame): DataFrame = standingSets match {
     case None => nSets
     case Some(sSets) =>
-      sSets.join(candIds, Seq("id"), "left_semi")
-        .unionByName(nSets.join(candIds, Seq("id"), "left_semi"))
-        .dropDuplicates("id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("src"))
+      nSets.join(candIds, Seq("id"), "left_semi").withColumn("src", lit(0))
+        .unionByName(
+          sSets.join(candIds, Seq("id"), "left_semi").withColumn("src", lit(1)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("src", "rn")
   }
 
   /** The probe half of [[ingestNearDupBatch]], side-effect-free:
@@ -691,8 +711,10 @@ object Dedup {
     catalog.createSet(db, s"${setsName}_recap",
       catalog.scanSet(db, setsName),
       partitionColumn = setsMeta.partitionColumn)
+    catalog.markStaging(db, s"${setsName}_recap")
     catalog.createSet(db, s"${bandsName}_recap", capped,
       partitionColumn = catalog.meta(db, bandsName).flatMap(_.partitionColumn))
+    catalog.markStaging(db, s"${bandsName}_recap")
     catalog.swapSetGroup(db, pairs)
     stampIngestCensusRows(catalog, db, name)
   }
@@ -771,6 +793,25 @@ object Dedup {
   private[graft] def streamProbe(
       stream: DataFrame, perBatch: DataFrame => DataFrame,
       sink: Option[(graft.storage.SetCatalog, String, String)]): DataFrame = {
+    val (q, result) = startProbe(stream, perBatch, sink)
+    try q.processAllAvailable() finally q.stop()
+    result()
+  }
+
+  /** [[streamProbe]] without the drain: start the foreachBatch query and
+    * return it alongside the result thunk, so the caller controls WHEN
+    * batches process — the harness the mid-stream lifecycle specs need
+    * to interleave index maintenance (an append, a rebuild, a recap)
+    * between micro-batches of a LIVE probe stream and pin the per-batch
+    * re-resolution contract directly. Production callers use
+    * [[streamProbe]]; this exists because `processAllAvailable` inside
+    * it drains everything already queued, leaving no seam for a test to
+    * mutate the standing index mid-stream.
+    */
+  private[graft] def startProbe(
+      stream: DataFrame, perBatch: DataFrame => DataFrame,
+      sink: Option[(graft.storage.SetCatalog, String, String)])
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame) = {
     val spark = stream.sparkSession
     def emptyOut = perBatch(spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stream.schema))
@@ -792,13 +833,12 @@ object Dedup {
       }
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .start()
-    try q.processAllAvailable() finally q.stop()
-    sink match {
+    (q, () => sink match {
       case Some((cat, db, set)) => cat.scanSet(db, set)
       case None => acc.getOrElse(
         // empty stream: an empty-input run of the same plan, for the schema
         emptyOut)
-    }
+    })
   }
 
   /** Streaming form of [[spansAgainstStoredIndex]] — per-micro-batch
@@ -812,16 +852,31 @@ object Dedup {
     * to a stored set (the production form); without, the log accumulates
     * as driver-held checkpoints and returns when the stream drains (the
     * oracle-query form).
+    *
+    * LIVE-INDEX contract (shared by every stored-index probe stream —
+    * see [[streamSemanticAgainstIndex]] for the full statement): the
+    * gram index is re-resolved INSIDE the batch closure, so an index
+    * re-persisted or swapped between micro-batches is what the next
+    * batch probes — a plan captured at stream start would pin the
+    * original file listing for the stream's whole life.
     */
   def streamSpansAgainstStoredIndex(
       stream: DataFrame, catalog: graft.storage.SetCatalog,
       db: String, name: String, idCol: String, textCol: String,
       k: Int = 8,
-      sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame = {
-    val grams = scanGramIndex(catalog, db, name)
-    streamProbe(stream,
-      batch => spansAgainstGrams(batch, grams, idCol, textCol, k), sink)
-  }
+      sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame =
+    streamProbe(stream, spansProbeFn(catalog, db, name, idCol, textCol, k),
+      sink)
+
+  /** Per-batch probe closure of [[streamSpansAgainstStoredIndex]],
+    * package-visible so the mid-stream lifecycle specs can drive it
+    * through [[startProbe]].
+    */
+  private[graft] def spansProbeFn(
+      catalog: graft.storage.SetCatalog, db: String, name: String,
+      idCol: String, textCol: String, k: Int): DataFrame => DataFrame =
+    batch => spansAgainstGrams(batch, scanGramIndex(catalog, db, name),
+      idCol, textCol, k)
 
   /** Connected components over a near-dup pair set — the step a dedup
     * pipeline runs after pair generation so each cluster keeps one
@@ -1356,22 +1411,32 @@ object Dedup {
       corpusFps, keyCols, "fp")
 
   /** Streaming form of [[exactAgainstStoredIndex]]: each micro-batch of
-    * the ingest stream probes the static persisted hash index and its
+    * the ingest stream probes the persisted hash index and its
     * flags are appended (to `sink` when given, else a driver-side
     * accumulation for the test harness — same convenience/production
     * split as [[streamNearDupPairs]]). Batching-invariant by
-    * construction: is_dup depends only on the doc itself and the fixed
-    * index, so per-batch outputs union to the one-shot batch result no
-    * matter how arrivals are split.
+    * construction: is_dup depends only on the doc itself and the index
+    * generation current at its batch, so per-batch outputs union to the
+    * one-shot batch result no matter how arrivals are split.
+    *
+    * LIVE-INDEX contract: the hash index is re-resolved INSIDE the
+    * batch closure (see [[streamSemanticAgainstIndex]]), so a
+    * re-persisted index generation is what the next micro-batch probes.
     */
   def streamExactAgainstStoredIndex(
       stream: DataFrame, catalog: graft.storage.SetCatalog,
       db: String, name: String, idCol: String, textCol: String,
-      sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame = {
-    val hashes = scanExactIndex(catalog, db, name)
-    streamProbe(stream,
-      batch => exactAgainstHashes(batch, hashes, idCol, textCol), sink)
-  }
+      sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame =
+    streamProbe(stream, exactProbeFn(catalog, db, name, idCol, textCol), sink)
+
+  /** Per-batch probe closure of [[streamExactAgainstStoredIndex]],
+    * package-visible for the mid-stream lifecycle specs.
+    */
+  private[graft] def exactProbeFn(
+      catalog: graft.storage.SetCatalog, db: String, name: String,
+      idCol: String, textCol: String): DataFrame => DataFrame =
+    batch => exactAgainstHashes(batch, scanExactIndex(catalog, db, name),
+      idCol, textCol)
 
   /** SELF-GROWING streaming ingest dedup — first-seen-wins over the
     * arrival stream ITSELF, not against a frozen corpus: each micro-batch
@@ -1769,7 +1834,10 @@ object Dedup {
     * asymmetry): arrivals are assigned under the index's FROZEN codebook
     * and appended into the cluster-partitioned standing vectors, so
     * every later [[streamSemanticAgainstIndex]] probe pairs against them
-    * too — the index IS [[SimilaritySearch.buildIvfIndex]]'s layout with
+    * too — including the later micro-batches of a probe stream ALREADY
+    * RUNNING when the append lands (the probe re-resolves the index per
+    * batch; its LIVE-INDEX contract) — the index IS
+    * [[SimilaritySearch.buildIvfIndex]]'s layout with
     * semantic geometry, so the append IS the IVF append (assignment
     * depends only on (vector, codebook); build(A)+append(B) ≡ one-shot
     * assignment of A∪B under A's codebook).
@@ -1900,21 +1968,47 @@ object Dedup {
     * Scale shape: per batch, one broadcast of the arrivals and a
     * partition-pruned read of only their cells; nothing re-shuffles the
     * corpus, no state store at all (the standing index IS the state).
+    *
+    * LIVE-INDEX contract (VERDICT r15 next #1): the standing index is
+    * re-resolved INSIDE the batch closure — centroids re-collected
+    * (O(k) rows) and the vector set re-planned (one file listing) per
+    * micro-batch — NOT captured once at stream start. Two consequences
+    * a standing pipeline needs: (a) an [[appendToSemanticIndex]]
+    * landing mid-stream is visible to every LATER micro-batch of a
+    * live probe stream (a frozen plan would pin the file listing of
+    * stream start for the stream's whole life); (b) a
+    * [[rebuildSemanticIndex]] swap mid-stream — which DELETES the old
+    * generation's directories — is survived: the next batch probes the
+    * new generation instead of failing on the renamed-away files.
+    * Within one batch, the centroid collect and the vector scan read
+    * one generation because maintenance runs between batches of the
+    * owning pipeline (the single-writer contract every lifecycle op
+    * documents); the crash-atomic swap marker covers the remaining
+    * two-rename window.
     */
   def streamSemanticAgainstIndex(
       stream: DataFrame, catalog: graft.storage.SetCatalog,
       db: String, name: String, idCol: String, vecCol: String,
       threshold: Double = 0.4,
-      sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame = {
-    val centroids = catalog.scanSet(db, s"${name}_centroids")
-      .orderBy(col("bucket")).collect()
-      .map(_.getSeq[Double](1).toArray)
-    val vectors = catalog.scanSet(db, s"${name}_vectors")
+      sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame =
     streamProbe(stream,
-      batch => semanticBatchPairs(batch, centroids, vectors, idCol, vecCol,
-        threshold),
-      sink)
-  }
+      semanticProbeFn(catalog, db, name, idCol, vecCol, threshold), sink)
+
+  /** Per-batch probe closure of [[streamSemanticAgainstIndex]] — the
+    * re-resolution happens HERE, once per micro-batch. Package-visible
+    * so the mid-stream lifecycle specs can drive it through
+    * [[startProbe]] and interleave appends/rebuilds between batches.
+    */
+  private[graft] def semanticProbeFn(
+      catalog: graft.storage.SetCatalog, db: String, name: String,
+      idCol: String, vecCol: String, threshold: Double): DataFrame => DataFrame =
+    batch => {
+      val centroids = catalog.scanSet(db, s"${name}_centroids")
+        .orderBy(col("bucket")).collect()
+        .map(_.getSeq[Double](1).toArray)
+      val vectors = catalog.scanSet(db, s"${name}_vectors")
+      semanticBatchPairs(batch, centroids, vectors, idCol, vecCol, threshold)
+    }
 
   def cosinePairs(
       emb: DataFrame, idCol: String, vecCol: String,

@@ -379,19 +379,28 @@ object Multimodal {
     * (each frame's flag depends only on its own bytes plus the static
     * index), so per-batch outputs union to the one-shot batch result —
     * the same contract as [[Dedup.streamExactAgainstStoredIndex]], which
-    * this shares its probe and sink harness with.
+    * this shares its probe and sink harness with — including the
+    * LIVE-INDEX contract: the frame index is re-resolved INSIDE the
+    * batch closure, so a re-persisted generation is what the next
+    * micro-batch probes (see [[Dedup.streamSemanticAgainstIndex]]).
     */
   def streamFramesAgainstStoredIndex(
       stream: DataFrame, catalog: graft.storage.SetCatalog,
       db: String, name: String, chunk: Int = 64, stride: Int = 4,
-      sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame = {
-    val hashes = Dedup.scanExactIndex(catalog, db, name)
-    Dedup.streamProbe(stream,
-      batch => Dedup.exactAgainstHashesKeyed(
-        sampleFrames(batch.sparkSession, batch, chunk, stride),
-        hashes, Seq("doc_id", "frame_no"), "frame"),
+      sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame =
+    Dedup.streamProbe(stream, framesProbeFn(catalog, db, name, chunk, stride),
       sink)
-  }
+
+  /** Per-batch probe closure of [[streamFramesAgainstStoredIndex]],
+    * package-visible for the mid-stream lifecycle specs.
+    */
+  private[graft] def framesProbeFn(
+      catalog: graft.storage.SetCatalog, db: String, name: String,
+      chunk: Int, stride: Int): DataFrame => DataFrame =
+    batch => Dedup.exactAgainstHashesKeyed(
+      sampleFrames(batch.sparkSession, batch, chunk, stride),
+      Dedup.scanExactIndex(catalog, db, name),
+      Seq("doc_id", "frame_no"), "frame")
 
   /** Persist a standing audio-envelope index for a media corpus: each
     * payload's 63-bit delta-sign fingerprint ([[envelopeFingerprint]]),
@@ -421,20 +430,27 @@ object Multimodal {
     * construction (each doc's flag depends only on its own bytes plus
     * the static index), the same contract as
     * [[streamFramesAgainstStoredIndex]], whose probe/sink harness this
-    * shares.
+    * shares — including the LIVE-INDEX contract (the envelope index is
+    * re-resolved inside the batch closure, per micro-batch).
     */
   def streamEnvelopesAgainstStoredIndex(
       stream: DataFrame, catalog: graft.storage.SetCatalog,
       db: String, name: String, window: Int = 64, hop: Int = 32,
       minWindows: Int = 8,
-      sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame = {
-    val fps = Dedup.scanFingerprintIndex(catalog, db, name)
+      sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame =
     Dedup.streamProbe(stream,
-      batch => Dedup.fingerprintsAgainstFps(
-        envelopeFingerprint(batch, window, hop, minWindows),
-        fps, Seq("doc_id"), "fp"),
-      sink)
-  }
+      envelopesProbeFn(catalog, db, name, window, hop, minWindows), sink)
+
+  /** Per-batch probe closure of [[streamEnvelopesAgainstStoredIndex]],
+    * package-visible for the mid-stream lifecycle specs.
+    */
+  private[graft] def envelopesProbeFn(
+      catalog: graft.storage.SetCatalog, db: String, name: String,
+      window: Int, hop: Int, minWindows: Int): DataFrame => DataFrame =
+    batch => Dedup.fingerprintsAgainstFps(
+      envelopeFingerprint(batch, window, hop, minWindows),
+      Dedup.scanFingerprintIndex(catalog, db, name),
+      Seq("doc_id"), "fp")
 
   /** ACT form of [[silenceSegments]]: rebuild each payload keeping only
     * its above-threshold windows (non-overlapping — window == hop, so

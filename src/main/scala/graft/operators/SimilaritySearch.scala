@@ -543,11 +543,13 @@ object SimilaritySearch {
       centroids.length)
     catalog.createPartitionedSet(db, s"${name}_vectors_rebuild", laidOut,
       partCol)
+    catalog.markStaging(db, s"${name}_vectors_rebuild")
     catalog.createSet(db, s"${name}_centroids_rebuild",
       centroids.zipWithIndex
         .map { case (v, b) => (b.toLong, v.toSeq) }.toSeq
         .toDF("bucket", "centroid"),
       policy = "none")
+    catalog.markStaging(db, s"${name}_centroids_rebuild")
     swapInStaged(catalog, db,
       Seq(s"${name}_vectors", s"${name}_centroids"))
     persistBuiltRows(spark, catalog, db, name)
@@ -787,6 +789,9 @@ object SimilaritySearch {
         cb.zipWithIndex.map { case (v, c) => (j, c.toLong, v.toSeq) }
       }.toSeq.toDF("sub", "centroid", "components"),
       policy = "none")
+    // a staged generation is tagged as catalog-owned the moment it
+    // exists, so recoverAll's convention sweep may resolve it
+    if (suffix.nonEmpty) catalog.markStaging(db, s"${name}_codebooks$suffix")
   }
 
   /** Crash-recovery preamble for the rebuilds' staged swaps — delegates
@@ -1046,6 +1051,7 @@ object SimilaritySearch {
     catalog.createSet(db, s"${name}_codes_rebuild",
       vecs.select(col("neighbor_id"), encode(col("n_vec")).as("codes")),
       partitionColumn = cm.partitionColumn, numPartitions = cm.numPartitions)
+    catalog.markStaging(db, s"${name}_codes_rebuild")
     persistCodebooks(spark, catalog, db, name, codebooks, suffix = "_rebuild")
     swapInStaged(catalog, db,
       Seq(s"${name}_codes", s"${name}_codebooks"))
@@ -1087,11 +1093,13 @@ object SimilaritySearch {
       vecs.select(col("neighbor_id"), encode(col("n_vec")).as("codes"),
         assign(col("n_vec")).as("bucket")),
       "bucket")
+    catalog.markStaging(db, s"${name}_codes_rebuild")
     catalog.createSet(db, s"${name}_centroids_rebuild",
       centroids.zipWithIndex
         .map { case (v, b) => (b.toLong, v.toSeq) }.toSeq
         .toDF("bucket", "centroid"),
       policy = "none")
+    catalog.markStaging(db, s"${name}_centroids_rebuild")
     persistCodebooks(spark, catalog, db, name, codebooks, suffix = "_rebuild")
     swapInStaged(catalog, db, Seq(s"${name}_codes",
       s"${name}_centroids", s"${name}_codebooks"))

@@ -25,9 +25,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * [[SetCatalog.needsCompaction]] and the auto-compaction valve read,
   * without listing anything.
   */
+/** `staging` tags a set the catalog's OWN staged-rebuild machinery
+  * created (`*_rebuild` / `*_recap` generations written by the index
+  * lifecycles, via [[SetCatalog.markStaging]]): only tagged sets are
+  * fair game for [[SetCatalog.recoverAll]]'s convention sweep — a
+  * genuine USER set that happens to end in `_rebuild` is never
+  * discarded or force-swapped at catalog open. The tag is cleared by
+  * [[SetCatalog.renameSet]] when a staging set is adopted as the live
+  * generation.
+  */
 final case class SetMeta(
     partitionColumn: Option[String], numPartitions: Int, rows: Long,
-    policy: String = "hash", nodeShares: Seq[Int] = Nil, files: Long = 0L)
+    policy: String = "hash", nodeShares: Seq[Int] = Nil, files: Long = 0L,
+    staging: Boolean = false)
 
 object SetCatalog {
   /** Recursive tree delete, closing its directory stream (the ad-hoc
@@ -77,9 +87,10 @@ final class SetCatalog(spark: SparkSession, root: String,
 
   private[storage] def writeMeta(db: String, set: String, col: Option[String],
       n: Int, rows: Long, policy: String, shares: Seq[Int] = Nil,
-      files: Long = 0L): Unit =
+      files: Long = 0L, staging: Boolean = false): Unit =
     Files.writeString(Paths.get(metaPath(db, set)),
-      s"${col.getOrElse("")}\n$n\n$rows\n$policy\n${shares.mkString(",")}\n$files\n")
+      s"${col.getOrElse("")}\n$n\n$rows\n$policy\n${shares.mkString(",")}\n" +
+        s"$files\n${if (staging) "staging" else ""}\n")
 
   /** Count a set directory's data files — used by the CREATE paths to
     * seed the sidecar's file count (appends advance it incrementally by
@@ -169,7 +180,7 @@ final class SetCatalog(spark: SparkSession, root: String,
     val files = if (m.files > 0) m.files + newFiles
       else countDataFiles(db, set)
     writeMeta(db, set, m.partitionColumn, m.numPartitions, m.rows + n,
-      m.policy, m.nodeShares, files)
+      m.policy, m.nodeShares, files, m.staging)
     maybeAutoCompact(db, set, files)
   }
 
@@ -187,7 +198,20 @@ final class SetCatalog(spark: SparkSession, root: String,
   private def maybeAutoCompact(db: String, set: String, files: Long): Unit = {
     val trigger = spark.conf
       .get("spark.graft.catalog.autoCompact.files", "0").toInt
-    if (trigger > 0 && files > trigger) compactSet(db, set)
+    if (trigger > 0 && files > trigger) {
+      // Re-seed from a real listing BEFORE paying the rewrite: the
+      // incremental advance assumes one output file per non-empty batch
+      // partition, which spark.sql.files.maxRecordsPerFile (several
+      // files per task) or a differently-planned cache re-execution can
+      // break. One listing at the trigger crossing is the bill the
+      // compaction itself is about to pay anyway; between crossings the
+      // counter stays listing-free.
+      val actual = countDataFiles(db, set)
+      if (actual != files) meta(db, set).foreach(m =>
+        writeMeta(db, set, m.partitionColumn, m.numPartitions, m.rows,
+          m.policy, m.nodeShares, actual, m.staging))
+      if (actual > trigger) compactSet(db, set)
+    }
   }
 
   /** True when the set's tracked file count exceeds `maxFiles` — the
@@ -262,7 +286,7 @@ final class SetCatalog(spark: SparkSession, root: String,
     rmTree(old)
     // layout and row count are preserved; only the file tiling changed
     writeMeta(db, set, m.partitionColumn, m.numPartitions, m.rows,
-      m.policy, m.nodeShares, countDataFiles(db, set))
+      m.policy, m.nodeShares, countDataFiles(db, set), m.staging)
   }
 
   /** Directory-partitioned set: one subdirectory per distinct value of
@@ -316,7 +340,7 @@ final class SetCatalog(spark: SparkSession, root: String,
     val files = if (m.files > 0) m.files + newFiles
       else countDataFiles(db, set)
     writeMeta(db, set, m.partitionColumn, m.numPartitions, m.rows + n,
-      m.policy, m.nodeShares, files)
+      m.policy, m.nodeShares, files, m.staging)
     maybeAutoCompact(db, set, files)
   }
 
@@ -379,9 +403,23 @@ final class SetCatalog(spark: SparkSession, root: String,
         if (lines.length > 4 && lines(4).nonEmpty)
           lines(4).split(",").map(_.toInt).toSeq
         else Nil,
-        if (lines.length > 5 && lines(5).nonEmpty) lines(5).toLong else 0L))
+        if (lines.length > 5 && lines(5).nonEmpty) lines(5).toLong else 0L,
+        lines.length > 6 && lines(6) == "staging"))
     }
   }
+
+  /** Tag `set` as a catalog-owned staging generation (see [[SetMeta]]).
+    * The staged-rebuild creators call this right after writing a
+    * `*_rebuild`/`*_recap` set; a crash between the create and the tag
+    * leaves an UNTAGGED leftover, which [[recoverAll]]'s convention
+    * sweep then ignores — the safe direction (a leak, healed by the
+    * next same-pairs rebuild's recovery preamble, never a discarded
+    * user set).
+    */
+  def markStaging(db: String, set: String): Unit =
+    meta(db, set).foreach(m => writeMeta(db, set, m.partitionColumn,
+      m.numPartitions, m.rows, m.policy, m.nodeShares, m.files,
+      staging = true))
 
   def removeSet(db: String, set: String): Unit = {
     // Read the sidecar BEFORE deleting it: only bucketed sets register a
@@ -436,6 +474,7 @@ final class SetCatalog(spark: SparkSession, root: String,
         Files.exists(Paths.get(metaPath(db, from))) &&
         !Files.exists(Paths.get(dir(db, from)))) {
       Files.move(Paths.get(metaPath(db, from)), Paths.get(metaPath(db, to)))
+      clearStaging(db, to)
       return
     }
     val m = meta(db, from).getOrElse(throw new IllegalArgumentException(
@@ -447,7 +486,18 @@ final class SetCatalog(spark: SparkSession, root: String,
       s"renameSet: target $db.$to already exists")
     Files.move(Paths.get(dir(db, from)), Paths.get(dir(db, to)))
     Files.move(Paths.get(metaPath(db, from)), Paths.get(metaPath(db, to)))
+    clearStaging(db, to)
   }
+
+  /** A renamed set IS the live generation: drop the staging tag its
+    * sidecar carried over from [[markStaging]] — otherwise a later
+    * [[recoverAll]] would treat the adopted LIVE set as a staging
+    * leftover and discard it.
+    */
+  private def clearStaging(db: String, set: String): Unit =
+    meta(db, set).filter(_.staging).foreach(m =>
+      writeMeta(db, set, m.partitionColumn, m.numPartitions, m.rows,
+        m.policy, m.nodeShares, m.files, staging = false))
 
   /** One marker per swap GROUP, named by the sorted target list — the
     * rebuild that owns a group always knows its exact member sets, so
@@ -578,12 +628,27 @@ final class SetCatalog(spark: SparkSession, root: String,
     *     recorded `staging -> target` pairs through [[recoverSwapGroup]]
     *     — the marker body IS the recovery plan, so a stranger needs no
     *     knowledge of which rebuild wrote it;
-    *  2. every leftover set named by a staging convention
-    *     (`*_rebuild`, `*_recap`) with no surviving marker is resolved
-    *     against its implied target by [[recoverSwapGroup]]'s
-    *     no-marker rules: discarded when the target is live
-    *     (staged sets re-derive deterministically), adopted when the
-    *     target is gone or half-moved.
+    *  2. every leftover set named by the staging convention
+    *     (`*_rebuild`, `*_recap`) AND carrying the [[SetMeta.staging]]
+    *     tag — i.e. provably written by the catalog's own staged-rebuild
+    *     machinery, never a user set that merely shares the suffix — is
+    *     resolved against its implied target by [[recoverSwapGroup]]'s
+    *     no-marker rules: discarded when the target is live (staged sets
+    *     re-derive deterministically), adopted when the target is gone
+    *     or half-moved. An untagged conventional name (a user set, or
+    *     the footprint of a crash between a staging create and its
+    *     [[markStaging]]) is left alone — the safe direction; a true
+    *     untagged leftover is healed by the next same-pairs rebuild's
+    *     recovery preamble instead.
+    *
+    * SINGLE-WRITER assumption (all maintenance, not just recovery): one
+    * session owns a catalog root's rebuilds at a time. `recoverDbsOnOpen`
+    * from a second session while a first session's staged rebuild is
+    * IN FLIGHT would discard that rebuild's pre-marker staging sets and
+    * make its eventual swap throw — recovery cannot distinguish a live
+    * writer's work-in-progress from a dead one's leftovers. Concurrent
+    * READERS are fine; concurrent rebuilders of the SAME index never
+    * were supported.
     *
     * Returns what it healed (marker names and staging sets) so callers
     * can log it; empty on the overwhelmingly common clean-open path,
@@ -625,10 +690,10 @@ final class SetCatalog(spark: SparkSession, root: String,
     for (staging <- setNames; suffix <- Seq("_rebuild", "_recap")
          if staging.endsWith(suffix)) {
       val target = staging.stripSuffix(suffix)
-      // only resolvable when the convention implies a real target name
-      if (target.nonEmpty &&
-          (meta(db, staging).isDefined ||
-            Files.exists(Paths.get(dir(db, staging))))) {
+      // only resolvable when the convention implies a real target name,
+      // and only for sets the catalog's own machinery TAGGED as staging
+      // (a user set named *_rebuild is not ours to discard)
+      if (target.nonEmpty && meta(db, staging).exists(_.staging)) {
         recoverSwapGroup(db, Seq(staging -> target))
         healed += s"staging:$staging"
       }

@@ -240,10 +240,17 @@ class CatalogSpec extends GraftSpecBase {
     Files.writeString(Paths.get(s"$r/db.x+y.swapin"),
       "x_rebuild -> x\ny_rebuild -> y")
     SetCatalog.deleteTree(Paths.get(s"$r/db.x")) // crash inside removeSet(x)
-    // 2. pre-marker orphan: staging leftover, live target — must discard
-    mk("z", 25); mk("z_rebuild", 9)
-    // 3. orphaned recap staging whose target is GONE — must adopt
-    mk("w_recap", 11)
+    // 2. pre-marker orphan: TAGGED staging leftover, live target — must
+    // discard (the staged-rebuild creators tag at create; see
+    // markStaging)
+    mk("z", 25); mk("z_rebuild", 9); sets.markStaging("db", "z_rebuild")
+    // 3. orphaned TAGGED recap staging whose target is GONE — must adopt
+    mk("w_recap", 11); sets.markStaging("db", "w_recap")
+    // 4. UNTAGGED user sets that merely share the staging suffix — the
+    // convention sweep must leave both alone (ADVICE r15: a genuine
+    // user set named *_rebuild was discarded / force-swapped before)
+    mk("u", 25); mk("u_rebuild", 13)
+    mk("v_recap", 17)
     // a DIFFERENT session (fresh catalog over the same root) opens and
     // heals everything without knowing who wrote what
     val other = new SetCatalog(spark, r)
@@ -260,14 +267,64 @@ class CatalogSpec extends GraftSpecBase {
     assert(other.meta("db", "w_recap").isEmpty &&
       other.scanSet("db", "w").count() == 11L,
       "orphaned staging with no live target should be adopted")
+    // the adopted set is the LIVE generation now: its tag must be gone,
+    // or the NEXT recoverAll would discard it as a leftover
+    assert(other.meta("db", "w").exists(!_.staging),
+      "adoption must clear the staging tag")
+    // untagged conventional names are user sets: untouched, both ways
+    assert(other.scanSet("db", "u_rebuild").count() == 13L &&
+      other.scanSet("db", "u").count() == 25L,
+      "untagged user set *_rebuild must survive recoverAll")
+    assert(other.scanSet("db", "v_recap").count() == 17L,
+      "untagged user set *_recap must survive recoverAll")
     // idempotent: a second open heals nothing
     assert(other.recoverAll("db").isEmpty)
     // the standing-pipeline posture: recovery AT construction (opt-in)
-    mk("p_recap", 3)
+    mk("p_recap", 3); sets.markStaging("db", "p_recap")
     val auto = new SetCatalog(spark, r, recoverDbsOnOpen = Seq("db"))
     assert(auto.meta("db", "p_recap").isEmpty &&
       auto.scanSet("db", "p").count() == 3L,
       "recoverDbsOnOpen did not heal at construction")
+    SetCatalog.deleteTree(Paths.get(r))
+  }
+
+  test("auto-compaction trigger re-seeds a drifted file count instead of trusting it") {
+    import java.nio.file.Paths
+    val r = Files.createTempDirectory("graft-reseed").toString
+    val sets = new SetCatalog(spark, r)
+    sets.createSet("db", "f", Tables.nation(spark, sfDir).limit(20),
+      numPartitions = 4, policy = "roundrobin")
+    sets.appendToSet("db", "f",
+      Tables.nation(spark, sfDir).limit(5).coalesce(1))
+    def listed: Long = {
+      import scala.jdk.CollectionConverters._
+      val w = Files.walk(Paths.get(s"$r/db.f"))
+      try w.iterator().asScala.count(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet")).toLong
+      finally w.close()
+    }
+    assert(sets.meta("db", "f").get.files == listed)
+    // simulate incremental-count drift (the maxRecordsPerFile /
+    // re-executed-cache footprint ADVICE r15 named): sidecar claims 99
+    // files while the directory holds ~5
+    val mp = Paths.get(s"$r/db.f.meta")
+    val lines = Files.readString(mp).split("\n", -1)
+    lines(5) = "99"
+    Files.writeString(mp, lines.mkString("\n"))
+    spark.conf.set("spark.graft.catalog.autoCompact.files", "8")
+    try {
+      sets.appendToSet("db", "f",
+        Tables.nation(spark, sfDir).limit(5).coalesce(1))
+      // tracked count (100) crossed the trigger, but the REAL count is
+      // under it: the valve must re-seed from the listing and NOT pay
+      // the rewrite (a compaction of this "none"-layout set would
+      // coalesce it to one file — trusting the drifted increment did
+      // exactly that before)
+      val real = listed
+      assert(real > 1 && real <= 8, s"fixture drifted: $real files")
+      assert(sets.meta("db", "f").get.files == real,
+        s"sidecar not re-seeded: ${sets.meta("db", "f").get.files} vs $real")
+    } finally spark.conf.unset("spark.graft.catalog.autoCompact.files")
     SetCatalog.deleteTree(Paths.get(r))
   }
 

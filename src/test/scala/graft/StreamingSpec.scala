@@ -696,6 +696,131 @@ class StreamingSpec extends GraftSpecBase {
     graft.storage.SetCatalog.deleteTree(root)
   }
 
+  test("ingest near-dup lookup prefers the arrival copy deterministically on id reuse") {
+    import spark.implicits._
+    // id 1 exists on BOTH sides with DIFFERENT content (id reuse outside
+    // the replay contract, where contents are identical): the arrival
+    // copy must win every run — dropDuplicates kept an arbitrary one
+    val nSets = Seq((1L, Seq("a", "b"))).toDF("id", "ws")
+    val sSets = Seq((1L, Seq("x", "y")), (2L, Seq("c", "d")))
+      .toDF("id", "ws")
+    val candIds = Seq(1L, 2L).toDF("id")
+    val got = graft.operators.Dedup
+      .ingestNearDupLookup(nSets, Some(sSets), candIds)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got == Map(1L -> Seq("a", "b"), 2L -> Seq("c", "d")),
+      s"lookup not arrival-preferring: $got")
+  }
+
+  test("semantic probe stream sees a mid-stream append (live-index contract)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    def vec() = Seq.fill(64)(rnd.nextGaussian().toFloat)
+    def near(v: Seq[Float]) = v.map(x => x + 0.001f * rnd.nextGaussian().toFloat)
+    val corpus = (0L until 30L).map(i => (i, vec()))
+    val appended = (200L until 205L).map(i => (i, vec()))
+    val root = java.nio.file.Files.createTempDirectory("graft-stsemlive")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    graft.operators.Dedup.persistSemanticIndex(cat, "t", "sem",
+      corpus.toDF("vec_id", "embedding"), "vec_id", "embedding", nClusters = 4)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val (q, result) = graft.operators.Dedup.startProbe(
+      input.toDS().toDF("vec_id", "embedding"),
+      graft.operators.Dedup.semanticProbeFn(
+        cat, "t", "sem", "vec_id", "embedding", 0.4),
+      sink = Some((cat, "t", "sem_live_pairs")))
+    try {
+      // batch 1 pairs against the build generation
+      input.addData((1003L, near(corpus(3)._2)))
+      q.processAllAvailable()
+      // the append lands MID-STREAM, while the probe query is live
+      graft.operators.Dedup.appendToSemanticIndex(cat, "t", "sem",
+        appended.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      // batch 2: a near-copy of an APPENDED vector (invisible under a
+      // frozen-at-start plan) plus another build-generation near-copy
+      input.addData((1200L, near(appended.head._2)),
+        (1004L, near(corpus(4)._2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = result().select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 1003L)), s"build-generation pair lost: $pairs")
+    assert(pairs.contains((200L, 1200L)),
+      "mid-stream append invisible to the live probe stream — " +
+        s"the frozen-plan failure mode; got $pairs")
+    assert(pairs.contains((4L, 1004L)),
+      s"post-append probe lost a build-generation pair: $pairs")
+    // batch 1 ran before ids >= 200 existed: no pair may cite them as
+    // standing for arrival 1003
+    assert(!pairs.contains((200L, 1003L)))
+    graft.storage.SetCatalog.deleteTree(root)
+  }
+
+  test("semantic probe stream survives a mid-stream rebuild (new generation, no missing files)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(12)
+    def vec() = Seq.fill(64)(rnd.nextGaussian().toFloat)
+    def near(v: Seq[Float]) = v.map(x => x + 0.001f * rnd.nextGaussian().toFloat)
+    val corpus = (0L until 30L).map(i => (i, vec()))
+    val root = java.nio.file.Files.createTempDirectory("graft-stsemswap")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    graft.operators.Dedup.persistSemanticIndex(cat, "t", "sem",
+      corpus.toDF("vec_id", "embedding"), "vec_id", "embedding", nClusters = 4)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val (q, result) = graft.operators.Dedup.startProbe(
+      input.toDS().toDF("vec_id", "embedding"),
+      graft.operators.Dedup.semanticProbeFn(
+        cat, "t", "sem", "vec_id", "embedding", 0.4),
+      sink = Some((cat, "t", "sem_swap_pairs")))
+    try {
+      input.addData((1005L, near(corpus(5)._2)))
+      q.processAllAvailable()
+      // rebuild MID-STREAM: swapSetGroup DELETES the old generation's
+      // vector/centroid directories — a probe plan frozen at stream
+      // start would fail on the renamed-away files at the next batch
+      graft.operators.Dedup.rebuildSemanticIndex(cat, "t", "sem")
+      input.addData((1006L, near(corpus(6)._2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = result().select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((5L, 1005L)), s"pre-rebuild pair lost: $pairs")
+    assert(pairs.contains((6L, 1006L)),
+      "probe after a mid-stream rebuild failed to pair against the " +
+        s"new generation: $pairs")
+    graft.storage.SetCatalog.deleteTree(root)
+  }
+
+  test("exact probe stream picks up a re-persisted index generation mid-stream") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stexlive")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    graft.operators.Dedup.persistExactIndex(cat, "t", "ex",
+      Seq("aaa", "bbb").toDF("txt"), "txt", numBuckets = 2)
+    val input = MemoryStream[(Long, String)]
+    val (q, result) = graft.operators.Dedup.startProbe(
+      input.toDS().toDF("doc_id", "txt"),
+      graft.operators.Dedup.exactProbeFn(cat, "t", "ex", "doc_id", "txt"),
+      sink = Some((cat, "t", "ex_live_flags")))
+    try {
+      input.addData((1L, "ccc"))
+      q.processAllAvailable()
+      // the index is re-persisted mid-stream with "ccc" now a member
+      graft.operators.Dedup.persistExactIndex(cat, "t", "ex",
+        Seq("aaa", "bbb", "ccc").toDF("txt"), "txt", numBuckets = 2)
+      input.addData((2L, "ccc"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val flags = result().collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags == Map(1L -> false, 2L -> true),
+      s"per-batch index re-resolution broken: $flags")
+    graft.storage.SetCatalog.deleteTree(root)
+  }
+
   test("stream-stream interval join == batch interval join") {
     val got = graft.queries.StreamingQueries.stJoin(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
