@@ -1478,9 +1478,22 @@ object Dedup {
   def streamIngestExactDedup(
       stream: DataFrame, catalog: graft.storage.SetCatalog,
       db: String, name: String, idCol: String, textCol: String,
-      sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame = {
+      sink: Option[(graft.storage.SetCatalog, String, String)] = None): DataFrame =
+    streamProbe(stream,
+      batch => ingestExactDedupBatch(batch, catalog, db, name, idCol,
+        textCol),
+      sink)
+
+  /** One micro-batch of [[streamIngestExactDedup]]: probe + grow. Public
+    * as the batch kernel (like [[ingestNearDupBatch]]) so the
+    * maintenance-composition soak can drive successive batches directly
+    * and inject crashes between them.
+    */
+  def ingestExactDedupBatch(
+      batch: DataFrame, catalog: graft.storage.SetCatalog,
+      db: String, name: String, idCol: String, textCol: String): DataFrame = {
     val setName = s"${name}_hashes"
-    streamProbe(stream, batch => {
+    locally {
       val keyed = batch.filter(col(textCol).isNotNull)
         .select(col(idCol), unhex(md5(col(textCol))).as("h"))
       // intra-batch first-wins: the minimum id per fingerprint
@@ -1521,7 +1534,7 @@ object Dedup {
       probed
         .filter(col("__hit").isNull || col("__claimed") === col(idCol))
         .select(col(idCol))
-    }, sink)
+    }
   }
 
   /** Spans of `newDocs` whose windows already occur in the stored gram
@@ -1929,12 +1942,15 @@ object Dedup {
   private[graft] def semanticBatchPairs(
       batch: DataFrame, centroids: Array[Array[Double]],
       vectors: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, routeThreshold: Option[Int] = None): DataFrame = {
     // the index lifecycle's shared assignment rule (flat below the
-    // routing threshold, √k-routed above — SimilaritySearch
-    // .indexAssignUdf): arrivals MUST assign exactly as the standing
-    // vectors were, or probes read the wrong cells
-    val assign = SimilaritySearch.indexAssignUdf(batch.sparkSession, centroids)
+    // routing threshold, √k-routed above): arrivals MUST assign exactly
+    // as the standing vectors were, or probes read the wrong cells —
+    // `routeThreshold` carries the index's PERSISTED threshold when the
+    // caller probes a persisted index (session conf otherwise)
+    val assign = routeThreshold
+      .map(SimilaritySearch.indexAssignUdfFor(_, centroids))
+      .getOrElse(SimilaritySearch.indexAssignUdf(batch.sparkSession, centroids))
     val bucketType = vectors.schema("bucket").dataType
     val arr = SimilaritySearch.withCellGroup(vectors,
       batch.select(col(idCol).as("id_b"), col(vecCol).as("b_vec"),
@@ -2003,11 +2019,11 @@ object Dedup {
       catalog: graft.storage.SetCatalog, db: String, name: String,
       idCol: String, vecCol: String, threshold: Double): DataFrame => DataFrame =
     batch => {
-      val centroids = catalog.scanSet(db, s"${name}_centroids")
-        .orderBy(col("bucket")).collect()
-        .map(_.getSeq[Double](1).toArray)
+      val (centroids, routeT) = SimilaritySearch
+        .loadCentroidsWithThreshold(batch.sparkSession, catalog, db, name)
       val vectors = catalog.scanSet(db, s"${name}_vectors")
-      semanticBatchPairs(batch, centroids, vectors, idCol, vecCol, threshold)
+      semanticBatchPairs(batch, centroids, vectors, idCol, vecCol, threshold,
+        routeThreshold = Some(routeT))
     }
 
   def cosinePairs(

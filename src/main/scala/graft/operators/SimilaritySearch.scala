@@ -219,22 +219,81 @@ object SimilaritySearch {
     * threshold it was built with; the default never changes mid-run).
     */
   private[graft] def autoRouteCells(
-      spark: SparkSession, k: Int): Int = {
-    val threshold = spark.conf
-      .get("spark.graft.ann.routeThreshold",
-        graft.operators.Dedup.routeThreshold.toString).toInt
+      spark: SparkSession, k: Int): Int =
+    routedCellsFor(sessionRouteThreshold(spark), k)
+
+  /** The session-conf read of the routing threshold — the BUILD-time
+    * authority. Probe/append stages of a PERSISTED index must NOT read
+    * this: they derive the threshold from the index itself
+    * ([[persistedRouteThreshold]]), because an index built in a session
+    * with a non-default threshold and probed in one without it would
+    * otherwise assign arrivals to different cells than the standing
+    * vectors — identity pairs silently lost (ADVICE r15).
+    */
+  private[graft] def sessionRouteThreshold(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.ann.routeThreshold",
+      graft.operators.Dedup.routeThreshold.toString).toInt
+
+  /** The routing rule as a pure function of (threshold, k). */
+  private[graft] def routedCellsFor(threshold: Int, k: Int): Int =
     if (k > threshold) sqrtCells(k) else 0
-  }
 
   /** The per-row cell-assignment kernel every persisted-index lifecycle
     * stage shares: flat argmin below the routing threshold (bit-
-    * identical to every oracle), two-level routed above it.
+    * identical to every oracle), two-level routed above it. This
+    * overload reads the SESSION threshold — for the build/rebuild
+    * paths, which persist their decision; lifecycle stages of an
+    * existing index use [[indexAssignUdfFor]] with the index's OWN
+    * persisted threshold.
     */
   private[graft] def indexAssignUdf(
-      spark: SparkSession, centroids: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val cells = autoRouteCells(spark, centroids.length)
+      spark: SparkSession, centroids: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    indexAssignUdfFor(sessionRouteThreshold(spark), centroids)
+
+  private[graft] def indexAssignUdfFor(
+      threshold: Int, centroids: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val cells = routedCellsFor(threshold, centroids.length)
     if (cells > 0) twoLevelNearestUdf(centroids, cells, routeIters = 2)
     else nearestUdf(centroids)
+  }
+
+  /** The routing regime's self-describing witness, mirroring the
+    * grouped layout's `cell_group_N` pattern: the centroids set carries
+    * a marker COLUMN whose name encodes the threshold the index was
+    * built under (`route_threshold_2048`) — atomic with the codebook by
+    * construction (the swap that replaces the codebook replaces its
+    * threshold), nothing extra to crash-protect, and a session-conf
+    * drift after build cannot desynchronize assignment between the
+    * standing vectors and later arrivals/probes.
+    */
+  private[graft] def withRouteThreshold(
+      spark: SparkSession, centroidsDf: DataFrame): DataFrame =
+    centroidsDf.withColumn(
+      s"route_threshold_${sessionRouteThreshold(spark)}", lit(true))
+
+  /** Parse the persisted threshold back out of a centroids frame's
+    * schema; None for pre-marker (legacy) indexes, which fall back to
+    * the session conf — their build sessions never set it either.
+    */
+  private[graft] def persistedRouteThreshold(
+      centroidsDf: DataFrame): Option[Int] =
+    centroidsDf.columns.find(_.startsWith("route_threshold_"))
+      .map(_.stripPrefix("route_threshold_").toInt)
+
+  /** Collect a persisted codebook (bucket-ordered) together with the
+    * routing threshold governing ITS assignments: the persisted marker
+    * when present, else the session conf (legacy indexes). Every
+    * lifecycle stage of an existing index loads centroids through this
+    * one path, so the assignment regime cannot fork between stages.
+    */
+  private[graft] def loadCentroidsWithThreshold(
+      spark: SparkSession, catalog: graft.storage.SetCatalog,
+      db: String, name: String): (Array[Array[Double]], Int) = {
+    val df = catalog.scanSet(db, s"${name}_centroids")
+    val cents = df.orderBy(col("bucket")).select(col("centroid"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    (cents,
+      persistedRouteThreshold(df).getOrElse(sessionRouteThreshold(spark)))
   }
 
   /** Directory-fanout bound for the cell-partitioned vector set: one
@@ -438,13 +497,16 @@ object SimilaritySearch {
       idCol, vecCol)
     import spark.implicits._
     catalog.createSet(db, s"${name}_centroids",
-      centroids.zipWithIndex
-        .map { case (v, b) => (b.toLong, v.toSeq) }.toSeq
-        .toDF("bucket", "centroid"),
+      withRouteThreshold(spark,
+        centroids.zipWithIndex
+          .map { case (v, b) => (b.toLong, v.toSeq) }.toSeq
+          .toDF("bucket", "centroid")),
       policy = "none")
     // routed above the threshold (semantic-scale codebooks) — the SAME
-    // rule every later append/probe derives, so assignments never mix;
-    // grouped directories above the fanout bound, for the same reason
+    // rule every later append/probe derives FROM THE PERSISTED MARKER,
+    // so assignments never mix even across sessions with different
+    // conf; grouped directories above the fanout bound, likewise
+    // schema-witnessed
     val assign = indexAssignUdf(spark, centroids)
     val (partCol, laidOut) = cellLayout(spark,
       emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
@@ -478,13 +540,14 @@ object SimilaritySearch {
       idCol: String = "vec_id", vecCol: String = "embedding",
       rebuildIfDrifted: Boolean = false,
       driftFraction: Double = 0.5): Unit = {
-    val centroids = catalog.scanSet(db, s"${name}_centroids")
-      .orderBy(col("bucket")).collect()
-      .map(_.getSeq[Double](1).toArray)
-    val assign = indexAssignUdf(spark, centroids)
-    // the standing schema is the layout witness: grouped sets append
-    // into their group directories under the SAME modulus the build
-    // wrote (parsed from the column name, never from session state)
+    val (centroids, threshold) =
+      loadCentroidsWithThreshold(spark, catalog, db, name)
+    // the standing schema is the witness for BOTH regimes: arrivals
+    // assign under the index's persisted routing threshold (never the
+    // session conf), and grouped sets append into their group
+    // directories under the modulus the build wrote — each parsed from
+    // column names, atomic with the data
+    val assign = indexAssignUdfFor(threshold, centroids)
     val standing = catalog.scanSet(db, s"${name}_vectors")
     val partCol = cellGroupColOf(standing).map(_._1).getOrElse("bucket")
     catalog.appendToPartitionedSet(db, s"${name}_vectors",
@@ -545,9 +608,10 @@ object SimilaritySearch {
       partCol)
     catalog.markStaging(db, s"${name}_vectors_rebuild")
     catalog.createSet(db, s"${name}_centroids_rebuild",
-      centroids.zipWithIndex
-        .map { case (v, b) => (b.toLong, v.toSeq) }.toSeq
-        .toDF("bucket", "centroid"),
+      withRouteThreshold(spark,
+        centroids.zipWithIndex
+          .map { case (v, b) => (b.toLong, v.toSeq) }.toSeq
+          .toDF("bucket", "centroid")),
       policy = "none")
     catalog.markStaging(db, s"${name}_centroids_rebuild")
     swapInStaged(catalog, db,

@@ -93,7 +93,8 @@ class IvfIndexSpec extends GraftSpecBase {
     assert(c.meta("idx", "emb_centroids_rebuild").isEmpty &&
       c.meta("idx", "emb_vectors_rebuild").isEmpty)
     assert(c.scanSet("idx", "emb_centroids").columns.toSeq ==
-      Seq("bucket", "centroid"))
+      Seq("bucket", "centroid",
+        s"route_threshold_${graft.operators.Dedup.routeThreshold}"))
     val hits = SimilaritySearch
       .searchIvfIndex(spark, c, "idx", "emb", queries, k = 5)
     assert(hits.count() == 5 * queries.count())
@@ -284,6 +285,51 @@ class IvfIndexSpec extends GraftSpecBase {
           pairs.contains((i, i + 1000L)) && pairs.contains((i + 2000L, i + 1000L))),
         s"grouped semantic probe lost built or appended identity pairs: $pairs")
     } finally spark.conf.unset("spark.graft.ann.maxCellDirs")
+    SetCatalog.deleteTree(java.nio.file.Paths.get(root))
+  }
+
+  test("routing threshold is persisted with the index, not read from session conf") {
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 60)
+    val root = Files.createTempDirectory("graft-route-persist").toString
+    val c = new SetCatalog(spark, root)
+    // build in a session whose threshold (4) routes at k = 9
+    spark.conf.set("spark.graft.ann.routeThreshold", "4")
+    try SimilaritySearch.buildIvfIndex(spark, c, "idx", "rt", emb,
+      nCentroids = 9)
+    finally spark.conf.unset("spark.graft.ann.routeThreshold")
+    // the build threshold travels with the codebook as a schema witness;
+    // THIS session's conf (back at the 2048 default) no longer matters
+    assert(SimilaritySearch
+      .persistedRouteThreshold(c.scanSet("idx", "rt_centroids"))
+      .contains(4))
+    val (cents, t) =
+      SimilaritySearch.loadCentroidsWithThreshold(spark, c, "idx", "rt")
+    assert(t == 4 && cents.length == 9)
+    // persisted regime: ROUTED (9 > 4); session regime would be flat —
+    // the silent-identity-loss fork ADVICE r15 named
+    assert(SimilaritySearch.routedCellsFor(t, 9) == 3)
+    assert(SimilaritySearch.routedCellsFor(
+      SimilaritySearch.sessionRouteThreshold(spark), 9) == 0)
+    // lifecycle in the conf-less session: appended vectors assign under
+    // the index's OWN threshold, so identity probes find both the built
+    // and the appended copies
+    SimilaritySearch.appendToIvfIndex(spark, c, "idx", "rt",
+      emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 2000L).as("vec_id"), col("embedding")))
+    val probe = graft.operators.Dedup.semanticProbeFn(
+      c, "idx", "rt", "vec_id", "embedding", 0.999)
+    val got = probe(emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 1000L).as("vec_id"), col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 5L).forall(i =>
+        got.contains((i, i + 1000L)) && got.contains((i + 2000L, i + 1000L))),
+      s"cross-session probe lost identity pairs: $got")
+    // a rebuild is a new generation: it persists the REBUILD session's
+    // threshold (the default here) with the new codebook
+    SimilaritySearch.rebuildIvfIndex(spark, c, "idx", "rt")
+    assert(SimilaritySearch
+      .persistedRouteThreshold(c.scanSet("idx", "rt_centroids"))
+      .contains(graft.operators.Dedup.routeThreshold))
     SetCatalog.deleteTree(java.nio.file.Paths.get(root))
   }
 
