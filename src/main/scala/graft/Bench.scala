@@ -110,6 +110,27 @@ object Bench {
     }
   }
 
+  /** Sanity rule for the isolated re-profile (VERDICT r15 next #3): an
+    * isolated back-to-back sample can only be VALID when it is at least
+    * as fast as the query's own in-run minimum — isolation removes
+    * contention, so a worse sample means the isolation window itself
+    * was noisy, and adjudication must not cite it as evidence.
+    */
+  private[graft] def isolatedValid(
+      inRun: Option[Double], isolated: Double): Boolean =
+    inRun.forall(isolated <= _)
+
+  /** The per-query regression flag (trigger (c)): current min > 2x the
+    * prev artifact's AND above the 1 s floor. `shared` is
+    * (name, currentSec, prevSec). With the full-precision prev source a
+    * cheap->expensive shift (0.2 s -> 6 s) is flagged like any other;
+    * the old tail-scrape source front-truncated exactly those names out
+    * of the prev map, so the flag never saw them.
+    */
+  private[graft] def flaggedNames(
+      shared: Seq[(String, Double, Double)]): Seq[String] =
+    shared.collect { case (n, cur, old) if cur > 2 * old && cur > 1.0 => n }
+
   /** Flags refuted by their own isolated re-profile: a query flagged by
     * the in-run (c) trigger (cur > 2× prev AND > 1 s) whose isolated
     * back-to-back re-run NO LONGER meets that condition was slow from
@@ -176,14 +197,32 @@ object Bench {
         case JString(s) => scrapeTail(s, known)
         case _ => Map.empty[String, Double]
       }
-      fromTail ++ fromParsed
+      // the committed full artifact's per-pass detail: full-precision
+      // minima for the WHOLE registry (no tail truncation) — wins over
+      // the rounded shapes wherever present
+      val fromPasses = root \ "passes" match {
+        case JObject(fields) => fields.flatMap { case (k, v) =>
+          v match {
+            case JArray(vs) =>
+              val ok = vs.flatMap(num)
+              if (ok.isEmpty || !known.contains(k)) None
+              else Some(k -> ok.min)
+            case _ => None
+          }
+        }.toMap
+        case _ => Map.empty[String, Double]
+      }
+      fromTail ++ fromParsed ++ fromPasses
     } catch {
       case scala.util.control.NonFatal(_) => Map.empty[String, Double]
     }
   }
 
-  private def prevArtifact(known: Set[String]): Option[(String, Map[String, Double])] = {
-    val re = (java.util.regex.Pattern.quote(prevPrefix) + """(\d+)\.json""").r
+  /** Newest committed artifact of a filename family, parsed to per-query
+    * minima. */
+  private def newestOf(prefix: String,
+      known: Set[String]): Option[(String, Map[String, Double])] = {
+    val re = (java.util.regex.Pattern.quote(prefix) + """(\d+)\.json""").r
     val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
       .flatMap { f =>
         f.getName match {
@@ -200,6 +239,21 @@ object Bench {
       val m = parseArtifactText(text, known)
       if (m.isEmpty) None else Some((f.getName, m))
     }
+  }
+
+  /** Prev-ref source, full-precision-first (VERDICT r15 next #2): the
+    * committed BENCH_full_{family}{N}.json carries every query's per-pass
+    * seconds with no tail truncation, so the per-query flag sees the
+    * sub-second floor too — the driver wrapper's ~2,000-char tail scrape
+    * front-truncates exactly the cheap queries, making a 0.2 s → 6 s
+    * shift invisible to it (six such regressions went unflagged in r15's
+    * in-session artifact and needed judge-side adjudication). The
+    * wrapper family remains the fallback for history that predates the
+    * committed-full convention.
+    */
+  private def prevArtifact(known: Set[String]): Option[(String, Map[String, Double])] = {
+    val fullPrefix = prevPrefix.replaceFirst("^BENCH_", "BENCH_full_")
+    newestOf(fullPrefix, known).orElse(newestOf(prevPrefix, known))
   }
 
   def main(args: Array[String]): Unit = {
@@ -265,6 +319,25 @@ object Bench {
     }
     def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     val total = results.flatMap(r => minOk(r._2)).sum
+    val byCost = results.flatMap { case (n, v) => minOk(v).map(n -> _) }.toMap
+    // Isolated re-profile with the sanity rule applied: a sample worse
+    // than its in-run minimum retries ONCE in the same session; still
+    // worse → the name lands in `isolated_invalid` and the value is
+    // DROPPED (clearedFlags and adjudication read only valid samples).
+    def isolateAll(names: Seq[String])
+        : (Seq[(String, Double)], Seq[String]) =
+      names.flatMap { n =>
+        SparkEntry.queries.get(n).flatMap { fn =>
+          minOk(run(n, fn, 2)).map { first =>
+            val v = if (byCost.get(n).exists(first > _))
+              minOk(run(n, fn, 2)).map(math.min(_, first)).getOrElse(first)
+            else first
+            (n, v)
+          }
+        }
+      }.partitionMap { case (n, v) =>
+        if (isolatedValid(byCost.get(n), v)) Left(n -> v) else Right(n)
+      }
     // Self-adjudication: re-profile suspect queries back-to-back — the
     // standard isolated-profile adjudication, run automatically and
     // stamped into the artifact. Three independent triggers (round 9's
@@ -285,7 +358,7 @@ object Bench {
       if (math.min(calibStart, calibEnd) > 0)
         math.max(calibStart, calibEnd) / math.min(calibStart, calibEnd)
       else 1.0
-    val (refJson, isolated) = prev match {
+    val (refJson, isolated, isolatedInvalid) = prev match {
       case Some((fname, prevQ)) =>
         val shared = results.flatMap { case (n, v) =>
           for (cur <- minOk(v); old <- prevQ.get(n)) yield (n, cur, old)
@@ -293,14 +366,10 @@ object Bench {
         val curSum = shared.map(_._2).sum
         val prevSum = shared.map(_._3).sum
         val ratio = if (prevSum > 0) curSum / prevSum else 0.0
-        val flagged = shared.collect {
-          case (n, cur, old) if cur > 2 * old && cur > 1.0 => n
-        }
+        val flagged = flaggedNames(shared)
         val trigger = ratio > 1.5 || calibRatio > 1.5 || flagged.nonEmpty
-        val iso: Seq[(String, Double)] =
+        val (iso, isoBad): (Seq[(String, Double)], Seq[String]) =
           if (trigger && (only.isEmpty || isolateSubset)) {
-            val byCost = results
-              .flatMap { case (n, v) => minOk(v).map(n -> _) }.toMap
             val top = byCost.toSeq.sortBy(-_._2).take(5).map(_._1)
             // Bound the re-profile bill: a GLOBAL regime shift flags
             // most of the registry (the loaded-host r10 run flagged 19),
@@ -316,11 +385,8 @@ object Bench {
               s"${names.size} isolated" +
               (if (names.size < (top ++ flagged).distinct.size)
                  s" (capped from ${(top ++ flagged).distinct.size})" else ""))
-            names.flatMap { n =>
-              SparkEntry.queries.get(n).flatMap(fn =>
-                minOk(run(n, fn, 2)).map(n -> _))
-            }
-          } else Seq.empty
+            isolateAll(names)
+          } else (Seq.empty, Seq.empty)
         // flagged rendering is capped at 20 names so a global regime
         // shift (r10 flagged 19) cannot balloon the summary block past
         // the driver's tail window — the block's size bound is pinned by
@@ -352,25 +418,30 @@ object Bench {
           s""""shared_sum_prev":${r3(prevSum)},"shared_sum_now":${r3(curSum)},""" +
           s""""ratio":${r3(ratio)},"calib_ratio":${r3(calibRatio)},""" +
           s""""flagged":$flaggedJson$clearedJson}"""
-        (ref, iso)
+        (ref, iso, isoBad)
       case None =>
         // No prev artifact: the calibration trigger still works.
-        val iso: Seq[(String, Double)] =
+        val (iso, isoBad): (Seq[(String, Double)], Seq[String]) =
           if (calibRatio > 1.5 && (only.isEmpty || isolateSubset)) {
-            val top = results
-              .flatMap { case (n, v) => minOk(v).map(n -> _) }
-              .sortBy(-_._2).take(5).map(_._1)
+            val top = byCost.toSeq.sortBy(-_._2).take(5).map(_._1)
             System.err.println(s"[bench] calib-ratio ${r3(calibRatio)} > 1.5 " +
               s"with no prev artifact — re-profiling top-5 isolated")
-            top.flatMap { n =>
-              SparkEntry.queries.get(n).flatMap(fn =>
-                minOk(run(n, fn, 2)).map(n -> _))
-            }
-          } else Seq.empty
-        (s""""prev_ref":null""", iso)
+            isolateAll(top)
+          } else (Seq.empty, Seq.empty)
+        (s""""prev_ref":null""", iso, isoBad)
     }
+    // Only VALID samples render under "isolated" (anywhere): the stdout
+    // lines are tail-budgeted to the driver's ~2,000-char window with
+    // single-digit headroom, so the invalid NAMES are recorded in the
+    // committed full-precision artifact alone — which is also the only
+    // artifact adjudication needs them in (the isolated map everywhere
+    // already excludes them, so no flag can cite an invalid sample).
     val isoJson = isolated
       .map { case (n, s) => "\"" + n + "\":" + r3(s) }.mkString("{", ",", "}")
+    val isoInvalidJson =
+      if (isolatedInvalid.isEmpty) ""
+      else s""","isolated_invalid":""" +
+        isolatedInvalid.map("\"" + _ + "\"").mkString("[", ",", "]")
     val calibJson =
       s""""calibration":{"start":${r3(calibStart)},"end":${r3(calibEnd)}}"""
     // The stdout line must stay SHORT, and its TAIL must be the part
@@ -429,7 +500,7 @@ object Bench {
       }.mkString("{", ",", "}")
       val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
         s""""queries":$qs,"failed":$failedJson,$calibJson,""" +
-        s""""isolated":$isoJson,$refJson,"passes":$ps,""" +
+        s""""isolated":$isoJson$isoInvalidJson,$refJson,"passes":$ps,""" +
         s""""value":${r3(total)}}"""
       val bytes = (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val out = java.nio.file.Paths.get("target", "bench_latest.json")

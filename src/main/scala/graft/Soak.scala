@@ -373,6 +373,245 @@ object Soak {
         hotDocs.unpersist()
       }
 
+      // Advisor-sized recap dials vs the hand-set defaults on the SAME
+      // adversarial corpus (VERDICT r15 next #7's done-criterion): two
+      // arms of identical batches; the default arm runs (cap 200,
+      // growth 1.0), the advisor arm takes ONE census after its first
+      // batch, feeds it to observeIngestCensus, and runs the remaining
+      // batches under recommendRecapDials' output. Gates: the advisor
+      // arm's final census obeys the policy bound cap·(1+growth), and
+      // at m >= 4 (where the hot buckets actually bite) its total wall
+      // is at most the default arm's — the measured claim that the
+      // recommended dials hold the bucket bound at lower total cost.
+      if (fam("recapdial")) {
+        val nHot = 250 * m
+        val boiler = (0 until 40).map(i => s"b$i").mkString(" ")
+        val hotDocs = spark.range(nHot).select(col("id").as("doc_id"),
+          concat(lit(boiler + " "),
+            concat_ws(" ", (0 until 14).map(j =>
+              concat(lit("u"), col("id"), lit(s"_$j"))): _*)).as("text"))
+          .persist()
+        hotDocs.count()
+        val nb = 6
+        def runArm(cap: Int, growth0: Double,
+            adapt: Option[graft.advisor.PlacementAdvisor])
+            : (Seq[Double], Long, Double) = {
+          val root = java.nio.file.Files.createTempDirectory("graft-soak-rd")
+          val cat = new graft.storage.SetCatalog(spark, root.toString)
+          spark.conf.set("spark.graft.dedup.ingest.autoRecap.maxBucket",
+            cap.toString)
+          spark.conf.set("spark.graft.dedup.ingest.autoRecap.growth",
+            growth0.toString)
+          val secs = try (0 until nb).map { i =>
+            val b = hotDocs.filter(col("doc_id") % nb === i)
+            val t = System.nanoTime()
+            graft.operators.Dedup.ingestNearDupBatch(
+              b, cat, "soak", "rd", "doc_id", "text").count()
+            val s = (System.nanoTime() - t) / 1e9
+            adapt.foreach { adv =>
+              if (i == 0) {
+                // one paid census scan seeds the trajectory; every
+                // later batch runs under the advisor's dials
+                val c = graft.operators.Dedup
+                  .ingestBandCensus(cat, "soak", "rd")
+                  .agg(coalesce(max(col("bucket_n")), lit(0L))).collect()(0)
+                  .getLong(0)
+                val rows = cat.meta("soak", "rd_bands").map(_.rows)
+                  .getOrElse(0L)
+                adv.observeIngestCensus("soak.rd", rows, c)
+                val (capA, gA) = adv.recommendRecapDials("soak.rd")
+                spark.conf.set(
+                  "spark.graft.dedup.ingest.autoRecap.maxBucket",
+                  capA.toString)
+                spark.conf.set("spark.graft.dedup.ingest.autoRecap.growth",
+                  gA.toString)
+              }
+            }
+            s
+          } finally {
+            spark.conf.unset("spark.graft.dedup.ingest.autoRecap.maxBucket")
+            spark.conf.unset("spark.graft.dedup.ingest.autoRecap.growth")
+          }
+          val finalCensus = graft.operators.Dedup
+            .ingestBandCensus(cat, "soak", "rd")
+            .agg(coalesce(max(col("bucket_n")), lit(0L))).collect()(0)
+            .getLong(0)
+          Seq("rd_sets", "rd_bands").foreach(cat.removeSet("soak", _))
+          graft.storage.SetCatalog.deleteTree(root)
+          (secs, finalCensus, secs.sum)
+        }
+        val (defSecs, defCensus, defTotal) = runArm(200, 1.0, None)
+        val adv = new graft.advisor.PlacementAdvisor()
+        val (advSecs, advCensus, advTotal) = runArm(200, 1.0, Some(adv))
+        val (capA, gA) = adv.recommendRecapDials("soak.rd")
+        require(advCensus <= math.ceil(capA * (1 + gA)).toLong,
+          s"advised dials ($capA, $gA) left a bucket of $advCensus ids — " +
+            s"above the policy bound cap*(1+growth)")
+        if (m >= 4) require(advTotal <= defTotal,
+          f"advised dials cost $advTotal%.1f s total vs the defaults' " +
+            f"$defTotal%.1f s on the hot corpus — the recommendation " +
+            "must not be slower where it exists to help")
+        println(f"SOAK recapdial m=$m%-3d docs=$nHot%-7d " +
+          f"def_census=$defCensus%-6d adv_census=$advCensus%-6d " +
+          f"adv_cap=$capA%-4d adv_growth=$gA%.2f " +
+          f"def_total_s=$defTotal%.1f adv_total_s=$advTotal%.1f " +
+          f"def_batch_s=" + defSecs.map(s => f"$s%.1f").mkString(",") +
+          f" adv_batch_s=" + advSecs.map(s => f"$s%.1f").mkString(","))
+        hotDocs.unpersist()
+      }
+
+      // Crash-injected END-TO-END maintenance soak (VERDICT r15 next
+      // #4): one session composing every r14-r15 maintenance valve —
+      // self-growing ingest exact + near-dup with autoRecap AND
+      // autoCompact on, semantic appends under rebuildIfDrifted — then
+      // a manufactured KILL MID-SWAP (group marker written, first
+      // member swapped, second member's remove half-done: exactly
+      // swapSetGroup's widest crash window), a reopen with
+      // recoverDbsOnOpen, and the remaining batches run against the
+      // healed catalog. The linear-truth, bucket-bound, and file-bound
+      // gates then hold over the WHOLE run — each valve is spec-pinned
+      // alone; this pins the composition through crash + recovery.
+      if (fam("crashmaint")) {
+        val root = java.nio.file.Files.createTempDirectory("graft-soak-cm")
+        var cat = new graft.storage.SetCatalog(spark, root.toString)
+        val adv = new graft.advisor.PlacementAdvisor()
+        val trigger = adv.recommendCompactionTrigger(
+          spark.sessionState.conf.numShufflePartitions)
+        val (cap, growth) = adv.recommendRecapDials("soak.cm_nd")
+        spark.conf.set("spark.graft.catalog.autoCompact.files",
+          trigger.toString)
+        spark.conf.set("spark.graft.dedup.ingest.autoRecap.growth",
+          growth.toString)
+        spark.conf.set("spark.graft.dedup.ingest.autoRecap.maxBucket",
+          cap.toString)
+        val embBase = graft.model.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding")).limit(20000)
+          .localCheckpoint(true)
+        val nEmb = embBase.count()
+        val nb = 6
+        val crashAfter = 2 // batches 0..2 run, crash, reopen, 3..5 run
+        var nPairs = 0L
+        var nKept = 0L
+        val secs = try (0 until nb).map { i =>
+          val b = docs.filter(col("doc_id") % nb === i)
+          val t = System.nanoTime()
+          nPairs += graft.operators.Dedup.ingestNearDupBatch(
+            b, cat, "soak", "cm_nd", "doc_id", "text").count()
+          nKept += graft.operators.Dedup.ingestExactDedupBatch(
+            b, cat, "soak", "cm_ex", "doc_id", "text").count()
+          // the semantic leg: replica i of the embedding slice appends
+          // under the standing codebook; the drift valve rebuilds when
+          // appended rows reach rows-at-build
+          val emb = embBase.select(
+            (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+            col("embedding"))
+          if (i == 0)
+            graft.operators.Dedup.persistSemanticIndex(
+              cat, "soak", "cm_sem", emb, "vec_id", "embedding")
+          else
+            graft.operators.Dedup.appendToSemanticIndex(
+              cat, "soak", "cm_sem", emb, "vec_id", "embedding",
+              rebuildIfDrifted = true, driftFraction = 1.0)
+          val s = (System.nanoTime() - t) / 1e9
+          if (i == crashAfter) {
+            // KILL MID-SWAP: a recap generation staged and tagged, the
+            // group marker committed, the first member (sets) fully
+            // swapped, the second member's (bands) remove interrupted
+            // after its data tree — the widest window swapSetGroup has
+            val sp = "cm_nd_sets_recap"
+            val bp = "cm_nd_bands_recap"
+            cat.createSet("soak", sp, cat.scanSet("soak", "cm_nd_sets"),
+              partitionColumn = cat.meta("soak", "cm_nd_sets")
+                .flatMap(_.partitionColumn))
+            cat.markStaging("soak", sp)
+            cat.createSet("soak", bp,
+              cat.scanSet("soak", "cm_nd_bands").distinct(),
+              partitionColumn = cat.meta("soak", "cm_nd_bands")
+                .flatMap(_.partitionColumn))
+            cat.markStaging("soak", bp)
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(
+                s"$root/soak.cm_nd_bands+cm_nd_sets.swapin"),
+              s"$sp -> cm_nd_sets\n$bp -> cm_nd_bands")
+            cat.removeSet("soak", "cm_nd_sets")
+            cat.renameSet("soak", sp, "cm_nd_sets")
+            graft.storage.SetCatalog.deleteTree(
+              java.nio.file.Paths.get(s"$root/soak.cm_nd_bands"))
+            // ... the JVM "dies" here; a fresh session reopens the root
+            // with the standing-pipeline posture and heals at open
+            cat = new graft.storage.SetCatalog(spark, root.toString,
+              recoverDbsOnOpen = Seq("soak"))
+            require(cat.meta("soak", "cm_nd_bands").isDefined &&
+              !java.nio.file.Files.exists(java.nio.file.Paths.get(
+                s"$root/soak.cm_nd_bands+cm_nd_sets.swapin")),
+              "reopen did not heal the interrupted recap swap")
+          }
+          s
+        } finally {
+          spark.conf.unset("spark.graft.catalog.autoCompact.files")
+          spark.conf.unset("spark.graft.dedup.ingest.autoRecap.growth")
+          spark.conf.unset("spark.graft.dedup.ingest.autoRecap.maxBucket")
+        }
+        // linear truth through crash + recovery: the near-dup leg found
+        // exactly the replicated base truth (the ingest family's gate),
+        // the exact leg admitted exactly one id per distinct content
+        val expected = m * baseNearDupPairs
+        require(nPairs <= expected,
+          s"crashmaint near-dup leg found $nPairs pairs > possible $expected")
+        val slack = math.max(1L, expected / 500)
+        require(nPairs >= expected - slack,
+          s"crashmaint near-dup leg lost pairs through the crash: " +
+            s"$nPairs vs expected $expected (slack $slack)")
+        val distinctTexts = docs.filter(col("text").isNotNull)
+          .select(col("text")).distinct().count()
+        require(nKept == distinctTexts,
+          s"crashmaint exact leg admitted $nKept != $distinctTexts " +
+            "distinct contents")
+        // bucket bound: the policy promise at the advised dials
+        val census = graft.operators.Dedup
+          .ingestBandCensus(cat, "soak", "cm_nd")
+          .agg(coalesce(max(col("bucket_n")), lit(0L))).collect()(0)
+          .getLong(0)
+        require(census <= math.ceil(cap * (1 + growth)).toLong,
+          s"crashmaint census $census above the ${cap}x${1 + growth} bound")
+        // file bound: auto-compaction held through the crash
+        val bandFiles = cat.meta("soak", "cm_nd_bands").map(_.files)
+          .getOrElse(0L)
+        require(bandFiles <= trigger + spark.sessionState.conf
+            .numShufflePartitions,
+          s"crashmaint band set at $bandFiles files (trigger $trigger)")
+        // semantic leg: the drift valve rebuilt at least once (5 appends
+        // of build-size slices cross driftFraction 1.0), and identity
+        // probes find their pairs in the healed, rebuilt index
+        val drift = graft.operators.Dedup
+          .semanticDriftFraction(cat, "soak", "cm_sem")
+        require(drift < (nb - 1).toDouble,
+          s"semantic drift $drift says no rebuild ever fired across " +
+            s"${nb - 1} build-size appends")
+        val probe = graft.operators.Dedup.semanticProbeFn(
+          cat, "soak", "cm_sem", "vec_id", "embedding", 0.999)
+        val idPairs = probe(embBase.limit(5).select(
+            (col("vec_id") + lit(900000000L)).as("vec_id"),
+            col("embedding")))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        require((0 until 5).forall { j =>
+            val src = embBase.collect()(j).getLong(0)
+            idPairs.exists { case (a, b) =>
+              b == src + 900000000L && a % 1000000L == src }
+          },
+          s"crashmaint semantic identity probe lost pairs: $idPairs")
+        println(f"SOAK crashmaint m=$m%-3d docs=$nDocs%-8d pairs=$nPairs%-7d " +
+          f"kept=$nKept%-7d census=$census%-5d files=$bandFiles%-4d " +
+          f"cap=$cap%-4d growth=$growth%.2f trigger=$trigger%-4d " +
+          f"emb=$nEmb%-6d drift=$drift%.2f batch_s=" +
+          secs.map(s => f"$s%.1f").mkString(","))
+        Seq("cm_nd_sets", "cm_nd_bands", "cm_ex_hashes",
+          "cm_sem_centroids", "cm_sem_vectors", "cm_sem_built")
+          .foreach(n => if (cat.meta("soak", n).isDefined)
+            cat.removeSet("soak", n))
+        graft.storage.SetCatalog.deleteTree(root)
+      }
+
       // append-only IVF recall: the codebook trains on replica 0 ONLY and
       // every further replica APPENDS under that standing codebook (no
       // retrain), with its components circularly rotated per replica —

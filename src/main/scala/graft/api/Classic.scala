@@ -86,10 +86,16 @@ abstract class Join[Out, In1, In2](implicit
 
 /** classic QueryClient: execute(sinks) materializes each sink query into
   * its declared output set; getSetIterator fetches results
-  * (QueryClient.h:131-148, SetIterator.h).
+  * (QueryClient.h:131-148, SetIterator.h). A client OWNS the storage
+  * root it connects to (the reference's client talks to its own
+  * cluster's catalog server), so construction heals interrupted staged
+  * swaps by default — a restarted standing pipeline must not serve a
+  * crash window; `recoverOnOpen = false` opts a read-only inspector out.
   */
-final class QueryClient(val spark: SparkSession, root: String) {
+final class QueryClient(val spark: SparkSession, root: String,
+    recoverOnOpen: Boolean = true) {
   val catalog = new SetCatalog(spark, root)
+  if (recoverOnOpen) catalog.recoverAllDbs()
 
   def createSet[T](db: String, set: String, data: Dataset[T]): Unit =
     catalog.createSet(db, set, data.toDF(), None, policy = "none")

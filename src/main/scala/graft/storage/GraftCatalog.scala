@@ -57,6 +57,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     root = Option(options.get("root"))
       .getOrElse(sys.props("java.io.tmpdir") + "/graft-sets")
     Files.createDirectories(Paths.get(root))
+    // Standing-pipeline posture by DEFAULT (VERDICT r15 next #8): this
+    // catalog OWNS its root — every set under it was created by graft's
+    // own DDL or lifecycle machinery — so a driver restart closes any
+    // crash-to-recovery serving window at open. Safe because recoverAll
+    // replays markers (authoritative) and sweeps only staging-TAGGED
+    // conventional names; a user set named *_rebuild is untouched.
+    // Opt out with `spark.sql.catalog.<name>.recoverOnOpen = false`
+    // (e.g. a read-only inspector of a live pipeline's root —
+    // single-writer contract in SetCatalog.recoverAll's scaladoc).
+    if (Option(options.get("recoverOnOpen")).forall(_.toBoolean)) {
+      val healed = new SetCatalog(spark, root).recoverAllDbs()
+      if (healed.nonEmpty)
+        System.err.println(
+          s"[graft] catalog $name healed at open: ${healed.mkString(", ")}")
+    }
   }
 
   override def name(): String = catalogName

@@ -701,6 +701,25 @@ final class SetCatalog(spark: SparkSession, root: String,
     healed.toSeq
   }
 
+  /** [[recoverAll]] over every database present under the root — the
+    * entry-point form (VERDICT r15 next #8) for a catalog that OWNS its
+    * root ([[GraftCatalog]], the classic QueryClient): one listing
+    * discovers the db prefixes, then each db heals marker-first. Safe
+    * as a DEFAULT there because the convention sweep only resolves
+    * sets the staging machinery tagged; ad-hoc [[SetCatalog]] readers
+    * of someone else's root remain opt-in via `recoverDbsOnOpen`.
+    */
+  def recoverAllDbs(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val rootPath = Paths.get(root)
+    if (!Files.exists(rootPath)) return Seq.empty
+    val s = Files.list(rootPath)
+    val dbs = try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.contains(".")).map(_.split("\\.", 2)(0)).toList.distinct
+      finally s.close()
+    dbs.sorted.flatMap(recoverAll)
+  }
+
   def listSets(): Seq[(String, String)] = {
     val d = Paths.get(root)
     if (!Files.exists(d)) Seq.empty

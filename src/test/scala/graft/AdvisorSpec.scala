@@ -485,4 +485,40 @@ class AdvisorSpec extends GraftSpecBase {
     cat.removeSet("dbx", "bkt")
     assert(!spark.catalog.tableExists("dbx_bkt"))
   }
+
+  test("recap dials: budget-derived cap; census trajectory sets the cadence") {
+    val adv = new PlacementAdvisor
+    // no history: static defaults — 4096-row budget / 32 bands = 128
+    // cap, growth 1.0 (the compaction amortization argument)
+    assert(adv.recommendRecapDials("ing") == ((128, 1.0)))
+    // the cap is a candidate budget divided by the band count, floored
+    assert(adv.recommendRecapDials("ing", bands = 16)._1 == 256)
+    assert(adv.recommendRecapDials("ing", bands = 32,
+      candidateBudget = 512)._1 == 64, "floor must hold under tiny budgets")
+    // HOT trajectory (the hotband corpus shape: worst bucket far above
+    // the cap): censuses must fire at the 0.1-growth floor, not wait
+    // for a doubling while batches go quadratic
+    adv.observeIngestCensus("ing", bandRows = 100000L, maxBucket = 2000L)
+    assert(adv.recommendRecapDials("ing")._2 == 0.1)
+    // CLEAN trajectory (worst bucket well under the cap): a lazy
+    // cadence — the projected overshoot point is 3x the set
+    // (1.5 * 128 / 64 - 1 = 2.0), so growth 2.0
+    adv.observeIngestCensus("ing2", bandRows = 100000L, maxBucket = 64L)
+    assert(adv.recommendRecapDials("ing2")._2 == 2.0)
+    // pristine corpus: clamped at maxGrowth, never unbounded
+    adv.observeIngestCensus("ing3", bandRows = 100000L, maxBucket = 2L)
+    assert(adv.recommendRecapDials("ing3")._2 == 4.0)
+  }
+
+  test("recap-dial census history survives an advisor restart") {
+    val path = Files.createTempDirectory("graft-adv-census")
+      .resolve("history.tsv").toString
+    val a1 = new PlacementAdvisor(Some(path))
+    a1.observeIngestCensus("ing", 50000L, 1500L)
+    a1.observeIngestCensus("ing", 100000L, 2000L)
+    val a2 = new PlacementAdvisor(Some(path))
+    assert(a2.observedIngestCensus("ing") ==
+      List((50000L, 1500L), (100000L, 2000L)))
+    assert(a2.recommendRecapDials("ing") == a1.recommendRecapDials("ing"))
+  }
 }

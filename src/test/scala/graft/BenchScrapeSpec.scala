@@ -142,6 +142,42 @@ class BenchScrapeSpec extends AnyFunSuite {
     * succeeds at any registry size: worst-case top-10 + full
     * adjudication block must fit the ~2,000-char window whole.
     */
+  test("committed full artifact: passes-minima win, whole registry visible to the flag") {
+    // the BENCH_full_r{N}.json shape: top-level queries (rounded) plus
+    // per-pass full precision for EVERY query — no tail truncation, so
+    // the sub-second floor survives into the prev map
+    val full = """{"metric":"total","unit":"sec","sf":"x",""" +
+      """"queries":{"q1":0.2,"q2":5.1},"failed":[],""" +
+      """"calibration":{"start":1.0,"end":1.0},"isolated":{},""" +
+      """"prev_ref":null,""" +
+      """"passes":{"q1":[0.2,0.24],"q2":[null,5.1]},"value":5.3}"""
+    val m = Bench.parseArtifactText(full, known)
+    assert(m == Map("q1" -> 0.2, "q2" -> 5.1))
+    // the r15 blind spot, closed: a cheap->expensive in-session shift
+    // (0.2 s -> 6 s) is flagged against the full-precision prev map —
+    // the truncated wrapper tail never carried q1, so the flag was blind
+    assert(Bench.flaggedNames(Seq(("q1", 6.0, m("q1")))) == Seq("q1"))
+    assert(Bench.flaggedNames(Seq(("q1", 0.35, m("q1")))).isEmpty,
+      "sub-second wobble must stay under the 1 s flag floor")
+    // a wrapper whose tail lost the cheap front: q1 invisible — the
+    // documented failure shape the full-artifact source replaces
+    val truncatedWrapper =
+      """{"parsed":null,"tail":"95,\"q2\":5.1},\"failed\":[],""" +
+        """\"calibration\":{\"start\":1.0,\"end\":1.0}"}"""
+    val mt = Bench.parseArtifactText(truncatedWrapper, known)
+    assert(!mt.contains("q1") && mt.get("q2").contains(5.1))
+  }
+
+  test("isolation sanity: a sample worse than its in-run minimum is invalid") {
+    // the r15 shape: ml_lda_topics isolated 21.9 s vs 8.8 s in-run —
+    // self-contradictory, must not be citable evidence
+    assert(!Bench.isolatedValid(Some(8.8), 21.9))
+    assert(Bench.isolatedValid(Some(8.8), 8.8))
+    assert(Bench.isolatedValid(Some(8.8), 1.6))
+    // no in-run counterpart: nothing to contradict
+    assert(Bench.isolatedValid(None, 42.0))
+  }
+
   test("worst-case summary LINE fits the driver's tail window whole") {
     val tailWindow = 2000
     val byLen = SparkEntry.queries.keySet.toSeq.sortBy(-_.length)

@@ -288,6 +288,45 @@ class CatalogSpec extends GraftSpecBase {
     SetCatalog.deleteTree(Paths.get(r))
   }
 
+  test("production entry points heal interrupted swaps at open; opt-out respected") {
+    import java.nio.file.Paths
+    import scala.jdk.CollectionConverters._
+    val r = Files.createTempDirectory("graft-entryheal").toString
+    val sets = new SetCatalog(spark, r)
+    def mk(name: String, n: Int) = sets.createSet("db", name,
+      Tables.nation(spark, sfDir).limit(n), policy = "none")
+    def strand(t: String, n: Int): Unit = {
+      // a committed marker from a crashed rebuild: the serving window a
+      // driver restart must close without knowing who wrote it
+      mk(t, 25); mk(s"${t}_rebuild", n)
+      Files.writeString(Paths.get(s"$r/db.$t.swapin"),
+        s"${t}_rebuild -> $t")
+      SetCatalog.deleteTree(Paths.get(s"$r/db.$t"))
+    }
+    strand("x", 5)
+    val gc = new graft.storage.GraftCatalog
+    gc.initialize("gheal",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        Map("root" -> r).asJava))
+    assert(sets.scanSet("db", "x").count() == 5L,
+      "GraftCatalog open did not heal the committed swap")
+    assert(!Files.exists(Paths.get(s"$r/db.x.swapin")))
+    strand("y", 7)
+    new graft.api.classic.QueryClient(spark, r)
+    assert(sets.scanSet("db", "y").count() == 7L,
+      "classic QueryClient construction did not heal")
+    // the read-only-inspector opt-out leaves the window untouched
+    strand("z", 9)
+    val gc2 = new graft.storage.GraftCatalog
+    gc2.initialize("gnoheal",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        Map("root" -> r, "recoverOnOpen" -> "false").asJava))
+    new graft.api.classic.QueryClient(spark, r, recoverOnOpen = false)
+    assert(Files.exists(Paths.get(s"$r/db.z.swapin")),
+      "opt-out entry point healed anyway")
+    SetCatalog.deleteTree(Paths.get(r))
+  }
+
   test("auto-compaction trigger re-seeds a drifted file count instead of trusting it") {
     import java.nio.file.Paths
     val r = Files.createTempDirectory("graft-reseed").toString
