@@ -882,6 +882,96 @@ object StreamingQueries {
     */
   val stSemanticLifecycleSql: String = stSemanticSql
 
+  /** The LIVE-INDEX contract as an oracle-pinned query (VERDICT r15 next
+    * #1's production form): a probe stream is ALREADY RUNNING when an
+    * [[graft.operators.Dedup.appendToSemanticIndex]] lands, and the
+    * stream's later micro-batches pair against the appended vectors
+    * while its earlier batches could not have. Build over vec_id < 150;
+    * micro-batch 1 ([250, 300)) probes the build generation; the second
+    * corpus slice ([150, 250)) appends MID-STREAM under the frozen
+    * codebook; micro-batch 2 ([300, 350)) probes the grown index —
+    * same query object, no restart. The per-batch re-resolution is the
+    * entire claim: a probe plan frozen at stream start would emit
+    * batch-2 pairs against only the <150 slice and fail the hash
+    * compare below.
+    *
+    * The arrival slices are fixed absolute-id windows (the stSemantic
+    * convention), so the driver-side MemoryStream feed stays O(100)
+    * rows at any sf while the standing side scales with the corpus.
+    */
+  def stSemanticLive(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = graft.model.Tables.embeddings(spark, d)
+    val root = java.nio.file.Files.createTempDirectory("graft-stsemlv")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    graft.operators.Dedup.persistSemanticIndex(cat, "stx", "semlv",
+      emb.filter(col("vec_id") < 150), "vec_id", "embedding")
+    def slice(lo: Long, hi: Long): Seq[(Long, Seq[Float])] =
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val (q, result) = graft.operators.Dedup.startProbe(
+      input.toDS().toDF("vec_id", "embedding"),
+      graft.operators.Dedup.semanticProbeFn(
+        cat, "stx", "semlv", "vec_id", "embedding", 0.4),
+      None)
+    val pairs = try {
+      input.addData(slice(250, 300): _*)
+      q.processAllAvailable()
+      graft.operators.Dedup.appendToSemanticIndex(cat, "stx", "semlv",
+        emb.filter(col("vec_id") >= 150 && col("vec_id") < 250),
+        "vec_id", "embedding")
+      input.addData(slice(300, 350): _*)
+      q.processAllAvailable()
+      result().localCheckpoint(true)
+    } finally q.stop()
+    Seq("semlv_centroids", "semlv_vectors", "semlv_built")
+      .foreach(cat.removeSet("stx", _))
+    graft.storage.SetCatalog.deleteTree(root)
+    pairs
+  }
+
+  /** Oracle: codebook trained on vec_id < 150 (the build generation's —
+    * appends never retrain), every vector ≤ 350 assigned under it once,
+    * and the pair predicate encodes the mid-stream append point: batch-1
+    * arrivals ([250, 300)) pair against standing < 150 only, batch-2
+    * arrivals ([300, 350)) against standing < 250. A frozen-plan probe
+    * (batch 2 seeing only < 150) or an eagerly-visible append (batch 1
+    * seeing [150, 250)) both fail the hash compare.
+    */
+  val stSemanticLiveSql: String = {
+    val kExpr = "(SELECT LEAST(GREATEST(4, (COUNT(*) + 124) // 125), " +
+      "200000) FROM embeddings WHERE vec_id < 150)"
+    ExtendedQueries.lloydCtes(kExpr, 3, "WHERE vec_id < 150", 64, "") + ",\n" +
+      """fd AS (
+        |  SELECT e.vec_id AS r, c.k,
+        |    SUM((CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v) *
+        |        (CAST(e.embedding[c.i + 1] AS DOUBLE) - c.v)) AS dist
+        |  FROM embeddings e, c3 c WHERE e.vec_id < 350 GROUP BY 1, 2),
+        |fa AS (
+        |  SELECT r, k FROM (
+        |    SELECT r, k, ROW_NUMBER() OVER (PARTITION BY r ORDER BY dist, k) AS rk
+        |    FROM fd) z WHERE rk = 1),
+        |v AS MATERIALIZED (
+        |  SELECT e.vec_id, e.embedding, a.k
+        |  FROM embeddings e JOIN fa a ON e.vec_id = a.r),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.k AS cluster,
+        |    round((SELECT SUM(CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))
+        |     FROM generate_series(1, 64) g(i)) /
+        |    (sqrt((SELECT SUM(CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))
+        |           FROM generate_series(1, 64) g(i))) *
+        |     sqrt((SELECT SUM(CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))
+        |           FROM generate_series(1, 64) g(i)))), 6) AS cos
+        |  FROM v a JOIN v b ON a.k = b.k
+        |  WHERE (b.vec_id >= 250 AND b.vec_id < 300 AND a.vec_id < 150)
+        |     OR (b.vec_id >= 300 AND b.vec_id < 350 AND a.vec_id < 250))
+        |SELECT id_a, id_b, cluster, cos FROM p WHERE cos >= 0.4""".stripMargin
+  }
+
   /** Streaming token-budget admission: the budget gate at INGEST — docs
     * arrive as a sequenced log (doc_id = ingest offset), route to their
     * md5 writer shard, and a standing per-shard token counter admits
@@ -1445,6 +1535,7 @@ object StreamingQueries {
     "st_ivfpq_append" -> stIvfPqAppend,
     "st_semantic" -> stSemantic,
     "st_sem_lifecycle" -> stSemanticLifecycle,
+    "st_sem_live" -> stSemanticLive,
     "st_lm_score" -> stLmScore,
     "st_pipe_lm_budget" -> stPipeLmBudget,
     "st_pipe_quality_mix" -> stPipeQualityMix,
@@ -1473,6 +1564,7 @@ object StreamingQueries {
     "st_ivfpq_append" -> stIvfPqAppendSql,
     "st_semantic" -> stSemanticSql,
     "st_sem_lifecycle" -> stSemanticLifecycleSql,
+    "st_sem_live" -> stSemanticLiveSql,
     "st_lm_score" -> stLmScoreSql,
     "st_pipe_lm_budget" -> stPipeLmBudgetSql,
     "st_pipe_quality_mix" -> stPipeQualityMixSql,

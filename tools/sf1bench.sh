@@ -52,6 +52,11 @@ ONLY=$ONLY,st_pipe_quality_mix
 # append + re-sized rebuild + probe — 4.3 s at sf0.1, the expensive
 # slice by measurement)
 ONLY=$ONLY,st_sem_lifecycle
+# round-16 list revision (VERDICT r15 next #6): the self-growing ingest
+# near-dup — the 1-scan kernel's standing-IO claim is exactly the kind
+# of property that only shows at the decade (2.3 s at sf0.1, scaling
+# 1.32x/decade in SCALE_r15)
+ONLY=$ONLY,st_ingest_neardup
 
 OUT="BENCH_SF1_r${ROUND}.json"
 LOG="target/sf1bench_r${ROUND}.log"
