@@ -2018,13 +2018,43 @@ object Dedup {
   private[graft] def semanticProbeFn(
       catalog: graft.storage.SetCatalog, db: String, name: String,
       idCol: String, vecCol: String, threshold: Double): DataFrame => DataFrame =
-    batch => {
-      val (centroids, routeT) = SimilaritySearch
-        .loadCentroidsWithThreshold(batch.sparkSession, catalog, db, name)
+    semanticProbeFnCounted(catalog, db, name, idCol, vecCol, threshold)._1
+
+  /** [[semanticProbeFn]] plus its codebook-collect counter — the
+    * observable surface the cache spec pins (collect count is per
+    * closure, so concurrent suites cannot race it).
+    */
+  private[graft] def semanticProbeFnCounted(
+      catalog: graft.storage.SetCatalog, db: String, name: String,
+      idCol: String, vecCol: String, threshold: Double)
+      : (DataFrame => DataFrame, () => Int) = {
+    // Generation-cached codebook: the centroid collect is O(k·d) driver
+    // bytes (~100 MB at a 200k-cell semantic codebook) — paid per
+    // micro-batch it would dwarf small batches, and APPENDS never
+    // change the codebook. The centroids sidecar stamp is the
+    // generation witness (every create/swap/tag rewrite touches it), so
+    // the collect re-runs exactly when a rebuild swapped a new
+    // generation in; the VECTORS plan still re-resolves every batch —
+    // that is where appends land.
+    var cached: Option[(Long, Array[Array[Double]], Int)] = None
+    var loadCount = 0
+    val fn = (batch: DataFrame) => {
+      val stamp = catalog.metaStamp(db, s"${name}_centroids")
+      val (centroids, routeT) = cached match {
+        case Some((s0, c, t0)) if s0 == stamp && stamp != 0L => (c, t0)
+        case _ =>
+          val ct = SimilaritySearch
+            .loadCentroidsWithThreshold(batch.sparkSession, catalog, db, name)
+          cached = Some((stamp, ct._1, ct._2))
+          loadCount += 1
+          ct
+      }
       val vectors = catalog.scanSet(db, s"${name}_vectors")
       semanticBatchPairs(batch, centroids, vectors, idCol, vecCol, threshold,
         routeThreshold = Some(routeT))
     }
+    (fn, () => loadCount)
+  }
 
   def cosinePairs(
       emb: DataFrame, idCol: String, vecCol: String,

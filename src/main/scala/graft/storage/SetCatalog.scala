@@ -392,6 +392,19 @@ final class SetCatalog(spark: SparkSession, root: String,
   def scanBucketedSet(db: String, set: String): DataFrame =
     spark.table(s"${db}_$set")
 
+  /** Millisecond mtime of the set's sidecar, 0 when absent — a cheap
+    * GENERATION witness: every create, append, compaction, swap
+    * adoption, and tag change rewrites the sidecar, so an unchanged
+    * stamp proves the set is the generation a caller last loaded. The
+    * semantic probe stream keys its driver-side codebook cache on this
+    * (an O(k·d) collect per micro-batch would dwarf small batches at a
+    * 200k-cell codebook; the stamp read is one file attribute).
+    */
+  def metaStamp(db: String, set: String): Long = {
+    val p = Paths.get(metaPath(db, set))
+    if (Files.exists(p)) Files.getLastModifiedTime(p).toMillis else 0L
+  }
+
   def meta(db: String, set: String): Option[SetMeta] = {
     val p = Paths.get(metaPath(db, set))
     if (!Files.exists(p)) None

@@ -725,10 +725,10 @@ class StreamingSpec extends GraftSpecBase {
     graft.operators.Dedup.persistSemanticIndex(cat, "t", "sem",
       corpus.toDF("vec_id", "embedding"), "vec_id", "embedding", nClusters = 4)
     val input = MemoryStream[(Long, Seq[Float])]
+    val (probeFn, loads) = graft.operators.Dedup.semanticProbeFnCounted(
+      cat, "t", "sem", "vec_id", "embedding", 0.4)
     val (q, result) = graft.operators.Dedup.startProbe(
-      input.toDS().toDF("vec_id", "embedding"),
-      graft.operators.Dedup.semanticProbeFn(
-        cat, "t", "sem", "vec_id", "embedding", 0.4),
+      input.toDS().toDF("vec_id", "embedding"), probeFn,
       sink = Some((cat, "t", "sem_live_pairs")))
     try {
       // batch 1 pairs against the build generation
@@ -754,6 +754,12 @@ class StreamingSpec extends GraftSpecBase {
     // batch 1 ran before ids >= 200 existed: no pair may cite them as
     // standing for arrival 1003
     assert(!pairs.contains((200L, 1003L)))
+    // the codebook cache must NOT have defeated append visibility: the
+    // append touched only the vectors set, so both batches (plus the
+    // harness's schema probe) ran under ONE collected codebook — and
+    // the appended pair was still found through the re-planned vectors
+    assert(loads() == 1,
+      s"append-only maintenance re-collected the codebook ${loads()}x")
     graft.storage.SetCatalog.deleteTree(root)
   }
 
@@ -769,10 +775,10 @@ class StreamingSpec extends GraftSpecBase {
     graft.operators.Dedup.persistSemanticIndex(cat, "t", "sem",
       corpus.toDF("vec_id", "embedding"), "vec_id", "embedding", nClusters = 4)
     val input = MemoryStream[(Long, Seq[Float])]
+    val (probeFn, loads) = graft.operators.Dedup.semanticProbeFnCounted(
+      cat, "t", "sem", "vec_id", "embedding", 0.4)
     val (q, result) = graft.operators.Dedup.startProbe(
-      input.toDS().toDF("vec_id", "embedding"),
-      graft.operators.Dedup.semanticProbeFn(
-        cat, "t", "sem", "vec_id", "embedding", 0.4),
+      input.toDS().toDF("vec_id", "embedding"), probeFn,
       sink = Some((cat, "t", "sem_swap_pairs")))
     try {
       input.addData((1005L, near(corpus(5)._2)))
@@ -790,6 +796,10 @@ class StreamingSpec extends GraftSpecBase {
     assert(pairs.contains((6L, 1006L)),
       "probe after a mid-stream rebuild failed to pair against the " +
         s"new generation: $pairs")
+    // the rebuild swapped a NEW codebook generation in: the sidecar
+    // stamp changed, so the cache re-collected exactly once more
+    assert(loads() == 2,
+      s"rebuild should invalidate the codebook cache once, saw ${loads()}")
     graft.storage.SetCatalog.deleteTree(root)
   }
 
