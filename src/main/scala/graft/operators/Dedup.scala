@@ -1952,11 +1952,24 @@ object Dedup {
       .map(SimilaritySearch.indexAssignUdfFor(_, centroids))
       .getOrElse(SimilaritySearch.indexAssignUdf(batch.sparkSession, centroids))
     val bucketType = vectors.schema("bucket").dataType
+    // eager: the arrival frame is batch-sized and used twice below (the
+    // touched-cell collect and the broadcast join) — without this the
+    // assign UDF would run twice per batch
     val arr = SimilaritySearch.withCellGroup(vectors,
       batch.select(col(idCol).as("id_b"), col(vecCol).as("b_vec"),
           l2Norm(col(vecCol)).as("b_nrm"))
         .withColumn("bucket", assign(col("b_vec")).cast(bucketType)))
-    vectors.join(broadcast(arr), SimilaritySearch.cellJoinKeys(vectors))
+      .localCheckpoint(eager = true)
+    // STATIC cell pruning, not dynamic: a foreachBatch micro-batch is a
+    // LocalRelation/LogicalRDD, which gives the DPP insertion heuristics
+    // nothing to estimate — the per-batch plan carried only an
+    // isnotnull partition filter (PlanSpec caught it), i.e. corpus IO
+    // per batch at 100 TB. The probed cells are collected off the
+    // batch-sized arrival frame and pushed as LITERAL filters instead:
+    // the file listing prunes deterministically under ANY batch plan
+    // shape, a probe of b cells reads ≤ b directories.
+    val pruned = SimilaritySearch.pruneToTouchedCells(vectors, arr)
+    pruned.join(broadcast(arr), SimilaritySearch.cellJoinKeys(vectors))
       .withColumn("cos",
         round(dot(col("n_vec"), col("b_vec")) / (col("n_nrm") * col("b_nrm")), 6))
       .filter(col("cos") >= threshold)

@@ -363,6 +363,32 @@ object SimilaritySearch {
   private[graft] def cellJoinKeys(standing: DataFrame): Seq[String] =
     cellGroupColOf(standing).map(_._1).toSeq :+ "bucket"
 
+  /** Restrict the standing cell-partitioned set to the cells a SMALL
+    * (already-materialized, about-to-be-broadcast) probe side actually
+    * touches, as LITERAL filters on the cell-layout columns — static
+    * partition pruning that holds under ANY probe-side plan shape.
+    * Dynamic partition pruning is heuristic: a streaming micro-batch
+    * arrives as a LocalRelation/LogicalRDD whose default size estimate
+    * makes the DPP benefit check decline, leaving the per-batch plan
+    * scanning every cell directory (PlanSpec pins the literal form).
+    * One extra collect over the probe side per call — batch-sized, and
+    * the frame is checkpointed by the caller so nothing recomputes.
+    * Above `maxLiterals` touched cells the filter is skipped whole: the
+    * probe covers most of the codebook, pruning buys nothing, and a
+    * 100k-literal IN would bloat the plan instead.
+    */
+  private[graft] def pruneToTouchedCells(
+      standing: DataFrame, probeSide: DataFrame,
+      maxLiterals: Int = 4096): DataFrame = {
+    val keys = cellJoinKeys(standing)
+    val touched = probeSide.select(keys.map(col): _*).distinct()
+      .limit(maxLiterals + 1).collect()
+    if (touched.length > maxLiterals) standing
+    else keys.zipWithIndex.foldLeft(standing) { case (df, (k, i)) =>
+      df.filter(col(k).isin(touched.map(_.get(i)).distinct.toIndexedSeq: _*))
+    }
+  }
+
   /** Codebook trainer for the persisted-index build/rebuild paths,
     * large-k-safe: seeds are sample rows, so the md5-ordered sample
     * widens to 2k once k outgrows the default limit (a 200k-cell

@@ -224,6 +224,39 @@ class PlanSpec extends GraftSpecBase {
     graft.storage.SetCatalog.deleteTree(root)
   }
 
+  test("semantic probe stream's per-batch plan keeps dynamic partition pruning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // The round-16 live-index contract re-plans the standing vector set
+    // every micro-batch; this pins that the re-resolved plan is still
+    // the PRUNED one — a probe of b cells reads b directories through
+    // the broadcast arrival join's dynamic partition pruning, not the
+    // whole corpus. Losing that would make every micro-batch pay
+    // corpus IO, the exact failure the partitioned layout exists to
+    // prevent.
+    val root = java.nio.file.Files.createTempDirectory("graft-plan-sem")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    val rnd = new scala.util.Random(5)
+    val corpus = (0L until 40L)
+      .map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    graft.operators.Dedup.persistSemanticIndex(cat, "p", "sem",
+      corpus, "vec_id", "embedding", nClusters = 4)
+    val probe = graft.operators.Dedup.semanticProbeFn(
+      cat, "p", "sem", "vec_id", "embedding", 0.4)
+    val batch = (1000L until 1003L)
+      .map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = probe(batch).queryExecution.executedPlan.toString
+    // dynamic pruning is HEURISTIC and declines on LocalRelation batch
+    // plans (the exact shape foreachBatch delivers) — the probe pushes
+    // the touched cells as LITERAL partition filters instead, which
+    // prune the listing under any batch plan shape
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket[^\\]]* IN(SET)?[ (].*"),
+      s"re-resolved per-batch probe plan lost static cell pruning:\n$plan")
+    graft.storage.SetCatalog.deleteTree(root)
+  }
+
   test("README's stated query count matches the live registry") {
     // the README is contract surface the judge reads; a drifted count
     // (happened rounds 4 and 5) now fails CI instead of shipping
