@@ -1238,7 +1238,12 @@ object SimilaritySearch {
     val probes = queries.select(col(idCol).as("query_id"),
       explode(probe(col(vecCol))).as("bucket"), lut(col(vecCol)).as("lut"))
       .withColumn("bucket", col("bucket").cast(bucketType))
-    val short = adcShortlist(codes.join(broadcast(probes), Seq("bucket")), shortlist, k)
+      .localCheckpoint(eager = true)
+    // static cell pruning on the bucket-partitioned code table — the
+    // probed cells as literals, deterministic at any query-frame shape
+    val short = adcShortlist(
+      pruneToTouchedCells(codes, probes).join(broadcast(probes),
+        Seq("bucket")), shortlist, k)
     rerankExact(short, catalog.scanSet(db, s"${name}_vectors"), queries, k, idCol, vecCol)
   }
 
@@ -1381,14 +1386,21 @@ object SimilaritySearch {
     // partition-column type follows Hive directory inference (int), not
     // the written long — cast the probe side to whatever came back
     val bucketType = vectors.schema("bucket").dataType
+    // materialized once: the probe side is |queries|·nprobe rows and is
+    // read twice (touched-cell collect + broadcast join)
     val probes = withCellGroup(vectors,
       queries.select(col(idCol).as("query_id"),
         col(vecCol).as("q_vec"), l2Norm(col(vecCol)).as("q_nrm"),
         explode(probe(col(vecCol))).as("bucket"))
         .withColumn("bucket", col("bucket").cast(bucketType)))
+      .localCheckpoint(eager = true)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    vectors.join(broadcast(probes), cellJoinKeys(vectors))
+    // STATIC cell pruning (see pruneToTouchedCells): deterministic
+    // listing-level pruning for any query-frame shape — DPP declines on
+    // local/RDD-backed query frames and is redundant after this
+    pruneToTouchedCells(vectors, probes).join(broadcast(probes),
+        cellJoinKeys(vectors))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         round(dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))

@@ -83,7 +83,9 @@ class PqSpec extends GraftSpecBase {
     val plan = search.queryExecution.executedPlan.toString
     graft.storage.SetCatalog.deleteTree(root)
     assert(fromIndex == inMemory && fromIndex.nonEmpty)
-    assert(plan.contains("dynamicpruning"),
+    // round 16: static literal pruning (see IvfIndexSpec's note)
+    assert(plan.matches(
+        "(?s).*PartitionFilters: \\[[^\\]]*bucket[^\\]]* IN(SET)?[ (].*"),
       s"probe join no longer prunes code partitions:\n$plan")
   }
 
