@@ -34,10 +34,20 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * [[SetCatalog.renameSet]] when a staging set is adopted as the live
   * generation.
   */
+/** `generation` is the sidecar's explicit rewrite witness: bumped by
+  * EVERY [[SetCatalog.writeMeta]], strictly increasing per sidecar
+  * path, and drawn from the JVM monotonic clock so two DIFFERENT
+  * sidecar files (a staging generation's sidecar renamed over the old
+  * target's) can never carry the same value by counter coincidence.
+  * [[SetCatalog.metaStamp]] returns it — mtime was the old witness,
+  * and mtimes collide (two rewrites inside one timestamp granule, or
+  * any filesystem with coarser-than-ms mtimes), which left the probe
+  * stream's codebook cache serving a stale generation silently.
+  */
 final case class SetMeta(
     partitionColumn: Option[String], numPartitions: Int, rows: Long,
     policy: String = "hash", nodeShares: Seq[Int] = Nil, files: Long = 0L,
-    staging: Boolean = false)
+    staging: Boolean = false, generation: Long = 0L)
 
 object SetCatalog {
   /** Recursive tree delete, closing its directory stream (the ad-hoc
@@ -87,10 +97,21 @@ final class SetCatalog(spark: SparkSession, root: String,
 
   private[storage] def writeMeta(db: String, set: String, col: Option[String],
       n: Int, rows: Long, policy: String, shares: Seq[Int] = Nil,
-      files: Long = 0L, staging: Boolean = false): Unit =
+      files: Long = 0L, staging: Boolean = false): Unit = {
+    // Explicit generation witness (see SetMeta): strictly above the
+    // sidecar's previous value (per-path monotone, whatever the clock
+    // does across sessions) AND at least the JVM monotonic clock — so
+    // a swap that renames a DIFFERENT sidecar file over this path
+    // cannot reproduce the replaced file's value by counter
+    // coincidence (same-session writes are ordered by the clock;
+    // cross-session equality would need an exact nanoTime tie between
+    // two JVMs' arbitrary origins). mtime gave neither property.
+    val gen = math.max(
+      meta(db, set).map(_.generation).getOrElse(0L) + 1L, System.nanoTime())
     Files.writeString(Paths.get(metaPath(db, set)),
       s"${col.getOrElse("")}\n$n\n$rows\n$policy\n${shares.mkString(",")}\n" +
-        s"$files\n${if (staging) "staging" else ""}\n")
+        s"$files\n${if (staging) "staging" else ""}\n$gen\n")
+  }
 
   /** Count a set directory's data files — used by the CREATE paths to
     * seed the sidecar's file count (appends advance it incrementally by
@@ -392,17 +413,27 @@ final class SetCatalog(spark: SparkSession, root: String,
   def scanBucketedSet(db: String, set: String): DataFrame =
     spark.table(s"${db}_$set")
 
-  /** Millisecond mtime of the set's sidecar, 0 when absent — a cheap
-    * GENERATION witness: every create, append, compaction, swap
-    * adoption, and tag change rewrites the sidecar, so an unchanged
-    * stamp proves the set is the generation a caller last loaded. The
-    * semantic probe stream keys its driver-side codebook cache on this
-    * (an O(k·d) collect per micro-batch would dwarf small batches at a
-    * 200k-cell codebook; the stamp read is one file attribute).
+  /** The set's sidecar GENERATION, 0 when absent: every create, append,
+    * compaction, swap adoption, and tag change rewrites the sidecar and
+    * bumps [[SetMeta.generation]], so an unchanged stamp proves the set
+    * is the generation a caller last loaded. The semantic probe stream
+    * keys its driver-side codebook cache on this (an O(k·d) collect per
+    * micro-batch would dwarf small batches at a 200k-cell codebook; the
+    * stamp read is one tiny-file read). The witness is the EXPLICIT
+    * counter, not the file's mtime — two rewrites inside one timestamp
+    * granule (a rebuild swap landing within the same millisecond as the
+    * prior write, or a coarse-mtime filesystem) left an mtime witness
+    * unchanged, and the cache then served the OLD generation's codebook
+    * against the NEW generation's vectors: arrivals assigned under
+    * stale centroids probe the wrong cells, pairs silently lost.
+    * Legacy sidecars (written before the generation line existed) fall
+    * back to mtime — their next rewrite adopts the counter.
     */
   def metaStamp(db: String, set: String): Long = {
     val p = Paths.get(metaPath(db, set))
-    if (Files.exists(p)) Files.getLastModifiedTime(p).toMillis else 0L
+    if (!Files.exists(p)) 0L
+    else meta(db, set).map(_.generation).filter(_ != 0L)
+      .getOrElse(Files.getLastModifiedTime(p).toMillis)
   }
 
   def meta(db: String, set: String): Option[SetMeta] = {
@@ -417,7 +448,8 @@ final class SetCatalog(spark: SparkSession, root: String,
           lines(4).split(",").map(_.toInt).toSeq
         else Nil,
         if (lines.length > 5 && lines(5).nonEmpty) lines(5).toLong else 0L,
-        lines.length > 6 && lines(6) == "staging"))
+        lines.length > 6 && lines(6) == "staging",
+        if (lines.length > 7 && lines(7).nonEmpty) lines(7).toLong else 0L))
     }
   }
 

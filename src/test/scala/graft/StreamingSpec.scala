@@ -803,6 +803,56 @@ class StreamingSpec extends GraftSpecBase {
     graft.storage.SetCatalog.deleteTree(root)
   }
 
+  test("codebook cache reloads across a rebuild even when the sidecar mtime is pinned equal") {
+    // The generation witness is the EXPLICIT sidecar counter, not the
+    // file mtime: two sidecar rewrites inside one timestamp granule (a
+    // rebuild swap landing within the same millisecond as the prior
+    // write, or a coarse-mtime filesystem) must still invalidate the
+    // probe stream's codebook cache. The mtime collision is forced here
+    // by setting the new generation's sidecar mtime BACK to the old
+    // generation's — under the old mtime witness the cache would keep
+    // the stale codebook and assign batch-2 arrivals under pre-rebuild
+    // centroids.
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(13)
+    def vec() = Seq.fill(64)(rnd.nextGaussian().toFloat)
+    def near(v: Seq[Float]) = v.map(x => x + 0.001f * rnd.nextGaussian().toFloat)
+    val corpus = (0L until 30L).map(i => (i, vec()))
+    val root = java.nio.file.Files.createTempDirectory("graft-stsemmtime")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    graft.operators.Dedup.persistSemanticIndex(cat, "t", "sem",
+      corpus.toDF("vec_id", "embedding"), "vec_id", "embedding", nClusters = 4)
+    val sidecar = java.nio.file.Paths.get(s"$root/t.sem_centroids.meta")
+    val input = MemoryStream[(Long, Seq[Float])]
+    val (probeFn, loads) = graft.operators.Dedup.semanticProbeFnCounted(
+      cat, "t", "sem", "vec_id", "embedding", 0.4)
+    val (q, result) = graft.operators.Dedup.startProbe(
+      input.toDS().toDF("vec_id", "embedding"), probeFn,
+      sink = Some((cat, "t", "sem_mtime_pairs")))
+    try {
+      input.addData((1007L, near(corpus(7)._2)))
+      q.processAllAvailable()
+      val pinned = java.nio.file.Files.getLastModifiedTime(sidecar)
+      graft.operators.Dedup.rebuildSemanticIndex(cat, "t", "sem")
+      // force the mtime collision the explicit counter exists for
+      java.nio.file.Files.setLastModifiedTime(sidecar, pinned)
+      assert(java.nio.file.Files.getLastModifiedTime(sidecar) == pinned,
+        "test harness failed to pin the sidecar mtime")
+      input.addData((1008L, near(corpus(8)._2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = result().select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((7L, 1007L)), s"pre-rebuild pair lost: $pairs")
+    assert(pairs.contains((8L, 1008L)),
+      s"post-rebuild probe under a pinned mtime lost its pair: $pairs")
+    assert(loads() == 2,
+      "mtime-pinned rebuild did not invalidate the codebook cache — " +
+        s"the stale-generation hole is back (loads=${loads()})")
+    graft.storage.SetCatalog.deleteTree(root)
+  }
+
   test("exact probe stream picks up a re-persisted index generation mid-stream") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
