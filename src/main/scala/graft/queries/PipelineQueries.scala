@@ -916,7 +916,13 @@ object PipelineQueries {
     * 4-bucket probes prune the candidate pairs, ADC ranks them, and the
     * exact rounded-cosine re-rank scores the shortlist.
     */
-  private def ivfPqSearchSql(sourceWhere: String): String = {
+  /** `probeWhere` selects the QUERY rows (vec_id predicate over bdist);
+    * `candWhere` restricts candidate (query, neighbor) pairs — the
+    * two-generation predicate of the live-index streaming oracle, TRUE
+    * for the one-generation searches.
+    */
+  private[queries] def ivfPqSearchSql(sourceWhere: String,
+      probeWhere: String = "r < 10", candWhere: String = "TRUE"): String = {
     val m = 16
     val encJoins = (1 until m)
       .map(j => s"  JOIN enc$j c$j ON c$j.r = c0.r").mkString("\n")
@@ -939,11 +945,11 @@ object PipelineQueries {
          |probes AS (
          |  SELECT r AS query_id, k AS bucket FROM (
          |    SELECT r, k, ROW_NUMBER() OVER (PARTITION BY r ORDER BY dist, k) AS rk
-         |    FROM bdist WHERE r < 10) z WHERE rk <= 4),
+         |    FROM bdist WHERE $probeWhere) z WHERE rk <= 4),
          |cand AS (
          |  SELECT p.query_id, b.r AS neighbor_id
          |  FROM probes p JOIN bassign b ON p.bucket = b.bucket
-         |  WHERE b.r <> p.query_id),
+         |  WHERE b.r <> p.query_id AND ($candWhere)),
          |adc AS (
          |  SELECT ca.query_id, ca.neighbor_id,
          |    round($adcSum, 6) AS adc

@@ -972,6 +972,67 @@ object StreamingQueries {
         |SELECT id_a, id_b, cluster, cos FROM p WHERE cos >= 0.4""".stripMargin
   }
 
+  /** The LIVE-INDEX contract on the retrieval side (VERDICT r16 next
+    * #2): a standing pipeline continuously SEARCHING a maintained
+    * IVF-PQ index — [[graft.operators.SimilaritySearch
+    * .streamSearchIvfPqIndex]], the production retrieval shape the
+    * search family lacked a streaming form of (the dedup probes all had
+    * one). Build the full compressed index over vec_id < 150; query
+    * micro-batch 1 ([250, 255)) searches the build generation; the
+    * second corpus slice ([150, 250)) APPENDS mid-stream (assigned +
+    * encoded under the frozen models); query micro-batch 2 ([255, 260))
+    * searches the grown code set — same query object, no restart. A
+    * probe plan frozen at stream start would rank batch-2 queries
+    * against only the <150 codes and fail the hash compare.
+    */
+  def stIvfPqLive(spark0: SparkSession, d: String): DataFrame = {
+    val spark = streamSession(spark0)
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = graft.model.Tables.embeddings(spark, d)
+    val root = java.nio.file.Files.createTempDirectory("graft-stivfpqlv")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    graft.operators.SimilaritySearch.buildIvfPqIndex(spark, cat, "idx", "emb",
+      emb.filter(col("vec_id") < 150))
+    def slice(lo: Long, hi: Long): Seq[(Long, Seq[Float])] =
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val (q, result) = graft.operators.Dedup.startProbe(
+      input.toDS().toDF("vec_id", "embedding"),
+      graft.operators.SimilaritySearch.ivfPqSearchProbeFn(
+        cat, "idx", "emb", k = 5),
+      None)
+    val hits = try {
+      input.addData(slice(250, 255): _*)
+      q.processAllAvailable()
+      graft.operators.SimilaritySearch.appendToIvfPqIndex(spark, cat,
+        "idx", "emb",
+        emb.filter(col("vec_id") >= 150 && col("vec_id") < 250))
+      input.addData(slice(255, 260): _*)
+      q.processAllAvailable()
+      result().localCheckpoint(true)
+    } finally q.stop()
+    graft.storage.SetCatalog.deleteTree(root)
+    hits
+  }
+
+  /** Oracle: both model chains trained on vec_id < 150 (the build
+    * generation's — appends never retrain), assignment + encoding over
+    * the whole corpus, and the candidate predicate encodes the
+    * mid-stream append point: batch-1 queries ([250, 255)) rank against
+    * codes of vec_id < 150 only, batch-2 queries ([255, 260)) against
+    * codes of vec_id < 250. A frozen-plan search (batch 2 seeing only
+    * < 150) or an eagerly-visible append (batch 1 seeing [150, 250))
+    * both fail the hash compare.
+    */
+  val stIvfPqLiveSql: String = PipelineQueries.ivfPqSearchSql(
+    "WHERE vec_id < 150",
+    probeWhere = "r >= 250 AND r < 260",
+    candWhere = "(p.query_id < 255 AND b.r < 150) " +
+      "OR (p.query_id >= 255 AND b.r < 250)")
+
   /** Streaming token-budget admission: the budget gate at INGEST — docs
     * arrive as a sequenced log (doc_id = ingest offset), route to their
     * md5 writer shard, and a standing per-shard token counter admits
@@ -1536,6 +1597,7 @@ object StreamingQueries {
     "st_semantic" -> stSemantic,
     "st_sem_lifecycle" -> stSemanticLifecycle,
     "st_sem_live" -> stSemanticLive,
+    "st_ivfpq_live" -> stIvfPqLive,
     "st_lm_score" -> stLmScore,
     "st_pipe_lm_budget" -> stPipeLmBudget,
     "st_pipe_quality_mix" -> stPipeQualityMix,
@@ -1565,6 +1627,7 @@ object StreamingQueries {
     "st_semantic" -> stSemanticSql,
     "st_sem_lifecycle" -> stSemanticLifecycleSql,
     "st_sem_live" -> stSemanticLiveSql,
+    "st_ivfpq_live" -> stIvfPqLiveSql,
     "st_lm_score" -> stLmScoreSql,
     "st_pipe_lm_budget" -> stPipeLmBudgetSql,
     "st_pipe_quality_mix" -> stPipeQualityMixSql,

@@ -881,6 +881,105 @@ class StreamingSpec extends GraftSpecBase {
     graft.storage.SetCatalog.deleteTree(root)
   }
 
+  test("IVF-PQ search stream sees a mid-stream append and survives a mid-stream rebuild") {
+    // The live-index contract on the RETRIEVAL side: a standing search
+    // stream over a maintained IVF-PQ index. Batch 1 ranks against the
+    // build generation; an append lands mid-stream (new vectors visible
+    // to batch 2 without a model reload — appends never retrain); a
+    // rebuild lands mid-stream (old code/model directories DELETED by
+    // the swap) and batch 3 searches the new generation with exactly
+    // one model re-collect.
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(14)
+    def vec() = Seq.fill(64)(rnd.nextGaussian().toFloat)
+    def near(v: Seq[Float]) = v.map(x => x + 0.001f * rnd.nextGaussian().toFloat)
+    val corpus = (0L until 40L).map(i => (i, vec()))
+    val appended = (200L until 210L).map(i => (i, vec()))
+    val root = java.nio.file.Files.createTempDirectory("graft-stivfpqsearch")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    graft.operators.SimilaritySearch.buildIvfPqIndex(spark, cat, "t", "ix",
+      corpus.toDF("vec_id", "embedding"))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val (probeFn, loads) = graft.operators.SimilaritySearch
+      .ivfPqSearchProbeFnCounted(cat, "t", "ix", k = 3)
+    val (q, result) = graft.operators.Dedup.startProbe(
+      input.toDS().toDF("vec_id", "embedding"), probeFn,
+      sink = Some((cat, "t", "ix_hits")))
+    try {
+      // batch 1: a near-copy of corpus(5) must retrieve 5 at rank 1
+      input.addData((1005L, near(corpus(5)._2)))
+      q.processAllAvailable()
+      graft.operators.SimilaritySearch.appendToIvfPqIndex(spark, cat,
+        "t", "ix", appended.toDF("vec_id", "embedding"))
+      // batch 2: a near-copy of an APPENDED vector — invisible under a
+      // frozen-at-start plan (its codes are new files in the cell dirs)
+      input.addData((1200L, near(appended.head._2)))
+      q.processAllAvailable()
+      val loadsBeforeRebuild = loads()
+      graft.operators.SimilaritySearch.rebuildIvfPqIndex(spark, cat, "t", "ix")
+      // batch 3: the old generation's directories are renamed away —
+      // a frozen plan fails on missing files; the probe must re-plan
+      // AND re-collect the swapped models
+      input.addData((1006L, near(corpus(6)._2)))
+      q.processAllAvailable()
+      assert(loadsBeforeRebuild == 1,
+        s"append must not re-collect the models, saw $loadsBeforeRebuild")
+    } finally q.stop()
+    val top = result().filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top.get(1005L).contains(5L), s"build-generation hit lost: $top")
+    assert(top.get(1200L).contains(200L),
+      "mid-stream append invisible to the live search stream — " +
+        s"the frozen-plan failure mode; got $top")
+    assert(top.get(1006L).contains(6L),
+      s"search after a mid-stream rebuild failed on the new generation: $top")
+    assert(loads() == 2,
+      s"rebuild should invalidate the model cache exactly once, saw ${loads()}")
+    graft.storage.SetCatalog.deleteTree(root)
+  }
+
+  test("IVF search stream: mid-stream append visible, rebuild survived") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(15)
+    def vec() = Seq.fill(64)(rnd.nextGaussian().toFloat)
+    def near(v: Seq[Float]) = v.map(x => x + 0.001f * rnd.nextGaussian().toFloat)
+    val corpus = (0L until 40L).map(i => (i, vec()))
+    val appended = (300L until 305L).map(i => (i, vec()))
+    val root = java.nio.file.Files.createTempDirectory("graft-stivfsearch")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    graft.operators.SimilaritySearch.buildIvfIndex(spark, cat, "t", "iv",
+      corpus.toDF("vec_id", "embedding"))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val (probeFn, loads) = graft.operators.SimilaritySearch
+      .ivfSearchProbeFnCounted(cat, "t", "iv", k = 3)
+    val (q, result) = graft.operators.Dedup.startProbe(
+      input.toDS().toDF("vec_id", "embedding"), probeFn, sink = None)
+    val hits = try {
+      input.addData((1007L, near(corpus(7)._2)))
+      q.processAllAvailable()
+      graft.operators.SimilaritySearch.appendToIvfIndex(spark, cat,
+        "t", "iv", appended.toDF("vec_id", "embedding"))
+      input.addData((1300L, near(appended.head._2)))
+      q.processAllAvailable()
+      graft.operators.SimilaritySearch.rebuildIvfIndex(spark, cat, "t", "iv")
+      input.addData((1008L, near(corpus(8)._2)))
+      q.processAllAvailable()
+      result().localCheckpoint(true)
+    } finally q.stop()
+    val top = hits.filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top.get(1007L).contains(7L), s"build-generation hit lost: $top")
+    assert(top.get(1300L).contains(300L),
+      s"mid-stream append invisible to the live IVF search stream: $top")
+    assert(top.get(1008L).contains(8L),
+      s"IVF search after a mid-stream rebuild broke: $top")
+    assert(loads() == 2,
+      s"expected one build-time collect + one rebuild re-collect, saw ${loads()}")
+    graft.storage.SetCatalog.deleteTree(root)
+  }
+
   test("stream-stream interval join == batch interval join") {
     val got = graft.queries.StreamingQueries.stJoin(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
