@@ -219,9 +219,9 @@ object Bench {
   }
 
   /** Newest committed artifact of a filename family, parsed to per-query
-    * minima. */
+    * minima, with its round number. */
   private def newestOf(prefix: String,
-      known: Set[String]): Option[(String, Map[String, Double])] = {
+      known: Set[String]): Option[(Int, String, Map[String, Double])] = {
     val re = (java.util.regex.Pattern.quote(prefix) + """(\d+)\.json""").r
     val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
       .flatMap { f =>
@@ -230,14 +230,14 @@ object Bench {
           case _ => None
         }
       }
-    files.sortBy(-_._1).headOption.flatMap { case (_, f) =>
+    files.sortBy(-_._1).headOption.flatMap { case (round, f) =>
       val text = try {
         new String(
           java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8)
       } catch { case scala.util.control.NonFatal(_) => "" }
       val m = parseArtifactText(text, known)
-      if (m.isEmpty) None else Some((f.getName, m))
+      if (m.isEmpty) None else Some((round, f.getName, m))
     }
   }
 
@@ -248,12 +248,109 @@ object Bench {
     * front-truncates exactly the cheap queries, making a 0.2 s → 6 s
     * shift invisible to it (six such regressions went unflagged in r15's
     * in-session artifact and needed judge-side adjudication). The
-    * wrapper family remains the fallback for history that predates the
-    * committed-full convention.
+    * families are compared by ROUND number, not preferred by shape
+    * (ADVICE r16): if the newest round's full artifact is missing (write
+    * failed, or the subset guard skipped it) while a newer wrapper
+    * exists, adjudicating against the stale full artifact's minima would
+    * mis-flag or miss regressions — the higher round wins, full
+    * precision only breaking the tie.
     */
   private def prevArtifact(known: Set[String]): Option[(String, Map[String, Double])] = {
     val fullPrefix = prevPrefix.replaceFirst("^BENCH_", "BENCH_full_")
-    newestOf(fullPrefix, known).orElse(newestOf(prevPrefix, known))
+    (newestOf(fullPrefix, known), newestOf(prevPrefix, known)) match {
+      case (Some((fr, fn, fm)), Some((wr, _, _))) if fr >= wr => Some((fn, fm))
+      case (Some((fr, fn, fm)), None) => Some((fn, fm))
+      case (_, Some((_, wn, wm))) => Some((wn, wm))
+      case _ => None
+    }
+  }
+
+  /** Per-query per-pass seconds out of a committed full artifact's
+    * "passes" block (nulls — failed passes — become NaN, preserving the
+    * pass count), plus its merged-runs stamp (1 when absent). The merge
+    * reader for [[mergeFullPasses]]; package-visible for BenchScrapeSpec.
+    */
+  private[graft] def parseFullPasses(
+      text: String): (Map[String, Seq[Double]], Int) = {
+    import org.json4s._
+    try {
+      val root = org.json4s.jackson.JsonMethods.parse(text)
+      val passes = root \ "passes" match {
+        case JObject(fields) => fields.flatMap { case (k, v) =>
+          v match {
+            case JArray(vs) => Some(k -> vs.map {
+              case JDouble(d) => d
+              case JInt(i) => i.toDouble
+              case JDecimal(d) => d.toDouble
+              case JLong(l) => l.toDouble
+              case _ => Double.NaN
+            })
+            case _ => None
+          }
+        }.toMap
+        case _ => Map.empty[String, Seq[Double]]
+      }
+      val runs = root \ "merged_runs" match {
+        case JInt(i) => i.toInt
+        case JLong(l) => l.toInt
+        case JDouble(d) => d.toInt
+        case _ => 1
+      }
+      (passes, runs)
+    } catch {
+      case scala.util.control.NonFatal(_) => (Map.empty[String, Seq[Double]], 1)
+    }
+  }
+
+  /** Min-merge a new run's passes into an existing same-round full
+    * artifact's (VERDICT r16 next #3): per query, the pass lists
+    * CONCATENATE (minima and regime detail both survive); queries only
+    * in the old artifact keep their passes (a post-commit subset run
+    * must not shrink the round's record), queries only in the new run
+    * join it. The committed three-run min-merge convention, in code —
+    * a post-commit driver run now folds into the round's artifact
+    * instead of overwriting a better-windowed merge (the r16 clobber).
+    */
+  private[graft] def mergeFullPasses(
+      old: Map[String, Seq[Double]],
+      next: Map[String, Seq[Double]]): Map[String, Seq[Double]] =
+    (old.keySet ++ next.keySet).iterator.map { k =>
+      k -> (old.getOrElse(k, Seq.empty) ++ next.getOrElse(k, Seq.empty))
+    }.toMap
+
+  /** Append (or min-merge into) a full artifact's "reprobes" block —
+    * the machine-readable home for hand re-probe adjudication evidence
+    * (VERDICT r16 next #5: "hand re-probe 3.60 s" lived only in README
+    * prose). The block is a flat name→seconds map textually spliced
+    * before the artifact's closing brace, so the rest of the artifact
+    * — passes precision, key order, adjudication blocks — is preserved
+    * byte for byte. Package-visible for BenchScrapeSpec.
+    */
+  private[graft] def appendReprobes(
+      text: String, re: Map[String, Double]): String = {
+    def r3(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val existing = """"reprobes":\{([^}]*)\}""".r
+    val merged = existing.findFirstMatchIn(text) match {
+      case Some(m) =>
+        val old = """"([^"\\]+)"\s*:\s*([0-9.eE+-]+)""".r
+          .findAllMatchIn(m.group(1))
+          .map(x => x.group(1) -> x.group(2).toDouble).toMap
+        old ++ re.map { case (k, v) =>
+          k -> math.min(v, old.getOrElse(k, Double.MaxValue))
+        }
+      case None => re
+    }
+    val block = merged.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("\"reprobes\":{", ",", "}")
+    existing.findFirstMatchIn(text) match {
+      case Some(_) => existing.replaceFirstIn(
+        text, java.util.regex.Matcher.quoteReplacement(block))
+      case None =>
+        val trimmed = text.reverse.dropWhile(c => c == '\n' || c == ' ').reverse
+        require(trimmed.endsWith("}"), "artifact is not a JSON object")
+        trimmed.dropRight(1) + "," + block + "}\n"
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -309,15 +406,61 @@ object Bench {
           Double.NaN
         }
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) => name -> run(name, fn, passes) }
-    val calibEnd = timed(probe(spark))
     def minOk(v: Seq[Double]): Option[Double] = {
       val ok = v.filterNot(_.isNaN)
       if (ok.isEmpty) None else Some(ok.min)
     }
     def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    // `--reprobe q1,q2`: an isolated hand re-probe whose evidence lands
+    // IN the newest same-family committed full artifact as a "reprobes"
+    // block (VERDICT r16 next #5 — window adjudication used to live only
+    // in README prose). Runs just the named queries back-to-back after
+    // the warmup (the isolated-profile shape), min-merges into any
+    // existing reprobes block, prints one {"metric":"reprobe"} line, and
+    // exits without touching the bench flow or the artifact's passes.
+    args.sliding(2).collectFirst {
+      case Array("--reprobe", names) =>
+        names.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }.filter(_.nonEmpty) match {
+      case Some(names) =>
+        names.filterNot(SparkEntry.queries.contains).foreach(n =>
+          System.err.println(s"[bench] --reprobe: unknown query '$n' skipped"))
+        val vals = names.flatMap { n =>
+          SparkEntry.queries.get(n)
+            .flatMap(fn => minOk(run(n, fn, passes))).map(n -> _)
+        }
+        val fullPrefix = prevPrefix.replaceFirst("^BENCH_", "BENCH_full_")
+        val re = (java.util.regex.Pattern.quote(fullPrefix) + """(\d+)\.json""").r
+        val target = Option(new java.io.File(".").listFiles())
+          .getOrElse(Array.empty)
+          .flatMap(f => f.getName match {
+            case re(n) => Some((n.toInt, f))
+            case _ => None
+          }).sortBy(-_._1).headOption.map(_._2)
+        target match {
+          case Some(f) =>
+            val text = new String(
+              java.nio.file.Files.readAllBytes(f.toPath),
+              java.nio.charset.StandardCharsets.UTF_8)
+            java.nio.file.Files.write(f.toPath,
+              appendReprobes(text, vals.toMap)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          case None =>
+            System.err.println(s"[bench] no $fullPrefix artifact to stamp")
+        }
+        val vJson = vals.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"reprobe","unit":"sec","sf":"$sfDir",""" +
+          s""""queries":$vJson,"artifact":${
+            target.map("\"" + _.getName + "\"").getOrElse("null")}}""")
+        spark.stop()
+        return
+      case None =>
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) => name -> run(name, fn, passes) }
+    val calibEnd = timed(probe(spark))
     val total = results.flatMap(r => minOk(r._2)).sum
     val byCost = results.flatMap { case (n, v) => minOk(v).map(n -> _) }.toMap
     // Isolated re-profile with the sanity rule applied: a sample worse
@@ -532,7 +675,53 @@ object Bench {
           }
         val fullName =
           prevPrefix.replaceFirst("^BENCH_", "BENCH_full_") + roundN + ".json"
-        java.nio.file.Files.write(java.nio.file.Paths.get(fullName), bytes)
+        val target = java.nio.file.Paths.get(fullName)
+        // MERGE into a same-round artifact instead of overwriting it
+        // (VERDICT r16 next #3 / what's-wrong #2: the driver's
+        // post-commit run clobbered the session's three-run min-merge
+        // with a single degraded-window run). Passes concatenate per
+        // query, minima recompute over the union, "merged_runs" counts
+        // the folds; the adjudication blocks (calibration / isolated /
+        // prev_ref) are THIS run's — the passes carry every window's
+        // regime evidence. An unreadable existing artifact (no passes
+        // block) is overwritten, matching the pre-merge behavior.
+        val toWrite =
+          if (!java.nio.file.Files.exists(target)) full + "\n"
+          else {
+            val oldText = new String(
+              java.nio.file.Files.readAllBytes(target),
+              java.nio.charset.StandardCharsets.UTF_8)
+            val (oldPasses, oldRuns) = parseFullPasses(oldText)
+            if (oldPasses.isEmpty) full + "\n"
+            else {
+              val newPasses = results.toMap
+              val merged = mergeFullPasses(oldPasses, newPasses)
+              val mQs = merged.toSeq
+                .sortBy { case (k, v) => (minOk(v).getOrElse(-1.0), k) }
+                .map { case (k, v) =>
+                  "\"" + k + "\":" + minOk(v).map(r3).getOrElse("null")
+                }.mkString("{", ",", "}")
+              val mFailed = merged.toSeq.collect {
+                case (k, v) if minOk(v).isEmpty => k
+              }.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+              val mPs = merged.toSeq.sortBy(_._1).map { case (k, v) =>
+                "\"" + k + "\":" +
+                  v.map(d => if (d.isNaN) "null" else d.toString)
+                    .mkString("[", ",", "]")
+              }.mkString("{", ",", "}")
+              val mVal = r3(merged.values.flatMap(minOk(_)).sum)
+              // a reprobes block stamped by --reprobe survives the merge
+              val reBlock = """"reprobes":\{[^}]*\}""".r
+                .findFirstIn(oldText).map("," + _).getOrElse("")
+              s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
+                s""""queries":$mQs,"failed":$mFailed,$calibJson,""" +
+                s""""isolated":$isoJson$isoInvalidJson,$refJson,""" +
+                s""""merged_runs":${oldRuns + 1},"passes":$mPs$reBlock,""" +
+                s""""value":$mVal}""" + "\n"
+            }
+          }
+        java.nio.file.Files.write(target,
+          toWrite.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] committed full artifact not written: $e")
       }

@@ -244,4 +244,60 @@ class BenchScrapeSpec extends AnyFunSuite {
       s"summary block ${summary.length} chars + $topRoom chars of top " +
         s"queries exceeds the $tailWindow-char driver tail window")
   }
+
+  /** A full run over an existing same-round artifact must MERGE, not
+    * clobber (VERDICT r16 next #3): the round-16 driver's post-commit
+    * run overwrote the session's three-run min-merge with a single
+    * degraded-window run. The merge kernel concatenates pass lists per
+    * query (minima recompute over the union) and never drops a query
+    * the new run didn't cover.
+    */
+  test("full-artifact merge concatenates passes and keeps old-only queries") {
+    val oldText =
+      """{"metric":"total","unit":"sec","sf":"x","queries":{"a":1.0,"b":2.0},""" +
+        """"failed":[],"calibration":{"start":1.0,"end":1.0},"isolated":{},""" +
+        """"prev_ref":null,"passes":{"a":[1.5,1.0],"b":[2.0,null],"gone":[0.5,0.6]},""" +
+        """"value":3.0}"""
+    val (oldPasses, oldRuns) = Bench.parseFullPasses(oldText)
+    assert(oldRuns == 1, "absent merged_runs must read as 1")
+    assert(oldPasses("b").count(_.isNaN) == 1,
+      "null pass must survive as NaN, preserving the pass count")
+    val merged = Bench.mergeFullPasses(oldPasses,
+      Map("a" -> Seq(0.8, 1.2), "c" -> Seq(4.0)))
+    assert(merged("a") == Seq(1.5, 1.0, 0.8, 1.2),
+      s"passes must concatenate: ${merged("a")}")
+    assert(merged("gone") == Seq(0.5, 0.6),
+      "a query the new run didn't cover must keep its old passes")
+    assert(merged("c") == Seq(4.0))
+    // min over the union is the committed-merge convention
+    assert(merged("a").min == 0.8)
+    // a merged artifact round-trips: its passes re-parse with the stamp
+    val twice =
+      s"""{"metric":"total","merged_runs":2,"passes":{"a":[1.0]},"value":1.0}"""
+    assert(Bench.parseFullPasses(twice)._2 == 2)
+  }
+
+  /** `--reprobe` stamps hand re-probe evidence INTO the artifact
+    * (VERDICT r16 next #5): spliced before the closing brace without
+    * touching anything else, min-merged into an existing block.
+    */
+  test("appendReprobes splices a block and min-merges an existing one") {
+    val art =
+      """{"metric":"total","queries":{"a":1.0},"passes":{"a":[1.0]},"value":1.0}""" + "\n"
+    val once = Bench.appendReprobes(art, Map("q1" -> 3.6049, "q2" -> 1.2))
+    assert(once.contains(""""reprobes":{"q1":3.605,"q2":1.200}"""),
+      s"reprobe block malformed: $once")
+    // everything before the block is byte-identical
+    assert(once.startsWith(art.trim.dropRight(1)),
+      "appendReprobes must not rewrite the artifact body")
+    // a second reprobe of q1 min-merges; a new name joins
+    val twice = Bench.appendReprobes(once, Map("q1" -> 9.9, "q3" -> 0.5))
+    assert(twice.contains(""""q1":3.605"""),
+      s"reprobe must keep the per-query min: $twice")
+    assert(twice.contains(""""q3":0.500"""))
+    assert(""""reprobes":\{""".r.findAllIn(twice).size == 1,
+      s"must merge into ONE reprobes block: $twice")
+    // the merged artifact still json-parses
+    org.json4s.jackson.JsonMethods.parse(twice)
+  }
 }
