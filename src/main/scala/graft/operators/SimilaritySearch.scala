@@ -376,6 +376,20 @@ object SimilaritySearch {
     * Above `maxLiterals` touched cells the filter is skipped whole: the
     * probe covers most of the codebook, pruning buys nothing, and a
     * 100k-literal IN would bloat the plan instead.
+    *
+    * The filter is one IN per key column, NOT per-tuple conjunctions —
+    * and it is still EXACT on grouped layouts (ADVICE r16 raised the
+    * cross-product worry), because the group column is a FUNCTION of
+    * the cell id: every row and every probe was written/derived with
+    * `cell_group_N = bucket mod N` ([[cellLayout]] / [[withCellGroup]]),
+    * so a row passing `bucket IN T` necessarily has its group in
+    * `{t mod N : t ∈ T}` — the conjunction admits exactly the rows with
+    * `bucket IN T`, no stray (group, bucket) combinations exist to
+    * admit. Directory pruning is group-granular (|touched groups| ≤ b,
+    * so a probe of b cells still reads ≤ b directories); row pruning is
+    * cell-exact. A per-tuple OR would buy nothing and bloat the plan at
+    * 4096 touched cells. IvfIndexSpec pins the row-level exactness on a
+    * grouped layout.
     */
   private[graft] def pruneToTouchedCells(
       standing: DataFrame, probeSide: DataFrame,

@@ -294,6 +294,45 @@ class IvfIndexSpec extends GraftSpecBase {
     SetCatalog.deleteTree(java.nio.file.Paths.get(root))
   }
 
+  test("pruneToTouchedCells is row-EXACT on grouped layouts (no cross-product slack)") {
+    // ADVICE r16 worried the per-column INs admit touched-groups ×
+    // touched-buckets combinations. They cannot: the group column is a
+    // FUNCTION of the cell id (cell_group_N = bucket mod N, written and
+    // probed through the same kernel), so `bucket IN T` alone already
+    // implies `group IN (T mod N)` — the conjunction admits exactly the
+    // touched cells' rows. Pinned here: rows sharing a touched GROUP
+    // but holding an untouched bucket must not flow.
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 80)
+    val root = Files.createTempDirectory("graft-ivf-exact").toString
+    val c = new SetCatalog(spark, root)
+    spark.conf.set("spark.graft.ann.maxCellDirs", "3")
+    try {
+      SimilaritySearch.buildIvfIndex(spark, c, "idx", "ex", emb)
+      val standing = c.scanSet("idx", "ex_vectors")
+      // pick two real cells that SHARE a group residue with cells they
+      // must not admit: buckets b and b+3 share cell_group_3
+      val allBuckets = standing.select(col("bucket")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val touched = allBuckets.take(2)
+      val untouchedSameGroup = allBuckets
+        .filter(b => !touched.contains(b) &&
+          touched.exists(t => t % 3 == b % 3))
+      assume(untouchedSameGroup.nonEmpty,
+        "fixture produced no same-group untouched cell; widen the corpus")
+      import spark.implicits._
+      val probeSide = SimilaritySearch.withCellGroup(standing,
+        touched.toSeq.toDF("bucket")
+          .select(col("bucket").cast(standing.schema("bucket").dataType)
+            .as("bucket")))
+      val pruned = SimilaritySearch.pruneToTouchedCells(standing, probeSide)
+        .select(col("bucket")).collect().map(_.getLong(0)).toSet
+      assert(pruned == touched.toSet,
+        s"pruned rows must cover exactly the touched cells ${touched.toSet}, " +
+          s"got $pruned (same-group untouched: ${untouchedSameGroup.toSet})")
+    } finally spark.conf.unset("spark.graft.ann.maxCellDirs")
+    SetCatalog.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("routing threshold is persisted with the index, not read from session conf") {
     val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 60)
     val root = Files.createTempDirectory("graft-route-persist").toString
