@@ -1231,6 +1231,98 @@ object Soak {
         }
       }
 
+      // Prune-collect overhead at high batch frequency (VERDICT r16
+      // stretch #8): pruneToTouchedCells pays a driver collect (+ the
+      // probe side's localCheckpoint) per batch per index — negligible
+      // for the oracle queries, but a 100 ms-trigger pipeline pays two
+      // driver round-trips per batch. This measures the per-batch wall
+      // of the semantic probe kernel at MICRO batch sizes (LocalRelation
+      // frames, exactly the foreachBatch shape) three ways: the full
+      // pruned kernel, the same join UNPRUNED (every cell directory in
+      // the listing), and the prune call alone. Scale-independent of m,
+      // so it runs once per soak invocation. Corpus: 1M synthetic
+      // dim-16 vectors → k = 8000 cells (routed assignment, grouped
+      // directories at the 1024 fanout bound) — the production layout
+      // shape.
+      if (fam("prunelat") && m == scales.head) {
+        val dim = 16
+        val nV = 1000000L
+        def emb(n: Long, off: Long) = spark.range(0L, n).toDF("vec_id")
+          .select((col("vec_id") + off).as("vec_id"),
+            transform(sequence(lit(0), lit(dim - 1)),
+              i => (pmod(hash(col("vec_id") * dim + i), lit(1000))
+                .cast("double") / 1000.0).cast("float")).as("embedding"))
+        val root = java.nio.file.Files.createTempDirectory("graft-soak-prl")
+        val cat = new graft.storage.SetCatalog(spark, root.toString)
+        t0 = System.nanoTime()
+        graft.operators.Dedup.persistSemanticIndex(cat, "soak", "prl",
+          emb(nV, 0L), "vec_id", "embedding")
+        val buildSec = (System.nanoTime() - t0) / 1e9
+        val (centroids, routeT) = graft.operators.SimilaritySearch
+          .loadCentroidsWithThreshold(spark, cat, "soak", "prl")
+        val vectors = cat.scanSet("soak", "prl_vectors")
+        val assign = graft.operators.SimilaritySearch
+          .indexAssignUdfFor(routeT, centroids)
+        val bucketType = vectors.schema("bucket").dataType
+        import graft.functions.TextFunctions.l2Norm
+        for (batchRows <- Seq(8, 128)) {
+          val nBatches = 20
+          def batch(i: Int) = {
+            import spark.implicits._
+            // collected once then re-localized: a LocalRelation frame,
+            // the exact plan shape foreachBatch hands the kernel
+            emb(batchRows.toLong, 5000000L + i.toLong * 1000L)
+              .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+              .toSeq.toDF("vec_id", "embedding")
+          }
+          def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+          val pruned = (0 until nBatches).map { i =>
+            val t = System.nanoTime()
+            graft.operators.Dedup.semanticBatchPairs(batch(i), centroids,
+              vectors, "vec_id", "embedding", 0.999,
+              routeThreshold = Some(routeT)).count()
+            (System.nanoTime() - t) / 1e9
+          }
+          val unpruned = (0 until nBatches).map { i =>
+            val t = System.nanoTime()
+            val arr = graft.operators.SimilaritySearch.withCellGroup(vectors,
+              batch(i).select(col("vec_id").as("id_b"),
+                  col("embedding").as("b_vec"),
+                  l2Norm(col("embedding")).as("b_nrm"))
+                .withColumn("bucket",
+                  assign(col("b_vec")).cast(bucketType)))
+              .localCheckpoint(true)
+            vectors.join(broadcast(arr),
+                graft.operators.SimilaritySearch.cellJoinKeys(vectors))
+              .withColumn("cos", round(graft.functions.TextFunctions
+                .dot(col("n_vec"), col("b_vec")) /
+                (col("n_nrm") * col("b_nrm")), 6))
+              .filter(col("cos") >= 0.999).count()
+            (System.nanoTime() - t) / 1e9
+          }
+          val pruneOnly = (0 until nBatches).map { i =>
+            val arr = graft.operators.SimilaritySearch.withCellGroup(vectors,
+              batch(i).select(col("vec_id").as("id_b"),
+                  col("embedding").as("b_vec"),
+                  l2Norm(col("embedding")).as("b_nrm"))
+                .withColumn("bucket",
+                  assign(col("b_vec")).cast(bucketType)))
+              .localCheckpoint(true)
+            val t = System.nanoTime()
+            graft.operators.SimilaritySearch
+              .pruneToTouchedCells(vectors, arr)
+            (System.nanoTime() - t) / 1e9
+          }
+          println(f"SOAK prunelat rows=$batchRows%-4d vecs=$nV%-8d " +
+            f"build_s=$buildSec%.1f " +
+            f"pruned_med_s=${med(pruned)}%.3f " +
+            f"unpruned_med_s=${med(unpruned)}%.3f " +
+            f"prune_call_med_s=${med(pruneOnly)}%.3f " +
+            f"pruned_min_s=${pruned.min}%.3f unpruned_min_s=${unpruned.min}%.3f")
+        }
+        graft.storage.SetCatalog.deleteTree(root)
+      }
+
       docs.unpersist()
     }
     spark.stop()

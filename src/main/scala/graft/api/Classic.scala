@@ -86,16 +86,23 @@ abstract class Join[Out, In1, In2](implicit
 
 /** classic QueryClient: execute(sinks) materializes each sink query into
   * its declared output set; getSetIterator fetches results
-  * (QueryClient.h:131-148, SetIterator.h). A client OWNS the storage
-  * root it connects to (the reference's client talks to its own
-  * cluster's catalog server), so construction heals interrupted staged
-  * swaps by default — a restarted standing pipeline must not serve a
-  * crash window; `recoverOnOpen = false` opts a read-only inspector out.
+  * (QueryClient.h:131-148, SetIterator.h). Construction heals
+  * interrupted staged swaps by MARKER REPLAY only — markers are commit
+  * points, so the replay can only finish swaps some session genuinely
+  * committed, and a restarted standing pipeline must not serve a crash
+  * window. The destructive CONVENTION SWEEP (discarding pre-marker
+  * staging leftovers) is NOT run here (ADVICE r16): a QueryClient is
+  * also how readers open a root, and a reader's open must never discard
+  * a live rebuilder's in-flight staging sets in another session —
+  * `sweepStagingOnOpen = true` opts a root-OWNING pipeline into the
+  * full sweep (GraftCatalog, which truly owns its root, full-sweeps by
+  * default); `recoverOnOpen = false` opts a read-only inspector out of
+  * even the marker replay.
   */
 final class QueryClient(val spark: SparkSession, root: String,
-    recoverOnOpen: Boolean = true) {
+    recoverOnOpen: Boolean = true, sweepStagingOnOpen: Boolean = false) {
   val catalog = new SetCatalog(spark, root)
-  if (recoverOnOpen) catalog.recoverAllDbs()
+  if (recoverOnOpen) catalog.recoverAllDbs(conventionSweep = sweepStagingOnOpen)
 
   def createSet[T](db: String, set: String, data: Dataset[T]): Unit =
     catalog.createSet(db, set, data.toDF(), None, policy = "none")

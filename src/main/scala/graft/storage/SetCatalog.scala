@@ -90,7 +90,7 @@ object SetCatalog {
 final class SetCatalog(spark: SparkSession, root: String,
     recoverDbsOnOpen: Seq[String] = Nil) {
   Files.createDirectories(Paths.get(root))
-  recoverDbsOnOpen.foreach(recoverAll)
+  recoverDbsOnOpen.foreach(recoverAll(_))
 
   private def dir(db: String, set: String) = s"$root/$db.$set"
   private def metaPath(db: String, set: String) = s"${dir(db, set)}.meta"
@@ -551,6 +551,76 @@ final class SetCatalog(spark: SparkSession, root: String,
   private def swapMarker(db: String, targets: Seq[String]) =
     Paths.get(s"$root/$db.${targets.sorted.mkString("+")}.swapin")
 
+  private def leasePath(db: String) = Paths.get(s"$root/$db.maintlease")
+
+  /** Advisory single-writer lease over a db's maintenance windows
+    * (VERDICT r16 stretch #7). The single-writer contract was only
+    * DOCUMENTED before: two sessions' lifecycle ops interleaving inside
+    * [[swapSetGroup]]'s remove→rename window (or a recovery replaying a
+    * LIVE writer's marker) corrupted silently. The lease file makes the
+    * violation LOUD: held for the duration of a swap / recovery sweep,
+    * it names the holder pid, and a second writer fails with that name
+    * instead of interleaving.
+    *
+    * Liveness: a crashed holder's leftover lease is BROKEN when its pid
+    * is provably dead on this host (the owning driver is one process
+    * per root — local mode and single-driver clusters alike; an
+    * off-host holder pid can collide with a live local pid only to
+    * fail safe, i.e. loudly). Reentrant within one process (recoverAll
+    * wraps recoverSwapGroup), so the outermost acquirer releases.
+    * Same-process THREADS are not serialized — the lease is a
+    * cross-session guard, not a mutex; one session's pipeline already
+    * runs its maintenance between its own batches.
+    */
+  private def withMaintenanceLease[T](db: String)(body: => T): T = {
+    val p = leasePath(db)
+    val me = ProcessHandle.current().pid().toString
+    def tryAcquire(): Boolean =
+      try {
+        Files.writeString(p, me, java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    val owned = tryAcquire() || {
+      val holder =
+        try Files.readString(p).trim catch { case _: Exception => "" }
+      if (holder == me) false // reentrant: this process already holds it
+      else {
+        val alive = holder.toLongOption.exists(pid =>
+          ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false))
+        if (alive) throw new IllegalStateException(
+          s"maintenance lease for db '$db' is held by live process " +
+            s"$holder — a second session's lifecycle op would interleave " +
+            "inside its swap window (single-writer contract, see " +
+            "recoverAll); run maintenance from the owning session")
+        System.err.println(
+          s"[graft] breaking stale maintenance lease for db '$db' " +
+            s"(holder pid $holder is dead)")
+        Files.deleteIfExists(p)
+        if (!tryAcquire()) throw new IllegalStateException(
+          s"maintenance lease for db '$db' was re-acquired while " +
+            "breaking a stale holder — a second live writer is racing")
+        true
+      }
+    }
+    try body finally if (owned) Files.deleteIfExists(p)
+  }
+
+  /** True when a LIVE other process holds the db's maintenance lease —
+    * the open-time recovery path checks this to skip (loudly) rather
+    * than throw: a live holder means no dead session left anything to
+    * heal, and an opener racing the holder's swap window is exactly
+    * what recovery must not do.
+    */
+  private def leaseHeldByLiveOther(db: String): Boolean = {
+    val p = leasePath(db)
+    Files.exists(p) && {
+      val holder = try Files.readString(p).trim catch { case _: Exception => "" }
+      holder != ProcessHandle.current().pid().toString &&
+        holder.toLongOption.exists(pid =>
+          ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false))
+    }
+  }
+
   /** Replace each `target` with its FINISHED `staging` set — as ONE
     * crash-atomic group: write a single intent marker covering every
     * pair, run the remove+rename sequence for each, clear the marker.
@@ -574,22 +644,23 @@ final class SetCatalog(spark: SparkSession, root: String,
     * inside the remove presented a live-LOOKING target next to the
     * staging set, and the inference discarded the only copy.)
     */
-  def swapSetGroup(db: String, pairs: Seq[(String, String)]): Unit = {
-    pairs.foreach { case (staging, _) =>
-      require(meta(db, staging).isDefined,
-        s"swapSetGroup: staging set $db.$staging does not exist")
+  def swapSetGroup(db: String, pairs: Seq[(String, String)]): Unit =
+    withMaintenanceLease(db) {
+      pairs.foreach { case (staging, _) =>
+        require(meta(db, staging).isDefined,
+          s"swapSetGroup: staging set $db.$staging does not exist")
+      }
+      val marker = swapMarker(db, pairs.map(_._2))
+      Files.writeString(marker,
+        pairs.map { case (s, t) => s"$s -> $t" }.mkString("\n"))
+      pairs.foreach { case (staging, target) =>
+        if (meta(db, target).isDefined ||
+            Files.exists(Paths.get(dir(db, target))))
+          removeSet(db, target)
+        renameSet(db, staging, target)
+      }
+      Files.deleteIfExists(marker)
     }
-    val marker = swapMarker(db, pairs.map(_._2))
-    Files.writeString(marker,
-      pairs.map { case (s, t) => s"$s -> $t" }.mkString("\n"))
-    pairs.foreach { case (staging, target) =>
-      if (meta(db, target).isDefined ||
-          Files.exists(Paths.get(dir(db, target))))
-        removeSet(db, target)
-      renameSet(db, staging, target)
-    }
-    Files.deleteIfExists(marker)
-  }
 
   /** [[swapSetGroup]] for a single pair. */
   def swapSet(db: String, staging: String, target: String): Unit =
@@ -608,7 +679,11 @@ final class SetCatalog(spark: SparkSession, root: String,
     * footprint of a pre-marker-generation crash: adopt the staging copy
     * rather than guess destructively.
     */
-  def recoverSwapGroup(db: String, pairs: Seq[(String, String)]): Unit = {
+  def recoverSwapGroup(db: String, pairs: Seq[(String, String)]): Unit =
+    withMaintenanceLease(db) { recoverSwapGroupLocked(db, pairs) }
+
+  private def recoverSwapGroupLocked(
+      db: String, pairs: Seq[(String, String)]): Unit = {
     val marker = swapMarker(db, pairs.map(_._2))
     if (Files.exists(marker)) {
       pairs.foreach { case (staging, target) =>
@@ -698,11 +773,33 @@ final class SetCatalog(spark: SparkSession, root: String,
     * Returns what it healed (marker names and staging sets) so callers
     * can log it; empty on the overwhelmingly common clean-open path,
     * which costs one directory listing.
+    *
+    * `conventionSweep = false` restricts the run to sweep 1 — marker
+    * replay only (ADVICE r16): markers are COMMIT points, so replaying
+    * one can only finish a swap some session genuinely committed; the
+    * convention sweep, by contrast, DISCARDS pre-marker staging sets,
+    * which is destructive exactly when a live session's staged rebuild
+    * is in flight in another process. Reader-facing open paths (the
+    * classic QueryClient) heal markers only; the full sweep belongs to
+    * roots the caller owns (GraftCatalog, a standing pipeline's own
+    * restart).
+    *
+    * Both sweeps run under the db's maintenance lease; when a LIVE
+    * other process holds it, recovery SKIPS with a loud stderr note
+    * instead of racing the holder's swap window — a live holder means
+    * no dead session left anything to heal.
     */
-  def recoverAll(db: String): Seq[String] = {
+  def recoverAll(db: String, conventionSweep: Boolean = true): Seq[String] = {
     import scala.jdk.CollectionConverters._
     val rootPath = Paths.get(root)
     if (!Files.exists(rootPath)) return Seq.empty
+    if (leaseHeldByLiveOther(db)) {
+      System.err.println(
+        s"[graft] skipping recovery of db '$db': maintenance lease held " +
+          "by a live process — open proceeds without healing")
+      return Seq.empty
+    }
+    withMaintenanceLease(db) {
     val entries = {
       val s = Files.list(rootPath)
       try s.iterator().asScala.map(_.getFileName.toString).toList
@@ -719,7 +816,7 @@ final class SetCatalog(spark: SparkSession, root: String,
             val Array(s, t) = line.split(" -> ", 2); (s.trim, t.trim)
           }.toSeq
         if (pairs.nonEmpty) {
-          recoverSwapGroup(db, pairs)
+          recoverSwapGroupLocked(db, pairs)
           healed += s"marker:$markerName"
         }
       }
@@ -732,18 +829,20 @@ final class SetCatalog(spark: SparkSession, root: String,
           !e.endsWith(".swapin") =>
         e.stripPrefix(prefix)
     }.distinct
-    for (staging <- setNames; suffix <- Seq("_rebuild", "_recap")
-         if staging.endsWith(suffix)) {
-      val target = staging.stripSuffix(suffix)
-      // only resolvable when the convention implies a real target name,
-      // and only for sets the catalog's own machinery TAGGED as staging
-      // (a user set named *_rebuild is not ours to discard)
-      if (target.nonEmpty && meta(db, staging).exists(_.staging)) {
-        recoverSwapGroup(db, Seq(staging -> target))
-        healed += s"staging:$staging"
+    if (conventionSweep)
+      for (staging <- setNames; suffix <- Seq("_rebuild", "_recap")
+           if staging.endsWith(suffix)) {
+        val target = staging.stripSuffix(suffix)
+        // only resolvable when the convention implies a real target name,
+        // and only for sets the catalog's own machinery TAGGED as staging
+        // (a user set named *_rebuild is not ours to discard)
+        if (target.nonEmpty && meta(db, staging).exists(_.staging)) {
+          recoverSwapGroupLocked(db, Seq(staging -> target))
+          healed += s"staging:$staging"
+        }
       }
-    }
     healed.toSeq
+    }
   }
 
   /** [[recoverAll]] over every database present under the root — the
@@ -754,7 +853,7 @@ final class SetCatalog(spark: SparkSession, root: String,
     * sets the staging machinery tagged; ad-hoc [[SetCatalog]] readers
     * of someone else's root remain opt-in via `recoverDbsOnOpen`.
     */
-  def recoverAllDbs(): Seq[String] = {
+  def recoverAllDbs(conventionSweep: Boolean = true): Seq[String] = {
     import scala.jdk.CollectionConverters._
     val rootPath = Paths.get(root)
     if (!Files.exists(rootPath)) return Seq.empty
@@ -762,7 +861,7 @@ final class SetCatalog(spark: SparkSession, root: String,
     val dbs = try s.iterator().asScala.map(_.getFileName.toString)
       .filter(_.contains(".")).map(_.split("\\.", 2)(0)).toList.distinct
       finally s.close()
-    dbs.sorted.flatMap(recoverAll)
+    dbs.sorted.flatMap(recoverAll(_, conventionSweep))
   }
 
   def listSets(): Seq[(String, String)] = {

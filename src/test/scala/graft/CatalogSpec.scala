@@ -327,6 +327,73 @@ class CatalogSpec extends GraftSpecBase {
     SetCatalog.deleteTree(Paths.get(r))
   }
 
+  test("QueryClient open is reader-safe: markers replay, staging sweep is opt-in") {
+    // ADVICE r16: a QueryClient is also how READERS open a root; its
+    // open must not discard a live rebuilder's pre-marker staging sets
+    // in another session. Markers are commit points (replaying one only
+    // finishes a committed swap) — the destructive convention sweep
+    // needs the owning pipeline's explicit opt-in.
+    import java.nio.file.Paths
+    val r = Files.createTempDirectory("graft-readeropen").toString
+    val sets = new SetCatalog(spark, r)
+    def mk(name: String, n: Int) = sets.createSet("db", name,
+      Tables.nation(spark, sfDir).limit(n), policy = "none")
+    // a live rebuilder's in-flight footprint: target live, staging set
+    // created and TAGGED, no marker yet (pre-commit)
+    mk("w", 25); mk("w_rebuild", 11); sets.markStaging("db", "w_rebuild")
+    // and a genuinely committed crashed swap next to it
+    mk("m", 25); mk("m_rebuild", 7)
+    Files.writeString(Paths.get(s"$r/db.m.swapin"), "m_rebuild -> m")
+    SetCatalog.deleteTree(Paths.get(s"$r/db.m"))
+    new graft.api.classic.QueryClient(spark, r)
+    assert(sets.scanSet("db", "m").count() == 7L,
+      "reader open must still replay committed markers")
+    assert(sets.meta("db", "w_rebuild").isDefined &&
+      sets.scanSet("db", "w_rebuild").count() == 11L,
+      "reader open DISCARDED a live rebuilder's in-flight staging set")
+    // the owning pipeline's posture sweeps it
+    new graft.api.classic.QueryClient(spark, r, sweepStagingOnOpen = true)
+    assert(sets.meta("db", "w_rebuild").isEmpty &&
+      sets.scanSet("db", "w").count() == 25L,
+      "owner open with sweepStagingOnOpen did not resolve the leftover")
+    SetCatalog.deleteTree(Paths.get(r))
+  }
+
+  test("maintenance lease: a live second writer fails loudly, a dead holder is broken") {
+    // VERDICT r16 stretch #7: the single-writer contract was documented
+    // only — two sessions interleaving inside swapSetGroup's window
+    // corrupted silently. The advisory lease makes it loud.
+    import java.nio.file.Paths
+    val r = Files.createTempDirectory("graft-lease").toString
+    val sets = new SetCatalog(spark, r)
+    sets.createSet("db", "t", Tables.nation(spark, sfDir).limit(5),
+      policy = "none")
+    sets.createSet("db", "t_rebuild", Tables.nation(spark, sfDir).limit(9),
+      policy = "none")
+    sets.markStaging("db", "t_rebuild")
+    // a LIVE foreign holder (pid 1 is init — alive on any Linux host)
+    Files.writeString(Paths.get(s"$r/db.maintlease"), "1")
+    val e = intercept[IllegalStateException] {
+      sets.swapSetGroup("db", Seq("t_rebuild" -> "t"))
+    }
+    assert(e.getMessage.contains("held by live process 1"),
+      s"second-writer failure must name the holder: ${e.getMessage}")
+    // open-time recovery SKIPS (no dead session to heal) instead of
+    // racing the holder — and heals nothing
+    assert(sets.recoverAll("db").isEmpty,
+      "recovery must skip while a live writer holds the lease")
+    assert(sets.meta("db", "t_rebuild").isDefined,
+      "skipped recovery must not touch the staging set")
+    // a DEAD holder's leftover lease is broken and the swap proceeds
+    Files.writeString(Paths.get(s"$r/db.maintlease"), Long.MaxValue.toString)
+    sets.swapSetGroup("db", Seq("t_rebuild" -> "t"))
+    assert(sets.scanSet("db", "t").count() == 9L,
+      "stale lease must be broken, not block the owning swap")
+    assert(!Files.exists(Paths.get(s"$r/db.maintlease")),
+      "lease must be released after the swap")
+    SetCatalog.deleteTree(Paths.get(r))
+  }
+
   test("auto-compaction trigger re-seeds a drifted file count instead of trusting it") {
     import java.nio.file.Paths
     val r = Files.createTempDirectory("graft-reseed").toString
