@@ -61,15 +61,68 @@ object SimilaritySearch {
     * sub-codebook trainers (an IVF-PQ build needs both; collecting the
     * identical sample twice doubles the most expensive training step, a
     * full corpus scan at scale).
+    *
+    * The md5 key is MATERIALIZED as a column before the orderBy:
+    * `orderBy(md5(...)).limit(n)` plans as TakeOrderedAndProject, whose
+    * bounded-heap comparator re-evaluates the ordering EXPRESSIONS on
+    * every row-pair comparison (no radix-prefix shortcut like SortExec)
+    * — a digest per comparison turns the one-scan O(n·log k) sample
+    * into ~n·log k md5 calls (measured: the 10M-row / 160k-sample
+    * collect sat >15 min where the materialized form takes seconds).
+    * Projecting the key first makes the comparator a plain attribute
+    * compare; the (key, id) order — hence the selected sample, the
+    * centroids, and every oracle downstream — is byte-identical.
+    *
+    * Large samples take the PREFILTERED path: TakeOrdered ships every
+    * partition's top-`sampleLimit` to the driver, so a wide sample on a
+    * wide scan is a partitions×sampleLimit driver merge — the 25M-row /
+    * 400k-sample collect breaches the default 1 GiB
+    * spark.driver.maxResultSize outright, and at cluster partition
+    * counts it would breach ANY driver bound. md5 keys are uniform on
+    * the hex keyspace, so `key < T` with T at 4× the 1e9-row
+    * expectation keeps a small certified superset: if the filtered
+    * count covers `sampleLimit`, the global smallest (key, id) rows all
+    * lie inside it (every excluded row keys ABOVE every included one)
+    * and the exact top-k over the small set IS the corpus top-k —
+    * verified by count, not assumed, with a 16× threshold relax loop
+    * (terminates at the unfiltered exact path) covering any corpus
+    * size. Small samples — every oracle-scale trainer, the 10k default
+    * — stay on the direct one-scan plan unchanged.
     */
   private[graft] def sampleVectors(
       emb: DataFrame, idCol: String, vecCol: String,
-      sampleLimit: Int): Array[Array[Double]] =
-    emb
-      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
-      .limit(sampleLimit)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      sampleLimit: Int): Array[Array[Double]] = {
+    val keyed = emb
+      .withColumn("__sample_key", md5(col(idCol).cast("string").cast("binary")))
+    def collectTop(df: DataFrame): Array[Array[Double]] =
+      df.orderBy(col("__sample_key"), col(idCol))
+        .limit(sampleLimit)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    if (sampleLimit <= directSampleLimit) collectTop(keyed)
+    else {
+      var frac = 4.0 * sampleLimit / 1e9
+      var out: Option[Array[Array[Double]]] = None
+      while (out.isEmpty && frac < 0.5) {
+        // 16 hex digits of the 128-bit keyspace: floor(frac·2⁶⁴) as a
+        // zero-padded hex literal compares lexicographically against
+        // the 32-char key exactly as the numeric prefix would
+        val t = f"${(frac * math.pow(2.0, 64)).toLong}%016x"
+        val filtered = keyed.filter(col("__sample_key") < t)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (filtered.count() >= sampleLimit) out = Some(collectTop(filtered))
+          else frac *= 16
+        } finally filtered.unpersist()
+      }
+      out.getOrElse(collectTop(keyed))
+    }
+  }
+
+  /** Above this, [[sampleVectors]] prefilters by key prefix before the
+    * top-k: the direct plan's driver merge is partitions×limit rows.
+    */
+  private val directSampleLimit = 65536
 
   def trainCentroids(
       emb: DataFrame, nCentroids: Int, iters: Int,

@@ -399,4 +399,30 @@ class IvfIndexSpec extends GraftSpecBase {
     assert(graft.operators.Dedup.semanticDriftFraction(c, "idx", "sem") == 0.0)
     SetCatalog.deleteTree(java.nio.file.Paths.get(root))
   }
+
+  test("wide training sample: prefiltered top-k equals the direct plan") {
+    // 1M-row corpus, 70k sample: wide enough that the prefilter loop's
+    // third threshold (frac ≈ 0.0717 of the keyspace, ~71.7k expected
+    // rows) certifies coverage and the prefiltered path runs for real —
+    // not the unfiltered fallback. The selected rows must be the exact
+    // global smallest (md5(id), id) — byte-equal to the direct
+    // TakeOrdered plan small samples use.
+    import org.apache.spark.sql.functions.{transform => atransform, _}
+    val n = 1000000L
+    val emb = spark.range(0L, n).toDF("vec_id")
+      .select(col("vec_id"),
+        atransform(sequence(lit(0), lit(3)),
+          i => (pmod(hash(col("vec_id") * 4 + i), lit(1000)).cast("double")
+            / 1000.0).cast("float")).as("embedding"))
+    val sample = SimilaritySearch.sampleVectors(emb, "vec_id", "embedding", 70000)
+    val direct = emb
+      .withColumn("__k", md5(col("vec_id").cast("string").cast("binary")))
+      .orderBy(col("__k"), col("vec_id"))
+      .limit(70000)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    assert(sample.length == 70000)
+    assert(sample.zip(direct).forall { case (a, b) => a.sameElements(b) },
+      "prefiltered sample diverged from the direct top-k")
+  }
 }
