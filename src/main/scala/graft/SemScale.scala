@@ -97,9 +97,12 @@ object SemScale {
       // flat comparison at the smallest step only (k=10k is the old cap
       // boundary; at 40k the flat pass is the quadratic term this tool
       // exists to show gone — running it at every step would just burn
-      // the wall clock re-proving O(n·k·d))
+      // the wall clock re-proving O(n·k·d)), and only while n·k stays
+      // under ~1e11 (the 2.5M×20k step measured 35 s; a 10M×80k flat
+      // pass is 16× that — the 200k-cell runs start past this bound,
+      // where the flat regime is exactly what they exist to avoid)
       val flatS =
-        if (n == ns.min) {
+        if (n == ns.min && n.toDouble * k <= 1.0e11) {
           val flat = SimilaritySearch.nearestUdf(centroids)
           Some(timed {
             emb.select(flat(col("embedding")).as("c"))
