@@ -57,6 +57,11 @@ ONLY=$ONLY,st_sem_lifecycle
 # of property that only shows at the decade (2.3 s at sf0.1, scaling
 # 1.32x/decade in SCALE_r15)
 ONLY=$ONLY,st_ingest_neardup
+# round-17 list revision: the streaming IVF-PQ live-index search
+# (VERDICT r16 next #2) — build + two-generation probe stream with a
+# mid-stream append, 5.4 s at sf0.1, the expensive slice by
+# measurement
+ONLY=$ONLY,st_ivfpq_live
 
 OUT="BENCH_SF1_r${ROUND}.json"
 LOG="target/sf1bench_r${ROUND}.log"
