@@ -425,4 +425,26 @@ class IvfIndexSpec extends GraftSpecBase {
     assert(sample.zip(direct).forall { case (a, b) => a.sameElements(b) },
       "prefiltered sample diverged from the direct top-k")
   }
+
+  test("wide sample on a SMALL corpus: relax loop exhausts to the exact path") {
+    // sampleLimit past the prefilter gate but corpus far below every
+    // threshold's certification count — the 16x relax loop must walk
+    // out at frac >= 0.5 and return the unfiltered exact top-k (here:
+    // the whole corpus in (md5(id), id) order), not loop or truncate
+    import org.apache.spark.sql.functions.{transform => atransform, _}
+    val emb = spark.range(0L, 500L).toDF("vec_id")
+      .select(col("vec_id"),
+        atransform(sequence(lit(0), lit(3)),
+          i => (col("vec_id") * 4 + i).cast("double").cast("float"))
+          .as("embedding"))
+    val sample = SimilaritySearch.sampleVectors(emb, "vec_id", "embedding", 70000)
+    assert(sample.length == 500)
+    val direct = emb
+      .withColumn("__k", md5(col("vec_id").cast("string").cast("binary")))
+      .orderBy(col("__k"), col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    assert(sample.zip(direct).forall { case (a, b) => a.sameElements(b) },
+      "fallback sample diverged from the exact order")
+  }
 }
