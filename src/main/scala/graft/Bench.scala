@@ -48,6 +48,50 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** One timed pass's wall seconds plus its IO-insensitive companions
+    * (VERDICT r17 next #2): summed executor task CPU seconds and
+    * shuffle bytes (read + written). Three consecutive rounds burned
+    * adjudication effort on 2–4× host IO swings — a plan regression
+    * moves CPU; an IO window doesn't.
+    */
+  private[graft] case class PassStats(
+      wall: Double, cpu: Double, shuffle: Double)
+
+  /** Accumulates executor task CPU time and shuffle bytes across ALL
+    * jobs (including Structured Streaming micro-batch threads, which a
+    * job-group attribution would miss — st_* queries run their work on
+    * the stream execution thread). Bench runs queries strictly
+    * sequentially, so a snapshot delta around one pass attributes
+    * exactly that pass's cluster work; [[drain]] bounds the listener
+    * bus's asynchrony by waiting for the event stream to go quiet.
+    */
+  private class CpuListener extends org.apache.spark.scheduler.SparkListener {
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    @volatile var lastEventNs: Long = System.nanoTime()
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        cpuNs.addAndGet(m.executorCpuTime)
+        shuffleBytes.addAndGet(
+          m.shuffleReadMetrics.totalBytesRead +
+            m.shuffleWriteMetrics.bytesWritten)
+      }
+      lastEventNs = System.nanoTime()
+    }
+    /** Wait until no task-end event has arrived for 50 ms (cap 2 s) —
+      * the listener bus is async, and a pass's last few task events
+      * can land after the driver-side action returns.
+      */
+    def drain(): Unit = {
+      val cap = System.nanoTime() + 2000000000L
+      while (System.nanoTime() - lastEventNs < 50000000L &&
+        System.nanoTime() < cap) Thread.sleep(10)
+    }
+    def snapshot(): (Long, Long) = (cpuNs.get(), shuffleBytes.get())
+  }
+
   /** The newest committed BENCH_r{N}.json in the cwd (the repo root when
     * the driver runs `runMain graft.Bench`): (filename, per-query min
     * seconds). The driver's wrapper is proper JSON with the bench line
@@ -130,6 +174,60 @@ object Bench {
   private[graft] def flaggedNames(
       shared: Seq[(String, Double, Double)]): Seq[String] =
     shared.collect { case (n, cur, old) if cur > 2 * old && cur > 1.0 => n }
+
+  /** Which metric the per-query flag compares (VERDICT r17 next #2):
+    * once the calibration probes show the window itself ran > 1.3×
+    * off-regime, wall ratios measure the HOST, not the plans — switch
+    * the flag to executor CPU wherever both sides carry it (a plan
+    * regression moves CPU; an IO window doesn't). Queries without a
+    * prev CPU number (older artifacts) still flag on wall.
+    */
+  private[graft] def flagMetric(
+      calibRatio: Double, prevCpu: Map[String, Double]): String =
+    if (calibRatio > 1.3 && prevCpu.nonEmpty) "cpu" else "wall"
+
+  /** Per-query flags under the chosen metric: `sharedWall` is
+    * (name, curWallMin, prevWallMin); under "cpu" a query flags on its
+    * CPU ratio when both sides have CPU, falling back to wall when
+    * either side lacks it. The 1 s floor stays on the FLAG metric's
+    * own units (CPU seconds under "cpu").
+    */
+  private[graft] def flaggedNamesBy(
+      sharedWall: Seq[(String, Double, Double)],
+      curCpu: Map[String, Double], prevCpu: Map[String, Double],
+      metric: String): Seq[String] =
+    if (metric != "cpu") flaggedNames(sharedWall)
+    else sharedWall.collect {
+      case (n, curW, oldW)
+          if (for (c <- curCpu.get(n); o <- prevCpu.get(n))
+            yield c > 2 * o && c > 1.0)
+            .getOrElse(curW > 2 * oldW && curW > 1.0) => n
+    }
+
+  /** The isolation re-probe candidate set, budget-capped by PREDICTED
+    * seconds instead of a fixed count (VERDICT r17 next #3: the
+    * top-10+2 count cap left 51 of 59 flags formally uncleared in a
+    * degraded window). Candidates are the top-5 most expensive plus
+    * EVERY flagged query (cost-descending); each is admitted while its
+    * ~2-pass estimate fits the remaining budget, and cheaper
+    * candidates keep filling after an expensive one is dropped.
+    * Returns (selected-in-order, dropped) — the caller logs the drop
+    * list and stamps it into the artifact so residue is machine-read.
+    */
+  private[graft] def isolationSet(
+      top: Seq[String], flagged: Seq[String],
+      byCost: Map[String, Double],
+      budgetSec: Double): (Seq[String], Seq[String]) = {
+    val cand = (top ++ flagged.sortBy(n => -byCost.getOrElse(n, 0.0))).distinct
+    def est(n: String): Double = 2 * byCost.getOrElse(n, 0.0) + 0.1
+    val (sel, dropped, _) = cand.foldLeft(
+      (Vector.empty[String], Vector.empty[String], 0.0)) {
+      case ((s, d, acc), n) =>
+        if (acc + est(n) <= budgetSec) (s :+ n, d, acc + est(n))
+        else (s, d :+ n, acc)
+    }
+    (sel, dropped)
+  }
 
   /** Flags refuted by their own isolated re-profile: a query flagged by
     * the in-run (c) trigger (cur > 2× prev AND > 1 s) whose isolated
@@ -219,9 +317,10 @@ object Bench {
   }
 
   /** Newest committed artifact of a filename family, parsed to per-query
-    * minima, with its round number. */
-  private def newestOf(prefix: String,
-      known: Set[String]): Option[(Int, String, Map[String, Double])] = {
+    * minima (wall) plus its per-query CPU map (empty pre-r18), with its
+    * round number. */
+  private def newestOf(prefix: String, known: Set[String])
+      : Option[(Int, String, Map[String, Double], Map[String, Double])] = {
     val re = (java.util.regex.Pattern.quote(prefix) + """(\d+)\.json""").r
     val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
       .flatMap { f =>
@@ -237,7 +336,9 @@ object Bench {
           java.nio.charset.StandardCharsets.UTF_8)
       } catch { case scala.util.control.NonFatal(_) => "" }
       val m = parseArtifactText(text, known)
-      if (m.isEmpty) None else Some((round, f.getName, m))
+      if (m.isEmpty) None
+      else Some((round, f.getName, m,
+        parseCpuMap(text).filter { case (k, _) => known.contains(k) }))
     }
   }
 
@@ -255,12 +356,14 @@ object Bench {
     * mis-flag or miss regressions — the higher round wins, full
     * precision only breaking the tie.
     */
-  private def prevArtifact(known: Set[String]): Option[(String, Map[String, Double])] = {
+  private def prevArtifact(known: Set[String])
+      : Option[(String, Map[String, Double], Map[String, Double])] = {
     val fullPrefix = prevPrefix.replaceFirst("^BENCH_", "BENCH_full_")
     (newestOf(fullPrefix, known), newestOf(prevPrefix, known)) match {
-      case (Some((fr, fn, fm)), Some((wr, _, _))) if fr >= wr => Some((fn, fm))
-      case (Some((fr, fn, fm)), None) => Some((fn, fm))
-      case (_, Some((_, wn, wm))) => Some((wn, wm))
+      case (Some((fr, fn, fm, fc)), Some((wr, _, _, _))) if fr >= wr =>
+        Some((fn, fm, fc))
+      case (Some((fr, fn, fm, fc)), None) => Some((fn, fm, fc))
+      case (_, Some((_, wn, wm, wc))) => Some((wn, wm, wc))
       case _ => None
     }
   }
@@ -318,38 +421,112 @@ object Bench {
       k -> (old.getOrElse(k, Seq.empty) ++ next.getOrElse(k, Seq.empty))
     }.toMap
 
+  /** The per-query executor-CPU map out of a committed full artifact
+    * ("cpu": name→seconds, written since r18) — the prev-ref side of
+    * the IO-insensitive flag metric. Empty for older artifacts.
+    */
+  private[graft] def parseNumMap(
+      text: String, field: String): Map[String, Double] = {
+    import org.json4s._
+    try {
+      org.json4s.jackson.JsonMethods.parse(text) \ field match {
+        case JObject(fields) => fields.flatMap { case (k, v) =>
+          v match {
+            case JDouble(d) => Some(k -> d)
+            case JInt(i) => Some(k -> i.toDouble)
+            case JDecimal(d) => Some(k -> d.toDouble)
+            case JLong(l) => Some(k -> l.toDouble)
+            case _ => None
+          }
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
+
+  private[graft] def parseCpuMap(text: String): Map[String, Double] =
+    parseNumMap(text, "cpu")
+
+  /** The character span `[start, end)` of the VALUE following the
+    * top-level `"reprobes":` key — found by a quote-aware brace-match
+    * scan, not a regex (VERDICT r17 What's-wrong #3: the old
+    * `\{[^}]*\}` splice breaks the first time a nested brace appears
+    * inside the block). None when the artifact has no reprobes block.
+    */
+  private[graft] def reprobesSpan(text: String): Option[(Int, Int)] = {
+    val key = "\"reprobes\":"
+    val at = text.indexOf(key)
+    if (at < 0 || text.indexOf('{', at + key.length) < 0) None
+    else {
+      val open = text.indexOf('{', at + key.length)
+      var i = open; var depth = 0; var inStr = false; var esc = false
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (esc) esc = false
+        else if (inStr) {
+          if (c == '\\') esc = true else if (c == '"') inStr = false
+        } else c match {
+          case '"' => inStr = true
+          case '{' => depth += 1
+          case '}' =>
+            depth -= 1
+            if (depth == 0) return Some((open, i + 1))
+          case _ =>
+        }
+        i += 1
+      }
+      None // unterminated — treat as absent rather than corrupt further
+    }
+  }
+
   /** Append (or min-merge into) a full artifact's "reprobes" block —
-    * the machine-readable home for hand re-probe adjudication evidence
-    * (VERDICT r16 next #5: "hand re-probe 3.60 s" lived only in README
-    * prose). The block is a flat name→seconds map textually spliced
-    * before the artifact's closing brace, so the rest of the artifact
-    * — passes precision, key order, adjudication blocks — is preserved
-    * byte for byte. Package-visible for BenchScrapeSpec.
+    * the machine-readable home for isolated re-probe adjudication
+    * evidence (VERDICT r16 next #5: "hand re-probe 3.60 s" lived only
+    * in README prose). The existing block is located by
+    * [[reprobesSpan]] (brace-matched, nested-brace-safe), PARSED as
+    * JSON, min-merged with the new samples, and re-serialized in
+    * place; every byte outside the block's own span — passes
+    * precision, key order, adjudication blocks — is preserved
+    * verbatim. Non-numeric fields someone stamped into the block
+    * survive as-is. Package-visible for BenchScrapeSpec.
     */
   private[graft] def appendReprobes(
       text: String, re: Map[String, Double]): String = {
+    import org.json4s._
     def r3(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    val existing = """"reprobes":\{([^}]*)\}""".r
-    val merged = existing.findFirstMatchIn(text) match {
-      case Some(m) =>
-        val old = """"([^"\\]+)"\s*:\s*([0-9.eE+-]+)""".r
-          .findAllMatchIn(m.group(1))
-          .map(x => x.group(1) -> x.group(2).toDouble).toMap
-        old ++ re.map { case (k, v) =>
-          k -> math.min(v, old.getOrElse(k, Double.MaxValue))
+    val span = reprobesSpan(text)
+    val (oldNums, oldOther): (Map[String, Double], Seq[(String, String)]) =
+      span.map { case (a, b) =>
+        org.json4s.jackson.JsonMethods.parse(text.substring(a, b)) match {
+          case JObject(fields) =>
+            val nums = fields.collect {
+              case (k, JDouble(d)) => k -> d
+              case (k, JInt(i)) => k -> i.toDouble
+              case (k, JDecimal(d)) => k -> d.toDouble
+              case (k, JLong(l)) => k -> l.toDouble
+            }.toMap
+            val other = fields.collect {
+              case (k, v) if !nums.contains(k) =>
+                k -> org.json4s.jackson.JsonMethods.compact(
+                  org.json4s.jackson.JsonMethods.render(v))
+            }
+            (nums, other)
+          case _ => (Map.empty[String, Double], Seq.empty[(String, String)])
         }
-      case None => re
+      }.getOrElse((Map.empty, Seq.empty))
+    val merged = oldNums ++ re.map { case (k, v) =>
+      k -> math.min(v, oldNums.getOrElse(k, Double.MaxValue))
     }
-    val block = merged.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("\"reprobes\":{", ",", "}")
-    existing.findFirstMatchIn(text) match {
-      case Some(_) => existing.replaceFirstIn(
-        text, java.util.regex.Matcher.quoteReplacement(block))
+    val body = (merged.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) } ++
+      oldOther.map { case (k, v) => "\"" + k + "\":" + v })
+      .mkString("{", ",", "}")
+    span match {
+      case Some((a, b)) => text.substring(0, a) + body + text.substring(b)
       case None =>
         val trimmed = text.reverse.dropWhile(c => c == '\n' || c == ' ').reverse
         require(trimmed.endsWith("}"), "artifact is not a JSON object")
-        trimmed.dropRight(1) + "," + block + "}\n"
+        trimmed.dropRight(1) + ",\"reprobes\":" + body + "}\n"
     }
   }
 
@@ -365,6 +542,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val cpuListener = new CpuListener
+    spark.sparkContext.addSparkListener(cpuListener)
     // optional comma-separated subset filter for isolated profiling
     // (whitespace-tolerant; empty/blank value means "no filter")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -394,16 +573,26 @@ object Bench {
     // A pass that throws records NaN, not its (fast-failure) wall time —
     // otherwise an instant plan error would become the reported minimum
     // and a broken query would read as a speedup.
+    // Each pass also records its executor task CPU seconds and shuffle
+    // bytes as a snapshot delta around the pass (queries run strictly
+    // sequentially; drain() bounds the listener bus's asynchrony). The
+    // wall clock stops BEFORE the drain wait, so the timed number is
+    // unchanged by the instrumentation.
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        n: Int): Seq[Double] =
+        n: Int): Seq[PassStats] =
       (1 to n).map { _ =>
+        cpuListener.drain()
+        val (c0, s0) = cpuListener.snapshot()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val wall = (System.nanoTime() - t0) / 1e9
+          cpuListener.drain()
+          val (c1, s1) = cpuListener.snapshot()
+          PassStats(wall, (c1 - c0) / 1e9, (s1 - s0).toDouble)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          Double.NaN
+          PassStats(Double.NaN, Double.NaN, Double.NaN)
         }
       }
     def minOk(v: Seq[Double]): Option[Double] = {
@@ -427,7 +616,7 @@ object Bench {
           System.err.println(s"[bench] --reprobe: unknown query '$n' skipped"))
         val vals = names.flatMap { n =>
           SparkEntry.queries.get(n)
-            .flatMap(fn => minOk(run(n, fn, passes))).map(n -> _)
+            .flatMap(fn => minOk(run(n, fn, passes).map(_.wall))).map(n -> _)
         }
         val fullPrefix = prevPrefix.replaceFirst("^BENCH_", "BENCH_full_")
         val re = (java.util.regex.Pattern.quote(fullPrefix) + """(\d+)\.json""").r
@@ -457,12 +646,21 @@ object Bench {
         return
       case None =>
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val statsByQuery = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) => name -> run(name, fn, passes) }
+    val results = statsByQuery.map { case (n, v) => n -> v.map(_.wall) }
     val calibEnd = timed(probe(spark))
     val total = results.flatMap(r => minOk(r._2)).sum
     val byCost = results.flatMap { case (n, v) => minOk(v).map(n -> _) }.toMap
+    // min-of-passes CPU / shuffle: both are IO-regime-insensitive, so
+    // the min is just the tighter sample of a stable number
+    val cpuByQuery = statsByQuery.flatMap { case (n, v) =>
+      minOk(v.map(_.cpu)).map(n -> _)
+    }.toMap
+    val shuffleByQuery = statsByQuery.flatMap { case (n, v) =>
+      minOk(v.map(_.shuffle)).map(n -> _)
+    }.toMap
     // Isolated re-profile with the sanity rule applied: a sample worse
     // than its in-run minimum retries ONCE in the same session; still
     // worse → the name lands in `isolated_invalid` and the value is
@@ -471,9 +669,10 @@ object Bench {
         : (Seq[(String, Double)], Seq[String]) =
       names.flatMap { n =>
         SparkEntry.queries.get(n).flatMap { fn =>
-          minOk(run(n, fn, 2)).map { first =>
+          minOk(run(n, fn, 2).map(_.wall)).map { first =>
             val v = if (byCost.get(n).exists(first > _))
-              minOk(run(n, fn, 2)).map(math.min(_, first)).getOrElse(first)
+              minOk(run(n, fn, 2).map(_.wall))
+                .map(math.min(_, first)).getOrElse(first)
             else first
             (n, v)
           }
@@ -501,35 +700,41 @@ object Bench {
       if (math.min(calibStart, calibEnd) > 0)
         math.max(calibStart, calibEnd) / math.min(calibStart, calibEnd)
       else 1.0
-    val (refJson, isolated, isolatedInvalid) = prev match {
-      case Some((fname, prevQ)) =>
+    // Re-profile seconds budget for the isolation loop (VERDICT r17
+    // next #3): every flagged query re-probes, admitted cost-descending
+    // while its ~2-pass estimate fits — not a fixed top-10+2 count.
+    val isoBudget = sys.env.get("SPARK_GRAFT_ISO_BUDGET")
+      .flatMap(_.toDoubleOption).getOrElse(900.0)
+    val (refJson, isolated, isolatedInvalid, isoDropped) = prev match {
+      case Some((fname, prevQ, prevCpu)) =>
         val shared = results.flatMap { case (n, v) =>
           for (cur <- minOk(v); old <- prevQ.get(n)) yield (n, cur, old)
         }
         val curSum = shared.map(_._2).sum
         val prevSum = shared.map(_._3).sum
         val ratio = if (prevSum > 0) curSum / prevSum else 0.0
-        val flagged = flaggedNames(shared)
+        // IO-insensitive flag metric (VERDICT r17 next #2): in a
+        // degraded window (calib-ratio > 1.3) wall ratios measure the
+        // host — flag on executor CPU wherever prev carries it.
+        val metric = flagMetric(calibRatio, prevCpu)
+        val flagged = flaggedNamesBy(shared, cpuByQuery, prevCpu, metric)
         val trigger = ratio > 1.5 || calibRatio > 1.5 || flagged.nonEmpty
-        val (iso, isoBad): (Seq[(String, Double)], Seq[String]) =
+        val (iso, isoBad, dropped)
+            : (Seq[(String, Double)], Seq[String], Seq[String]) =
           if (trigger && (only.isEmpty || isolateSubset)) {
             val top = byCost.toSeq.sortBy(-_._2).take(5).map(_._1)
-            // Bound the re-profile bill: a GLOBAL regime shift flags
-            // most of the registry (the loaded-host r10 run flagged 19),
-            // and re-running all of them doubles the bench. Keep the
-            // top-5 plus the most expensive flagged outliers, 12 total —
-            // enough to adjudicate; the flagged list in prev_ref still
-            // names every outlier.
-            val names = (top ++ flagged.sortBy(n => -byCost.getOrElse(n, 0.0)))
-              .distinct.take(12)
+            val (names, drop) = isolationSet(top, flagged, byCost, isoBudget)
             System.err.println(s"[bench] adjudication trigger: sum-ratio " +
               s"${r3(ratio)} vs $fname, calib-ratio ${r3(calibRatio)}, " +
-              s"flagged [${flagged.mkString(",")}] — re-profiling " +
-              s"${names.size} isolated" +
-              (if (names.size < (top ++ flagged).distinct.size)
-                 s" (capped from ${(top ++ flagged).distinct.size})" else ""))
-            isolateAll(names)
-          } else (Seq.empty, Seq.empty)
+              s"flag-metric $metric, flagged [${flagged.mkString(",")}] — " +
+              s"re-profiling ${names.size} isolated" +
+              (if (drop.nonEmpty)
+                 s" (budget ${r3(isoBudget)}s dropped ${drop.size}: " +
+                   s"[${drop.mkString(",")}])"
+               else ""))
+            val (i, b) = isolateAll(names)
+            (i, b, drop)
+          } else (Seq.empty, Seq.empty, Seq.empty)
         // flagged rendering is capped at 20 names so a global regime
         // shift (r10 flagged 19) cannot balloon the summary block past
         // the driver's tail window — the block's size bound is pinned by
@@ -560,8 +765,8 @@ object Bench {
         val ref = s""""prev_ref":{"artifact":"$fname",""" +
           s""""shared_sum_prev":${r3(prevSum)},"shared_sum_now":${r3(curSum)},""" +
           s""""ratio":${r3(ratio)},"calib_ratio":${r3(calibRatio)},""" +
-          s""""flagged":$flaggedJson$clearedJson}"""
-        (ref, iso, isoBad)
+          s""""flag_metric":"$metric","flagged":$flaggedJson$clearedJson}"""
+        (ref, iso, isoBad, dropped)
       case None =>
         // No prev artifact: the calibration trigger still works.
         val (iso, isoBad): (Seq[(String, Double)], Seq[String]) =
@@ -571,7 +776,7 @@ object Bench {
               s"with no prev artifact — re-profiling top-5 isolated")
             isolateAll(top)
           } else (Seq.empty, Seq.empty)
-        (s""""prev_ref":null""", iso, isoBad)
+        (s""""prev_ref":null""", iso, isoBad, Seq.empty[String])
     }
     // Only VALID samples render under "isolated" (anywhere): the stdout
     // lines are tail-budgeted to the driver's ~2,000-char window with
@@ -581,6 +786,19 @@ object Bench {
     // already excludes them, so no flag can cite an invalid sample).
     val isoJson = isolated
       .map { case (n, s) => "\"" + n + "\":" + r3(s) }.mkString("{", ",", "}")
+    // The STDOUT lines render at most the 10 most expensive isolated
+    // samples + a counter: the exhaustive budget-capped loop can
+    // re-probe the whole flagged list (59 in r17's degraded window),
+    // and an uncapped map would blow the driver's ~2,000-char tail
+    // window. The committed full artifact carries every sample — in
+    // "isolated" AND min-merged into "reprobes".
+    val isoShown = isolated.sortBy(-_._2).take(10)
+    val isoJsonLine = isoShown
+      .map { case (n, s) => "\"" + n + "\":" + r3(s) }
+      .mkString("{", ",", "}") +
+      (if (isolated.size > isoShown.size)
+         s""","isolated_more":${isolated.size - isoShown.size}"""
+       else "")
     val isoInvalidJson =
       if (isolatedInvalid.isEmpty) ""
       else s""","isolated_invalid":""" +
@@ -610,7 +828,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
       s""""queries":$qs,"failed":$failedJson,$calibJson,""" +
-      s""""isolated":$isoJson,$refJson,"value":${r3(total)}}"""
+      s""""isolated":$isoJsonLine,$refJson,"value":${r3(total)}}"""
     println(json)
     // A second, SUMMARY-ONLY line printed LAST: the driver json-parses
     // the final stdout line into its artifact's "parsed" field, and the
@@ -629,7 +847,7 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
       s""""summary_of":${results.size},"queries":$top10,""" +
-      s""""failed":$failedJson,$calibJson,"isolated":$isoJson,$refJson,""" +
+      s""""failed":$failedJson,$calibJson,"isolated":$isoJsonLine,$refJson,""" +
       s""""value":${r3(total)}}""")
     // Full-precision artifact with every pass, for regime analysis —
     // written to target/ (git-ignored scratch) and, so the authoritative
@@ -641,9 +859,31 @@ object Bench {
         "\"" + k + "\":" + v.map(d => if (d.isNaN) "null" else d.toString)
           .mkString("[", ",", "]")
       }.mkString("{", ",", "}")
+      def renderNumMap(m: Map[String, Double]): String =
+        m.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+          .mkString("{", ",", "}")
+      def minMerge(old: Map[String, Double],
+          cur: Map[String, Double]): Map[String, Double] =
+        (old.keySet ++ cur.keySet).iterator.map { k =>
+          k -> math.min(old.getOrElse(k, Double.MaxValue),
+            cur.getOrElse(k, Double.MaxValue))
+        }.toMap
+      val shuffleMb = shuffleByQuery.map { case (k, v) => k -> v / 1048576.0 }
+      // per-query executor CPU seconds + shuffle MB ride the committed
+      // artifact so the NEXT round's prev-ref can flag on an
+      // IO-insensitive metric (VERDICT r17 next #2)
+      val cpuJson = renderNumMap(cpuByQuery)
+      val shufJson = renderNumMap(shuffleMb)
+      // isolation-budget residue is machine-readable, not log-only
+      val isoDroppedJson =
+        if (isoDropped.isEmpty) ""
+        else s""","iso_dropped":""" +
+          isoDropped.map("\"" + _ + "\"").mkString("[", ",", "]")
       val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
         s""""queries":$qs,"failed":$failedJson,$calibJson,""" +
-        s""""isolated":$isoJson$isoInvalidJson,$refJson,"passes":$ps,""" +
+        s""""isolated":$isoJson$isoInvalidJson$isoDroppedJson,$refJson,""" +
+        s""""cpu":$cpuJson,"shuffle_mb":$shufJson,"passes":$ps,""" +
         s""""value":${r3(total)}}"""
       val bytes = (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val out = java.nio.file.Paths.get("target", "bench_latest.json")
@@ -710,18 +950,36 @@ object Bench {
                     .mkString("[", ",", "]")
               }.mkString("{", ",", "}")
               val mVal = r3(merged.values.flatMap(minOk(_)).sum)
-              // a reprobes block stamped by --reprobe survives the merge
-              val reBlock = """"reprobes":\{[^}]*\}""".r
-                .findFirstIn(oldText).map("," + _).getOrElse("")
+              // CPU / shuffle min-merge like the walls: the tighter
+              // sample of a window-stable number wins
+              val mCpu = renderNumMap(minMerge(parseCpuMap(oldText), cpuByQuery))
+              val mShuf = renderNumMap(
+                minMerge(parseNumMap(oldText, "shuffle_mb"), shuffleMb))
+              // a reprobes block stamped by --reprobe or a prior run's
+              // isolation loop survives the merge — located by the
+              // brace-matched span, not a nested-brace-fragile regex
+              val reBlock = reprobesSpan(oldText)
+                .map { case (a, b) =>
+                  ",\"reprobes\":" + oldText.substring(a, b)
+                }.getOrElse("")
               s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
                 s""""queries":$mQs,"failed":$mFailed,$calibJson,""" +
-                s""""isolated":$isoJson$isoInvalidJson,$refJson,""" +
-                s""""merged_runs":${oldRuns + 1},"passes":$mPs$reBlock,""" +
+                s""""isolated":$isoJson$isoInvalidJson$isoDroppedJson,""" +
+                s"""$refJson,"merged_runs":${oldRuns + 1},"cpu":$mCpu,""" +
+                s""""shuffle_mb":$mShuf,"passes":$mPs$reBlock,""" +
                 s""""value":$mVal}""" + "\n"
             }
           }
+        // The isolation loop's VALID samples stamp the committed
+        // artifact's reprobes block (min-merged with any existing one):
+        // a degraded window's adjudication evidence lands machine-read
+        // in the round artifact itself, not only under "isolated" in
+        // this run's blocks (VERDICT r17 next #3).
+        val stamped =
+          if (isolated.nonEmpty) appendReprobes(toWrite, isolated.toMap)
+          else toWrite
         java.nio.file.Files.write(target,
-          toWrite.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          stamped.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] committed full artifact not written: $e")
       }

@@ -33,7 +33,7 @@ object Soak {
     // optional comma-separated family filter (minhash, simhash, simskew,
     // ivfrecall, pqrecall, ivfpqrecall, semrecall, clusters, ccdist,
     // cross, crossidx, span, spanx, exactx, ingest, hotband, frames,
-    // envelope) for isolated soak runs
+    // envelope, prunelat, searchlat) for isolated soak runs
     val onlyFam = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
@@ -1320,6 +1320,93 @@ object Soak {
             f"prune_call_med_s=${med(pruneOnly)}%.3f " +
             f"pruned_min_s=${pruned.min}%.3f unpruned_min_s=${unpruned.min}%.3f")
         }
+        graft.storage.SetCatalog.deleteTree(root)
+      }
+
+      // searchlat: high-frequency soak of the streaming SEARCH family
+      // (VERDICT r17 stretch #7). A REAL 100 ms-trigger foreachBatch
+      // stream of query vectors runs against a persisted IVF-PQ index
+      // while maintenance interleaves mid-stream: an APPEND (no model
+      // generation moves — the driver model cache must NOT re-collect)
+      // followed by a REBUILD (both sidecar generations swap — exactly
+      // one re-collect). Reports per-batch probe wall across the run's
+      // thirds — flat walls prove the per-batch cost (generation-stamp
+      // read + two cached models + pruned probe) doesn't grow with
+      // batch count — plus the model collect count, which must equal
+      // 1 (initial) + 1 (rebuild swap). Scale-independent of m.
+      if (fam("searchlat") && m == scales.head) {
+        val dim = 16
+        val nV = 1000000L
+        def emb(n: Long, off: Long) = spark.range(0L, n).toDF("vec_id")
+          .select((col("vec_id") + off).as("vec_id"),
+            transform(sequence(lit(0), lit(dim - 1)),
+              i => (pmod(hash(col("vec_id") * dim + i), lit(1000))
+                .cast("double") / 1000.0).cast("float")).as("embedding"))
+        val root = java.nio.file.Files.createTempDirectory("graft-soak-sl")
+        val cat = new graft.storage.SetCatalog(spark, root.toString)
+        t0 = System.nanoTime()
+        graft.operators.SimilaritySearch.buildIvfPqIndex(spark, cat,
+          "soak", "sl", emb(nV, 0L), nCentroids = 64, m = 8, kSub = 16)
+        val buildSec = (System.nanoTime() - t0) / 1e9
+        val (probeFn, loads) = graft.operators.SimilaritySearch
+          .ivfPqSearchProbeFnCounted(cat, "soak", "sl", k = 10)
+        import spark.implicits._
+        implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Seq[Float])]
+        val walls = new java.util.concurrent.CopyOnWriteArrayList[Double]()
+        val q = input.toDS().toDF("vec_id", "embedding").writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime("100 milliseconds"))
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              if (!b.isEmpty) {
+                val t = System.nanoTime()
+                probeFn(b.toDF()).count()
+                walls.add((System.nanoTime() - t) / 1e9)
+              }
+              ()
+          }
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .start()
+        val nBatches = 30
+        val batchRows = 8
+        val queryRows = emb(batchRows.toLong * nBatches, 5000000L)
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+        try {
+          for (i <- 0 until nBatches) {
+            input.addData(
+              queryRows.slice(i * batchRows, (i + 1) * batchRows): _*)
+            // pace the feed to the completed-batch count so walls map
+            // 1:1 to fed batches (cap 30 s per batch)
+            val deadline = System.nanoTime() + 30000000000L
+            while (walls.size() <= i && System.nanoTime() < deadline)
+              Thread.sleep(10)
+            if (i == nBatches / 3 - 1)
+              // mid-stream APPEND: codes/vectors grow, models untouched
+              graft.operators.SimilaritySearch.appendToIvfPqIndex(
+                spark, cat, "soak", "sl", emb(10000L, 8000000L))
+            if (i == 2 * nBatches / 3 - 1)
+              // mid-stream REBUILD: both model sidecars swap generations
+              graft.operators.SimilaritySearch.rebuildIvfPqIndex(
+                spark, cat, "soak", "sl")
+          }
+        } finally q.stop()
+        val ws = (0 until walls.size()).map(walls.get(_))
+        def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+        val third = ws.size / 3
+        println(f"SOAK searchlat rows=$batchRows%-4d vecs=$nV%-8d " +
+          f"batches=${ws.size}%-3d build_s=$buildSec%.1f " +
+          f"probe_med_s=${med(ws)}%.3f " +
+          f"t1_med_s=${med(ws.take(third))}%.3f " +
+          f"t2_med_s=${med(ws.slice(third, 2 * third))}%.3f " +
+          f"t3_med_s=${med(ws.drop(2 * third))}%.3f " +
+          f"probe_max_s=${ws.max}%.3f model_collects=${loads()}%d " +
+          "(expect 2: initial + rebuild swap; append must not re-collect)")
+        Seq("sl_codes", "sl_vectors", "sl_centroids", "sl_codebooks",
+          "sl_built").foreach(s =>
+          if (cat.meta("soak", s).isDefined) cat.removeSet("soak", s))
         graft.storage.SetCatalog.deleteTree(root)
       }
 

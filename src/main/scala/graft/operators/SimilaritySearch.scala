@@ -91,33 +91,71 @@ object SimilaritySearch {
     */
   private[graft] def sampleVectors(
       emb: DataFrame, idCol: String, vecCol: String,
-      sampleLimit: Int): Array[Array[Double]] = {
+      sampleLimit: Int, knownRowCount: Long = 0L): Array[Array[Double]] = {
+    // a name provably fresh against the caller's schema: withColumn
+    // would silently REPLACE a pre-existing column of the same name
+    // (ADVICE r17) — only vecCol is selected out today, but the private
+    // API shouldn't carry the shadowing hazard
+    val key = Iterator.from(0)
+      .map(i => if (i == 0) "__sample_key" else s"__sample_key$i")
+      .find(n => !emb.columns.contains(n)).get
     val keyed = emb
-      .withColumn("__sample_key", md5(col(idCol).cast("string").cast("binary")))
+      .withColumn(key, md5(col(idCol).cast("string").cast("binary")))
     def collectTop(df: DataFrame): Array[Array[Double]] =
-      df.orderBy(col("__sample_key"), col(idCol))
+      df.orderBy(col(key), col(idCol))
         .limit(sampleLimit)
         .select(col(vecCol)).collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     if (sampleLimit <= directSampleLimit) collectTop(keyed)
     else {
-      var frac = 4.0 * sampleLimit / 1e9
+      // Seed the prefilter fraction from the corpus rowcount when the
+      // caller already has one (sidecar rows, a paid-for count) — each
+      // relax step that under-covers costs a full corpus scan + persist
+      // + count (ADVICE r17: the hardcoded 1e9 seed made a 10M-row /
+      // 160k-sample run pay 3 scans). Clamped to 0.4 so at least one
+      // CERTIFIED prefilter attempt always runs before the unfiltered
+      // fallback — at sampleLimit ≥ ~1.25e8 the raw seed is ≥ 0.5 and
+      // the loop would silently skip straight to the partitions×limit
+      // driver merge the prefilter exists to avoid.
+      val n = if (knownRowCount > 0) knownRowCount.toDouble else 1e9
+      var frac = math.min(0.4, 4.0 * sampleLimit / n)
       var out: Option[Array[Array[Double]]] = None
       while (out.isEmpty && frac < 0.5) {
+        samplePrefilterAttempts.incrementAndGet()
         // 16 hex digits of the 128-bit keyspace: floor(frac·2⁶⁴) as a
         // zero-padded hex literal compares lexicographically against
         // the 32-char key exactly as the numeric prefix would
         val t = f"${(frac * math.pow(2.0, 64)).toLong}%016x"
-        val filtered = keyed.filter(col("__sample_key") < t)
+        val filtered = keyed.filter(col(key) < t)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          if (filtered.count() >= sampleLimit) out = Some(collectTop(filtered))
-          else frac *= 16
+          if (filtered.count() >= sampleLimit) {
+            samplePrefilterHits.incrementAndGet()
+            out = Some(collectTop(filtered))
+          } else frac *= 16
         } finally filtered.unpersist()
       }
+      if (out.isEmpty)
+        // loud: at wide limits the fallback is the exact driver-merge
+        // shape the prefilter exists to avoid (ADVICE r17)
+        System.err.println(
+          s"[graft] sampleVectors: certified prefilter exhausted at " +
+            s"sampleLimit=$sampleLimit — falling back to the direct " +
+            "TakeOrdered plan (partitions×limit driver merge)")
       out.getOrElse(collectTop(keyed))
     }
   }
+
+  /** Test hooks (ADVICE r17): IvfIndexSpec's wide-sample equivalence
+    * cases assert the PREFILTERED branch actually produced the result —
+    * byte-equality alone would also pass via the silent unfiltered
+    * fallback, hiding a certification regression (e.g. a threshold
+    * formatting bug failing every count).
+    */
+  private[graft] val samplePrefilterAttempts =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val samplePrefilterHits =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Above this, [[sampleVectors]] prefilters by key prefix before the
     * top-k: the direct plan's driver merge is partitions×limit rows.
@@ -468,12 +506,14 @@ object SimilaritySearch {
     */
   private[graft] def indexTrainCentroids(
       spark: SparkSession, emb: DataFrame, k: Int, iters: Int,
-      idCol: String, vecCol: String): Array[Array[Double]] = {
+      idCol: String, vecCol: String,
+      knownRowCount: Long = 0L): Array[Array[Double]] = {
     val threshold = spark.conf
       .get("spark.graft.ann.routeThreshold",
         graft.operators.Dedup.routeThreshold.toString).toInt
     trainCentroidsRouted(
-      sampleVectors(emb, idCol, vecCol, math.max(10000, 2 * k)),
+      sampleVectors(emb, idCol, vecCol, math.max(10000, 2 * k),
+        knownRowCount),
       k, iters, threshold)
   }
 
@@ -678,8 +718,11 @@ object SimilaritySearch {
       else catalog.scanSet(db, s"${name}_centroids").count().toInt
     val vecs = catalog.scanSet(db, s"${name}_vectors")
       .select(col("neighbor_id"), col("n_vec"), col("n_nrm"))
+    // the standing corpus's sidecar already carries its rowcount —
+    // seed the wide-sample prefilter from it (ADVICE r17)
     val centroids = indexTrainCentroids(spark, vecs, nCentroids, iters,
-      "neighbor_id", "n_vec")
+      "neighbor_id", "n_vec",
+      catalog.meta(db, s"${name}_vectors").map(_.rows).getOrElse(0L))
     import spark.implicits._
     val assign = indexAssignUdf(spark, centroids)
     // Stage the re-partitioned corpus AND the new codebook before
@@ -786,9 +829,11 @@ object SimilaritySearch {
   def trainPqCodebooks(
       emb: DataFrame, m: Int, kSub: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      sampleLimit: Int = 10000): Array[Array[Array[Double]]] =
+      sampleLimit: Int = 10000,
+      knownRowCount: Long = 0L): Array[Array[Array[Double]]] =
     trainPqCodebooksFromSample(
-      sampleVectors(emb, idCol, vecCol, sampleLimit), m, kSub, iters)
+      sampleVectors(emb, idCol, vecCol, sampleLimit, knownRowCount),
+      m, kSub, iters)
 
   private[operators] def trainPqCodebooksFromSample(
       rawSample: Array[Array[Double]], m: Int, kSub: Int,
@@ -1190,7 +1235,9 @@ object SimilaritySearch {
     val m = old.length
     val kSub = old(0).length
     val vecs = catalog.scanSet(db, s"${name}_vectors")
-    val codebooks = trainPqCodebooks(vecs, m, kSub, iters, "neighbor_id", "n_vec")
+    val codebooks = trainPqCodebooks(vecs, m, kSub, iters, "neighbor_id",
+      "n_vec", knownRowCount =
+        catalog.meta(db, s"${name}_vectors").map(_.rows).getOrElse(0L))
     val cm = catalog.meta(db, s"${name}_codes").getOrElse(
       throw new IllegalArgumentException(s"rebuildPqIndex: no codes set for $db.$name"))
     val encode = pqEncodeUdf(codebooks)
@@ -1341,7 +1388,8 @@ object SimilaritySearch {
       advisor: Option[graft.advisor.PlacementAdvisor] = None,
       targetRowsPerBucket: Long = 1L << 22,
       knownRowCount: Long = 0L): Unit = {
-    val codebooks = trainPqCodebooks(emb, m, kSub, iters, idCol, vecCol)
+    val codebooks = trainPqCodebooks(emb, m, kSub, iters, idCol, vecCol,
+      knownRowCount = knownRowCount)
     persistCodebooks(spark, catalog, db, name, codebooks)
     // partition-count choice follows the other index builders: explicit,
     // else the advisor's sizing rule over the corpus rowcount, else the

@@ -187,10 +187,12 @@ class BenchScrapeSpec extends AnyFunSuite {
       byLen.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")
     val calib = "\"calibration\":{\"start\":9999.999,\"end\":9999.999}"
     val iso = "\"isolated\":" +
-      byLen.take(12).map(entry).mkString("{", ",", "}")
+      byLen.take(10).map(entry).mkString("{", ",", "}") +
+      ",\"isolated_more\":999"
     val ref = "\"prev_ref\":{\"artifact\":\"BENCH_SF1_r99.json\"," +
       "\"shared_sum_prev\":99999.999,\"shared_sum_now\":99999.999," +
-      "\"ratio\":99.999,\"calib_ratio\":99.999,\"flagged\":" +
+      "\"ratio\":99.999,\"calib_ratio\":99.999," +
+      "\"flag_metric\":\"wall\",\"flagged\":" +
       byLen.take(20).map("\"" + _ + "\"").mkString("[", ",", "]") +
       ",\"flagged_more\":999,\"flag_cleared_by_isolation\":" +
       byLen.take(3).map("\"" + _ + "\"").mkString("[", ",", "]") +
@@ -224,13 +226,17 @@ class BenchScrapeSpec extends AnyFunSuite {
     val failed = "\"failed\":" +
       longest.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")
     val calib = "\"calibration\":{\"start\":9999.999,\"end\":9999.999}"
-    // isolated: Bench caps the re-profile set at 12
+    // isolated: the stdout rendering is capped at 10 + counter (the
+    // exhaustive budget-capped loop may re-probe far more; the full
+    // artifact carries every sample)
     val iso = "\"isolated\":" +
-      longest.take(12).map(entry).mkString("{", ",", "}")
+      longest.take(10).map(entry).mkString("{", ",", "}") +
+      ",\"isolated_more\":999"
     // prev_ref: flagged rendering capped at 20 names + the counter
     val ref = "\"prev_ref\":{\"artifact\":\"BENCH_SF1_r99.json\"," +
       "\"shared_sum_prev\":99999.999,\"shared_sum_now\":99999.999," +
-      "\"ratio\":99.999,\"calib_ratio\":99.999,\"flagged\":" +
+      "\"ratio\":99.999,\"calib_ratio\":99.999," +
+      "\"flag_metric\":\"wall\",\"flagged\":" +
       longest.map("\"" + _ + "\"").mkString("[", ",", "]") +
       ",\"flagged_more\":999,\"flag_cleared_by_isolation\":" +
       longest.take(3).map("\"" + _ + "\"").mkString("[", ",", "]") +
@@ -299,5 +305,109 @@ class BenchScrapeSpec extends AnyFunSuite {
       s"must merge into ONE reprobes block: $twice")
     // the merged artifact still json-parses
     org.json4s.jackson.JsonMethods.parse(twice)
+  }
+
+  // --- IO-insensitive flag metric (VERDICT r17 next #2) ---
+
+  test("flag metric switches to cpu only in a degraded window with prev cpu") {
+    assert(Bench.flagMetric(1.0, Map("q1" -> 2.0)) == "wall",
+      "a calm window flags on wall")
+    assert(Bench.flagMetric(2.0, Map.empty) == "wall",
+      "no prev cpu -> wall even when degraded")
+    assert(Bench.flagMetric(1.4, Map("q1" -> 2.0)) == "cpu",
+      "degraded window + prev cpu -> cpu")
+  }
+
+  test("cpu metric flags on cpu ratios; wall-only queries fall back") {
+    // q1: wall 3x worse (IO window) but CPU flat -> NOT flagged under cpu
+    // q2: CPU doubled past the 1s floor -> flagged
+    // q3: no cpu on either side -> falls back to its wall condition
+    val sharedWall = Seq(("q1", 6.0, 2.0), ("q2", 5.0, 2.0), ("q3", 4.0, 1.5))
+    val curCpu = Map("q1" -> 1.9, "q2" -> 4.4)
+    val prevCpu = Map("q1" -> 1.8, "q2" -> 2.0)
+    assert(Bench.flaggedNamesBy(sharedWall, curCpu, prevCpu, "cpu") ==
+      Seq("q2", "q3"))
+    // under wall all three flag — the exact over-flagging cpu avoids
+    assert(Bench.flaggedNamesBy(sharedWall, curCpu, prevCpu, "wall") ==
+      Seq("q1", "q2", "q3"))
+    // cpu under the 1s CPU floor never flags, whatever the ratio
+    assert(Bench.flaggedNamesBy(Seq(("q4", 3.0, 1.0)),
+      Map("q4" -> 0.9), Map("q4" -> 0.2), "cpu").isEmpty)
+  }
+
+  // --- exhaustive budget-capped isolation (VERDICT r17 next #3) ---
+
+  test("forced-degraded window: every flagged query is admitted, zero residue") {
+    // the r17 shape: 59 flagged in a 4.7x-degraded window; the old
+    // top-10+2 count cap left 51 formally uncleared. Under the seconds
+    // budget, ALL flagged names are admitted when they fit.
+    val flagged = (1 to 59).map(i => f"q$i%02d")
+    val byCost = flagged.map(_ -> 2.0).toMap // ~4.1s estimate each
+    val top = flagged.take(5)
+    val (sel, dropped) = Bench.isolationSet(top, flagged, byCost, 900.0)
+    assert(dropped.isEmpty,
+      s"budget 900s must cover all 59 flagged (dropped: $dropped)")
+    assert(flagged.forall(sel.contains),
+      "every flagged query must be in the isolation set")
+  }
+
+  test("isolation budget drops expensive names but keeps filling with cheap ones") {
+    val byCost = Map("big" -> 100.0, "mid" -> 10.0, "sml" -> 0.5)
+    // budget 25s: big's ~200s estimate never fits; mid (~20s) and
+    // sml (~1s) both do — the greedy walk keeps filling after a drop
+    val (sel, dropped) =
+      Bench.isolationSet(Seq.empty, Seq("big", "mid", "sml"), byCost, 25.0)
+    assert(sel == Seq("mid", "sml") && dropped == Seq("big"),
+      s"sel=$sel dropped=$dropped")
+  }
+
+  // --- cpu / shuffle maps in the committed full artifact ---
+
+  test("full artifact carries per-query cpu and shuffle_mb maps (r18 shape)") {
+    // the representative r18 BENCH_full line shape; parseNumMap is the
+    // prev-ref reader for both new blocks
+    val full = """{"metric":"total","unit":"sec","sf":"x",""" +
+      """"queries":{"q1":0.2,"q2":5.1},"failed":[],""" +
+      """"calibration":{"start":1.0,"end":1.0},"isolated":{},""" +
+      """"prev_ref":{"artifact":"BENCH_full_r17.json","ratio":1.0,""" +
+      """"calib_ratio":1.0,"flag_metric":"wall","flagged":[]},""" +
+      """"cpu":{"q1":0.800,"q2":12.400},"shuffle_mb":{"q1":0.100,"q2":64.000},""" +
+      """"passes":{"q1":[0.2],"q2":[5.1]},"value":5.3}"""
+    assert(Bench.parseCpuMap(full) == Map("q1" -> 0.8, "q2" -> 12.4))
+    assert(Bench.parseNumMap(full, "shuffle_mb") ==
+      Map("q1" -> 0.1, "q2" -> 64.0))
+    // wall minima parsing is untouched by the new blocks
+    assert(Bench.parseArtifactText(full, known) ==
+      Map("q1" -> 0.2, "q2" -> 5.1))
+    // pre-r18 artifacts read as empty cpu -> flag falls back to wall
+    assert(Bench.parseCpuMap("""{"metric":"total","queries":{"q1":1.0}}""").isEmpty)
+  }
+
+  /** The reprobes splice is parse-modify-serialize inside a
+    * brace-matched span (VERDICT r17 What's-wrong #3): an artifact
+    * whose reprobes block — or any other block — nests braces
+    * round-trips unharmed; the old `\{[^}]*\}` regex corrupted the
+    * first nested brace it met.
+    */
+  test("appendReprobes round-trips nested-brace blocks unharmed") {
+    val art = """{"metric":"total","queries":{"a":1.0},""" +
+      """"adjudication":{"note":{"window":"degraded","runs":[1,2]}},""" +
+      """"reprobes":{"q1":3.000,"ctx":{"host":"vm","calib":{"r":2.0}}},""" +
+      """"passes":{"a":[1.0]},"value":1.0}""" + "\n"
+    val out = Bench.appendReprobes(art, Map("q1" -> 9.9, "q2" -> 0.5))
+    // min-merge keeps q1's floor; q2 joins; the nested ctx field survives
+    assert(out.contains(""""q1":3.000"""), s"min lost: $out")
+    assert(out.contains(""""q2":0.500"""), s"new name lost: $out")
+    assert(out.contains(""""ctx":{"host":"vm","calib":{"r":2.0}}"""),
+      s"nested non-numeric field mangled: $out")
+    // everything OUTSIDE the reprobes span is byte-identical
+    assert(out.contains(""""adjudication":{"note":{"window":"degraded","runs":[1,2]}}"""))
+    assert(out.startsWith("""{"metric":"total","queries":{"a":1.0},"""))
+    assert(out.trim.endsWith(""""passes":{"a":[1.0]},"value":1.0}"""))
+    org.json4s.jackson.JsonMethods.parse(out)
+    // the span finder itself: nested braces inside strings don't fool it
+    val tricky = """{"reprobes":{"k":"a{b}c","n":1.0},"value":2.0}"""
+    val (a, b) = Bench.reprobesSpan(tricky).get
+    assert(tricky.substring(a, b) == """{"k":"a{b}c","n":1.0}""")
   }
 }

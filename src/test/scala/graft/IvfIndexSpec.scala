@@ -414,7 +414,13 @@ class IvfIndexSpec extends GraftSpecBase {
         atransform(sequence(lit(0), lit(3)),
           i => (pmod(hash(col("vec_id") * 4 + i), lit(1000)).cast("double")
             / 1000.0).cast("float")).as("embedding"))
+    val hits0 = SimilaritySearch.samplePrefilterHits.get()
     val sample = SimilaritySearch.sampleVectors(emb, "vec_id", "embedding", 70000)
+    // ADVICE r17: byte-equality alone would also pass via the silent
+    // unfiltered fallback — assert the CERTIFIED prefilter branch
+    // actually produced this result
+    assert(SimilaritySearch.samplePrefilterHits.get() == hits0 + 1,
+      "result did not come from a certified prefilter pass")
     val direct = emb
       .withColumn("__k", md5(col("vec_id").cast("string").cast("binary")))
       .orderBy(col("__k"), col("vec_id"))
@@ -424,6 +430,23 @@ class IvfIndexSpec extends GraftSpecBase {
     assert(sample.length == 70000)
     assert(sample.zip(direct).forall { case (a, b) => a.sameElements(b) },
       "prefiltered sample diverged from the direct top-k")
+
+    // VERDICT r17 next #6: the relax branch at TEST scale. A huge
+    // knownRowCount seeds a tiny initial frac whose first thresholds
+    // under-cover; the 16x relax walk must land on a certifying
+    // threshold and return the SAME certified sample — equality AND
+    // the hit counter prove relax -> certified, not relax -> fallback.
+    val a0 = SimilaritySearch.samplePrefilterAttempts.get()
+    val h0 = SimilaritySearch.samplePrefilterHits.get()
+    val relaxed = SimilaritySearch.sampleVectors(
+      emb, "vec_id", "embedding", 70000, knownRowCount = 4000000000000L)
+    assert(SimilaritySearch.samplePrefilterAttempts.get() - a0 > 1,
+      "forced-tiny frac must take more than one attempt (relax ran)")
+    assert(SimilaritySearch.samplePrefilterHits.get() == h0 + 1,
+      "relax walk must end in a certified pass, not the fallback")
+    assert(relaxed.length == 70000 &&
+      relaxed.zip(sample).forall { case (a, b) => a.sameElements(b) },
+      "relaxed-path sample diverged from the certified sample")
   }
 
   test("wide sample on a SMALL corpus: relax loop exhausts to the exact path") {
@@ -437,7 +460,15 @@ class IvfIndexSpec extends GraftSpecBase {
         atransform(sequence(lit(0), lit(3)),
           i => (col("vec_id") * 4 + i).cast("double").cast("float"))
           .as("embedding"))
+    val a0 = SimilaritySearch.samplePrefilterAttempts.get()
+    val h0 = SimilaritySearch.samplePrefilterHits.get()
     val sample = SimilaritySearch.sampleVectors(emb, "vec_id", "embedding", 70000)
+    // the clamp guarantees at least one CERTIFIED attempt ran before
+    // the fallback (ADVICE r17: an initial frac >= 0.5 used to skip
+    // the loop entirely), and none certified on this tiny corpus
+    assert(SimilaritySearch.samplePrefilterAttempts.get() > a0 &&
+      SimilaritySearch.samplePrefilterHits.get() == h0,
+      "small-corpus exhaust must attempt but never certify")
     assert(sample.length == 500)
     val direct = emb
       .withColumn("__k", md5(col("vec_id").cast("string").cast("binary")))
@@ -446,5 +477,23 @@ class IvfIndexSpec extends GraftSpecBase {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     assert(sample.zip(direct).forall { case (a, b) => a.sameElements(b) },
       "fallback sample diverged from the exact order")
+  }
+
+  test("clamped seed: a wide limit with a tiny known rowcount still attempts the prefilter") {
+    // raw seed frac = 4*70000/100 >> 0.5 — unclamped, the loop would
+    // silently skip to the direct TakeOrdered fallback (ADVICE r17);
+    // the 0.4 clamp forces one certified attempt first
+    import org.apache.spark.sql.functions.{transform => atransform, _}
+    val emb = spark.range(0L, 100L).toDF("vec_id")
+      .select(col("vec_id"),
+        atransform(sequence(lit(0), lit(3)),
+          i => (col("vec_id") * 4 + i).cast("double").cast("float"))
+          .as("embedding"))
+    val a0 = SimilaritySearch.samplePrefilterAttempts.get()
+    val sample = SimilaritySearch.sampleVectors(
+      emb, "vec_id", "embedding", 70000, knownRowCount = 100L)
+    assert(SimilaritySearch.samplePrefilterAttempts.get() == a0 + 1,
+      "the clamp must admit exactly one attempt before frac relaxes past 0.5")
+    assert(sample.length == 100, "fallback must still return the whole corpus")
   }
 }
