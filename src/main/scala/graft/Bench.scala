@@ -80,13 +80,20 @@ object Bench {
       }
       lastEventNs = System.nanoTime()
     }
-    /** Wait until no task-end event has arrived for 50 ms (cap 2 s) —
+    /** Wait until no task-end event has arrived for 100 ms (cap 5 s) —
       * the listener bus is async, and a pass's last few task events
-      * can land after the driver-side action returns.
+      * can land after the driver-side action returns. A stalled bus
+      * can still defeat the wait (events arriving past the cap land in
+      * the NEXT pass's window) — which is why the per-query aggregate
+      * is the conservation-preserving MEAN of passes, not the min (the
+      * r18 sf1 run caught exactly this: one txt_subwords pass recorded
+      * 0.025 CPU-seconds against an 8 s wall, its missed events
+      * inflating the back-to-back next pass, and min-of-passes locked
+      * the corrupted sample into the artifact).
       */
     def drain(): Unit = {
-      val cap = System.nanoTime() + 2000000000L
-      while (System.nanoTime() - lastEventNs < 50000000L &&
+      val cap = System.nanoTime() + 5000000000L
+      while (System.nanoTime() - lastEventNs < 100000000L &&
         System.nanoTime() < cap) Thread.sleep(10)
     }
     def snapshot(): (Long, Long) = (cpuNs.get(), shuffleBytes.get())
@@ -599,6 +606,16 @@ object Bench {
       val ok = v.filterNot(_.isNaN)
       if (ok.isEmpty) None else Some(ok.min)
     }
+    // CPU/shuffle aggregate across a run's back-to-back passes: the
+    // MEAN, not the min — attribution noise moves cpu BETWEEN
+    // consecutive windows (a drain that gives up leaves this pass's
+    // tail in the next pass's delta), so the sum over passes is
+    // conserved and the mean recovers the true per-pass cost, while
+    // min would keep exactly the under-attributed outlier.
+    def meanOk(v: Seq[Double]): Option[Double] = {
+      val ok = v.filterNot(_.isNaN)
+      if (ok.isEmpty) None else Some(ok.sum / ok.size)
+    }
     def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     // `--reprobe q1,q2`: an isolated hand re-probe whose evidence lands
     // IN the newest same-family committed full artifact as a "reprobes"
@@ -653,13 +670,13 @@ object Bench {
     val calibEnd = timed(probe(spark))
     val total = results.flatMap(r => minOk(r._2)).sum
     val byCost = results.flatMap { case (n, v) => minOk(v).map(n -> _) }.toMap
-    // min-of-passes CPU / shuffle: both are IO-regime-insensitive, so
-    // the min is just the tighter sample of a stable number
+    // mean-of-passes CPU / shuffle (see meanOk: conservation under
+    // window-attribution noise; both metrics are IO-regime-insensitive)
     val cpuByQuery = statsByQuery.flatMap { case (n, v) =>
-      minOk(v.map(_.cpu)).map(n -> _)
+      meanOk(v.map(_.cpu)).map(n -> _)
     }.toMap
     val shuffleByQuery = statsByQuery.flatMap { case (n, v) =>
-      minOk(v.map(_.shuffle)).map(n -> _)
+      meanOk(v.map(_.shuffle)).map(n -> _)
     }.toMap
     // Isolated re-profile with the sanity rule applied: a sample worse
     // than its in-run minimum retries ONCE in the same session; still
@@ -863,11 +880,16 @@ object Bench {
         m.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + r3(v) }
           .mkString("{", ",", "}")
-      def minMerge(old: Map[String, Double],
+      // cross-RUN combine for cpu/shuffle: MAX of the runs' means —
+      // an IO window cannot inflate executor CPU, but an attribution
+      // miss can deflate it, so the largest run-mean is the least
+      // corrupted estimate (and one clean later run repairs a
+      // corrupted committed map through the merge)
+      def maxMerge(old: Map[String, Double],
           cur: Map[String, Double]): Map[String, Double] =
         (old.keySet ++ cur.keySet).iterator.map { k =>
-          k -> math.min(old.getOrElse(k, Double.MaxValue),
-            cur.getOrElse(k, Double.MaxValue))
+          k -> math.max(old.getOrElse(k, Double.MinValue),
+            cur.getOrElse(k, Double.MinValue))
         }.toMap
       val shuffleMb = shuffleByQuery.map { case (k, v) => k -> v / 1048576.0 }
       // per-query executor CPU seconds + shuffle MB ride the committed
@@ -952,9 +974,9 @@ object Bench {
               val mVal = r3(merged.values.flatMap(minOk(_)).sum)
               // CPU / shuffle min-merge like the walls: the tighter
               // sample of a window-stable number wins
-              val mCpu = renderNumMap(minMerge(parseCpuMap(oldText), cpuByQuery))
+              val mCpu = renderNumMap(maxMerge(parseCpuMap(oldText), cpuByQuery))
               val mShuf = renderNumMap(
-                minMerge(parseNumMap(oldText, "shuffle_mb"), shuffleMb))
+                maxMerge(parseNumMap(oldText, "shuffle_mb"), shuffleMb))
               // a reprobes block stamped by --reprobe or a prior run's
               // isolation loop survives the merge — located by the
               // brace-matched span, not a nested-brace-fragile regex
