@@ -252,6 +252,25 @@ object Bench {
         yield !(i > 2 * o && i > 1.0)).getOrElse(false)
     }
 
+  /** Metric-coherent clearing: a flag clears only when its isolated
+    * re-run no longer meets the SAME condition that raised it — a
+    * CPU-raised flag (see [[flaggedNamesBy]]) is judged on the
+    * isolated run's CPU, not its wall (an isolated wall at the floor
+    * says nothing about a genuine CPU regression, and vice versa).
+    * Queries that flagged via the wall fallback clear via wall.
+    */
+  private[graft] def clearedFlagsBy(
+      flagged: Seq[String], prevWall: Map[String, Double],
+      isoWall: Map[String, Double], prevCpu: Map[String, Double],
+      isoCpu: Map[String, Double], metric: String): Seq[String] =
+    flagged.filter { n =>
+      val cpuSide = metric == "cpu" &&
+        prevCpu.contains(n) && isoCpu.contains(n)
+      if (cpuSide) !(isoCpu(n) > 2 * prevCpu(n) && isoCpu(n) > 1.0)
+      else (for (o <- prevWall.get(n); i <- isoWall.get(n))
+        yield !(i > 2 * o && i > 1.0)).getOrElse(false)
+    }
+
   /** Artifact-family prefix for the prev-ref lookup. The default family
     * is the driver's sf0.1 `BENCH_r{N}.json`; the per-round synthetic-sf1
     * bench (README "Bench at the synthetic decade") sets
@@ -682,15 +701,21 @@ object Bench {
     // than its in-run minimum retries ONCE in the same session; still
     // worse → the name lands in `isolated_invalid` and the value is
     // DROPPED (clearedFlags and adjudication read only valid samples).
+    val isolatedCpu = scala.collection.mutable.Map.empty[String, Double]
     def isolateAll(names: Seq[String])
         : (Seq[(String, Double)], Seq[String]) =
       names.flatMap { n =>
         SparkEntry.queries.get(n).flatMap { fn =>
-          minOk(run(n, fn, 2).map(_.wall)).map { first =>
-            val v = if (byCost.get(n).exists(first > _))
-              minOk(run(n, fn, 2).map(_.wall))
+          val stats = run(n, fn, 2)
+          meanOk(stats.map(_.cpu)).foreach(isolatedCpu(n) = _)
+          minOk(stats.map(_.wall)).map { first =>
+            val v = if (byCost.get(n).exists(first > _)) {
+              val retry = run(n, fn, 2)
+              meanOk(retry.map(_.cpu)).foreach(c =>
+                isolatedCpu(n) = math.max(isolatedCpu.getOrElse(n, 0.0), c))
+              minOk(retry.map(_.wall))
                 .map(math.min(_, first)).getOrElse(first)
-            else first
+            } else first
             (n, v)
           }
         }
@@ -771,7 +796,8 @@ object Bench {
         // computed from the FULL flagged list, not the render-capped
         // flaggedShown — a refuted flag past the 20-name render cap must
         // still be stamped cleared (only the RENDERING is capped below)
-        val cleared = clearedFlags(flagged, prevQ, iso.toMap)
+        val cleared = clearedFlagsBy(flagged, prevQ, iso.toMap,
+          prevCpu, isolatedCpu.toMap, metric)
         val clearedShown = cleared.take(3)
         val clearedJson = if (cleared.isEmpty) "" else
           s""","flag_cleared_by_isolation":""" +

@@ -410,4 +410,21 @@ class BenchScrapeSpec extends AnyFunSuite {
     val (a, b) = Bench.reprobesSpan(tricky).get
     assert(tricky.substring(a, b) == """{"k":"a{b}c","n":1.0}""")
   }
+
+  test("a cpu-raised flag clears on isolated CPU, not isolated wall") {
+    // q1 flagged via cpu (prev 2.0 -> cur >4): its isolated WALL is at
+    // the floor but its isolated CPU still reads 5.0 — NOT cleared.
+    // q2 same flag shape but isolated CPU back at 2.1 — cleared.
+    // q3 flagged via the wall fallback (no cpu on either side) — its
+    // wall rule still applies.
+    val prevWall = Map("q1" -> 1.0, "q2" -> 1.0, "q3" -> 1.5)
+    val isoWall = Map("q1" -> 0.9, "q2" -> 0.9, "q3" -> 1.4)
+    val prevCpu = Map("q1" -> 2.0, "q2" -> 2.0)
+    val isoCpu = Map("q1" -> 5.0, "q2" -> 2.1)
+    assert(Bench.clearedFlagsBy(Seq("q1", "q2", "q3"),
+      prevWall, isoWall, prevCpu, isoCpu, "cpu") == Seq("q2", "q3"))
+    // under the wall metric all three judge by wall
+    assert(Bench.clearedFlagsBy(Seq("q1", "q2", "q3"),
+      prevWall, isoWall, prevCpu, isoCpu, "wall") == Seq("q1", "q2", "q3"))
+  }
 }
