@@ -1352,58 +1352,70 @@ object Soak {
           .ivfPqSearchProbeFnCounted(cat, "soak", "sl", k = 10)
         import spark.implicits._
         implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-        val input = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, Seq[Float])]
-        val walls = new java.util.concurrent.CopyOnWriteArrayList[Double]()
-        val q = input.toDS().toDF("vec_id", "embedding").writeStream
-          .trigger(org.apache.spark.sql.streaming.Trigger
-            .ProcessingTime("100 milliseconds"))
-          .foreachBatch {
-            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-             _: Long) =>
-              if (!b.isEmpty) {
-                val t = System.nanoTime()
-                probeFn(b.toDF()).count()
-                walls.add((System.nanoTime() - t) / 1e9)
-              }
-              ()
-          }
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-          .start()
-        val nBatches = 30
-        val batchRows = 8
-        val queryRows = emb(batchRows.toLong * nBatches, 5000000L)
-          .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
-        try {
-          for (i <- 0 until nBatches) {
-            input.addData(
-              queryRows.slice(i * batchRows, (i + 1) * batchRows): _*)
-            // pace the feed to the completed-batch count so walls map
-            // 1:1 to fed batches (cap 30 s per batch)
-            val deadline = System.nanoTime() + 30000000000L
-            while (walls.size() <= i && System.nanoTime() < deadline)
-              Thread.sleep(10)
-            if (i == nBatches / 3 - 1)
-              // mid-stream APPEND: codes/vectors grow, models untouched
-              graft.operators.SimilaritySearch.appendToIvfPqIndex(
-                spark, cat, "soak", "sl", emb(10000L, 8000000L))
-            if (i == 2 * nBatches / 3 - 1)
-              // mid-stream REBUILD: both model sidecars swap generations
-              graft.operators.SimilaritySearch.rebuildIvfPqIndex(
-                spark, cat, "soak", "sl")
-          }
-        } finally q.stop()
-        val ws = (0 until walls.size()).map(walls.get(_))
         def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
-        val third = ws.size / 3
-        println(f"SOAK searchlat rows=$batchRows%-4d vecs=$nV%-8d " +
-          f"batches=${ws.size}%-3d build_s=$buildSec%.1f " +
-          f"probe_med_s=${med(ws)}%.3f " +
-          f"t1_med_s=${med(ws.take(third))}%.3f " +
-          f"t2_med_s=${med(ws.slice(third, 2 * third))}%.3f " +
-          f"t3_med_s=${med(ws.drop(2 * third))}%.3f " +
-          f"probe_max_s=${ws.max}%.3f model_collects=${loads()}%d " +
-          "(expect 2: initial + rebuild swap; append must not re-collect)")
+        // shape 1 (8-row batches): the lifecycle run — maintenance
+        // interleaves mid-stream. shape 2 (128-row batches): the
+        // amortization run over the post-rebuild index, no maintenance
+        // — per-ROW cost must fall ~an order of magnitude vs shape 1
+        // (the per-batch floor is job overhead, not scan growth).
+        for (batchRows <- Seq(8, 128)) {
+          val withMaintenance = batchRows == 8
+          val input = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, Seq[Float])]
+          val walls = new java.util.concurrent.CopyOnWriteArrayList[Double]()
+          val q = input.toDS().toDF("vec_id", "embedding").writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger
+              .ProcessingTime("100 milliseconds"))
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               _: Long) =>
+                if (!b.isEmpty) {
+                  val t = System.nanoTime()
+                  probeFn(b.toDF()).count()
+                  walls.add((System.nanoTime() - t) / 1e9)
+                }
+                ()
+            }
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .start()
+          val nBatches = if (withMaintenance) 30 else 15
+          val loads0 = loads()
+          val queryRows = emb(batchRows.toLong * nBatches,
+              5000000L + batchRows.toLong * 100000L)
+            .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+          try {
+            for (i <- 0 until nBatches) {
+              input.addData(
+                queryRows.slice(i * batchRows, (i + 1) * batchRows): _*)
+              // pace the feed to the completed-batch count so walls map
+              // 1:1 to fed batches (cap 30 s per batch)
+              val deadline = System.nanoTime() + 30000000000L
+              while (walls.size() <= i && System.nanoTime() < deadline)
+                Thread.sleep(10)
+              if (withMaintenance && i == nBatches / 3 - 1)
+                // mid-stream APPEND: codes/vectors grow, models untouched
+                graft.operators.SimilaritySearch.appendToIvfPqIndex(
+                  spark, cat, "soak", "sl", emb(10000L, 8000000L))
+              if (withMaintenance && i == 2 * nBatches / 3 - 1)
+                // mid-stream REBUILD: both model sidecars swap generations
+                graft.operators.SimilaritySearch.rebuildIvfPqIndex(
+                  spark, cat, "soak", "sl")
+            }
+          } finally q.stop()
+          val ws = (0 until walls.size()).map(walls.get(_))
+          val third = ws.size / 3
+          println(f"SOAK searchlat rows=$batchRows%-4d vecs=$nV%-8d " +
+            f"batches=${ws.size}%-3d build_s=$buildSec%.1f " +
+            f"probe_med_s=${med(ws)}%.3f " +
+            f"t1_med_s=${med(ws.take(third))}%.3f " +
+            f"t2_med_s=${med(ws.slice(third, 2 * third))}%.3f " +
+            f"t3_med_s=${med(ws.drop(2 * third))}%.3f " +
+            f"probe_max_s=${ws.max}%.3f " +
+            f"model_collects=${loads() - loads0}%d " +
+            (if (withMaintenance)
+               "(expect 2: initial + rebuild swap; append must not re-collect)"
+             else "(expect 0: cached models, no maintenance)"))
+        }
         Seq("sl_codes", "sl_vectors", "sl_centroids", "sl_codebooks",
           "sl_built").foreach(s =>
           if (cat.meta("soak", s).isDefined) cat.removeSet("soak", s))
