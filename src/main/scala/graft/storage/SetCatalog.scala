@@ -65,6 +65,44 @@ object SetCatalog {
     try java.net.InetAddress.getLocalHost.getHostName
     catch { case _: Exception => sys.env.getOrElse("HOSTNAME", "localhost") }
 
+  /** The `host:pid` identity written into lease files. The ThreadLocal
+    * override exists ONLY so a test can stage two distinct "sessions"
+    * inside one JVM (the two-breaker race cannot be reproduced
+    * otherwise: same-process threads read as reentrant).
+    */
+  private[graft] val leaseIdentityOverride: ThreadLocal[String] =
+    new ThreadLocal[String]
+  private[graft] def leaseIdentity(): String =
+    Option(leaseIdentityOverride.get()).getOrElse(
+      s"$localHostName:${ProcessHandle.current().pid()}")
+
+  /** Test seam, invoked between a breaker's staleness read and its
+    * tombstone rename — the window the two-breaker race lives in.
+    */
+  private[graft] var leaseBreakTestHook: () => Unit = () => ()
+
+  /** Foreign-lease age used against [[LeaseForeignTtlMillis]]: the
+    * LESSER of the stamp's age (remote host's clock) and the lease
+    * file's mtime age (the shared filesystem's clock), so breaking
+    * requires BOTH to exceed the TTL. A skewed-BEHIND remote clock
+    * (ancient-looking stamp on a fresh file) cannot make a live
+    * holder breakable, and a skewed-AHEAD clock (negative stamp age)
+    * still expires once the file itself is TTL-old — the shared-root
+    * scenario the foreign TTL targets is exactly where host clocks
+    * may disagree (ADVICE r18). Unstamped leases stay unbreakable
+    * regardless of mtime (pre-r18 semantics).
+    */
+  private[graft] def foreignLeaseAge(
+      p: java.nio.file.Path, h: LeaseHolder): Option[Long] =
+    h.acquiredAt.map { stamp =>
+      val stampAge = System.currentTimeMillis() - stamp
+      val mtimeAge =
+        try Some(System.currentTimeMillis() -
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        catch { case _: Exception => None }
+      mtimeAge.fold(stampAge)(math.min(stampAge, _))
+    }
+
   private[graft] case class LeaseHolder(
       host: String, pid: Long, acquiredAt: Option[Long])
 
@@ -614,28 +652,49 @@ final class SetCatalog(spark: SparkSession, root: String,
     * the holder host, unless its acquire stamp is older than the
     * generous [[SetCatalog.LeaseForeignTtlMillis]] (a maintenance
     * window is seconds-to-minutes; a multi-hour-old foreign lease is a
-    * crashed host's leftover). Legacy bare-pid leases (pre-r18) keep
-    * the old same-host semantics. Reentrant within one process
-    * (recoverAll wraps recoverSwapGroup), so the outermost acquirer
-    * releases. Same-process THREADS are not serialized — the lease is
-    * a cross-session guard, not a mutex; one session's pipeline
+    * crashed host's leftover). The TTL compares BOTH the stamp's age
+    * and the lease file's mtime against the limit (see
+    * [[SetCatalog.foreignLeaseAge]]) so a skewed foreign clock can
+    * neither expose a live holder nor block past the TTL. Legacy
+    * bare-pid leases (pre-r18) keep the old same-host semantics.
+    * Reentrant within one process (recoverAll wraps
+    * recoverSwapGroup), so the outermost acquirer releases.
+    * Same-process THREADS are not serialized — the lease is a
+    * cross-session guard, not a mutex; one session's pipeline
     * already runs its maintenance between its own batches.
+    *
+    * Breaking a stale lease is arbitrated by an ATOMIC tombstone
+    * rename, not delete+create (VERDICT r18 What's-wrong #1): two
+    * breakers that both read the same dead holder could interleave
+    * delete+create so that B deletes A's FRESH lease and both enter
+    * the maintenance window. `Files.move(p, tombstone, ATOMIC_MOVE)`
+    * lets exactly one renamer win the observed file, and the winner
+    * then verifies the tombstone's CONTENT equals the stale holder it
+    * judged dead — a mismatch means it yanked a racing winner's fresh
+    * lease, which it restores before losing loudly. Release is
+    * likewise content-checked: the file is deleted only if it still
+    * carries exactly what this acquirer wrote, so a (hypothetical)
+    * stolen lease is never silently freed for a third writer.
     */
   private def withMaintenanceLease[T](db: String)(body: => T): T = {
     val p = leasePath(db)
-    val me = s"${SetCatalog.localHostName}:${ProcessHandle.current().pid()}"
+    val me = SetCatalog.leaseIdentity()
+    // content actually written at acquire time — release compares
+    // against this exact string before deleting
+    var written: String = null
     def tryAcquire(): Boolean =
       try {
-        Files.writeString(p, s"$me:${System.currentTimeMillis()}",
+        val content = s"$me:${System.currentTimeMillis()}"
+        Files.writeString(p, content,
           java.nio.file.StandardOpenOption.CREATE_NEW)
+        written = content
         true
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     val owned = tryAcquire() || {
       val holder =
         try Files.readString(p).trim catch { case _: Exception => "" }
       val h = SetCatalog.parseLease(holder)
-      if (h.host == SetCatalog.localHostName &&
-          h.pid.toString == ProcessHandle.current().pid().toString)
+      if (s"${h.host}:${h.pid}" == me)
         false // reentrant: this process already holds it
       else {
         val breakable =
@@ -644,8 +703,10 @@ final class SetCatalog(spark: SparkSession, root: String,
             !ProcessHandle.of(h.pid).map[Boolean](_.isAlive).orElse(false)
           else {
             // foreign holder: local pid tables say nothing — only a
-            // generous TTL on the acquire stamp may break it
-            val age = h.acquiredAt.map(System.currentTimeMillis() - _)
+            // generous TTL (min of stamp age and file mtime age, so a
+            // skewed remote clock alone can't expire a live holder)
+            // may break it
+            val age = SetCatalog.foreignLeaseAge(p, h)
             if (!age.exists(_ > SetCatalog.LeaseForeignTtlMillis))
               throw new IllegalStateException(
                 s"maintenance lease for db '$db' is held by " +
@@ -665,19 +726,87 @@ final class SetCatalog(spark: SparkSession, root: String,
             "interleave inside its swap window (single-writer " +
             "contract, see recoverAll); run maintenance from the " +
             "owning session")
+        SetCatalog.leaseBreakTestHook()
+        // Arbitrate the break: atomically rename the observed file to
+        // a breaker-unique tombstone. Exactly one concurrent renamer
+        // succeeds; content verification below catches the case where
+        // the file we renamed is no longer the stale lease we read.
+        val tomb = p.resolveSibling(
+          s"${p.getFileName}.tomb.${me.replace(':', '-')}." +
+            java.lang.Long.toHexString(System.nanoTime()))
+        val moved =
+          try { Files.move(p, tomb,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE); true }
+          catch {
+            case _: java.nio.file.NoSuchFileException => false
+          }
+        if (!moved) {
+          // another breaker already renamed the stale file away; if it
+          // has re-acquired, name it — else it is mid-break
+          val winner =
+            try Files.readString(p).trim
+            catch { case _: Exception => "another racing session" }
+          throw new IllegalStateException(
+            s"stale maintenance lease for db '$db' (holder " +
+              s"${h.host}:${h.pid}) was broken by a concurrent " +
+              s"session — current holder: $winner; re-run " +
+              "maintenance after it finishes")
+        }
+        val tombContent =
+          try Files.readString(tomb).trim catch { case _: Exception => "" }
+        if (tombContent != holder) {
+          // we renamed a FRESH lease written by the racing winner
+          // between our staleness read and our move — restore it
+          // (CREATE_NEW: never clobber a third writer) and lose loudly
+          val restored =
+            try {
+              Files.writeString(p, tombContent,
+                java.nio.file.StandardOpenOption.CREATE_NEW)
+              Files.deleteIfExists(tomb)
+              true
+            } catch { case _: java.nio.file.FileAlreadyExistsException =>
+              // a third writer acquired while the winner's lease was
+              // in our tombstone: leave the tombstone as forensic
+              // evidence and name both in the failure
+              false
+            }
+          throw new IllegalStateException(
+            s"stale maintenance lease for db '$db' (holder " +
+              s"${h.host}:${h.pid}) was broken and re-acquired by a " +
+              s"concurrent session — current holder: $tombContent" +
+              (if (restored) "; its lease was restored intact"
+               else s"; RESTORE FAILED (path re-acquired by " +
+                 s"${try Files.readString(p).trim catch { case _: Exception => "unknown" }}): " +
+                 s"displaced lease preserved at $tomb — two sessions " +
+                 "may be inside the maintenance window, verify before " +
+                 "re-running"))
+        }
+        // content matches the holder we judged dead: the break is ours
+        Files.deleteIfExists(tomb)
         System.err.println(
           s"[graft] breaking stale maintenance lease for db '$db' " +
             s"(holder ${h.host}:${h.pid} is dead" +
             (if (h.host != SetCatalog.localHostName) " — foreign TTL expired)"
              else ")"))
-        Files.deleteIfExists(p)
         if (!tryAcquire()) throw new IllegalStateException(
           s"maintenance lease for db '$db' was re-acquired while " +
             "breaking a stale holder — a second live writer is racing")
         true
       }
     }
-    try body finally if (owned) Files.deleteIfExists(p)
+    try body finally if (owned) {
+      // content-checked release: delete only what we wrote — a lease
+      // replaced under us (a breaker race this protocol lost track of)
+      // must stay on disk and be reported, not silently freed
+      val cur =
+        try Files.readString(p).trim catch { case _: Exception => null }
+      if (cur == written) Files.deleteIfExists(p)
+      else System.err.println(
+        s"[graft] NOT releasing maintenance lease for db '$db': file " +
+          s"now carries '${Option(cur).getOrElse("<missing>")}' instead " +
+          s"of this session's '$written' — another session broke the " +
+          "lease mid-window; inspect before further maintenance")
+    }
   }
 
   /** True when a LIVE other process holds the db's maintenance lease —
@@ -691,14 +820,14 @@ final class SetCatalog(spark: SparkSession, root: String,
     Files.exists(p) && {
       val holder = try Files.readString(p).trim catch { case _: Exception => "" }
       val h = SetCatalog.parseLease(holder)
-      val isMe = h.host == SetCatalog.localHostName &&
-        h.pid.toString == ProcessHandle.current().pid().toString
+      val isMe = s"${h.host}:${h.pid}" == SetCatalog.leaseIdentity()
       !isMe && {
         if (h.host == SetCatalog.localHostName)
           ProcessHandle.of(h.pid).map[Boolean](_.isAlive).orElse(false)
         else
           // a foreign holder inside its TTL must be presumed live
-          !h.acquiredAt.map(System.currentTimeMillis() - _)
+          // (same min-of-stamp-and-mtime age as the break path)
+          !SetCatalog.foreignLeaseAge(p, h)
             .exists(_ > SetCatalog.LeaseForeignTtlMillis)
       }
     }

@@ -436,10 +436,23 @@ class CatalogSpec extends GraftSpecBase {
     }
     assert(e2.getMessage.contains("unstamped"),
       s"unstamped foreign lease must fail loudly: ${e2.getMessage}")
-    // (d) a foreign lease OLDER than the generous TTL is a crashed
-    // host's leftover: broken, swap proceeds
+    // (d0) a TTL-expired STAMP on a FRESH file is a skewed-behind
+    // remote clock, not a dead host — the mtime (shared-filesystem
+    // clock) vetoes the break (ADVICE r18: min of stamp-age and
+    // mtime-age)
     Files.writeString(lease, s"otherhost.example:${Long.MaxValue}:" +
       (now - SetCatalog.LeaseForeignTtlMillis - 60000L))
+    val eSkew = intercept[IllegalStateException] {
+      sets.swapSetGroup("db", Seq("t_rebuild" -> "t"))
+    }
+    assert(eSkew.getMessage.contains("FOREIGN"),
+      "an expired stamp on a fresh file (skewed remote clock) must " +
+        s"still block: ${eSkew.getMessage}")
+    // (d) a foreign lease OLDER than the generous TTL — stamp AND file
+    // mtime both expired — is a crashed host's leftover: broken, swap
+    // proceeds
+    Files.setLastModifiedTime(lease, java.nio.file.attribute.FileTime
+      .fromMillis(now - SetCatalog.LeaseForeignTtlMillis - 60000L))
     sets.swapSetGroup("db", Seq("t_rebuild" -> "t"))
     assert(sets.scanSet("db", "t").count() == 9L,
       "TTL-expired foreign lease must be broken, not block the swap")
@@ -454,6 +467,121 @@ class CatalogSpec extends GraftSpecBase {
     sets.swapSetGroup("db", Seq("t_rebuild" -> "t"))
     assert(sets.scanSet("db", "t").count() == 7L,
       "same-host dead holder must be broken as before")
+    SetCatalog.deleteTree(Paths.get(r))
+  }
+
+  test("lease break is tombstone-arbitrated: a breaker that loses the race restores the winner's lease and throws naming it") {
+    // VERDICT r18 What's-wrong #1: delete+CREATE_NEW let two breakers
+    // that both read the same dead holder interleave so B deleted A's
+    // FRESH lease and both entered the maintenance window. The break is
+    // now an ATOMIC rename to a breaker-unique tombstone + content
+    // verification; these two cases stage the loser's interleaves
+    // deterministically via the test seam between staleness-read and
+    // rename.
+    import java.nio.file.Paths
+    val r = Files.createTempDirectory("graft-lease-race").toString
+    val sets = new SetCatalog(spark, r)
+    sets.createSet("db", "t", Tables.nation(spark, sfDir).limit(5),
+      policy = "none")
+    sets.createSet("db", "t_rebuild", Tables.nation(spark, sfDir).limit(9),
+      policy = "none")
+    sets.markStaging("db", "t_rebuild")
+    val lease = Paths.get(s"$r/db.maintlease")
+    val stale = s"${SetCatalog.localHostName}:${Long.MaxValue}:1"
+    def tombstones(): Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(r)).iterator().asScala
+        .filter(_.getFileName.toString.contains(".tomb.")).toSeq
+    }
+    try {
+      // (a) racing winner REPLACED the stale lease between our read and
+      // our rename: we must detect the content mismatch, restore the
+      // winner's lease byte-for-byte, and lose naming the winner
+      Files.writeString(lease, stale)
+      val fresh =
+        s"winnerhost.example:77:${System.currentTimeMillis()}"
+      SetCatalog.leaseBreakTestHook = () => {
+        Files.deleteIfExists(lease)
+        Files.writeString(lease, fresh)
+        SetCatalog.leaseBreakTestHook = () => ()
+      }
+      val eA = intercept[IllegalStateException] {
+        sets.swapSetGroup("db", Seq("t_rebuild" -> "t"))
+      }
+      assert(eA.getMessage.contains("winnerhost.example") &&
+        eA.getMessage.contains("restored intact"),
+        s"loser must name the winner and restore its lease: ${eA.getMessage}")
+      assert(Files.readString(lease).trim == fresh,
+        "the racing winner's fresh lease must be restored byte-for-byte")
+      assert(tombstones().isEmpty,
+        "no tombstone may be left behind on the restore path")
+      assert(sets.meta("db", "t_rebuild").exists(_.staging),
+        "the losing breaker must not have run the swap")
+      // (b) racing winner DELETED the stale lease (mid-break) before
+      // our rename: the rename loses with NoSuchFile and we fail loudly
+      Files.deleteIfExists(lease)
+      Files.writeString(lease, stale)
+      SetCatalog.leaseBreakTestHook = () => {
+        Files.deleteIfExists(lease)
+        SetCatalog.leaseBreakTestHook = () => ()
+      }
+      val eB = intercept[IllegalStateException] {
+        sets.swapSetGroup("db", Seq("t_rebuild" -> "t"))
+      }
+      assert(eB.getMessage.contains("broken by a concurrent session"),
+        s"a vanished stale lease must lose loudly: ${eB.getMessage}")
+      assert(tombstones().isEmpty, "no tombstone on the lost-rename path")
+    } finally SetCatalog.leaseBreakTestHook = () => ()
+    SetCatalog.deleteTree(Paths.get(r))
+  }
+
+  test("two concurrent breakers of the same stale lease: exactly one wins, the loser throws") {
+    // The live version of the race above: two "sessions" (distinct
+    // lease identities via the test ThreadLocal — same-process threads
+    // would otherwise read as reentrant) both judge the same holder
+    // dead, rendezvous on a barrier AFTER the staleness read, then race
+    // the tombstone rename. ATOMIC_MOVE guarantees exactly one wins the
+    // observed file; the loser must throw, never silently proceed.
+    import java.nio.file.Paths
+    val r = Files.createTempDirectory("graft-lease-2brk").toString
+    val sets = new SetCatalog(spark, r)
+    sets.createSet("db", "t", Tables.nation(spark, sfDir).limit(5),
+      policy = "none")
+    sets.createSet("db", "t_rebuild", Tables.nation(spark, sfDir).limit(9),
+      policy = "none")
+    sets.markStaging("db", "t_rebuild")
+    val lease = Paths.get(s"$r/db.maintlease")
+    Files.writeString(lease, s"${SetCatalog.localHostName}:${Long.MaxValue}:1")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val failures = new java.util.concurrent.ConcurrentHashMap[String, Throwable]
+    try {
+      SetCatalog.leaseBreakTestHook =
+        () => barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      val threads = Seq("900001", "900002").map { pid =>
+        val th = new Thread(() => {
+          SetCatalog.leaseIdentityOverride.set(
+            s"${SetCatalog.localHostName}:$pid")
+          try sets.swapSetGroup("db", Seq("t_rebuild" -> "t"))
+          catch { case t: Throwable => failures.put(pid, t) }
+          finally SetCatalog.leaseIdentityOverride.remove()
+        }, s"breaker-$pid")
+        th.start(); th
+      }
+      threads.foreach(_.join(60000))
+      assert(failures.size == 1,
+        s"exactly one breaker must lose (got ${failures.size}: " +
+          s"${failures.values}); both succeeding is the corruption " +
+          "this protocol exists to prevent")
+      val loss = failures.values.iterator().next()
+      assert(loss.isInstanceOf[IllegalStateException] &&
+        loss.getMessage.contains("concurrent session"),
+        s"the loser must throw naming the race: $loss")
+      assert(sets.scanSet("db", "t").count() == 9L,
+        "the winning breaker's swap must have applied exactly once")
+    } finally {
+      SetCatalog.leaseBreakTestHook = () => ()
+      SetCatalog.leaseIdentityOverride.remove()
+    }
     SetCatalog.deleteTree(Paths.get(r))
   }
 
