@@ -271,6 +271,47 @@ object Bench {
         yield !(i > 2 * o && i > 1.0)).getOrElse(false)
     }
 
+  /** The prev_ref block's three flag lists, rendered (VERDICT r18
+    * What's-wrong #2). `flag_uncleared` names the SURVIVORS — the one
+    * list a reader must never have to re-derive — exhaustively when
+    * `nameBudget` is None (the committed full artifact). On the
+    * tail-budgeted stdout lines (`nameBudget = Some(20)`) survivors get
+    * PRIORITY inside a name budget shared with "flagged": survivors are
+    * a subset of flagged, so a name shown as uncleared is a flagged
+    * name and nothing is lost when flagged's own rendering shrinks to
+    * make room. The cleared list is the one truncated hardest
+    * (3 + counter): its members are the adjudicated non-events.
+    * BenchScrapeSpec pins the survivor naming and that the worst-case
+    * block still fits the driver's tail window.
+    */
+  private[graft] def renderFlagLists(
+      flagged: Seq[String], cleared: Seq[String],
+      nameBudget: Option[Int]): String = {
+    val uncleared = flagged.filterNot(cleared.toSet)
+    val unclrShown = nameBudget.fold(uncleared)(uncleared.take)
+    val flagShown = nameBudget.fold(flagged)(b =>
+      flagged.take(math.max(0, b - unclrShown.size)))
+    val flaggedJson =
+      flagShown.map("\"" + _ + "\"").mkString("[", ",", "]") +
+        (if (flagged.size > flagShown.size)
+           s""","flagged_more":${flagged.size - flagShown.size}"""
+         else "")
+    val clearedShown = nameBudget.fold(cleared)(_ => cleared.take(3))
+    val clearedJson = if (cleared.isEmpty) "" else
+      s""","flag_cleared_by_isolation":""" +
+        clearedShown.map("\"" + _ + "\"").mkString("[", ",", "]") +
+        (if (cleared.size > clearedShown.size)
+           s""","cleared_more":${cleared.size - clearedShown.size}"""
+         else "")
+    val unclearedJson = if (uncleared.isEmpty) "" else
+      s""","flag_uncleared":""" +
+        unclrShown.map("\"" + _ + "\"").mkString("[", ",", "]") +
+        (if (uncleared.size > unclrShown.size)
+           s""","uncleared_more":${uncleared.size - unclrShown.size}"""
+         else "")
+    s""""flagged":$flaggedJson$clearedJson$unclearedJson"""
+  }
+
   /** Artifact-family prefix for the prev-ref lookup. The default family
     * is the driver's sf0.1 `BENCH_r{N}.json`; the per-round synthetic-sf1
     * bench (README "Bench at the synthetic decade") sets
@@ -346,7 +387,8 @@ object Bench {
     * minima (wall) plus its per-query CPU map (empty pre-r18), with its
     * round number. */
   private def newestOf(prefix: String, known: Set[String])
-      : Option[(Int, String, Map[String, Double], Map[String, Double])] = {
+      : Option[(Int, String, Map[String, Double], Map[String, Double],
+          Map[String, Seq[Double]])] = {
     val re = (java.util.regex.Pattern.quote(prefix) + """(\d+)\.json""").r
     val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
       .flatMap { f =>
@@ -364,7 +406,8 @@ object Bench {
       val m = parseArtifactText(text, known)
       if (m.isEmpty) None
       else Some((round, f.getName, m,
-        parseCpuMap(text).filter { case (k, _) => known.contains(k) }))
+        parseCpuMap(text).filter { case (k, _) => known.contains(k) },
+        parseCpuRunsMap(text).filter { case (k, _) => known.contains(k) }))
     }
   }
 
@@ -383,13 +426,15 @@ object Bench {
     * precision only breaking the tie.
     */
   private def prevArtifact(known: Set[String])
-      : Option[(String, Map[String, Double], Map[String, Double])] = {
+      : Option[(String, Map[String, Double], Map[String, Double],
+          Map[String, Seq[Double]])] = {
     val fullPrefix = prevPrefix.replaceFirst("^BENCH_", "BENCH_full_")
     (newestOf(fullPrefix, known), newestOf(prevPrefix, known)) match {
-      case (Some((fr, fn, fm, fc)), Some((wr, _, _, _))) if fr >= wr =>
-        Some((fn, fm, fc))
-      case (Some((fr, fn, fm, fc)), None) => Some((fn, fm, fc))
-      case (_, Some((_, wn, wm, wc))) => Some((wn, wm, wc))
+      case (Some((fr, fn, fm, fc, fruns)), Some((wr, _, _, _, _)))
+          if fr >= wr =>
+        Some((fn, fm, fc, fruns))
+      case (Some((fr, fn, fm, fc, fruns)), None) => Some((fn, fm, fc, fruns))
+      case (_, Some((_, wn, wm, wc, wruns))) => Some((wn, wm, wc, wruns))
       case _ => None
     }
   }
@@ -472,6 +517,57 @@ object Bench {
 
   private[graft] def parseCpuMap(text: String): Map[String, Double] =
     parseNumMap(text, "cpu")
+
+  /** Per-query per-RUN executor-CPU means out of a committed full
+    * artifact ("cpu_runs": name→[mean,…], one entry per merged run,
+    * written since r19). Empty for older artifacts — the flag baseline
+    * then falls back to the max-aggregated "cpu" map.
+    */
+  private[graft] def parseCpuRunsMap(
+      text: String): Map[String, Seq[Double]] = {
+    import org.json4s._
+    try {
+      org.json4s.jackson.JsonMethods.parse(text) \ "cpu_runs" match {
+        case JObject(fields) => fields.flatMap { case (k, v) =>
+          v match {
+            case JArray(vs) =>
+              val nums = vs.flatMap {
+                case JDouble(d) => Some(d)
+                case JInt(i) => Some(i.toDouble)
+                case JDecimal(d) => Some(d.toDouble)
+                case JLong(l) => Some(l.toDouble)
+                case _ => None
+              }
+              if (nums.nonEmpty) Some(k -> nums) else None
+            case _ => None
+          }
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
+
+  /** The prev-side CPU number the per-query flag compares against —
+    * like-for-like with the current side (ADVICE r18): the current
+    * side is ONE run's mean, but the merged artifact's "cpu" map is
+    * the MAX of run-means (the least attribution-corrupted estimate,
+    * kept for cross-checks), so ratioing cur/max biases downward and
+    * can miss a just-over-2× regression after multi-run merges. Where
+    * the artifact carries per-run means ("cpu_runs") the baseline is
+    * their MEDIAN: a typical single-run mean, robust both to the
+    * deflated outlier min would lock in and to the upward screen max
+    * applies. Artifacts predating cpu_runs fall back to "cpu".
+    */
+  private[graft] def cpuFlagBaseline(
+      cpuMax: Map[String, Double],
+      cpuRuns: Map[String, Seq[Double]]): Map[String, Double] =
+    cpuMax.map { case (k, vMax) =>
+      k -> cpuRuns.get(k).filter(_.nonEmpty).map { rs =>
+        val s = rs.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      }.getOrElse(vMax)
+    }
 
   /** The character span `[start, end)` of the VALUE following the
     * top-level `"reprobes":` key — found by a quote-aware brace-match
@@ -747,8 +843,9 @@ object Bench {
     // while its ~2-pass estimate fits — not a fixed top-10+2 count.
     val isoBudget = sys.env.get("SPARK_GRAFT_ISO_BUDGET")
       .flatMap(_.toDoubleOption).getOrElse(900.0)
-    val (refJson, isolated, isolatedInvalid, isoDropped) = prev match {
-      case Some((fname, prevQ, prevCpu)) =>
+    val (refJson, refJsonFull, isolated, isolatedInvalid, isoDropped) =
+        prev match {
+      case Some((fname, prevQ, prevCpu, prevCpuRuns)) =>
         val shared = results.flatMap { case (n, v) =>
           for (cur <- minOk(v); old <- prevQ.get(n)) yield (n, cur, old)
         }
@@ -757,9 +854,13 @@ object Bench {
         val ratio = if (prevSum > 0) curSum / prevSum else 0.0
         // IO-insensitive flag metric (VERDICT r17 next #2): in a
         // degraded window (calib-ratio > 1.3) wall ratios measure the
-        // host — flag on executor CPU wherever prev carries it.
-        val metric = flagMetric(calibRatio, prevCpu)
-        val flagged = flaggedNamesBy(shared, cpuByQuery, prevCpu, metric)
+        // host — flag on executor CPU wherever prev carries it. The
+        // prev side is the like-for-like single-run baseline (median
+        // of per-run means where the artifact carries them — see
+        // cpuFlagBaseline), not the max-aggregated "cpu" map.
+        val prevCpuFlag = cpuFlagBaseline(prevCpu, prevCpuRuns)
+        val metric = flagMetric(calibRatio, prevCpuFlag)
+        val flagged = flaggedNamesBy(shared, cpuByQuery, prevCpuFlag, metric)
         val trigger = ratio > 1.5 || calibRatio > 1.5 || flagged.nonEmpty
         val (iso, isoBad, dropped)
             : (Seq[(String, Double)], Seq[String], Seq[String]) =
@@ -777,39 +878,38 @@ object Bench {
             val (i, b) = isolateAll(names)
             (i, b, drop)
           } else (Seq.empty, Seq.empty, Seq.empty)
-        // flagged rendering is capped at 20 names so a global regime
-        // shift (r10 flagged 19) cannot balloon the summary block past
-        // the driver's tail window — the block's size bound is pinned by
-        // BenchScrapeSpec's tail-survivability test
-        val flaggedShown = flagged.take(20)
-        val flaggedJson =
-          flaggedShown.map("\"" + _ + "\"").mkString("[", ",", "]") +
-            (if (flagged.size > flaggedShown.size)
-               s""","flagged_more":${flagged.size - flaggedShown.size}"""
-             else "")
-        // the flag list and the isolated re-profile now talk to each
+        // the flag list and the isolated re-profile talk to each
         // other: a flag the isolated run refutes is stamped cleared
-        // in-artifact (VERDICT r13 next #4). Rendering capped at 3
-        // names + counter so the summary block stays tail-survivable
-        // (BenchScrapeSpec pins the window budget); the isolated block
-        // itself still carries every re-run number.
-        // computed from the FULL flagged list, not the render-capped
-        // flaggedShown — a refuted flag past the 20-name render cap must
-        // still be stamped cleared (only the RENDERING is capped below)
+        // in-artifact (VERDICT r13 next #4), computed from the FULL
+        // flagged list, never a render-capped one. Clearing evidence
+        // is restricted to VALID isolated samples (ADVICE r18):
+        // isolateAll records CPU for every sample it takes, including
+        // ones the wall sanity rule later drops to isolated_invalid —
+        // a flag must not be stamped cleared on CPU from a sample the
+        // run itself rejected.
+        val isoValidNames = iso.map(_._1).toSet
+        val isoCpuValid = isolatedCpu.toMap
+          .filter { case (n, _) => isoValidNames.contains(n) }
         val cleared = clearedFlagsBy(flagged, prevQ, iso.toMap,
-          prevCpu, isolatedCpu.toMap, metric)
-        val clearedShown = cleared.take(3)
-        val clearedJson = if (cleared.isEmpty) "" else
-          s""","flag_cleared_by_isolation":""" +
-            clearedShown.map("\"" + _ + "\"").mkString("[", ",", "]") +
-            (if (cleared.size > clearedShown.size)
-               s""","cleared_more":${cleared.size - clearedShown.size}"""
-             else "")
-        val ref = s""""prev_ref":{"artifact":"$fname",""" +
-          s""""shared_sum_prev":${r3(prevSum)},"shared_sum_now":${r3(curSum)},""" +
-          s""""ratio":${r3(ratio)},"calib_ratio":${r3(calibRatio)},""" +
-          s""""flag_metric":"$metric","flagged":$flaggedJson$clearedJson}"""
-        (ref, iso, isoBad, dropped)
+          prevCpuFlag, isoCpuValid, metric)
+        // Flag SURVIVORS by name under "flag_uncleared" (VERDICT r18
+        // What's-wrong #2): the one list a reader must never have to
+        // re-derive. The committed full artifact carries every list
+        // exhaustively (nameBudget = None). The tail-budgeted stdout
+        // lines give survivors PRIORITY inside a 20-name budget shared
+        // with "flagged" (survivors are a subset of flagged, so a name
+        // shown as uncleared is a flagged name — nothing is lost when
+        // flagged's own rendering shrinks to make room), and the
+        // cleared list is the one truncated hardest (3 + counter): its
+        // members are the adjudicated non-events. BenchScrapeSpec pins
+        // the worst-case block still fits the driver's tail window.
+        def refVariant(nameBudget: Option[Int]): String =
+          s""""prev_ref":{"artifact":"$fname",""" +
+            s""""shared_sum_prev":${r3(prevSum)},"shared_sum_now":${r3(curSum)},""" +
+            s""""ratio":${r3(ratio)},"calib_ratio":${r3(calibRatio)},""" +
+            s""""flag_metric":"$metric",""" +
+            renderFlagLists(flagged, cleared, nameBudget) + "}"
+        (refVariant(Some(20)), refVariant(None), iso, isoBad, dropped)
       case None =>
         // No prev artifact: the calibration trigger still works.
         val (iso, isoBad): (Seq[(String, Double)], Seq[String]) =
@@ -819,7 +919,8 @@ object Bench {
               s"with no prev artifact — re-profiling top-5 isolated")
             isolateAll(top)
           } else (Seq.empty, Seq.empty)
-        (s""""prev_ref":null""", iso, isoBad, Seq.empty[String])
+        (s""""prev_ref":null""", s""""prev_ref":null""", iso, isoBad,
+          Seq.empty[String])
     }
     // Only VALID samples render under "isolated" (anywhere): the stdout
     // lines are tail-budgeted to the driver's ~2,000-char window with
@@ -829,13 +930,15 @@ object Bench {
     // already excludes them, so no flag can cite an invalid sample).
     val isoJson = isolated
       .map { case (n, s) => "\"" + n + "\":" + r3(s) }.mkString("{", ",", "}")
-    // The STDOUT lines render at most the 10 most expensive isolated
+    // The STDOUT lines render at most the 9 most expensive isolated
     // samples + a counter: the exhaustive budget-capped loop can
     // re-probe the whole flagged list (59 in r17's degraded window),
     // and an uncapped map would blow the driver's ~2,000-char tail
-    // window. The committed full artifact carries every sample — in
-    // "isolated" AND min-merged into "reprobes".
-    val isoShown = isolated.sortBy(-_._2).take(10)
+    // window (was 10; the slot went to the flag_uncleared list, which
+    // a reader must never have to re-derive). The committed full
+    // artifact carries every sample — in "isolated" AND min-merged
+    // into "reprobes".
+    val isoShown = isolated.sortBy(-_._2).take(9)
     val isoJsonLine = isoShown
       .map { case (n, s) => "\"" + n + "\":" + r3(s) }
       .mkString("{", ",", "}") +
@@ -917,21 +1020,47 @@ object Bench {
           k -> math.max(old.getOrElse(k, Double.MinValue),
             cur.getOrElse(k, Double.MinValue))
         }.toMap
+      def renderRunsMap(m: Map[String, Seq[Double]]): String =
+        m.toSeq.sortBy(_._1)
+          .map { case (k, vs) =>
+            "\"" + k + "\":" + vs.map(r3).mkString("[", ",", "]")
+          }.mkString("{", ",", "}")
       val shuffleMb = shuffleByQuery.map { case (k, v) => k -> v / 1048576.0 }
       // per-query executor CPU seconds + shuffle MB ride the committed
       // artifact so the NEXT round's prev-ref can flag on an
-      // IO-insensitive metric (VERDICT r17 next #2)
+      // IO-insensitive metric (VERDICT r17 next #2); "cpu_runs" keeps
+      // each merged run's mean so that flag can compare like-for-like
+      // (one run-mean vs the median run-mean — ADVICE r18) while "cpu"
+      // stays the max-of-run-means best estimate
       val cpuJson = renderNumMap(cpuByQuery)
       val shufJson = renderNumMap(shuffleMb)
+      val cpuRunsJson =
+        renderRunsMap(cpuByQuery.map { case (k, v) => k -> Seq(v) })
       // isolation-budget residue is machine-readable, not log-only
       val isoDroppedJson =
         if (isoDropped.isEmpty) ""
         else s""","iso_dropped":""" +
           isoDropped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // Operator-internals diagnostics (VERDICT r18 stretch #8): the
+      // distributed union-find's pass count (bounded O(log diameter);
+      // −1 = driver regime / not exercised) and the wide-sample
+      // prefilter's attempt/hit counters (a certification-rate
+      // regression — hits falling behind attempts — shows up in the
+      // artifact diff, not only in a soak re-run). Counters cover THIS
+      // run's queries, cumulative across the JVM.
+      val diagJson =
+        s""""diagnostics":{"cc_passes":${
+          graft.operators.Dedup.lastCcPasses},""" +
+          s""""sampler_attempts":${
+            graft.operators.SimilaritySearch
+              .samplePrefilterAttempts.get()},""" +
+          s""""sampler_hits":${
+            graft.operators.SimilaritySearch.samplePrefilterHits.get()}}"""
       val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
         s""""queries":$qs,"failed":$failedJson,$calibJson,""" +
-        s""""isolated":$isoJson$isoInvalidJson$isoDroppedJson,$refJson,""" +
-        s""""cpu":$cpuJson,"shuffle_mb":$shufJson,"passes":$ps,""" +
+        s""""isolated":$isoJson$isoInvalidJson$isoDroppedJson,$refJsonFull,""" +
+        s""""cpu":$cpuJson,"cpu_runs":$cpuRunsJson,""" +
+        s""""shuffle_mb":$shufJson,$diagJson,"passes":$ps,""" +
         s""""value":${r3(total)}}"""
       val bytes = (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val out = java.nio.file.Paths.get("target", "bench_latest.json")
@@ -998,11 +1127,25 @@ object Bench {
                     .mkString("[", ",", "]")
               }.mkString("{", ",", "}")
               val mVal = r3(merged.values.flatMap(minOk(_)).sum)
-              // CPU / shuffle min-merge like the walls: the tighter
-              // sample of a window-stable number wins
+              // CPU / shuffle MAX-merge, unlike the walls' min: an IO
+              // window can only inflate wall but attribution noise can
+              // only DEFLATE cpu/shuffle, so the largest run-mean is
+              // the least corrupted estimate (see maxMerge)
               val mCpu = renderNumMap(maxMerge(parseCpuMap(oldText), cpuByQuery))
               val mShuf = renderNumMap(
                 maxMerge(parseNumMap(oldText, "shuffle_mb"), shuffleMb))
+              // per-run CPU means APPEND across merges (an artifact
+              // predating cpu_runs seeds from its max-aggregated map)
+              val oldRunsCpu = {
+                val parsed = parseCpuRunsMap(oldText)
+                if (parsed.nonEmpty) parsed
+                else parseCpuMap(oldText).map { case (k, v) => k -> Seq(v) }
+              }
+              val mCpuRuns = renderRunsMap(
+                (oldRunsCpu.keySet ++ cpuByQuery.keySet).iterator.map { k =>
+                  k -> (oldRunsCpu.getOrElse(k, Seq.empty) ++
+                    cpuByQuery.get(k).toSeq)
+                }.toMap)
               // a reprobes block stamped by --reprobe or a prior run's
               // isolation loop survives the merge — located by the
               // brace-matched span, not a nested-brace-fragile regex
@@ -1013,8 +1156,9 @@ object Bench {
               s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
                 s""""queries":$mQs,"failed":$mFailed,$calibJson,""" +
                 s""""isolated":$isoJson$isoInvalidJson$isoDroppedJson,""" +
-                s"""$refJson,"merged_runs":${oldRuns + 1},"cpu":$mCpu,""" +
-                s""""shuffle_mb":$mShuf,"passes":$mPs$reBlock,""" +
+                s"""$refJsonFull,"merged_runs":${oldRuns + 1},"cpu":$mCpu,""" +
+                s""""cpu_runs":$mCpuRuns,"shuffle_mb":$mShuf,$diagJson,""" +
+                s""""passes":$mPs$reBlock,""" +
                 s""""value":$mVal}""" + "\n"
             }
           }

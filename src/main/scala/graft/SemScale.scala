@@ -77,10 +77,22 @@ object SemScale {
       require(advisedMatch,
         s"advised geometry (k=${g.clusters}, cells=${g.routeCells}) diverged " +
           s"from the static sizing (k=$k, cells=$cells) at n=$n")
+      // n is known by construction — seed the wide-sample prefilter
+      // with it (VERDICT r18 next #4: re-certify the lifecycle on the
+      // r18 sampler with the rowcount passed, first attempt certified)
+      val attempts0 = SimilaritySearch.samplePrefilterAttempts.get()
+      val hits0 = SimilaritySearch.samplePrefilterHits.get()
       val (sample, sampleS) = timed {
         SimilaritySearch.sampleVectors(
-          emb, "vec_id", "embedding", math.max(10000, 2 * k))
+          emb, "vec_id", "embedding", math.max(10000, 2 * k),
+          knownRowCount = n)
       }
+      val sampleAttempts =
+        SimilaritySearch.samplePrefilterAttempts.get() - attempts0
+      val sampleHits = SimilaritySearch.samplePrefilterHits.get() - hits0
+      require(sampleAttempts == sampleHits,
+        s"seeded prefilter must certify with no relax steps at n=$n: " +
+          s"$sampleAttempts attempts, $sampleHits hits")
       val (centroids, trainS) = timed {
         SimilaritySearch.trainCentroidsRouted(sample, k, iters = 3)
       }
@@ -118,10 +130,19 @@ object SemScale {
       // 1000-arrival batch within its cells
       val root = java.nio.file.Files.createTempDirectory("graft-semscale-idx")
       val cat = new graft.storage.SetCatalog(spark, root.toString)
+      // the build pays its own count (auto-k) and now threads it into
+      // the trainer's prefilter seed — the r17 run started from the 1e9
+      // default and paid ~2 extra full-corpus relax scans here
+      val bAttempts0 = SimilaritySearch.samplePrefilterAttempts.get()
       val (_, buildS) = timed {
         Dedup.persistSemanticIndex(cat, "ss", "idx", emb,
           "vec_id", "embedding")
       }
+      val buildAttempts =
+        SimilaritySearch.samplePrefilterAttempts.get() - bAttempts0
+      require(buildAttempts == 1,
+        s"seeded build prefilter must certify on the FIRST attempt at " +
+          s"n=$n: took $buildAttempts")
       val nDirs = {
         import scala.jdk.CollectionConverters._
         val s = java.nio.file.Files.list(
@@ -157,25 +178,26 @@ object SemScale {
         f"idx_build=$buildS%.1f idx_dirs=$nDirs idx_append=$appendS%.1f " +
         f"idx_probe=$probeS%.1f")
       (n, k, cells, usedCells, sampleS, trainS, assignS, flatS, pairBound,
-        buildS, nDirs, appendS, probeS)
+        buildS, nDirs, appendS, probeS, buildAttempts)
     }
 
     def r2(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
     val steps = rows.map {
-      case (n, k, cells, used, sa, tr, as, fl, pb, ib, nd, ia, ip) =>
+      case (n, k, cells, used, sa, tr, as, fl, pb, ib, nd, ia, ip, ba) =>
         s"""{"n":$n,"k":$k,"cells":$cells,"cells_used":$used,""" +
           s""""advised_match":true,""" +
           s""""sample_s":${r2(sa)},"train_s":${r2(tr)},"assign_s":${r2(as)},""" +
           s""""flat_assign_s":${fl.map(r2).getOrElse("null")},""" +
           s""""pairs_per_row_bound":${r2(pb)},""" +
           s""""index_build_s":${r2(ib)},"index_dirs":$nd,""" +
-          s""""index_append_s":${r2(ia)},"index_probe_s":${r2(ip)}}"""
+          s""""index_append_s":${r2(ia)},"index_probe_s":${r2(ip)},""" +
+          s""""build_prefilter_attempts":$ba}"""
     }.mkString("[", ",", "]")
     // growth exponents between consecutive steps: log(time ratio)/log(n
     // ratio) — ~1.0 is linear, the flat regime this replaces measures ~2
     val exps = rows.sliding(2).collect {
-      case Seq((n1, _, _, _, _, t1, a1, _, _, b1, _, _, _),
-          (n2, _, _, _, _, t2, a2, _, _, b2, _, _, _)) =>
+      case Seq((n1, _, _, _, _, t1, a1, _, _, b1, _, _, _, _),
+          (n2, _, _, _, _, t2, a2, _, _, b2, _, _, _, _)) =>
         val ln = math.log(n2.toDouble / n1)
         s"""{"n_ratio":${r2(n2.toDouble / n1)},""" +
           s""""assign_exp":${r2(math.log(a2 / a1) / ln)},""" +

@@ -1352,13 +1352,24 @@ object Soak {
           .ivfPqSearchProbeFnCounted(cat, "soak", "sl", k = 10)
         import spark.implicits._
         implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-        def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+        // A degraded stream (deadline-expired batch waits, merged or
+        // missing batches) must still emit a diagnosable SOAK line
+        // (ADVICE r18): empty thirds report NaN instead of the whole
+        // soak dying on an IndexOutOfBounds before printing anything.
+        def med(xs: Seq[Double]) =
+          if (xs.isEmpty) Double.NaN else xs.sorted.apply(xs.size / 2)
+        def mx(xs: Seq[Double]) =
+          if (xs.isEmpty) Double.NaN else xs.max
         // shape 1 (8-row batches): the lifecycle run — maintenance
         // interleaves mid-stream. shape 2 (128-row batches): the
         // amortization run over the post-rebuild index, no maintenance
         // — per-ROW cost must fall ~an order of magnitude vs shape 1
         // (the per-batch floor is job overhead, not scan growth).
-        for (batchRows <- Seq(8, 128)) {
+        // shape 3 (1024-row batches, VERDICT r18 next #6): one more 8×
+        // step — if per-batch wall again grows far slower than rows,
+        // the floor is confirmed as job-scheduling overhead with no
+        // emerging per-row scan term.
+        for (batchRows <- Seq(8, 128, 1024)) {
           val withMaintenance = batchRows == 8
           val input = org.apache.spark.sql.execution.streaming.runtime
             .MemoryStream[(Long, Seq[Float])]
@@ -1378,7 +1389,8 @@ object Soak {
             }
             .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
             .start()
-          val nBatches = if (withMaintenance) 30 else 15
+          val nBatches =
+            if (withMaintenance) 30 else if (batchRows >= 1024) 10 else 15
           val loads0 = loads()
           val queryRows = emb(batchRows.toLong * nBatches,
               5000000L + batchRows.toLong * 100000L)
@@ -1404,13 +1416,15 @@ object Soak {
           } finally q.stop()
           val ws = (0 until walls.size()).map(walls.get(_))
           val third = ws.size / 3
+          val short = if (ws.size < nBatches)
+            s" BATCHES_SHORT(${ws.size}/$nBatches)" else ""
           println(f"SOAK searchlat rows=$batchRows%-4d vecs=$nV%-8d " +
-            f"batches=${ws.size}%-3d build_s=$buildSec%.1f " +
+            f"batches=${ws.size}%-3d$short build_s=$buildSec%.1f " +
             f"probe_med_s=${med(ws)}%.3f " +
             f"t1_med_s=${med(ws.take(third))}%.3f " +
             f"t2_med_s=${med(ws.slice(third, 2 * third))}%.3f " +
             f"t3_med_s=${med(ws.drop(2 * third))}%.3f " +
-            f"probe_max_s=${ws.max}%.3f " +
+            f"probe_max_s=${mx(ws)}%.3f " +
             f"model_collects=${loads() - loads0}%d " +
             (if (withMaintenance)
                "(expect 2: initial + rebuild swap; append must not re-collect)"

@@ -1733,18 +1733,20 @@ object Dedup {
       nClusters: Int = 0, iters: Int = 3,
       threshold: Double = 0.4, targetClusterSize: Int = 125,
       routeCells: Int = 0, routeIters: Int = 2): DataFrame = {
-    val (corpus, k) =
-      if (nClusters > 0) (emb, nClusters)
+    val (corpus, k, nRows) =
+      if (nClusters > 0) (emb, nClusters, 0L)
       else {
         val mat = emb.localCheckpoint(true)
-        (mat, autoClusters(mat.count(), targetClusterSize))
+        val n = mat.count()
+        (mat, autoClusters(n, targetClusterSize), n)
       }
     // seeds are sample rows, so the sample must cover k; 2k keeps a
     // training margin. Below k = 5000 this is exactly the oracle's
     // pinned 10000-row sample (max(10000, 2k) = 10000), and oracles can
     // never reach past it (k > 5000 needs n > 625k corpus vectors).
+    // The auto path's paid-for count seeds the wide-sample prefilter.
     val sample = SimilaritySearch.sampleVectors(
-      corpus, idCol, vecCol, math.max(10000, 2 * k))
+      corpus, idCol, vecCol, math.max(10000, 2 * k), nRows)
     val centroids = SimilaritySearch.trainCentroidsRouted(
       sample, k, iters, routeThreshold)
     val assign =
@@ -1829,17 +1831,23 @@ object Dedup {
       corpus: DataFrame, idCol: String, vecCol: String,
       nClusters: Int = 0, iters: Int = 3,
       targetClusterSize: Int = 125): Unit = {
-    val (mat, k) =
-      if (nClusters > 0) (corpus, nClusters)
+    val (mat, k, nRows) =
+      if (nClusters > 0) (corpus, nClusters, 0L)
       else {
         // same eager materialization rationale as semanticPairs' auto
         // path: the build needs a count + the trainer sample + the full
         // assignment over a possibly-derived embedding frame
         val m = corpus.localCheckpoint(true)
-        (m, autoClusters(m.count(), targetClusterSize))
+        val n = m.count()
+        (m, autoClusters(n, targetClusterSize), n)
       }
+    // the count this path just paid seeds the trainer's wide-sample
+    // prefilter (VERDICT r18 next #4: the r17 25M/200k lifecycle paid
+    // ~2 extra full-corpus relax scans because the build's 400k-row
+    // sample started from the 1e9 default fraction)
     SimilaritySearch.buildIvfIndex(mat.sparkSession, catalog, db, name,
-      mat, nCentroids = k, iters = iters, idCol = idCol, vecCol = vecCol)
+      mat, nCentroids = k, iters = iters, idCol = idCol, vecCol = vecCol,
+      knownRowCount = nRows)
   }
 
   /** Incrementally extend a persisted SEMANTIC index (lifecycle parity

@@ -625,9 +625,15 @@ object SimilaritySearch {
       spark: SparkSession, catalog: graft.storage.SetCatalog,
       db: String, name: String, emb: DataFrame,
       nCentroids: Int = 16, iters: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      knownRowCount: Long = 0L): Unit = {
+    // knownRowCount seeds the trainer's wide-sample prefilter when the
+    // caller already paid for a count (persistSemanticIndex's auto
+    // path, a catalog set's sidecar) — at semantic k the sample is 2k
+    // rows and an unseeded prefilter can pay extra relax scans of the
+    // whole corpus (ADVICE r17 / VERDICT r18 next #4)
     val centroids = indexTrainCentroids(spark, emb, nCentroids, iters,
-      idCol, vecCol)
+      idCol, vecCol, knownRowCount)
     import spark.implicits._
     catalog.createSet(db, s"${name}_centroids",
       withRouteThreshold(spark,

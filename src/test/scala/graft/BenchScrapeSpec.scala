@@ -178,6 +178,19 @@ class BenchScrapeSpec extends AnyFunSuite {
     assert(Bench.isolatedValid(None, 42.0))
   }
 
+  /** The worst-case rendered flag-list fragment at the stdout budget:
+    * MAX over the two extreme shapes — (a) everything cleared (flagged
+    * renders its full 20-name budget), (b) nothing cleared (the
+    * 20-name budget goes to flag_uncleared, flagged renders empty +
+    * counter). Both built by the REAL renderer so the pin tracks it.
+    */
+  private def worstFlagLists(byLen: Seq[String]): String = {
+    val flagged = byLen.take(60) // large: all three "_more" counters render
+    val a = Bench.renderFlagLists(flagged, flagged.dropRight(3), Some(20))
+    val b = Bench.renderFlagLists(flagged, flagged.takeRight(3), Some(20))
+    if (a.length >= b.length) a else b
+  }
+
   test("worst-case summary LINE fits the driver's tail window whole") {
     val tailWindow = 2000
     val byLen = SparkEntry.queries.keySet.toSeq.sortBy(-_.length)
@@ -187,16 +200,12 @@ class BenchScrapeSpec extends AnyFunSuite {
       byLen.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")
     val calib = "\"calibration\":{\"start\":9999.999,\"end\":9999.999}"
     val iso = "\"isolated\":" +
-      byLen.take(10).map(entry).mkString("{", ",", "}") +
+      byLen.take(9).map(entry).mkString("{", ",", "}") +
       ",\"isolated_more\":999"
     val ref = "\"prev_ref\":{\"artifact\":\"BENCH_SF1_r99.json\"," +
       "\"shared_sum_prev\":99999.999,\"shared_sum_now\":99999.999," +
       "\"ratio\":99.999,\"calib_ratio\":99.999," +
-      "\"flag_metric\":\"wall\",\"flagged\":" +
-      byLen.take(20).map("\"" + _ + "\"").mkString("[", ",", "]") +
-      ",\"flagged_more\":999,\"flag_cleared_by_isolation\":" +
-      byLen.take(3).map("\"" + _ + "\"").mkString("[", ",", "]") +
-      ",\"cleared_more\":99}"
+      "\"flag_metric\":\"wall\"," + worstFlagLists(byLen) + "}"
     val line = "{\"metric\":\"total\",\"unit\":\"sec\"," +
       "\"sf\":\"/root/testdata/sf0.1\"," +
       s""""summary_of":9999,"queries":$top10,""" +
@@ -226,21 +235,19 @@ class BenchScrapeSpec extends AnyFunSuite {
     val failed = "\"failed\":" +
       longest.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")
     val calib = "\"calibration\":{\"start\":9999.999,\"end\":9999.999}"
-    // isolated: the stdout rendering is capped at 10 + counter (the
+    // isolated: the stdout rendering is capped at 9 + counter (the
     // exhaustive budget-capped loop may re-probe far more; the full
     // artifact carries every sample)
     val iso = "\"isolated\":" +
-      longest.take(10).map(entry).mkString("{", ",", "}") +
+      longest.take(9).map(entry).mkString("{", ",", "}") +
       ",\"isolated_more\":999"
-    // prev_ref: flagged rendering capped at 20 names + the counter
+    // prev_ref: flagged + flag_uncleared share a 20-name budget
+    // (survivors first), cleared capped at 3 — worst case over both
+    // extreme shapes, rendered by the real renderer
     val ref = "\"prev_ref\":{\"artifact\":\"BENCH_SF1_r99.json\"," +
       "\"shared_sum_prev\":99999.999,\"shared_sum_now\":99999.999," +
       "\"ratio\":99.999,\"calib_ratio\":99.999," +
-      "\"flag_metric\":\"wall\",\"flagged\":" +
-      longest.map("\"" + _ + "\"").mkString("[", ",", "]") +
-      ",\"flagged_more\":999,\"flag_cleared_by_isolation\":" +
-      longest.take(3).map("\"" + _ + "\"").mkString("[", ",", "]") +
-      ",\"cleared_more\":99}"
+      "\"flag_metric\":\"wall\"," + worstFlagLists(byLen) + "}"
     val summary =
       s"$failed,$calib,$iso,$ref,${"\"value\":99999.999}"}"
     // the summary must leave at least 25 top-cost query entries' worth
@@ -426,5 +433,66 @@ class BenchScrapeSpec extends AnyFunSuite {
     // under the wall metric all three judge by wall
     assert(Bench.clearedFlagsBy(Seq("q1", "q2", "q3"),
       prevWall, isoWall, prevCpu, isoCpu, "wall") == Seq("q1", "q2", "q3"))
+  }
+
+  test("flag_uncleared names every survivor on a 16-flag/13-cleared block") {
+    // VERDICT r18 What's-wrong #2: r18's artifact recorded the cleared
+    // list top-3 + counter, so the 3 SURVIVORS of 16 CPU flags could
+    // only be re-derived from the reprobes block. Survivors are the
+    // one list a reader must never have to infer: they must appear by
+    // name — exhaustively in the full artifact, and with priority
+    // inside the stdout name budget.
+    val flagged = (1 to 16).map(i => f"q$i%02d")
+    val survivors = Seq("q03", "q09", "q16")
+    val cleared = flagged.filterNot(survivors.contains)
+    for (budget <- Seq(Some(20), None)) {
+      val block = Bench.renderFlagLists(flagged, cleared, budget)
+      val unclr = """"flag_uncleared":\[([^\]]*)\]""".r
+        .findFirstMatchIn(block).map(_.group(1)).getOrElse(
+          fail(s"no flag_uncleared in $block"))
+      assert(unclr == survivors.map("\"" + _ + "\"").mkString(","),
+        s"survivors must be named exhaustively (budget=$budget): $block")
+      assert(!block.contains("uncleared_more"),
+        "a 3-survivor list must never truncate")
+    }
+    // full variant names everything; stdout variant shares the 20-name
+    // budget: 3 uncleared -> 17 slots for flagged (16 fit, no counter)
+    val full = Bench.renderFlagLists(flagged, cleared, None)
+    flagged.foreach(n => assert(full.contains("\"" + n + "\"")))
+    assert(!full.contains("_more"))
+    // nothing cleared: the whole budget goes to the survivors and
+    // flagged's own rendering shrinks to counters — no name is lost
+    // because uncleared IS the flagged list
+    val none = Bench.renderFlagLists((1 to 30).map(i => s"p$i"),
+      Seq.empty, Some(20))
+    assert(none.contains(""""flagged":[],"flagged_more":30"""))
+    assert(none.contains(""""uncleared_more":10"""))
+    (1 to 20).foreach(i => assert(none.contains("\"p" + i + "\"")))
+  }
+
+  test("cpu flag baseline is the median per-run mean, falling back to the max map") {
+    // ADVICE r18: the merged artifact's "cpu" map is max-of-run-means
+    // while the current side is ONE run's mean — ratioing cur/max
+    // biases downward after merges. Where cpu_runs exists the baseline
+    // is the MEDIAN run mean (like-for-like); older artifacts fall
+    // back to the max map.
+    val cpuMax = Map("q1" -> 9.0, "q2" -> 4.0, "q3" -> 2.0)
+    val runs = Map(
+      "q1" -> Seq(9.0, 3.0, 3.2), // median 3.2, not the 9.0 outlier max
+      "q2" -> Seq(4.0))           // single run: median == the run
+    val base = Bench.cpuFlagBaseline(cpuMax, runs)
+    assert(base("q1") == 3.2 && base("q2") == 4.0)
+    assert(base("q3") == 2.0, "no cpu_runs entry -> fall back to cpu map")
+    // even-count median averages the middle pair
+    assert(Bench.cpuFlagBaseline(Map("q" -> 9.0),
+      Map("q" -> Seq(1.0, 2.0, 3.0, 9.0)))("q") == 2.5)
+  }
+
+  test("parseCpuRunsMap reads per-run means and survives junk") {
+    val text = """{"metric":"total","cpu":{"q1":9.0},""" +
+      """"cpu_runs":{"q1":[9.0,3.0],"q2":[],"q3":["x"]},"value":1}"""
+    assert(Bench.parseCpuRunsMap(text) == Map("q1" -> Seq(9.0, 3.0)))
+    assert(Bench.parseCpuRunsMap("{}").isEmpty)
+    assert(Bench.parseCpuRunsMap("not json").isEmpty)
   }
 }
