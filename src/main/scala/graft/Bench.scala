@@ -1009,11 +1009,19 @@ object Bench {
         m.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + r3(v) }
           .mkString("{", ",", "}")
-      // cross-RUN combine for cpu/shuffle: MAX of the runs' means —
-      // an IO window cannot inflate executor CPU, but an attribution
-      // miss can deflate it, so the largest run-mean is the least
-      // corrupted estimate (and one clean later run repairs a
-      // corrupted committed map through the merge)
+      // cross-RUN combine for cpu/shuffle: MAX of the runs' means.
+      // An IO window cannot inflate executor CPU, so max self-repairs
+      // the DEFLATED side of attribution noise (one clean later run
+      // fixes a corrupted committed entry through the merge). The
+      // r19 session showed the other side exists too: conservation
+      // means the window that loses events has a neighbor that GAINS
+      // them, and max locks the inflated neighbor in (r18's
+      // pipe_all_budget carried 175 CPU-s against a ~50 s true cost).
+      // That is why ADJUDICATION no longer reads this map — flags
+      // ratio against the MEDIAN of "cpu_runs" (cpuFlagBaseline), and
+      // tools/scalereport.py prefers the same median; "cpu" stays the
+      // max estimate because it is the one aggregation a single clean
+      // run can still repair upward through a merge.
       def maxMerge(old: Map[String, Double],
           cur: Map[String, Double]): Map[String, Double] =
         (old.keySet ++ cur.keySet).iterator.map { k =>
