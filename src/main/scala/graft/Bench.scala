@@ -312,6 +312,23 @@ object Bench {
     s""""flagged":$flaggedJson$clearedJson$unclearedJson"""
   }
 
+  /** Operator-internals diagnostics for the committed artifact
+    * (VERDICT r18 stretch #8): the distributed union-find's pass count
+    * (bounded O(log diameter); −1 = driver regime / not exercised) and
+    * the wide-sample prefilter's attempt/hit counters (a
+    * certification-rate regression — hits falling behind attempts —
+    * shows up in the artifact diff, not only in a soak re-run).
+    * Counters cover THIS run's queries, cumulative across the JVM.
+    * Shape pinned by BenchScrapeSpec.
+    */
+  private[graft] def renderDiagnostics(): String =
+    s""""diagnostics":{"cc_passes":${
+      graft.operators.Dedup.lastCcPasses},""" +
+      s""""sampler_attempts":${
+        graft.operators.SimilaritySearch.samplePrefilterAttempts.get()},""" +
+      s""""sampler_hits":${
+        graft.operators.SimilaritySearch.samplePrefilterHits.get()}}"""
+
   /** Artifact-family prefix for the prev-ref lookup. The default family
     * is the driver's sf0.1 `BENCH_r{N}.json`; the per-round synthetic-sf1
     * bench (README "Bench at the synthetic decade") sets
@@ -1049,21 +1066,7 @@ object Bench {
         if (isoDropped.isEmpty) ""
         else s""","iso_dropped":""" +
           isoDropped.map("\"" + _ + "\"").mkString("[", ",", "]")
-      // Operator-internals diagnostics (VERDICT r18 stretch #8): the
-      // distributed union-find's pass count (bounded O(log diameter);
-      // −1 = driver regime / not exercised) and the wide-sample
-      // prefilter's attempt/hit counters (a certification-rate
-      // regression — hits falling behind attempts — shows up in the
-      // artifact diff, not only in a soak re-run). Counters cover THIS
-      // run's queries, cumulative across the JVM.
-      val diagJson =
-        s""""diagnostics":{"cc_passes":${
-          graft.operators.Dedup.lastCcPasses},""" +
-          s""""sampler_attempts":${
-            graft.operators.SimilaritySearch
-              .samplePrefilterAttempts.get()},""" +
-          s""""sampler_hits":${
-            graft.operators.SimilaritySearch.samplePrefilterHits.get()}}"""
+      val diagJson = renderDiagnostics()
       val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
         s""""queries":$qs,"failed":$failedJson,$calibJson,""" +
         s""""isolated":$isoJson$isoInvalidJson$isoDroppedJson,$refJsonFull,""" +

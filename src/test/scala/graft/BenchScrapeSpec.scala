@@ -488,6 +488,21 @@ class BenchScrapeSpec extends AnyFunSuite {
       Map("q" -> Seq(1.0, 2.0, 3.0, 9.0)))("q") == 2.5)
   }
 
+  test("diagnostics block renders the pinned shape and parses as JSON") {
+    // VERDICT r18 stretch #8: operator-internals counters ride the
+    // committed artifact so a union-find pass-count or
+    // sampler-certification regression is an artifact diff, not a
+    // soak-rerun discovery. The keys are load-bearing for that diff.
+    val block = Bench.renderDiagnostics()
+    val parsed = org.json4s.jackson.JsonMethods.parse("{" + block + "}")
+    val keys = parsed \ "diagnostics" match {
+      case org.json4s.JObject(fs) => fs.map(_._1)
+      case other => fail(s"diagnostics must be an object, got $other")
+    }
+    assert(keys == List("cc_passes", "sampler_attempts", "sampler_hits"),
+      s"pinned key set changed: $keys")
+  }
+
   test("parseCpuRunsMap reads per-run means and survives junk") {
     val text = """{"metric":"total","cpu":{"q1":9.0},""" +
       """"cpu_runs":{"q1":[9.0,3.0],"q2":[],"q3":["x"]},"value":1}"""
