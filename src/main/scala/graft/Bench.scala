@@ -57,6 +57,31 @@ object Bench {
   private[graft] case class PassStats(
       wall: Double, cpu: Double, shuffle: Double)
 
+  /** Physical-plausibility screen for per-pass CPU samples (VERDICT r19
+    * What's-wrong #1 / next #1): a pass's summed executor task CPU
+    * cannot exceed `cpus × wall` on a `local[cpus]` box — anything
+    * above is listener-bus attribution corruption (a stalled drain
+    * shifting a NEIGHBORING pass's task events into this window;
+    * r19 committed dd_cross_indexed at 190.7 CPU-s against a 4.81 s
+    * wall, 32 × 4.81 ≈ 154 s being the hard bound). Corrupted samples
+    * are DROPPED (cpu → NaN, excluded by the meanOk aggregate), not
+    * clamped: the bound is still a wild overestimate of true work, and
+    * the max-of-run-means "cpu" merge would lock a clamped value in as
+    * the best estimate for every later round. The raw dropped values
+    * are returned so the artifact can name them under "cpu_invalid".
+    * Wall and shuffle stay untouched — the wall clock is read directly
+    * and an IO window cannot fabricate shuffle bytes.
+    */
+  private[graft] def screenCpu(
+      stats: Seq[PassStats], cpus: Int): (Seq[PassStats], Seq[Double]) = {
+    val screened = stats.map { s =>
+      if (!s.cpu.isNaN && !s.wall.isNaN && s.cpu > cpus.toDouble * s.wall)
+        (s.copy(cpu = Double.NaN), Some(s.cpu))
+      else (s, None)
+    }
+    (screened.map(_._1), screened.flatMap(_._2))
+  }
+
   /** Accumulates executor task CPU time and shuffle bytes across ALL
     * jobs (including Structured Streaming micro-batch threads, which a
     * job-group attribution would miss — st_* queries run their work on
@@ -303,7 +328,14 @@ object Bench {
         (if (cleared.size > clearedShown.size)
            s""","cleared_more":${cleared.size - clearedShown.size}"""
          else "")
-    val unclearedJson = if (uncleared.isEmpty) "" else
+    // The committed full artifact (nameBudget = None) carries
+    // "flag_uncleared" even when EMPTY (VERDICT r19 next #5): an
+    // omitted field is indistinguishable at a glance from an artifact
+    // that predates the field, which is exactly the inference burden
+    // the survivors list exists to remove. The tail-budgeted stdout
+    // variants still omit it when empty — every byte there fights the
+    // driver's bounded tail window.
+    val unclearedJson = if (uncleared.isEmpty && nameBudget.isDefined) "" else
       s""","flag_uncleared":""" +
         unclrShown.map("\"" + _ + "\"").mkString("[", ",", "]") +
         (if (uncleared.size > unclrShown.size)
@@ -541,10 +573,10 @@ object Bench {
     * then falls back to the max-aggregated "cpu" map.
     */
   private[graft] def parseCpuRunsMap(
-      text: String): Map[String, Seq[Double]] = {
+      text: String, field: String = "cpu_runs"): Map[String, Seq[Double]] = {
     import org.json4s._
     try {
-      org.json4s.jackson.JsonMethods.parse(text) \ "cpu_runs" match {
+      org.json4s.jackson.JsonMethods.parse(text) \ field match {
         case JObject(fields) => fields.flatMap { case (k, v) =>
           v match {
             case JArray(vs) =>
@@ -717,9 +749,16 @@ object Bench {
     // sequentially; drain() bounds the listener bus's asynchrony). The
     // wall clock stops BEFORE the drain wait, so the timed number is
     // unchanged by the instrumentation.
+    // Physically impossible CPU samples are dropped AT RECORD TIME
+    // (VERDICT r19 next #1, see screenCpu) — every consumer downstream
+    // (run means, cpu_runs, isolation clearing) sees only plausible
+    // samples, and the raw corrupt values are named per query under
+    // "cpu_invalid" in the committed artifact.
+    val cpuInvalid =
+      scala.collection.mutable.Map.empty[String, Vector[Double]]
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        n: Int): Seq[PassStats] =
-      (1 to n).map { _ =>
+        n: Int): Seq[PassStats] = {
+      val raw = (1 to n).map { _ =>
         cpuListener.drain()
         val (c0, s0) = cpuListener.snapshot()
         val t0 = System.nanoTime()
@@ -734,6 +773,15 @@ object Bench {
           PassStats(Double.NaN, Double.NaN, Double.NaN)
         }
       }
+      val (screened, dropped) = screenCpu(raw, cpus.toInt)
+      if (dropped.nonEmpty) {
+        cpuInvalid(name) = cpuInvalid.getOrElse(name, Vector.empty) ++ dropped
+        System.err.println(s"[bench] $name: dropped ${dropped.size} " +
+          s"corrupted CPU sample(s) above the $cpus×wall bound: " +
+          dropped.map(d => f"$d%.1f").mkString(","))
+      }
+      screened
+    }
     def minOk(v: Seq[Double]): Option[Double] = {
       val ok = v.filterNot(_.isNaN)
       if (ok.isEmpty) None else Some(ok.min)
@@ -1061,6 +1109,17 @@ object Bench {
       val shufJson = renderNumMap(shuffleMb)
       val cpuRunsJson =
         renderRunsMap(cpuByQuery.map { case (k, v) => k -> Seq(v) })
+      // Corrupted CPU samples dropped by the record-time screen, named
+      // with their raw values (VERDICT r19 next #1). Only rendered when
+      // non-empty in THIS run; merges append to any existing list so a
+      // corruption event never silently disappears from the round record.
+      def cpuInvalidJson(old: Map[String, Seq[Double]]): String = {
+        val merged = (old.keySet ++ cpuInvalid.keySet).iterator.map { k =>
+          k -> (old.getOrElse(k, Seq.empty) ++
+            cpuInvalid.getOrElse(k, Vector.empty))
+        }.toMap
+        if (merged.isEmpty) "" else s""","cpu_invalid":${renderRunsMap(merged)}"""
+      }
       // isolation-budget residue is machine-readable, not log-only
       val isoDroppedJson =
         if (isoDropped.isEmpty) ""
@@ -1070,7 +1129,7 @@ object Bench {
       val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
         s""""queries":$qs,"failed":$failedJson,$calibJson,""" +
         s""""isolated":$isoJson$isoInvalidJson$isoDroppedJson,$refJsonFull,""" +
-        s""""cpu":$cpuJson,"cpu_runs":$cpuRunsJson,""" +
+        s""""cpu":$cpuJson,"cpu_runs":$cpuRunsJson${cpuInvalidJson(Map.empty)},""" +
         s""""shuffle_mb":$shufJson,$diagJson,"passes":$ps,""" +
         s""""value":${r3(total)}}"""
       val bytes = (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -1168,7 +1227,9 @@ object Bench {
                 s""""queries":$mQs,"failed":$mFailed,$calibJson,""" +
                 s""""isolated":$isoJson$isoInvalidJson$isoDroppedJson,""" +
                 s"""$refJsonFull,"merged_runs":${oldRuns + 1},"cpu":$mCpu,""" +
-                s""""cpu_runs":$mCpuRuns,"shuffle_mb":$mShuf,$diagJson,""" +
+                s""""cpu_runs":$mCpuRuns${
+                  cpuInvalidJson(parseCpuRunsMap(oldText, "cpu_invalid"))
+                },"shuffle_mb":$mShuf,$diagJson,""" +
                 s""""passes":$mPs$reBlock,""" +
                 s""""value":$mVal}""" + "\n"
             }

@@ -159,8 +159,13 @@ object SimilaritySearch {
 
   /** Above this, [[sampleVectors]] prefilters by key prefix before the
     * top-k: the direct plan's driver merge is partitions×limit rows.
+    * Package-visible so regime-aware callers (SemScale's prefilter
+    * certification gate — ADVICE r19: requiring exactly one attempt
+    * crashed every run whose sample fit the DIRECT path, which takes
+    * zero attempts by design) can compute the expected attempt count
+    * instead of hardcoding the wide regime's.
     */
-  private val directSampleLimit = 65536
+  private[graft] val directSampleLimit = 65536
 
   def trainCentroids(
       emb: DataFrame, nCentroids: Int, iters: Int,
@@ -535,6 +540,18 @@ object SimilaritySearch {
       routeThreshold: Int = 2048): Array[Array[Double]] = {
     if (nCentroids <= routeThreshold)
       return trainCentroidsFromSample(sample, nCentroids, iters)
+    // HUGE codebooks (k above treeTrainThreshold — the 2M+-row semantic
+    // builds) take the hierarchical trainer: the two-level routed Lloyd
+    // below is O(sample·√k·d) per iteration with sample ∝ 2k, i.e.
+    // ~O(k^1.5) single-threaded, and SEMDEDUP_SCALE_r19 measured it as
+    // the build's asymptotic ceiling (train_s 10.49 → 89.98 for a 2.5×
+    // row step, exp 2.35, while every other stage is cluster-parallel —
+    // VERDICT r19 next #2). The tree is O(sample·b·log_b k·d) total and
+    // parallel across driver cores. The two-level path stays untouched
+    // in its regime: its bit-parity contract (delegation below the
+    // threshold, flat agreement on separated blobs) is spec-pinned.
+    if (nCentroids > treeTrainThreshold)
+      return trainCentroidsTree(sample, nCentroids, iters)
     var centroids = sample.take(nCentroids).map(_.clone())
     for (_ <- 1 to iters) {
       val (coarse, members) = coarseRouter(centroids, sqrtCells(nCentroids), 2)
@@ -563,6 +580,168 @@ object SimilaritySearch {
       }.toArray
     }
     centroids
+  }
+
+  /** Above this codebook size [[trainCentroidsRouted]] dispatches to
+    * [[trainCentroidsTree]]. 16384 keeps every oracle-scale and
+    * ANN-scale build (k ≤ a few thousand) and the spec-pinned
+    * mid-size routed regime on their existing paths; only the
+    * semantic-index builds over multi-million-row corpora (k = n/125)
+    * cross it, and there the two-level trainer's ~O(k^1.5) driver cost
+    * is the measured ceiling (SEMDEDUP_SCALE_r19: exp 2.35).
+    */
+  private[graft] val treeTrainThreshold = 16384
+
+  /** Branch factor of the hierarchical trainer: per level each node
+    * splits its rows across ≤256 children, so per-row routing work per
+    * level is a flat 256-way argmin and depth is log₂₅₆ k (3 levels at
+    * k = 2M). 256 balances per-level cost (∝ b) against depth (∝ 1/log b).
+    */
+  private[graft] val treeBranch = 256
+
+  /** Hierarchical k-means ("vocabulary tree", Nistér & Stewénius CVPR
+    * 2006 — the public method the routed trainer's scaladoc already
+    * cites) for HUGE codebooks: recursively split the sample into ≤
+    * [[treeBranch]] cells per level until a node's centroid budget fits
+    * one flat Lloyd, apportioning each node's budget across its
+    * children proportional to their row counts (largest remainder,
+    * capped by rows — cells that attract more sample rows get more
+    * centroids, which is what keeps corpus cells near the 125-row
+    * target). Total driver work is O(sample·b·d·log_b k) — measured
+    * exp ~1.0/decade where the two-level routed Lloyd reads 2.35 — and
+    * every phase is parallel over driver cores: per-node coarse
+    * training, per-chunk row assignment, per-leaf Lloyd all write
+    * disjoint slots and merge in fixed index order, so the output is
+    * DETERMINISTIC under any thread schedule. At the 250M-row
+    * extrapolation (k = 2M, sample = 4M) the remaining driver bound is
+    * ~5·10¹⁰ mults ≈ seconds-to-a-minute across 32 cores — no longer
+    * the build's asymptotic ceiling (the cluster-parallel corpus
+    * assignment is). A Spark fan-out of the same step would pay
+    * broadcast+collect barriers per level for sub-minute work; the
+    * driver tree keeps the build's only collect the sample itself.
+    *
+    * Output contract matches the flat/routed trainers: exactly
+    * `nCentroids` rows when `sample.length > nCentroids` (leaf Lloyd
+    * over ≥ kᵢ rows each), the flat trainer's own short-array
+    * degenerate otherwise. Centroid ORDER is tree order (children in
+    * coarse-cell index order) — a permutation of no significance to
+    * any caller: every consumer treats the array index as an opaque
+    * bucket id.
+    */
+  private[graft] def trainCentroidsTree(
+      sample: Array[Array[Double]], nCentroids: Int,
+      iters: Int): Array[Array[Double]] = {
+    if (sample.length <= nCentroids || nCentroids <= treeBranch)
+      return trainCentroidsFromSample(sample, nCentroids, iters)
+    val out = new Array[Array[Double]](nCentroids)
+    val cores = math.max(1, Runtime.getRuntime.availableProcessors())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(cores)
+    // phase-synchronous parallel map: tasks joined in ORDER before the
+    // next phase starts — no nested submission, so a fixed pool cannot
+    // deadlock, and results are position-stable regardless of schedule
+    def parMap[A, B](items: IndexedSeq[A])(f: A => B): IndexedSeq[B] = {
+      import scala.jdk.CollectionConverters._
+      val futures = pool.invokeAll(
+        items.map(a => new java.util.concurrent.Callable[B] {
+          override def call(): B = f(a)
+        }).asJava)
+      futures.asScala.map(_.get()).toIndexedSeq
+    }
+    try {
+      // (rows, k, offset): this node owns out[offset, offset + k)
+      var frontier: IndexedSeq[(Array[Array[Double]], Int, Int)] =
+        IndexedSeq((sample, nCentroids, 0))
+      while (frontier.nonEmpty) {
+        val (leaves, internal) =
+          frontier.partition { case (rows, k, _) =>
+            k <= treeBranch || rows.length <= k
+          }
+        parMap(leaves) { case (rows, k, off) =>
+          val cs = trainCentroidsFromSample(rows, k, iters)
+          System.arraycopy(cs, 0, out, off, cs.length)
+        }
+        // internal nodes: train a b-way coarse split on a hash-order
+        // prefix subsample (the sample is md5-ordered, so any prefix —
+        // of the node's rows, which inherit that order through stable
+        // partitioning — is a uniform subsample of the node)
+        val coarse = parMap(internal) { case (rows, _, _) =>
+          trainCentroidsFromSample(
+            rows.take(math.min(rows.length, 8 * treeBranch)),
+            treeBranch, iters)
+        }
+        // row → coarse cell, chunk-parallel across ALL (node, chunk)
+        // pairs so the single-node root level still uses every core
+        val assigns = internal.map { case (rows, _, _) =>
+          new Array[Int](rows.length)
+        }
+        val chunk = 8192
+        parMap(for {
+          ni <- internal.indices
+          start <- 0 until internal(ni)._1.length by chunk
+        } yield (ni, start)) { case (ni, start) =>
+          val rows = internal(ni)._1
+          val cs = coarse(ni)
+          val idx = assigns(ni)
+          var i = start
+          val end = math.min(rows.length, start + chunk)
+          while (i < end) { idx(i) = nearest(cs, rows(i)); i += 1 }
+        }
+        frontier = parMap(internal.indices) { ni =>
+          val (rows, k, off) = internal(ni)
+          val nCells = coarse(ni).length
+          val counts = new Array[Int](nCells)
+          assigns(ni).foreach(c => counts(c) += 1)
+          val ks = apportion(k, counts)
+          // stable partition: each cell's rows keep their relative
+          // (hash) order, so deeper prefix subsamples stay uniform
+          val cells = Array.tabulate(nCells)(c =>
+            new scala.collection.mutable.ArrayBuffer[Array[Double]](counts(c)))
+          rows.indices.foreach(i => cells(assigns(ni)(i)) += rows(i))
+          val offs = ks.scanLeft(off)(_ + _)
+          (0 until nCells).collect {
+            case c if ks(c) > 0 => (cells(c).toArray, ks(c), offs(c))
+          }
+        }.flatten
+      }
+    } finally pool.shutdown()
+    out
+  }
+
+  /** Largest-remainder apportionment of `k` centroids across cells
+    * proportional to their row counts, each share capped by the cell's
+    * own rows (a cell can never owe more centroids than it has rows to
+    * train them on). Deterministic: remainders tie-break on cell
+    * index. Requires Σcounts ≥ k; returns shares summing exactly to k.
+    */
+  private[graft] def apportion(k: Int, counts: Array[Int]): Array[Int] = {
+    val total = counts.map(_.toLong).sum
+    require(total >= k, s"cannot apportion $k centroids over $total rows")
+    val ks = new Array[Int](counts.length)
+    val frac = new Array[Double](counts.length)
+    var placed = 0
+    var c = 0
+    while (c < counts.length) {
+      val quota = k.toDouble * counts(c) / total
+      ks(c) = math.min(counts(c), quota.toInt)
+      frac(c) = quota - quota.toInt
+      placed += ks(c)
+      c += 1
+    }
+    // distribute the remainder by (fraction desc, index asc) among
+    // cells with spare capacity; loop — caps can force extra rounds,
+    // and Σcounts ≥ k guarantees termination
+    while (placed < k) {
+      val order = counts.indices
+        .filter(c => ks(c) < counts(c))
+        .sortBy(c => (-frac(c), c))
+      var i = 0
+      while (i < order.length && placed < k) {
+        ks(order(i)) += 1
+        placed += 1
+        i += 1
+      }
+    }
+    ks
   }
 
   private def nearest(centroids: Array[Array[Double]], v: Array[Double]): Int = {

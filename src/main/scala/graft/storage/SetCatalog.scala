@@ -86,21 +86,30 @@ object SetCatalog {
     * file's mtime age (the shared filesystem's clock), so breaking
     * requires BOTH to exceed the TTL. A skewed-BEHIND remote clock
     * (ancient-looking stamp on a fresh file) cannot make a live
-    * holder breakable, and a skewed-AHEAD clock (negative stamp age)
-    * still expires once the file itself is TTL-old — the shared-root
-    * scenario the foreign TTL targets is exactly where host clocks
-    * may disagree (ADVICE r18). Unstamped leases stay unbreakable
-    * regardless of mtime (pre-r18 semantics).
+    * holder breakable (ADVICE r18) — the shared-root scenario the
+    * foreign TTL targets is exactly where host clocks may disagree.
+    * A skewed-AHEAD clock writes a NEGATIVE stamp age; a stamp in the
+    * future is never evidence of liveness beyond what the file's own
+    * mtime shows, so negative stamp ages are discarded and the mtime
+    * age alone decides (ADVICE r19: min(negative, mtime) kept the
+    * negative side, so a corrupted far-future stamp — Long.MaxValue —
+    * blocked maintenance indefinitely and read as live forever;
+    * clamped, blocking under skew is bounded by the TTL from the
+    * file's last touch). A negative stamp on an mtime-unreadable
+    * lease stays unbreakable — no clock evidences staleness there.
+    * Unstamped leases stay unbreakable regardless of mtime (pre-r18
+    * semantics).
     */
   private[graft] def foreignLeaseAge(
       p: java.nio.file.Path, h: LeaseHolder): Option[Long] =
-    h.acquiredAt.map { stamp =>
+    h.acquiredAt.flatMap { stamp =>
       val stampAge = System.currentTimeMillis() - stamp
       val mtimeAge =
         try Some(System.currentTimeMillis() -
           java.nio.file.Files.getLastModifiedTime(p).toMillis)
         catch { case _: Exception => None }
-      mtimeAge.fold(stampAge)(math.min(stampAge, _))
+      if (stampAge < 0) mtimeAge
+      else Some(mtimeAge.fold(stampAge)(math.min(stampAge, _)))
     }
 
   private[graft] case class LeaseHolder(

@@ -509,5 +509,55 @@ class BenchScrapeSpec extends AnyFunSuite {
     assert(Bench.parseCpuRunsMap(text) == Map("q1" -> Seq(9.0, 3.0)))
     assert(Bench.parseCpuRunsMap("{}").isEmpty)
     assert(Bench.parseCpuRunsMap("not json").isEmpty)
+    // the same parser reads the cpu_invalid append-list by field name
+    val inv = """{"metric":"total","cpu_invalid":{"q9":[190.7]},"v":1}"""
+    assert(Bench.parseCpuRunsMap(inv, "cpu_invalid") ==
+      Map("q9" -> Seq(190.7)))
+  }
+
+  test("physically impossible CPU samples are dropped at record time and named") {
+    // VERDICT r19 What's-wrong #1 / next #1: BENCH_full_r19.json
+    // committed dd_cross_indexed at 190.7 CPU-s against a 4.81 s wall —
+    // the hard bound on a 32-core box is 32×4.81 ≈ 154 s, so the sample
+    // is listener-bus attribution corruption, not work, and it reached
+    // the headline "cpu" map through the mean → max pipeline. The screen
+    // drops such a pass's CPU at record time (NaN — excluded by the
+    // mean) and returns the raw value so the artifact can name it.
+    val passes = Seq(
+      Bench.PassStats(4.81, 15.2, 1.0),
+      Bench.PassStats(4.90, 19.7, 1.0),
+      Bench.PassStats(4.75, 16.1, 1.0),
+      Bench.PassStats(4.81, 190.7, 1.0)) // 40× the others, > 32×wall
+    val (screened, dropped) = Bench.screenCpu(passes, cpus = 32)
+    assert(dropped == Seq(190.7), "the corrupt pass must be named")
+    assert(screened.map(_.wall) == passes.map(_.wall),
+      "walls are measured directly and must never be touched")
+    assert(screened(3).cpu.isNaN, "the corrupt sample must leave the mean")
+    val mean = screened.map(_.cpu).filterNot(_.isNaN)
+    assert(mean.forall(_ <= 32 * 4.90) && mean.size == 3)
+    // a pass at full 32-core utilization is physically possible: kept
+    val (ok, none) = Bench.screenCpu(
+      Seq(Bench.PassStats(2.0, 64.0, 0.0)), cpus = 32)
+    assert(none.isEmpty && ok.head.cpu == 64.0)
+    // failed passes (NaN wall + NaN cpu) pass through unjudged
+    val (fail, noneF) = Bench.screenCpu(
+      Seq(Bench.PassStats(Double.NaN, Double.NaN, Double.NaN)), cpus = 32)
+    assert(noneF.isEmpty && fail.head.cpu.isNaN)
+  }
+
+  test("committed variant carries flag_uncleared even when empty; stdout omits it") {
+    // VERDICT r19 next #5: an omitted field is indistinguishable at a
+    // glance from an artifact predating the field — "zero survivors"
+    // must be a literal [] in the committed full artifact.
+    val flagged = Seq("q1", "q2")
+    val allCleared = Bench.renderFlagLists(flagged, flagged, None)
+    assert(allCleared.contains(""""flag_uncleared":[]"""),
+      s"committed variant must carry the empty survivors list: $allCleared")
+    val stdout = Bench.renderFlagLists(flagged, flagged, Some(20))
+    assert(!stdout.contains("flag_uncleared"),
+      s"tail-budgeted stdout variant still omits the empty list: $stdout")
+    // no flags at all: same rule
+    assert(Bench.renderFlagLists(Nil, Nil, None)
+      .contains(""""flag_uncleared":[]"""))
   }
 }

@@ -448,6 +448,35 @@ class CatalogSpec extends GraftSpecBase {
     assert(eSkew.getMessage.contains("FOREIGN"),
       "an expired stamp on a fresh file (skewed remote clock) must " +
         s"still block: ${eSkew.getMessage}")
+    // (d1) a FAR-FUTURE stamp (skewed-AHEAD remote clock, or outright
+    // corruption — Long.MaxValue) is never liveness evidence: on a
+    // FRESH file it blocks like any in-TTL holder, but once the file
+    // itself is TTL-old the mtime alone decides and the break proceeds
+    // (ADVICE r19: min(negative stamp age, mtime age) kept the
+    // negative side, making a corrupted stamp block maintenance
+    // FOREVER)
+    Files.writeString(lease,
+      s"otherhost.example:${Long.MaxValue}:${Long.MaxValue}")
+    val eFuture = intercept[IllegalStateException] {
+      sets.swapSetGroup("db", Seq("t_rebuild" -> "t"))
+    }
+    assert(eFuture.getMessage.contains("FOREIGN"),
+      "a future stamp on a fresh file must still block (mtime is " +
+        s"fresh): ${eFuture.getMessage}")
+    Files.setLastModifiedTime(lease, java.nio.file.attribute.FileTime
+      .fromMillis(now - SetCatalog.LeaseForeignTtlMillis - 60000L))
+    sets.swapSetGroup("db", Seq("t_rebuild" -> "t"))
+    assert(sets.scanSet("db", "t").count() == 9L,
+      "a corrupted far-future stamp on a TTL-old file must be " +
+        "breakable via the mtime clock, not block forever")
+    assert(!Files.exists(lease), "lease must be released after the swap")
+    // re-stage for the remaining cases (the swap above consumed
+    // t_rebuild)
+    sets.createSet("db", "t_rebuild", Tables.nation(spark, sfDir).limit(9),
+      policy = "none")
+    sets.markStaging("db", "t_rebuild")
+    Files.writeString(lease, s"otherhost.example:${Long.MaxValue}:" +
+      (now - SetCatalog.LeaseForeignTtlMillis - 60000L))
     // (d) a foreign lease OLDER than the generous TTL — stamp AND file
     // mtime both expired — is a crashed host's leftover: broken, swap
     // proceeds

@@ -863,6 +863,75 @@ class PipelineSpec extends GraftSpecBase {
     assert(flat4.zip(routed4).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("tree trainer: flat delegation at leaf scale, exact-k deterministic output above it") {
+    // VERDICT r19 next #2: the two-level routed Lloyd is ~O(k^1.5)
+    // single-threaded and measured exp 2.35 at semantic-auto-k — huge
+    // codebooks train on the hierarchical tree instead. Its contract:
+    // (a) at or below the branch factor it IS the flat trainer;
+    // (b) above it, exactly k centroids, deterministic under the
+    //     parallel phases (disjoint slots, fixed merge order);
+    // (c) every centroid is a mean of sample rows — inside the data's
+    //     bounding box.
+    import graft.operators.SimilaritySearch.{
+      trainCentroidsFromSample, trainCentroidsTree, treeBranch}
+    val small = Array.tabulate(600)(i =>
+      Array((i * 37 % 101).toDouble, (i * 17 % 89).toDouble))
+    val flat = trainCentroidsFromSample(small, treeBranch, 3)
+    val tree = trainCentroidsTree(small, treeBranch, 3)
+    assert(flat.zip(tree).forall { case (a, b) => a.sameElements(b) },
+      "k <= treeBranch must delegate to the flat trainer bit-for-bit")
+    // above the branch factor: 1024 rows, k = 400 forces a real split
+    val sample = Array.tabulate(1024)(i =>
+      Array((i * 193 % 997).toDouble, (i * 71 % 499).toDouble,
+        (i * 29 % 251).toDouble))
+    val a = trainCentroidsTree(sample, 400, 3)
+    val b = trainCentroidsTree(sample, 400, 3)
+    assert(a.length == 400, s"exactly k centroids, got ${a.length}")
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) },
+      "parallel phases must be deterministic under any thread schedule")
+    val lo = Array.tabulate(3)(d => sample.map(_(d)).min)
+    val hi = Array.tabulate(3)(d => sample.map(_(d)).max)
+    assert(a.forall(c => c.indices.forall(d =>
+      c(d) >= lo(d) && c(d) <= hi(d))),
+      "every centroid is a mean of sample rows (bounding box)")
+    // degenerate: sample no larger than k mirrors the flat trainer's
+    // short-array behavior
+    val tiny = sample.take(300)
+    assert(trainCentroidsTree(tiny, 400, 3).length ==
+      trainCentroidsFromSample(tiny, 400, 3).length)
+  }
+
+  test("routed trainer dispatches to the tree above treeTrainThreshold") {
+    import graft.operators.SimilaritySearch.{
+      trainCentroidsRouted, trainCentroidsTree, treeTrainThreshold}
+    val k = treeTrainThreshold + 1
+    val sample = Array.tabulate(2 * k + 2)(i =>
+      Array((i * 193 % 4001).toDouble, (i * 71 % 1999).toDouble))
+    val viaRouted = trainCentroidsRouted(sample, k, iters = 2)
+    val viaTree = trainCentroidsTree(sample, k, iters = 2)
+    assert(viaRouted.length == k)
+    assert(viaRouted.zip(viaTree).forall { case (x, y) => x.sameElements(y) },
+      "above the tree threshold the routed entry point IS the tree")
+  }
+
+  test("apportion: exact total, per-cell capacity cap, deterministic remainders") {
+    import graft.operators.SimilaritySearch.apportion
+    // proportional shares with caps: a cell never owes more centroids
+    // than rows, the total is exactly k, ties break on index
+    val ks = apportion(10, Array(50, 30, 20))
+    assert(ks.sum == 10 && ks.sameElements(Array(5, 3, 2)))
+    // capacity-capped cell pushes its share to cells with spare rows
+    val capped = apportion(10, Array(2, 100, 3))
+    assert(capped.sum == 10 && capped(0) <= 2 && capped(2) <= 3)
+    // empty cells get nothing; exact-fit apportions everything
+    assert(apportion(5, Array(0, 5, 0)).sameElements(Array(0, 5, 0)))
+    // remainder rounds deterministically (fraction desc, index asc)
+    val r1 = apportion(7, Array(10, 10, 10))
+    val r2 = apportion(7, Array(10, 10, 10))
+    assert(r1.sameElements(r2) && r1.sum == 7)
+    intercept[IllegalArgumentException](apportion(5, Array(1, 2)))
+  }
+
   test("corpusLshIndex returns the PERSISTED band frame, so unpersist really frees it") {
     // regression: the index used to return an anti-join DERIVED from the
     // persisted frame — the caller's unpersist matched nothing and the
