@@ -1607,6 +1607,19 @@ object Dedup {
   private def windowFingerprints(
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     docs
+      // the id is the span family's identity/join key everywhere
+      // downstream (site election, token-position joins, span output);
+      // a null id row cannot be attributed to any document, and every
+      // downstream join Catalyst plans infers an isnotnull on SOME
+      // branch anyway. Stating both non-null constraints here keeps
+      // each consumer's subtree canonically IDENTICAL, which is what
+      // lets ReuseExchange evaluate the shingle+md5 pass once per
+      // query instead of once per consumer (guide §2.4 — operations
+      // keyed the same way share one exchange; the pre-r20
+      // stripDuplicateSpans plan re-scanned and re-shingled the corpus
+      // four times because inferred filters de-canonicalized its
+      // subtrees).
+      .filter(col(idCol).isNotNull)
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .transform(Parallelism.ensureWidth)
       .select(col("id"),
@@ -1614,41 +1627,80 @@ object Dedup {
           .wordShinglesAll(col("text"), k)).as(Seq("pos", "gram")))
       .select(col("id"), col("pos").cast("long").as("pos"),
         unhex(md5(col("gram").cast("binary"))).as("g"))
+      .filter(col("g").isNotNull)
 
   def stripDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     val toks = docs
       .select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
       .transform(Parallelism.ensureWidth)
+    // One exchange keyed on the fingerprint feeds BOTH gram consumers
+    // (guide §2.4): the per-gram aggregate and the join probe side
+    // canonicalize to the same Exchange subtree, so ReuseExchange runs
+    // the shingle+md5 pass once. The pre-r20 shape built `dup` (count),
+    // `canon` (min site) and the semi-join as three separate subtrees —
+    // the corpus was re-scanned and re-shingled FOUR times per query
+    // (plan-verified: 4 parquet scans of `documents` at sf0.001).
     val wins = windowFingerprints(docs, idCol, textCol, k)
-    val dup = wins.groupBy(col("g")).agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select(col("g"))
-    val hits = wins.join(dup, Seq("g"), "left_semi")
-    // one canonical site per duplicated gram: lexicographic min of
-    // (doc, pos) — unique because sites are unique
-    val canon = hits.groupBy(col("g"))
-      .agg(min(struct(col("id"), col("pos"))).as("c0"))
-    val removedTok = hits.join(canon, Seq("g"))
+      .repartition(col("g"))
+    // one aggregation per gram carries the duplicate test AND the
+    // canonical-site election: min over all sites of a duplicated gram
+    // equals min over that gram's (semi-joined) hit sites, so the
+    // separate `canon` pass over the join output is the same value
+    // computed one shuffle later
+    val gstats = wins.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(struct(col("id"), col("pos"))).as("c0"))
+      .filter(col("n") >= 2)
+      .select(col("g"), col("c0"))
+    // inner join ≡ the old semi-join+rejoin: only duplicated grams
+    // survive, each annotated with its canonical first site
+    val removedTok = wins.join(gstats, Seq("g"))
       .filter(struct(col("id"), col("pos")) =!= col("c0"))
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1).cast("long")))
           .as("tp"))
-      .distinct()
-    val tokpos = toks.select(col("id"),
-      posexplode(col("t")).as(Seq("tp", "tok")))
-      .withColumn("tp", col("tp").cast("long"))
-    val rebuilt = tokpos.join(removedTok, Seq("id", "tp"), "left_anti")
+    // The rebuild never touches the token stream again (guide §2.3 /
+    // §8 — decide with small rows, move heavy rows once): removed
+    // positions merge into per-doc ISLANDS (dense_rank absorbs the
+    // duplicate positions overlapping windows emit, so the old
+    // pre-merge `.distinct()` exchange is gone too), each doc carries
+    // its few islands as a sorted array, and the clean text is the
+    // concatenation of the token-array slices BETWEEN islands — one
+    // join against `toks`, no all-tokens posexplode, no anti-join, no
+    // per-doc collect_list(struct)+array_sort of the whole document.
+    // The pre-r20 shape shuffled every kept token through an
+    // ObjectHashAggregate exchange (the corpus, again) to reassemble
+    // strings whose order `toks` already held.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("tp"))
+    val islands = removedTok
+      .withColumn("grp", col("tp") - dense_rank().over(w))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("tp")).as("s"), max(col("tp")).as("e"))
       .groupBy(col("id"))
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("tp"), col("tok")))),
-          x => x.getField("tok")), " ").as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    toks.select(col("id"), size(col("t")).cast("long").as("n_tok"))
-      .join(rebuilt, Seq("id"), "left")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("rem"))
+    // slice boundaries between islands: starts = [0, e₁+1, …, eₘ+1],
+    // ends = [s₁-1, …, sₘ-1, n-1]; empty slices clamp to length 0
+    val starts = concat(array(lit(0L)),
+      transform(col("rem"), x => x.getField("e") + lit(1L)))
+    val ends = concat(transform(col("rem"), x => x.getField("s") - lit(1L)),
+      array(size(col("t")).cast("long") - lit(1L)))
+    val kept = flatten(zip_with(starts, ends, (s, e) =>
+      slice(col("t"), (s + lit(1L)).cast("int"),
+        greatest(e - s + lit(1L), lit(0L)).cast("int"))))
+    val removedCnt = aggregate(col("rem"), lit(0L),
+      (acc, x) => acc + x.getField("e") - x.getField("s") + lit(1L))
+    toks.join(islands, Seq("id"), "left")
       .select(col("id").as(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        coalesce(
+          when(col("rem").isNull, array_join(col("t"), " "))
+            .otherwise(array_join(kept, " ")),
+          lit("")).as("clean_text"),
+        // null text propagates null n_removed (size(null array) is
+        // null), matching the old n_tok − n_kept arithmetic
+        when(col("rem").isNull, size(col("t")).cast("long") - size(col("t")))
+          .otherwise(size(col("t")).cast("long") * lit(0L) + removedCnt)
+          .as("n_removed"))
   }
 
   /** The SemDeDup codebook-size rule: one cluster per `targetClusterSize`
