@@ -249,12 +249,7 @@ final class PlacementAdvisor(historyPath: Option[String] = None) {
   def recommendBuckets(
       table: String, rows: Long, targetRowsPerBucket: Long = 1L << 22): Int = {
     val groupMax = (coPartitionGroup(table).flatMap(setRows.get) + rows).max
-    val needed = math.max(1L, (groupMax + targetRowsPerBucket - 1) / targetRowsPerBucket)
-    val pow2 = java.lang.Long.highestOneBit(needed) match {
-      case h if h == needed => needed
-      case h => h << 1
-    }
-    math.min(pow2, 65536L).toInt
+    PlacementAdvisor.bucketCountFor(groupMax, targetRowsPerBucket)
   }
 
   /** The auto-compaction trigger for an appendable set whose COMPACTED
@@ -461,6 +456,26 @@ final class PlacementAdvisor(historyPath: Option[String] = None) {
 object PlacementAdvisor {
   /** Cap on replayed per-query history lines in the sidecar file. */
   val MaxHistory = 10000
+
+  /** The pure sizing rule behind [[PlacementAdvisor.recommendBuckets]]
+    * — power-of-two bucket count keeping each bucket near
+    * `targetRowsPerBucket` rows — exposed statically so index builders
+    * WITHOUT an advisor size their layout from the data too. The old
+    * no-advisor fallback was the session's shuffle-partition count: a
+    * constant tuned to the local core count that stays 32 at ANY corpus
+    * size — the scale-blind constant guide §2 warns about (at 100 TB a
+    * 32-bucket index packs ~3 TB per bucket file and caps every
+    * co-partitioned probe join at 32-way parallelism).
+    */
+  def bucketCountFor(rows: Long, targetRowsPerBucket: Long = 1L << 22): Int = {
+    val needed =
+      math.max(1L, (rows + targetRowsPerBucket - 1) / targetRowsPerBucket)
+    val pow2 = java.lang.Long.highestOneBit(needed) match {
+      case h if h == needed => needed
+      case h => h << 1
+    }
+    math.min(pow2, 65536L).toInt
+  }
 }
 
 /** [[PlacementAdvisor.recommendSemGeometry]]'s recommendation: the

@@ -267,11 +267,17 @@ object Dedup {
     val spark = corpus.sparkSession
     val (cSets, cBanded) =
       corpusLshIndex(corpus, idCol, textCol, k, bands, shingleN, maxBucket)
+    // no-advisor default sizes from the data too (bucketCountFor — the
+    // advisor's rule without the co-partition-group history): the old
+    // session-shuffle-partition fallback stamped a local-core-count
+    // constant into the stored layout. cBanded is persisted and already
+    // materialized, so the count is a cached-frame pass either way.
     val n = if (numBuckets > 0) numBuckets
       else advisor
         .map(_.recommendBuckets(s"$db.${name}_bands", cBanded.count(),
           targetRowsPerBucket))
-        .getOrElse(spark.sessionState.conf.numShufflePartitions)
+        .getOrElse(graft.advisor.PlacementAdvisor
+          .bucketCountFor(cBanded.count(), targetRowsPerBucket))
     catalog.createBucketedSet(db, s"${name}_sets", cSets, "id", n)
     catalog.createBucketedSet(db, s"${name}_bands", cBanded,
       Seq("band", "bkey"), n)
@@ -1235,17 +1241,23 @@ object Dedup {
       targetRowsPerBucket: Long = 1L << 22): Unit = {
     val grams = windowFingerprints(corpus, idCol, textCol, k)
       .select(col("g")).distinct()
+    // both auto paths persist + count so the fingerprint pipeline runs
+    // once; the no-advisor default sizes from that count instead of the
+    // session's shuffle-partition constant (see bucketCountFor)
     val n = if (numBuckets > 0) numBuckets
-      else advisor match {
-        case Some(a) =>
-          grams.persist()
-          a.recommendBuckets(s"$db.${name}_grams", grams.count(),
-            targetRowsPerBucket)
-        case None =>
-          corpus.sparkSession.sessionState.conf.numShufflePartitions
+      else {
+        grams.persist()
+        advisor match {
+          case Some(a) =>
+            a.recommendBuckets(s"$db.${name}_grams", grams.count(),
+              targetRowsPerBucket)
+          case None =>
+            graft.advisor.PlacementAdvisor
+              .bucketCountFor(grams.count(), targetRowsPerBucket)
+        }
       }
     catalog.createBucketedSet(db, s"${name}_grams", grams, "g", n)
-    if (advisor.isDefined && numBuckets == 0) grams.unpersist(blocking = false)
+    if (numBuckets == 0) grams.unpersist(blocking = false)
   }
 
   /** Persist an exact-content fingerprint index: one row per DISTINCT
@@ -1265,17 +1277,22 @@ object Dedup {
       targetRowsPerBucket: Long = 1L << 22): Unit = {
     val hashes = corpus.filter(col(textCol).isNotNull)
       .select(unhex(md5(col(textCol))).as("h")).distinct()
+    // same auto-sizing shape as persistGramIndex: persist + count once,
+    // size buckets from the data with or without an advisor
     val n = if (numBuckets > 0) numBuckets
-      else advisor match {
-        case Some(a) =>
-          hashes.persist()
-          a.recommendBuckets(s"$db.${name}_hashes", hashes.count(),
-            targetRowsPerBucket)
-        case None =>
-          corpus.sparkSession.sessionState.conf.numShufflePartitions
+      else {
+        hashes.persist()
+        advisor match {
+          case Some(a) =>
+            a.recommendBuckets(s"$db.${name}_hashes", hashes.count(),
+              targetRowsPerBucket)
+          case None =>
+            graft.advisor.PlacementAdvisor
+              .bucketCountFor(hashes.count(), targetRowsPerBucket)
+        }
       }
     catalog.createBucketedSet(db, s"${name}_hashes", hashes, "h", n)
-    if (advisor.isDefined && numBuckets == 0) hashes.unpersist(blocking = false)
+    if (numBuckets == 0) hashes.unpersist(blocking = false)
   }
 
   /** Every arriving doc annotated with whether its EXACT content already
@@ -1368,17 +1385,22 @@ object Dedup {
         "persistFingerprintIndex stores LONG fingerprints")
     val distinct = fps.filter(col(fpCol).isNotNull)
       .select(col(fpCol).as("fp")).distinct()
+    // same auto-sizing shape as persistGramIndex: persist + count once,
+    // size buckets from the data with or without an advisor
     val n = if (numBuckets > 0) numBuckets
-      else advisor match {
-        case Some(a) =>
-          distinct.persist()
-          a.recommendBuckets(s"$db.${name}_fps", distinct.count(),
-            targetRowsPerBucket)
-        case None =>
-          fps.sparkSession.sessionState.conf.numShufflePartitions
+      else {
+        distinct.persist()
+        advisor match {
+          case Some(a) =>
+            a.recommendBuckets(s"$db.${name}_fps", distinct.count(),
+              targetRowsPerBucket)
+          case None =>
+            graft.advisor.PlacementAdvisor
+              .bucketCountFor(distinct.count(), targetRowsPerBucket)
+        }
       }
     catalog.createBucketedSet(db, s"${name}_fps", distinct, "fp", n)
-    if (advisor.isDefined && numBuckets == 0) distinct.unpersist(blocking = false)
+    if (numBuckets == 0) distinct.unpersist(blocking = false)
   }
 
   /** Scan a [[persistFingerprintIndex]] set, failing FAST on a non-long

@@ -1317,13 +1317,19 @@ object SimilaritySearch {
     // comes off the just-written code set's sidecar (one code row per
     // corpus vector, counted by its post-write footer pass) — NOT an
     // extra emb.count() scan of the whole corpus.
+    // the no-advisor default sizes from the same sidecar rowcount the
+    // advisor reads (PlacementAdvisor.bucketCountFor) instead of the
+    // session's shuffle-partition constant — no extra corpus scan
     val n = if (numBuckets > 0) numBuckets
-      else advisor
-        .map(_.recommendBuckets(s"$db.${name}_vectors",
-          catalog.meta(db, s"${name}_codes").map(_.rows)
-            .getOrElse(emb.count()),
-          targetRowsPerBucket))
-        .getOrElse(spark.sessionState.conf.numShufflePartitions.toInt)
+      else {
+        val rows = catalog.meta(db, s"${name}_codes").map(_.rows)
+          .getOrElse(emb.count())
+        advisor
+          .map(_.recommendBuckets(s"$db.${name}_vectors", rows,
+            targetRowsPerBucket))
+          .getOrElse(graft.advisor.PlacementAdvisor
+            .bucketCountFor(rows, targetRowsPerBucket))
+      }
     catalog.createSet(db, s"${name}_vectors",
       emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
         l2Norm(col(vecCol)).as("n_nrm")),
@@ -1578,17 +1584,22 @@ object SimilaritySearch {
     persistCodebooks(spark, catalog, db, name, codebooks)
     // partition-count choice follows the other index builders: explicit,
     // else the advisor's sizing rule over the corpus rowcount, else the
-    // session's shuffle-partition count. Pass knownRowCount when the
-    // caller already paid for a count (e.g. the corpus came off a
-    // catalog set whose sidecar carries it) — the advisor path otherwise
-    // costs one extra whole-corpus pass here, since BOTH output sets
-    // need the bucket count before their writes.
+    // same rule without history (PlacementAdvisor.bucketCountFor — the
+    // shuffle-partition constant it replaces encoded the local core
+    // count into stored layouts). Pass knownRowCount when the caller
+    // already paid for a count (e.g. the corpus came off a catalog set
+    // whose sidecar carries it) — both auto paths otherwise cost one
+    // extra counting pass here, since BOTH output sets need the bucket
+    // count before their writes (a bare parquet count is footer-cheap).
     val n = if (numBuckets > 0) numBuckets
-      else advisor
-        .map(_.recommendBuckets(s"$db.${name}_codes",
-          if (knownRowCount > 0) knownRowCount else emb.count(),
-          targetRowsPerBucket))
-        .getOrElse(spark.sessionState.conf.numShufflePartitions.toInt)
+      else {
+        val rows = if (knownRowCount > 0) knownRowCount else emb.count()
+        advisor
+          .map(_.recommendBuckets(s"$db.${name}_codes", rows,
+            targetRowsPerBucket))
+          .getOrElse(graft.advisor.PlacementAdvisor
+            .bucketCountFor(rows, targetRowsPerBucket))
+      }
     val encode = pqEncodeUdf(codebooks)
     catalog.createSet(db, s"${name}_codes",
       emb.select(col(idCol).as("neighbor_id"), encode(col(vecCol)).as("codes")),
