@@ -46,7 +46,15 @@ object MlWorkloads {
     // loop invariants, persisted: every iteration references them, and an
     // unpersisted frame would re-execute its whole upstream plan per
     // iteration per reference
-    val e = edges.select(col("src"), col("dst")).persist()
+    // EAGER mode truncates the edge lineage outright (localCheckpoint):
+    // a live upstream plan (scan ⋈ scan → distinct) kept re-entering the
+    // per-iteration jobs through plan fragments the cache substitution
+    // does not cover — profiled at sf0.1 as ~2.5× the loop's whole CPU.
+    // Lazy/none modes keep the persist-only, no-build-time-job contract.
+    val e =
+      if (mode == "eager")
+        edges.select(col("src"), col("dst")).localCheckpoint(eager = true)
+      else edges.select(col("src"), col("dst")).persist()
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")).persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
@@ -62,6 +70,13 @@ object MlWorkloads {
       .select(col("src"), col("dst"), col("out_deg")).persist()
     val sinks = nodes.join(outDeg.withColumnRenamed("src", "node"),
       Seq("node"), "left_anti").persist() // nodes with no outgoing edges
+    // EAGER mode pre-materializes the invariant caches with one action
+    // before the loop: iteration 1 otherwise computes them inside a
+    // multi-job step (the scalars broadcast build and the checkpoint
+    // job race into the same cold cache and each re-derive the
+    // uncached subtrees) — profiled at sf0.1 as ~3x the whole loop's
+    // CPU. Lazy/none modes keep the no-build-time-job contract.
+    if (mode == "eager") { sinks.count(); ew.count() }
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (i <- 1 to iterations) {
       val contribs = ew
