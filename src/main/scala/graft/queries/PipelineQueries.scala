@@ -1743,9 +1743,27 @@ object PipelineQueries {
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
       .filter(col("text").isNotNull)
     // TEXT branch — pipe_curate's stages over THIS corpus: the replayed
-    // docs are verbatim copies, so span-strip collapses them to empty
-    val stripped = Dedup.stripDuplicateSpans(corpus, "doc_id", "text", k = 8)
-      .localCheckpoint(true)
+    // docs are verbatim copies, so span-strip collapses them to empty.
+    // The two branch HEADS (span-strip and silence-strip) are
+    // independent eager materializations; running their jobs from two
+    // driver threads lets each branch's stage tail back-fill the
+    // other's idle cores (guide §2.6 — overlap independent jobs)
+    // instead of serializing two barriers. Results are unchanged:
+    // only the materialization ORDER overlaps.
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val strippedF = scala.concurrent.Future {
+      Dedup.stripDuplicateSpans(corpus, "doc_id", "text", k = 8)
+        .localCheckpoint(true)
+    }
+    val silStrippedF = scala.concurrent.Future {
+      Multimodal.stripSilence(Multimodal.withPayload(corpus))
+        .filter(col("payload_stripped").isNotNull &&
+          length(col("payload_stripped")) > 0)
+        .localCheckpoint(true)
+    }
+    val stripped = scala.concurrent.Await
+      .result(strippedF, scala.concurrent.duration.Duration.Inf)
     val survivors = stripped.filter(col("clean_text") =!= "")
       .select(col("doc_id"), col("clean_text").as("text"))
     val scored = TextAnalysis.qualityScore(survivors, "doc_id", "text")
@@ -1753,10 +1771,8 @@ object PipelineQueries {
     val qkeep = Curation.quantileKeep(scored, "q_score", fraction = 0.5)
       .select(col("doc_id")).withColumn("quality_keep", lit(true))
     // MEDIA branch — pipe_media's stages over the same corpus
-    val silStripped = Multimodal.stripSilence(Multimodal.withPayload(corpus))
-      .filter(col("payload_stripped").isNotNull &&
-        length(col("payload_stripped")) > 0)
-      .localCheckpoint(true)
+    val silStripped = scala.concurrent.Await
+      .result(silStrippedF, scala.concurrent.duration.Duration.Inf)
     val media = silStripped
       .select(col("doc_id"), col("payload_stripped").as("payload"))
     val frames = Multimodal.sampleFrames(spark, media)
