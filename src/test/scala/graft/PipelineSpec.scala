@@ -749,6 +749,64 @@ class PipelineSpec extends GraftSpecBase {
     assert(out(4L) == ("h i j k l z1 z2 z3", 0L))
   }
 
+  test("stripDuplicateSpans island-slice rebuild handles the edge shapes") {
+    import spark.implicits._
+    val docs = Seq(
+      // null text: clean_text '' and NULL n_removed (size(null) is null)
+      (1L, null.asInstanceOf[String]),
+      // empty string: one empty token, no windows, survives verbatim
+      (2L, ""),
+      // shorter than the window: no grams, survives verbatim
+      (3L, "a b"),
+      // overlapping duplicated windows inside ONE doc merge into one
+      // island (the dense_rank gaps-and-islands path the r20 rebuild
+      // introduced: duplicate removed positions from overlapping
+      // windows must collapse, not split islands)
+      (4L, "a b c a b c a b c"),
+      // two disjoint islands in one doc: slices between them rebuild
+      // in token order
+      (5L, "x1 a b c x2 x3 a b c x4")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .stripDuplicateSpans(docs, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(out(1L) == (("", None)))
+    assert(out(2L) == (("", Some(0L))))
+    assert(out(3L) == (("a b", Some(0L))))
+    // doc 4: canonical site is (4, 0); windows at pos 3 and 6 (verbatim
+    // "a b c") strip — pos 1..5 windows like "b c a" appear twice within
+    // the doc too, so every non-canonical window's positions union
+    assert(out(4L)._1 == "a b c")
+    assert(out(4L)._2 == Some(6L))
+    // doc 5: "a b c" at (5,1) loses to (4,0)? No — doc 4's copy is
+    // canonical for "a b c", so BOTH of doc 5's copies strip; the
+    // surrounding singletons survive in order
+    assert(out(5L) == (("x1 x2 x3 x4", Some(6L))))
+  }
+
+  test("index builders size bucket layouts from the data without an advisor") {
+    import spark.implicits._
+    import graft.advisor.PlacementAdvisor.bucketCountFor
+    // the pure rule: pow2(ceil(rows/target)), floor 1, cap 65536
+    assert(bucketCountFor(0) == 1)
+    assert(bucketCountFor(1L << 22) == 1)
+    assert(bucketCountFor((1L << 22) + 1) == 2)
+    assert(bucketCountFor(5L * (1L << 22)) == 8)
+    assert(bucketCountFor(Long.MaxValue / 4) == 65536)
+    // and the no-advisor default path applies it: a tiny corpus lands
+    // in ONE bucket, not the session's shuffle-partition count
+    val root = java.nio.file.Files.createTempDirectory("graft-bucketdef")
+    val cat = new graft.storage.SetCatalog(spark, root.toString)
+    val corpus = (1L to 100L).map(i => (i, s"doc $i body")).toDF("id", "text")
+    graft.operators.Dedup.persistExactIndex(cat, "bt", "tiny", corpus, "text")
+    assert(cat.meta("bt", "tiny_hashes").exists(_.numPartitions == 1))
+    cat.removeSet("bt", "tiny_hashes")
+    graft.storage.SetCatalog.deleteTree(root)
+  }
+
   test("autoClusters sizes the SemDeDup codebook linearly with the corpus") {
     import graft.operators.Dedup.autoClusters
     // floor of 4 below 4 target-sizes of vectors
