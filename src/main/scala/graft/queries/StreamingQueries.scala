@@ -500,17 +500,40 @@ object StreamingQueries {
         !col("frame_dup") && !col("audio_dup"))
   }
 
+  /** Build the cross-modal probe's three standing indexes (exact text,
+    * frame, audio envelope) CONCURRENTLY from driver threads: the
+    * builds are independent jobs over disjoint catalog sets, so each
+    * build's stage tail back-fills the others' idle cores instead of
+    * serializing three small write/commit chains (guide §2.6 — the
+    * same overlap pipe_all's branch heads use). Results unchanged.
+    */
+  private def buildPipeIndexes(
+      cat: graft.storage.SetCatalog, corpus: DataFrame,
+      txt: String, frm: String, env: String): Unit = {
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    Seq(
+      scala.concurrent.Future {
+        graft.operators.Dedup.persistExactIndex(cat, "stx", txt, corpus, "text")
+      },
+      scala.concurrent.Future {
+        graft.operators.Multimodal.persistFrameIndex(cat, "stx", frm,
+          graft.operators.Multimodal.withPayload(corpus))
+      },
+      scala.concurrent.Future {
+        graft.operators.Multimodal.persistEnvelopeIndex(cat, "stx", env,
+          graft.operators.Multimodal.withPayload(corpus))
+      }).foreach(f =>
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+  }
+
   def stPipeAll(spark0: SparkSession, d: String): DataFrame = {
     val spark = streamSession(spark0)
     val docs = graft.model.Tables.documents(spark, d)
     val corpus = docs.filter(col("doc_id") < 250)
     val root = java.nio.file.Files.createTempDirectory("graft-stpipe")
     val cat = new graft.storage.SetCatalog(spark, root.toString)
-    graft.operators.Dedup.persistExactIndex(cat, "stx", "txt", corpus, "text")
-    graft.operators.Multimodal.persistFrameIndex(cat, "stx", "frm",
-      graft.operators.Multimodal.withPayload(corpus))
-    graft.operators.Multimodal.persistEnvelopeIndex(cat, "stx", "env",
-      graft.operators.Multimodal.withPayload(corpus))
+    buildPipeIndexes(cat, corpus, "txt", "frm", "env")
     // the guarded scans (not raw scanBucketedSet): a schema-drifted
     // index fails fast here instead of silently matching nothing —
     // the same contract as the sibling streaming probes
@@ -1178,11 +1201,7 @@ object StreamingQueries {
     val corpus = docs.filter(col("doc_id") < 250)
     val root = java.nio.file.Files.createTempDirectory("graft-stlmb")
     val cat = new graft.storage.SetCatalog(spark, root.toString)
-    graft.operators.Dedup.persistExactIndex(cat, "stx", "txt", corpus, "text")
-    graft.operators.Multimodal.persistFrameIndex(cat, "stx", "frm",
-      graft.operators.Multimodal.withPayload(corpus))
-    graft.operators.Multimodal.persistEnvelopeIndex(cat, "stx", "env",
-      graft.operators.Multimodal.withPayload(corpus))
+    buildPipeIndexes(cat, corpus, "txt", "frm", "env")
     val txtHashes = graft.operators.Dedup.scanExactIndex(cat, "stx", "txt")
     val frmHashes = graft.operators.Dedup.scanExactIndex(cat, "stx", "frm")
     val envFps = graft.operators.Dedup.scanFingerprintIndex(cat, "stx", "env")
