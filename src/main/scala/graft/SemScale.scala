@@ -20,10 +20,12 @@ import graft.operators.{Dedup, SimilaritySearch}
   *             routed Lloyd up to k = 16384, the parallel hierarchical
   *             tree above — [[SimilaritySearch.trainCentroidsTree]],
   *             VERDICT r19 next #2)
-  *  - assign:  the FULL-CORPUS two-level routed assignment
-  *             ([[SimilaritySearch.twoLevelNearestUdf]], √k cells) forced
-  *             through a groupBy count — O(n·√k·d) where the flat argmin
-  *             is O(n·k·d)
+  *  - assign:  the FULL-CORPUS routed assignment
+  *             ([[SimilaritySearch.routedNearestUdf]]: two-level √k
+  *             router up to k = 16384, the hierarchical assignment tree
+  *             past it — [[SimilaritySearch.treeNearestUdf]], ~4·k^0.25
+  *             distance evals per row, VERDICT r20 next #3) forced
+  *             through a groupBy count; the flat argmin is O(n·k·d)
   *  - flat:    at the smallest step only, the flat assignment over the
   *             same centroids, for the measured speedup factor
   * plus sum(|cluster|²)/n — the within-cluster candidate-pair bound per
@@ -99,7 +101,7 @@ object SemScale {
       val (centroids, trainS) = timed {
         SimilaritySearch.trainCentroidsRouted(sample, k, iters = 3)
       }
-      val assign = SimilaritySearch.twoLevelNearestUdf(centroids, cells, 2)
+      val assign = SimilaritySearch.routedNearestUdf(centroids, 2)
       val (sizes, assignS) = timed {
         emb.select(assign(col("embedding")).as("c"))
           .groupBy(col("c")).agg(count(lit(1)).as("cnt"))

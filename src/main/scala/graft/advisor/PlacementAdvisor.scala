@@ -466,6 +466,19 @@ object PlacementAdvisor {
     * size — the scale-blind constant guide §2 warns about (at 100 TB a
     * 32-bucket index packs ~3 TB per bucket file and caps every
     * co-partitioned probe join at 32-way parallelism).
+    *
+    * Deliberately NO parallelism floor (VERDICT r20 #4, the named
+    * trade): a mid-size standing set (e.g. ~4M rows) gets 1 bucket, so
+    * a co-partitioned probe of it runs 1 task. Flooring at the
+    * cluster's default parallelism would re-introduce the fixture-scale
+    * cost this rule removed (32 near-empty files per set, stamped and
+    * listed on every build) and desynchronize the advisor's spec-pinned
+    * power-of-two rule, while the protected case is thin: probes of a
+    * one-bucket set carry candidate batches, not the corpus, and a
+    * deployment that co-partitions probes against mid-size sets can
+    * raise parallelism explicitly (`numBuckets`/`targetRowsPerBucket`
+    * are caller knobs on every builder). Revisit only with a measured
+    * probe-side stall, which fixture scale does not show.
     */
   def bucketCountFor(rows: Long, targetRowsPerBucket: Long = 1L << 22): Int = {
     val needed =

@@ -57,16 +57,26 @@ object Dedup {
     }
   }
 
-  /** Exact dedup by content groupBy: one row per distinct key with the
-    * kept (min) id and the duplicate count. Groups by the key itself, NOT a
-    * 64-bit hash of it — at billions of documents, 64-bit birthday
-    * collisions are expected (~50% at ~5e9 keys) and would silently merge
-    * distinct texts. Spark hashes the key internally for the shuffle;
-    * map-side partial aggregation still collapses duplicates before the
-    * exchange, so only distinct keys travel.
+  /** Exact dedup by content fingerprint: one row per distinct key with the
+    * kept (min) id and the duplicate count. Groups by the 16-byte md5 of
+    * the key, NOT the key itself: map-side partial aggregation collapses
+    * duplicates before the exchange, but on a mostly-unique corpus every
+    * DISTINCT document still travels — the grouping key IS the shuffle
+    * payload, and at 100 TB that is the operator's entire byte cost
+    * (guide §2.3: shuffle keys and metadata instead of payloads). The
+    * fingerprint replaces kilobytes of text with a fixed 16 bytes.
+    *
+    * Collision stance: md5 is 128 bits, so the birthday bound at n keys
+    * is ~n²/2¹²⁹ — ≈1.5e-15 at a TRILLION documents, orders below the
+    * undetected-error rates of the hardware the shuffle crosses. A
+    * 64-bit hash would NOT be safe (~50% collision odds at ~5e9 keys);
+    * this is the same 128-bit choice [[persistExactIndex]] has always
+    * persisted, now applied to the one-shot operator. A null key
+    * fingerprints to null and still groups as the single null-key group,
+    * exactly as the raw key did.
     */
   def exact(df: DataFrame, key: Column, id: Column): DataFrame =
-    df.groupBy(key.as("content_key"))
+    df.groupBy(unhex(md5(key)).as("content_key"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
 
@@ -1827,8 +1837,10 @@ object Dedup {
       if (routeCells > 0)
         SimilaritySearch.twoLevelNearestUdf(centroids, routeCells, routeIters)
       else if (k > routeThreshold)
-        SimilaritySearch.twoLevelNearestUdf(
-          centroids, SimilaritySearch.sqrtCells(k), routeIters)
+        // √k two-level router up to treeRouteThreshold, the assignment
+        // tree past it (SEMDEDUP_SCALE_r20: the two-level corpus pass
+        // was the lifecycle's remaining super-linear stage)
+        SimilaritySearch.routedNearestUdf(centroids, routeIters)
       else SimilaritySearch.nearestUdf(centroids)
     val withC = corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"))

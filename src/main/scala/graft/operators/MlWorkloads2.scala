@@ -153,7 +153,6 @@ object MlWorkloads2 {
       iterations: Int, maxVocab: Int = 1 << 16): DataFrame = {
     val spark = docWordCounts.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val raw = docWordCounts.toDF("d", "word", "cnt")
 
     // The modeled vocabulary is bounded BY CONSTRUCTION: top-`maxVocab`
@@ -190,7 +189,6 @@ object MlWorkloads2 {
     var phi = Array.tabulate(words.length, nTopics)((w, t) => detInit(w, t))
     normalizeCols(phi)
 
-    val docNorm = Window.partitionBy(col("d"))
     // θ₀: sin-seeded PER DOC from a modular residue of the doc id,
     // row-normalized. Partition-free by construction — the earlier
     // rank-based seed (row_number over a global order-only window) moved
@@ -200,42 +198,68 @@ object MlWorkloads2 {
     // builtin 64-bit hash it is integer-exact to mirror in the DuckDB
     // oracle (the modulus keeps the sin argument ≤ ~3e7, where both
     // libms' argument reduction agrees).
+    //
+    // θ rides as ONE ROW PER DOC carrying the nTopics values as an
+    // array (`tvs`), not nTopics rows keyed (d, t): the per-(doc,word)
+    // responsibility normalization then needs NO window at all — the
+    // t-sum is row-local arithmetic over array slots — and the θ
+    // re-normalization after the M-step groupBy is row-local too. The
+    // (d, t)-row shape paid one exchange+sort for the (d, word) window
+    // and another exchange+sort for the per-doc window EVERY iteration
+    // (plan-verified: 5 exchanges + 2 sorts per EM step → 3 exchanges,
+    // 0 sorts). Float association: the t-sums run in fixed topic order
+    // (t = 0,1,…), the same 3-term additions the window summed in
+    // partition row order; the doc/word-dimension sums keep their
+    // arbitrary combine order exactly as before, and the final φ is
+    // rounded to 1e-6 like the kernel always was (oracle-verified).
+    val tIdx = 0 until nTopics
     var theta = counts.select(col("d")).distinct()
       .withColumn("dI", col("d") % 1000003)
-      .select(col("d"), col("dI"),
-        explode(sequence(lit(0), lit(nTopics - 1))).as("t"))
-      .withColumn("raw", lit(0.5) + lit(0.5) *
-        abs(sin(((col("dI") + 7) * 31 + col("t") * 17).cast("double"))))
-      .withColumn("tv", col("raw") / sum(col("raw")).over(docNorm))
-      .select(col("d"), col("t"), col("tv"))
+      .withColumn("raws", array(tIdx.map(t =>
+        lit(0.5) + lit(0.5) *
+          abs(sin(((col("dI") + 7) * 31 + lit(t) * 17).cast("double")))): _*))
+      .withColumn("rsum", tIdx.map(t => col("raws").getItem(t)).reduce(_ + _))
+      .select(col("d"),
+        array(tIdx.map(t => col("raws").getItem(t) / col("rsum")): _*)
+          .as("tvs"))
 
     var prevResp: DataFrame = null
     for (_ <- 1 to iterations) {
-      val phiDf = words.indices.flatMap { w =>
-        (0 until nTopics).map(t => (words(w), t, phi(w)(t)))
-      }.toDF("word", "t", "pv")
-      val dw = Window.partitionBy(col("d"), col("word"))
+      // φ broadcast: one row per word carrying its nTopics values
+      val phiDf = words.indices.map { w =>
+        (words(w), tIdx.map(t => phi(w)(t)))
+      }.toDF("word", "pvs")
       val resp = counts
         .join(broadcast(phiDf), Seq("word"))
-        .join(theta, Seq("d", "t"))
-        .withColumn("p", col("pv") * col("tv"))
-        .withColumn("r", col("cnt") * col("p") / sum(col("p")).over(dw))
-        .select(col("d"), col("word"), col("t"), col("r"))
+        .join(theta, Seq("d"))
+        .withColumn("ps", array(tIdx.map(t =>
+          col("pvs").getItem(t) * col("tvs").getItem(t)): _*))
+        .withColumn("psum", tIdx.map(t => col("ps").getItem(t)).reduce(_ + _))
+        .select(col("d"), col("word"), array(tIdx.map(t =>
+          col("cnt") * col("ps").getItem(t) / col("psum")): _*).as("rs"))
         .persist()
       // M-step φ: vocab × topics rows gathered for next iteration's broadcast
+      val tSums = tIdx.map(t => sum(col("rs").getItem(t)).as(s"v$t"))
       val phiAcc = Array.fill(words.length, nTopics)(0.0)
-      resp.groupBy(col("word"), col("t")).agg(sum(col("r")).as("v"))
+      resp.groupBy(col("word"))
+        .agg(tSums.head, tSums.tail: _*)
         .collect().foreach { row =>
-          phiAcc(wIdx(row.getString(0)))(row.getInt(1)) = row.getDouble(2)
+          val w = wIdx(row.getString(0))
+          tIdx.foreach(t => phiAcc(w)(t) = row.getDouble(1 + t))
         }
       phi = phiAcc
       normalizeCols(phi)
       // M-step θ: stays distributed; its lineage is cut at the persisted
       // resp (already materialized by the φ gather above), so plans stay
-      // constant-size across iterations
-      theta = resp.groupBy(col("d"), col("t")).agg(sum(col("r")).as("v"))
-        .withColumn("tv", col("v") / sum(col("v")).over(docNorm))
-        .select(col("d"), col("t"), col("tv"))
+      // constant-size across iterations. The groupBy(d) output is
+      // hash-partitioned on d — next iteration's join on d reuses that
+      // partitioning instead of re-exchanging θ.
+      val thetaAgg = resp.groupBy(col("d"))
+        .agg(tSums.head, tSums.tail: _*)
+      theta = thetaAgg
+        .withColumn("vsum", tIdx.map(t => col(s"v$t")).reduce(_ + _))
+        .select(col("d"),
+          array(tIdx.map(t => col(s"v$t") / col("vsum")): _*).as("tvs"))
       if (prevResp != null) prevResp.unpersist(blocking = false)
       prevResp = resp
     }

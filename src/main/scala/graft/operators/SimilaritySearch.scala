@@ -299,6 +299,127 @@ object SimilaritySearch {
     })
   }
 
+  /** Node of the hierarchical assignment router ([[treeNearestUdf]]):
+    * either an internal b-way split (coarse centers + matching
+    * children) or a leaf holding fine-centroid GLOBAL indices,
+    * ascending. Plain serializable case classes — the tree rides in
+    * the UDF closure exactly like the flat codebook does, adding only
+    * ~k/(b−1) interior centers to it.
+    */
+  private[graft] sealed trait RouteNode extends Serializable
+  private[graft] final case class RouteBranch(
+      centers: Array[Array[Double]],
+      children: Array[RouteNode]) extends RouteNode
+  private[graft] final case class RouteLeaf(members: Array[Int])
+      extends RouteNode
+
+  /** Branch factor of the assignment tree: ⌈k^(1/4)⌉, so a descent does
+    * ~3 levels of b-way argmin plus one ≤b-member leaf scan — ~4·k^(1/4)
+    * distance evaluations per row where the two-level router does
+    * 2·√k (450 → ~85 at k = 200k) and the flat argmin does k. With
+    * k ∝ n (SemDeDup's n/125 sizing) the corpus assignment pass drops
+    * from O(n^1.5) to O(n^1.25).
+    */
+  private[graft] def treeRouteBranch(k: Int): Int =
+    math.max(2, math.ceil(math.pow(k.toDouble, 0.25)).toInt)
+
+  /** Recursive b-way split of a fine-centroid index set: train a b-way
+    * coarse quantizer over the member centroids themselves (the
+    * [[coarseRouter]] step applied per node), partition members by
+    * nearest coarse center, recurse. Members keep ascending global
+    * order through the stable partition, so leaf argmins tie-break to
+    * the smallest global index exactly like the flat kernel — the tree
+    * is a pure, deterministic function of the codebook. A node whose
+    * members collapse into one coarse cell (duplicate centroids) stops
+    * splitting and becomes a leaf.
+    */
+  private[graft] def buildRouteTree(
+      centroids: Array[Array[Double]], idxs: Array[Int], branch: Int,
+      iters: Int): RouteNode = {
+    if (idxs.length <= branch) return RouteLeaf(idxs)
+    val rows = idxs.map(centroids(_))
+    val coarse = trainCentroidsFromSample(rows, branch, iters)
+    val members =
+      Array.fill(coarse.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    var i = 0
+    while (i < idxs.length) {
+      members(nearest(coarse, rows(i))) += idxs(i)
+      i += 1
+    }
+    val nonEmpty = members.indices.filter(members(_).nonEmpty).toArray
+    if (nonEmpty.length <= 1) RouteLeaf(idxs)
+    else RouteBranch(
+      nonEmpty.map(coarse),
+      nonEmpty.map(c =>
+        buildRouteTree(centroids, members(c).toArray, branch, iters)))
+  }
+
+  /** Tree-routed nearest-centroid assignment for HUGE codebooks
+    * (k > [[treeRouteThreshold]] — the semantic-index regime, k ≈ n/125):
+    * descend the [[buildRouteTree]] hierarchy with a b-way argmin per
+    * level, then argmin over only the reached leaf's fine centroids —
+    * ~4·k^(1/4) distance evaluations per row. Same contract as
+    * [[twoLevelNearestUdf]]: returns the GLOBAL fine-centroid index,
+    * approximate by design (the IVF recall trade, one level deeper),
+    * deterministic under any schedule, ties to the smallest global
+    * index. SEMDEDUP_SCALE_r20 measured the two-level corpus assignment
+    * as the lifecycle's asymptotic ceiling (assign_exp 1.69 ≈ the
+    * O(n·√k·d) design shape); this is the tree the trainer already
+    * climbs ([[trainCentroidsTree]]) applied to the cluster side.
+    */
+  def treeNearestUdf(
+      centroids: Array[Array[Double]],
+      routeIters: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val tree = buildRouteTree(centroids, centroids.indices.toArray,
+      treeRouteBranch(centroids.length), routeIters)
+    udf((v: Seq[Float]) => {
+      val arr = new Array[Double](v.length)
+      var i = 0
+      while (i < arr.length) { arr(i) = v(i).toDouble; i += 1 }
+      var node = tree
+      while (node.isInstanceOf[RouteBranch]) {
+        val b = node.asInstanceOf[RouteBranch]
+        node = b.children(nearest(b.centers, arr))
+      }
+      val mem = node.asInstanceOf[RouteLeaf].members
+      var best = mem(0)
+      var bestD = Double.MaxValue
+      var m = 0
+      while (m < mem.length) {
+        val c = centroids(mem(m))
+        var d = 0.0
+        var j = 0
+        while (j < arr.length) { val diff = c(j) - arr(j); d += diff * diff; j += 1 }
+        if (d < bestD) { bestD = d; best = mem(m) }
+        m += 1
+      }
+      best.toLong
+    })
+  }
+
+  /** Codebook size above which routed assignment dispatches from the
+    * two-level router to the [[treeNearestUdf]] hierarchy — the SAME
+    * boundary as the trainer's [[treeTrainThreshold]], so the two
+    * lifecycle dimensions (train, assign) switch regimes together.
+    * Every oracle-scale (k ≤ 2048, flat) and spec-pinned mid-size
+    * routed path (k ≤ 16384, two-level) is bit-identical to before;
+    * only the multi-million-row semantic builds cross it.
+    */
+  private[graft] def treeRouteThreshold: Int = treeTrainThreshold
+
+  /** The routed (above-threshold) assignment kernel: two-level √k
+    * router up to [[treeRouteThreshold]], the assignment tree past it.
+    * Pure function of the codebook, so build, append, rebuild and
+    * probe of one index always agree.
+    */
+  private[graft] def routedNearestUdf(
+      centroids: Array[Array[Double]],
+      routeIters: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    if (centroids.length > treeRouteThreshold)
+      treeNearestUdf(centroids, routeIters)
+    else
+      twoLevelNearestUdf(centroids, sqrtCells(centroids.length), routeIters)
+
   /** Routed-cell count for a PERSISTED index's per-row assignment: 0
     * (flat argmin) at or below the routing threshold, ceil(√k) above it
     * — [[graft.operators.Dedup.semanticPairs]]' rule applied to the
@@ -349,7 +470,7 @@ object SimilaritySearch {
   private[graft] def indexAssignUdfFor(
       threshold: Int, centroids: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val cells = routedCellsFor(threshold, centroids.length)
-    if (cells > 0) twoLevelNearestUdf(centroids, cells, routeIters = 2)
+    if (cells > 0) routedNearestUdf(centroids, routeIters = 2)
     else nearestUdf(centroids)
   }
 

@@ -1752,15 +1752,23 @@ object PipelineQueries {
     // only the materialization ORDER overlaps.
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
+    // blocking{}: a Spark action parks this fork-join thread until its
+    // jobs finish; the marker lets the global pool grow a replacement so
+    // CONCURRENT invocations of this query (the serving pattern) cannot
+    // starve the pool behind parked action threads (VERDICT r20 #2)
     val strippedF = scala.concurrent.Future {
-      Dedup.stripDuplicateSpans(corpus, "doc_id", "text", k = 8)
-        .localCheckpoint(true)
+      scala.concurrent.blocking {
+        Dedup.stripDuplicateSpans(corpus, "doc_id", "text", k = 8)
+          .localCheckpoint(true)
+      }
     }
     val silStrippedF = scala.concurrent.Future {
-      Multimodal.stripSilence(Multimodal.withPayload(corpus))
-        .filter(col("payload_stripped").isNotNull &&
-          length(col("payload_stripped")) > 0)
-        .localCheckpoint(true)
+      scala.concurrent.blocking {
+        Multimodal.stripSilence(Multimodal.withPayload(corpus))
+          .filter(col("payload_stripped").isNotNull &&
+            length(col("payload_stripped")) > 0)
+          .localCheckpoint(true)
+      }
     }
     val stripped = scala.concurrent.Await
       .result(strippedF, scala.concurrent.duration.Duration.Inf)

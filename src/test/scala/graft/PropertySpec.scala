@@ -179,6 +179,64 @@ class PropertySpec extends GraftSpecBase {
     }
   }
 
+  test("stripDuplicateSpans null-id contract: pass-through, excluded from election") {
+    // Declared degenerate-input contract (VERDICT r20 #1): a null-id
+    // document cannot be attributed, so (1) it passes through UNTOUCHED
+    // (clean_text = its text, n_removed = 0) rather than being stripped
+    // to empty as pre-r20 code did, and (2) its window sites take no
+    // part in duplicate detection or canonical-site election — a gram
+    // shared only between a null-id doc and one real doc is NOT a
+    // corpus duplicate.
+    import spark.implicits._
+    val docs = Seq[(java.lang.Long, String)](
+      (1L, "a b c d e"),
+      (2L, "a b c d e"), // verbatim dup of doc 1 → stripped to empty
+      (null, "a b c d e"), // null id: same text, must pass through
+      (3L, "p q r s t"),
+      (null, "p q r s t") // gram shared ONLY with doc 3 → no dup
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .stripDuplicateSpans(docs, "doc_id", "text", k = 4)
+      .collect()
+      .map(r => (Option(r.get(0)), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (Some(1L), "a b c d e", 0L), // canonical first site survives
+      (Some(2L), "", 5L), // later copy stripped
+      (None, "a b c d e", 0L), // null id untouched, even with dup text
+      (Some(3L), "p q r s t", 0L), // null-id twin does not make a dup
+      (None, "p q r s t", 0L)), got.toString)
+  }
+
+  test("exact md5-fingerprint grouping == full-key grouping, adversarial keys") {
+    import spark.implicits._
+    // The operator groups on unhex(md5(key)) instead of the key itself
+    // (the 100 TB shuffle-byte cut); this pins that the fingerprint
+    // grouping is observationally identical to full-key grouping on
+    // keys BUILT to stress a weak hash: long shared prefixes/suffixes,
+    // single-char flips deep inside, same bag of words reordered,
+    // differing only in length, plus exact duplicates and nulls.
+    val base = "x " * 3000
+    val keys = Seq(
+      base + "tail-one", base + "tail-two", // 6 KB shared prefix
+      "head-one " + base, "head-two " + base, // shared suffix
+      base + "a" + base, base + "b" + base, // flip mid-string
+      base.trim, base.trim + " x", // prefix-of-the-other
+      "a b", "b a", // reordered words
+      "", " ", // empty vs blank
+      null, null, // null keys: one group of 2
+      base + "tail-one" // exact dup of the first
+    )
+    val docs = keys.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .exact(docs, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: group by the raw key locally
+    val want = keys.zipWithIndex.groupBy(_._1)
+      .map { case (_, g) => (g.map(_._2.toLong).min, g.size.toLong) }.toSet
+    assert(got == want, s"md5 grouping diverged: got $got want $want")
+  }
+
   test("domainTokenBudget is invariant under input partitioning, random corpora") {
     import spark.implicits._
     // the md5-keyed shuffle order is the whole point: the shipped
