@@ -62,6 +62,13 @@ ONLY=$ONLY,st_ingest_neardup
 # mid-stream append, 5.4 s at sf0.1, the expensive slice by
 # measurement
 ONLY=$ONLY,st_ivfpq_live
+# round-21 list revision (VERDICT r20 next #1): dd_exact — not in the
+# expensive slice by WALL, but its r21 rework (group on the md5
+# fingerprint instead of the full text) is a pure shuffle-BYTE
+# optimization whose payoff the sf0.1 family can't register; this
+# family's artifact carries per-query shuffle_mb, so dd_exact rides
+# here to keep the decade-scale shuffle volume adjudicated per round
+ONLY=$ONLY,dd_exact
 
 OUT="BENCH_SF1_r${ROUND}.json"
 LOG="target/sf1bench_r${ROUND}.log"
